@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over the driver's parquet datasets (TESTDATA.md).
+  *
+  * The reference models tables as engine-typed `IStorage` instances
+  * registered in a `Database` namespace (reference:
+  * dbms/src/Storages/IStorage.h, dbms/src/Databases/). Here every
+  * table is a parquet scan — Catalyst supplies column pruning,
+  * predicate pushdown and partition pruning on top (SURVEY.md §2.1),
+  * so the "engine" distinction collapses to read-view semantics
+  * implemented in [[graft.operators.MergeTreeViews]].
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (the `Database` analog). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

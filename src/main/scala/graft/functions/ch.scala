@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Scalar-function parity layer (SURVEY.md §2.9).
+  *
+  * Thin, codegen-preserving wrappers: each helper composes built-in
+  * `org.apache.spark.sql.functions` (all whole-stage-codegen'd), so
+  * none of these introduce UDF boundaries in the hot path. Reference
+  * surface: dbms/src/Functions/* (FunctionFactory registrations).
+  */
+object ch {
+
+  /** transform(x, from, to, default) — value remap
+    * (reference: Functions/FunctionsTransform.cpp). Chained `when`s
+    * keep it inside codegen; for large maps prefer a broadcast join.
+    */
+  def transform[T](x: Column, from: Seq[T], to: Seq[T], default: T): Column = {
+    require(from.length == to.length, "transform: from/to length mismatch")
+    from.zip(to).foldRight(lit(default)) { case ((f, v), acc) =>
+      when(x === lit(f), lit(v)).otherwise(acc)
+    }
+  }
+
+  /** multiIf(c1, v1, c2, v2, …, default)
+    * (reference: Functions/FunctionsConditional.h multiIf). */
+  def multiIf(branches: Seq[(Column, Column)], default: Column): Column =
+    branches.foldRight(default) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+
+  /** if(cond, then, else) (reference: FunctionsConditional.h). */
+  def iif(cond: Column, t: Column, f: Column): Column = when(cond, t).otherwise(f)
+
+  // --- date/time family (reference: Functions/FunctionsDateTime.h) ---
+
+  /** toYYYYMM(d) — the reference's MergeTree month-partition key. */
+  def toYYYYMM(d: Column): Column = (year(d) * 100 + month(d)).cast("int")
+
+  /** toStartOfMonth / toMonday / toStartOfHour / toStartOfMinute. */
+  def toStartOfMonth(d: Column): Column = date_trunc("month", d)
+  def toMonday(d: Column): Column = date_trunc("week", d)
+  def toStartOfHour(d: Column): Column = date_trunc("hour", d)
+  def toStartOfMinute(d: Column): Column = date_trunc("minute", d)
+
+  /** toStartOfFiveMinute(ts) — 5-minute bucket. */
+  def toStartOfFiveMinute(ts: Column): Column = timeBucket(ts, 300L)
+
+  /** timeSlot(ts) — half-hour bucket (FunctionsDateTime.h timeSlot). */
+  def timeSlot(ts: Column): Column = timeBucket(ts, 1800L)
+
+  /** Generic epoch-aligned bucket of `seconds` width. */
+  def timeBucket(ts: Column, seconds: Long): Column =
+    timestamp_seconds(
+      (unix_timestamp(ts.cast(TimestampType)) / seconds).cast(LongType) * seconds)
+
+  /** toRelativeHourNum etc. — epoch-relative bucket ordinals. */
+  def toRelativeSecondNum(ts: Column): Column = unix_timestamp(ts.cast(TimestampType))
+  def toRelativeMinuteNum(ts: Column): Column = (toRelativeSecondNum(ts) / 60).cast(LongType)
+  def toRelativeHourNum(ts: Column): Column = (toRelativeSecondNum(ts) / 3600).cast(LongType)
+  def toRelativeDayNum(ts: Column): Column = (toRelativeSecondNum(ts) / 86400).cast(LongType)
+
+  // --- arithmetic (reference: Functions/FunctionsArithmetic.h) ---
+
+  /** intDiv with divide-by-zero → error; OrZero variant yields 0. */
+  def intDiv(a: Column, b: Column): Column = (a.cast(LongType) / b.cast(LongType)).cast(LongType)
+  def intDivOrZero(a: Column, b: Column): Column =
+    when(b === 0, lit(0L)).otherwise(intDiv(a, b))
+  def moduloOrZero(a: Column, b: Column): Column =
+    when(b === 0, lit(0L)).otherwise(a.cast(LongType) % b.cast(LongType))
+
+  // --- string helpers (reference: Functions/FunctionsString.h) ---
+
+  def empty(c: Column): Column = length(c) === 0
+  def notEmpty(c: Column): Column = length(c) > 0
+
+  /** appendTrailingCharIfAbsent (FunctionsString.h). */
+  def appendTrailingCharIfAbsent(c: Column, ch: String): Column =
+    when(c.endsWith(ch), c).otherwise(concat(c, lit(ch)))
+
+  // --- URL family (reference: Functions/FunctionsURL.h) ---
+
+  def protocol(url: Column): Column = parse_url(url, lit("PROTOCOL"))
+  def domain(url: Column): Column = parse_url(url, lit("HOST"))
+  def domainWithoutWWW(url: Column): Column =
+    regexp_replace(domain(url), "^www\\.", "")
+  def path(url: Column): Column = parse_url(url, lit("PATH"))
+  def queryString(url: Column): Column = parse_url(url, lit("QUERY"))
+  def fragment(url: Column): Column = parse_url(url, lit("REF"))
+  def extractURLParameter(url: Column, name: String): Column =
+    parse_url(url, lit("QUERY"), lit(name))
+  def topLevelDomain(url: Column): Column =
+    regexp_extract(domain(url), "\\.([^.]+)$", 1)
+  def cutWWW(url: Column): Column = regexp_replace(url, "^(https?://)www\\.", "$1")
+  def cutQueryString(url: Column): Column = regexp_replace(url, "\\?.*$", "")
+
+  // --- visitParam JSON family (Functions/FunctionsVisitParam.cpp) ---
+
+  def visitParamHas(json: Column, name: String): Column =
+    get_json_object(json, s"$$.$name").isNotNull
+  def visitParamExtractUInt(json: Column, name: String): Column =
+    get_json_object(json, s"$$.$name").cast(LongType)
+  def visitParamExtractFloat(json: Column, name: String): Column =
+    get_json_object(json, s"$$.$name").cast("double")
+  def visitParamExtractString(json: Column, name: String): Column =
+    get_json_object(json, s"$$.$name")
+
+  // --- domain rounding (Functions/FunctionsRound.h) ---
+
+  /** roundAge: 0,18,25,35,45,55 buckets (FunctionsRound.h roundAge). */
+  def roundAge(a: Column): Column =
+    when(a < 1, 0).when(a < 18, 17).when(a < 25, 18).when(a < 35, 25)
+      .when(a < 45, 35).when(a < 55, 45).otherwise(55)
+
+  /** roundDuration: 0,1,10,30,60,...,36000 (FunctionsRound.h). */
+  def roundDuration(d: Column): Column = {
+    val steps = Seq(36000, 18000, 3600, 1800, 600, 300, 240, 180, 120, 60, 30, 10, 1)
+    steps.foldLeft(lit(0).cast("int")) { (acc, s) =>
+      when(d >= s, s).otherwise(acc)
+    }
+  }
+
+  /** roundToExp2 — round down to a power of two (FunctionsRound.h). */
+  def roundToExp2(c: Column): Column =
+    when(c <= 0, 0L).otherwise(
+      shiftleft(lit(1L), (floor(log2(c)).cast("int"))).cast(LongType))
+
+  /** bar(x, min, max, width) — ASCII bar chart
+    * (FunctionsMiscellaneous.cpp bar). */
+  def bar(x: Column, minV: Double, maxV: Double, width: Int): Column = {
+    val frac = (x - minV) / (maxV - minV)
+    val n = greatest(lit(0), least(lit(width), round(frac * width).cast("int")))
+    repeat(lit("█"), n)
+  }
+}
