@@ -17,9 +17,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from an sf directory. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one table from an sf directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects; read it as a long (legacy nanosAsLong) and rebuild the
+    * timestamp at µs precision (the data is µs-granular, so lossless).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else df
+  }
 
   /** Register every table as a temp view (the `Database` analog). */
   def registerAll(spark: SparkSession, dir: String): Unit =

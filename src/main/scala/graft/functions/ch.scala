@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * Thin, codegen-preserving wrappers: each helper composes built-in
   * `org.apache.spark.sql.functions` (all whole-stage-codegen'd), so
   * none of these introduce UDF boundaries in the hot path. Reference
-  * surface: dbms/src/Functions/* (FunctionFactory registrations).
+  * surface: dbms/src/Functions (FunctionFactory registrations).
   */
 object ch {
 
@@ -120,10 +120,10 @@ object ch {
     }
   }
 
-  /** roundToExp2 — round down to a power of two (FunctionsRound.h). */
+  /** roundToExp2 — round down to a power of two (FunctionsRound.h).
+    * Guard c<1: floor(log2) would be negative and pow fractional. */
   def roundToExp2(c: Column): Column =
-    when(c <= 0, 0L).otherwise(
-      shiftleft(lit(1L), (floor(log2(c)).cast("int"))).cast(LongType))
+    when(c < 1, 0L).otherwise(pow(lit(2.0), floor(log2(c))).cast(LongType))
 
   /** bar(x, min, max, width) — ASCII bar chart
     * (FunctionsMiscellaneous.cpp bar). */

@@ -179,7 +179,7 @@ object FunctionQueries {
   def q25(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("cnt"), max(col("k")).as("max_k"))
       .orderBy(col("k_bucket"))
 

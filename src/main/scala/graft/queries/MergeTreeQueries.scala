@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.queries.CoreQueries.dec2
+
+/** MergeTree-family table semantics restated as read-views
+  * (SURVEY.md §2.1): Replacing / Summing / Collapsing fold rows with
+  * equal sort key at merge time; on Spark the same semantics are a
+  * declarative read-view (window-dedup / groupBy-sum), and the
+  * background merge becomes an OPTIMIZE-style compaction job writing
+  * the folded result back (graft.operators.Compaction).
+  *
+  * Scale note: every view here shuffles exactly once on the sort key —
+  * the same data movement a distributed merge would do — and all
+  * aggregation is partial/final (map-side combine), so the plans hold
+  * at 1000-executor scale.
+  */
+object MergeTreeQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------
+  // q34 ReplacingMergeTree FINAL — keep the max-version row per sort
+  // key (reference: ReplacingSortedBlockInputStream.h:11-15). Key =
+  // (user_id, event_type), version = (ts, event_id).
+  // ---------------------------------------------------------------
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q34Sql =
+    """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q35 SummingMergeTree — rows with equal sort key folded by summing
+  // numeric columns; zero-sum rows dropped (reference:
+  // SummingSortedBlockInputStream.h:17-21).
+  // ---------------------------------------------------------------
+  def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).as("sum_value"), count(lit(1)).as("n_rows"))
+      .filter(col("sum_value") =!= 0)
+      .orderBy(col("user_id"))
+
+  private val q35Sql =
+    """SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS sum_value, count(*) AS n_rows
+      |FROM events GROUP BY user_id
+      |HAVING sum(CAST(value AS DECIMAL(18,2))) <> 0
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q36 CollapsingMergeTree — a ±1 sign column cancels row pairs at
+  // merge; FINAL read keeps keys whose sign-sum is positive
+  // (reference: CollapsingSortedBlockInputStream.h:14-22). Sign
+  // derived here: 'error' events cancel, everything else asserts.
+  // ---------------------------------------------------------------
+  def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("sign", when(col("event_type") === "error", -1).otherwise(1))
+      .groupBy(col("user_id"))
+      .agg(sum(col("sign")).cast("long").as("net_sign"),
+        sum(col("sign") * dec2(col("value"))).as("net_value"))
+      .filter(col("net_sign") > 0)
+      .orderBy(col("user_id"))
+
+  private val q36Sql =
+    """SELECT user_id, CAST(sum(sign) AS BIGINT) AS net_sign,
+      |  sum(sign * CAST(value AS DECIMAL(18,2))) AS net_value
+      |FROM (SELECT user_id, value,
+      |        CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign
+      |      FROM events)
+      |GROUP BY user_id HAVING CAST(sum(sign) AS BIGINT) > 0
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q37 deterministic SAMPLE — the reference rewrites `SAMPLE 0.1`
+  // into a range predicate on a hash of the sampling key
+  // (MergeTreeDataSelectExecutor.cpp:279-437): deterministic and
+  // subset-composable, unlike row-random df.sample(). Knuth
+  // multiplicative hash keeps both engines bit-identical.
+  // (At real UInt64 key scale the multiply is done in modular 2^32
+  // arithmetic — pmod here bounds the product first.)
+  // ---------------------------------------------------------------
+  def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(pmod(pmod(col("l_orderkey"), lit(4294967296L)) * 40503L, lit(65536L)) <
+        lit(6554L))
+      .agg(count(lit(1)).as("sample_rows"),
+        sum(col("l_quantity").cast("long")).as("sample_qty"))
+
+  private val q37Sql =
+    """SELECT count(*) AS sample_rows,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sample_qty
+      |FROM lineitem
+      |WHERE ((l_orderkey % 4294967296) * 40503) % 65536 < 6554""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q38 Merge engine — union over tables matching a pattern with a
+  // `_table` virtual column (reference: StorageMerge.cpp,
+  // VirtualColumnFactory.cpp:30-33).
+  // ---------------------------------------------------------------
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(lit("customer").as("_table"), col("c_custkey").as("key"),
+        col("c_name").as("name"), col("c_nationkey").as("nationkey"))
+    val su = t(s, dir, "supplier")
+      .select(lit("supplier").as("_table"), col("s_suppkey").as("key"),
+        col("s_name").as("name"), col("s_nationkey").as("nationkey"))
+    c.unionByName(su)
+      .groupBy(col("_table"), col("nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("_table"), col("nationkey"))
+  }
+
+  private val q38Sql =
+    """SELECT _table, nationkey, count(*) AS cnt FROM (
+      |  SELECT 'customer' AS _table, c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier' AS _table, s_nationkey AS nationkey FROM supplier)
+      |GROUP BY _table, nationkey ORDER BY _table, nationkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q39 month-partition key — MergeTree partitions parts by
+  // toYYYYMM(date) (MergeTreeData.h:59-61); on Spark the same column
+  // is the partitionBy key enabling partition pruning.
+  // ---------------------------------------------------------------
+  def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(graft.functions.ch.toYYYYMM(col("o_orderdate")).as("yyyymm"))
+      .agg(count(lit(1)).as("cnt"), sum(dec2(col("o_totalprice"))).as("total"))
+      .orderBy(col("yyyymm"))
+
+  private val q39Sql =
+    """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+      |  count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY 1 ORDER BY yyyymm""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q34_replacing_final", q34, Some(q34Sql)),
+    QueryDef("q35_summing_merge", q35, Some(q35Sql)),
+    QueryDef("q36_collapsing_sign", q36, Some(q36Sql)),
+    QueryDef("q37_sample_deterministic", q37, Some(q37Sql)),
+    QueryDef("q38_merge_engine_union", q38, Some(q38Sql)),
+    QueryDef("q39_month_partition_key", q39, Some(q39Sql)))
+}

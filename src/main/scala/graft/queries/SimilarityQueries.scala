@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d):
+  * brute-force cosine top-k as the exact baseline, and a sign-bit LSH
+  * bucketing as the scale path (candidates shrink from N to N/2^bits
+  * before any distance is computed).
+  *
+  * All vector math is Catalyst higher-order functions
+  * (`zip_with`/`aggregate`) — codegen'd, no UDF, no driver collect.
+  * The query vector joins in via `broadcast`, so at 1000 executors the
+  * scan stays embarrassingly parallel and top-k is a
+  * TakeOrderedAndProject (per-partition heaps + driver merge of k
+  * rows, never a global sort).
+  */
+object SimilarityQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Σ aᵢbᵢ with float→double promotion, folded in array order (the
+    * same order DuckDB's list aggregation uses → bit-identical). */
+  private def dotE(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def norm2E(a: String): String =
+    s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  private def cosineCol: Column =
+    round(expr(dotE("embedding", "qe")) /
+      (sqrt(expr(norm2E("embedding"))) * sqrt(expr(norm2E("qe")))), 4)
+
+  /** Sign-bit LSH bucket from the first 8 dimensions (hyperplanes =
+    * coordinate axes; deterministic, no stored model). */
+  private val bucketE =
+    "aggregate(sequence(1, 8), 0, (acc, i) -> acc + CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) > 0.0 THEN shiftleft(1, i - 1) ELSE 0 END)"
+
+  private val bucketSql =
+    """(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      | + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      | + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      | + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+      | + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+      | + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+      | + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+      | + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)""".stripMargin.replace("\n", "")
+
+  // ---------------------------------------------------------------
+  // q50 brute-force cosine top-k against the vec_id=0 query vector —
+  // exact ANN baseline: one broadcast, one narrow map, TakeOrdered k.
+  // ---------------------------------------------------------------
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineCol.as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val q50Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest((SELECT qe FROM q)) AS y
+      |      FROM embeddings e WHERE e.vec_id <> 0)
+      |SELECT vec_id,
+      |  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+      |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+      |     (SELECT sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+      |      FROM (SELECT unnest(qe) AS v FROM q))), 4) AS cosine
+      |FROM d GROUP BY vec_id ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q51 vector-norm stats per label — DECIMAL(18,6) sums keep the
+  // aggregation exact and order-independent at any scale.
+  // ---------------------------------------------------------------
+  def q51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        sqrt(expr(norm2E("embedding"))).cast(DecimalType(18, 6)).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("nrm")).as("sum_norm"))
+      .orderBy(col("label"))
+
+  private val q51Sql =
+    """SELECT label, count(*) AS n_vecs,
+      |  sum(CAST(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,6))) AS sum_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q52 LSH bucket histogram — the candidate-set size distribution of
+  // the bucketed ANN path (q53): ~N/256 candidates per probe.
+  // ---------------------------------------------------------------
+  def q52(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(expr(bucketE).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("bucket"))
+
+  private val q52Sql =
+    s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
+       |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q53 LSH-bucketed ANN top-k — probe only the query's bucket, then
+  // exact cosine within it. This is the IVF/LSH scale path: the
+  // bucket column is a partition key at 100 TB, so the probe prunes
+  // to 1/256 of the data before any vector math runs.
+  // ---------------------------------------------------------------
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("bucket", expr(bucketE))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qb"))
+      .select(col("vec_id"), cosineCol.as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val q53Sql =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+       |d AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest((SELECT qe FROM q)) AS y
+       |      FROM b e WHERE e.vec_id <> 0 AND e.bucket = (SELECT qb FROM q))
+       |SELECT vec_id,
+       |  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+       |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+       |     (SELECT sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |      FROM (SELECT unnest(qe) AS v FROM q))), 4) AS cosine
+       |FROM d GROUP BY vec_id ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q54 embedding near-dup pairs — cosine between consecutive vec_ids
+  // over a threshold (the embedding-cosine dedup primitive; on real
+  // data the pair source is the LSH bucket join, not consecutive ids).
+  // ---------------------------------------------------------------
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("embedding"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("qe"))
+    a.join(b, col("v2") === col("v1") + 1)
+      .select(col("v1"), col("v2"), cosineCol.as("cosine"))
+      .filter(col("cosine") >= 0.2)
+      .orderBy(col("v1"))
+  }
+
+  private val q54Sql =
+    """WITH d AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+      |SELECT v1, v2,
+      |  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+      |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+      |     sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS cosine
+      |FROM d GROUP BY v1, v2
+      |HAVING round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+      |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+      |     sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) >= 0.2
+      |ORDER BY v1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q50_cosine_brute_topk", q50, Some(q50Sql)),
+    QueryDef("q51_norm_by_label", q51, Some(q51Sql)),
+    QueryDef("q52_lsh_bucket_histogram", q52, Some(q52Sql)),
+    QueryDef("q53_ann_lsh_topk", q53, Some(q53Sql)),
+    QueryDef("q54_embedding_neardup", q54, Some(q54Sql)))
+}

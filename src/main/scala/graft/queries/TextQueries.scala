@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+
+/** Training-data text pipeline over the `documents` table: token
+  * counting, quality scoring, language-ID heuristics, exact and
+  * near-duplicate detection (shingles → MinHash → LSH banding, and
+  * SimHash), and document fingerprinting.
+  *
+  * All of this rides on the reference's string/hash function surface
+  * (dbms/src/Functions/FunctionsString.h, FunctionsStringSearch.cpp,
+  * FunctionsHashing.h) restated as Catalyst higher-order functions —
+  * every expression here is codegen'd, no UDFs, so each query is one
+  * narrow map stage (plus one shuffle where a groupBy/join is
+  * semantically required). Per-document work is O(len × k), fully
+  * data-parallel: the same plans hold at 100 TB.
+  */
+object TextQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Distinct character 5-gram shingles of `text` (SQL-expr form). */
+  private val shinglesE =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+
+  // ---------------------------------------------------------------
+  // q40 token counting — whitespace tokenization; the BPE-ish regex
+  // variant splits on non-alphanumerics.
+  // ---------------------------------------------------------------
+  def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        expr("size(filter(split(text, '[^a-z0-9]+'), x -> x != ''))").cast("long")
+          .as("n_tokens_re"),
+        length(col("text")).cast("long").as("len"))
+      .orderBy(col("doc_id"))
+
+  private val q40Sql =
+    """SELECT doc_id,
+      |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(list_filter(string_split_regex(text, '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens_re,
+      |  CAST(length(text) AS BIGINT) AS len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q41 quality scoring per language: token totals, stopword ratio,
+  // mean token length — integer sums (exact) with one final division
+  // so both engines round identically.
+  // ---------------------------------------------------------------
+  def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        expr("size(split(text, ' '))").cast("long").as("toks"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").cast("long").as("stops"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(sum(col("stops")).cast("double") / sum(col("toks")), 4).as("stop_ratio"),
+        round(sum(col("chars")).cast("double") / sum(col("toks")), 4).as("mean_tok_len"))
+      .orderBy(col("lang"))
+
+  private val q41Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  round(CAST(sum(stops) AS DOUBLE) / sum(toks), 4) AS stop_ratio,
+      |  round(CAST(sum(chars) AS DOUBLE) / sum(toks), 4) AS mean_tok_len
+      |FROM (SELECT lang,
+      |        length(string_split(text, ' ')) AS toks,
+      |        length(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS stops,
+      |        length(text) AS chars
+      |      FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q42 exact deduplication — hash-groupBy on a content digest
+  // (reference DISTINCT machinery, DistinctBlockInputStream.cpp;
+  // digest = md5 as in FunctionsHashing.h).
+  // ---------------------------------------------------------------
+  def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(md5(col("text").cast("binary")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
+
+  private val q42Sql =
+    """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+      |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q43 language-ID heuristic — stopword-density classifier (the
+  // n-gram/stopword approach; deterministic, SQL-expressible), scored
+  // against the labeled `lang` column.
+  // ---------------------------------------------------------------
+  def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        when(expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))") >=
+          expr("size(split(text, ' '))") * 0.08, "stopword_heavy")
+          .otherwise("stopword_light").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("predicted"))
+
+  private val q43Sql =
+    """SELECT lang,
+      |  CASE WHEN length(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+      |            >= length(string_split(text, ' ')) * 0.08
+      |       THEN 'stopword_heavy' ELSE 'stopword_light' END AS predicted,
+      |  count(*) AS cnt
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q44 shingle statistics — distinct char-5-gram count per doc (the
+  // input cardinality MinHash estimates).
+  // ---------------------------------------------------------------
+  def q44(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"size($shinglesE)").cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  private val q44Sql =
+    """SELECT doc_id,
+      |  CAST(length(list_distinct(list_transform(
+      |    generate_series(1, greatest(length(text) - 4, 1)),
+      |    i -> substr(text, i, 5)))) AS BIGINT) AS n_shingles
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q45 MinHash signatures — 16 permutations h_i(g) = (a_i·xxh(g)+b_i)
+  // mod p over char-5-gram shingles, min per permutation. xxhash64 is
+  // Spark-native (and ClickHouse-style 64-bit hashing,
+  // FunctionsHashing.h) — no DuckDB parity, so rows-only check;
+  // accuracy is property-tested in ScalaTest.
+  // ---------------------------------------------------------------
+  def q45(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, 15),
+                 i -> array_min(transform($shinglesE,
+                   g -> pmod(pmod(xxhash64(g), 2147483647) * (2 * i + 1) + 97 * i, 2147483647))))""")
+          .as("minhash_sig"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // q46 exact n-gram Jaccard between consecutive doc pairs —
+  // |A∩B| / |A∪B| over distinct shingle sets. The verifiable core of
+  // near-dup detection (q47 approximates it with LSH).
+  // ---------------------------------------------------------------
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), expr(shinglesE).as("g"))
+    val a = d.select(col("doc_id").as("d1"), col("g").as("ga"))
+    val b = d.select(col("doc_id").as("d2"), col("g").as("gb"))
+    a.join(b, col("d2") === col("d1") + 1)
+      .select(col("d1"), col("d2"),
+        round(expr("size(array_intersect(ga, gb))").cast("double") /
+          expr("size(array_union(ga, gb))"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .orderBy(col("d1"))
+  }
+
+  private val q46Sql =
+    """WITH sh AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(length(text) - 4, 1)),
+      |      i -> substr(text, i, 5)))) AS g
+      |  FROM documents),
+      |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN c ca ON ca.doc_id = d1
+      |JOIN c cb ON cb.doc_id = d2
+      |WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.05
+      |ORDER BY d1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q47 near-dup candidates via MinHash + LSH banding — 4 bands × 4
+  // rows from the q45 signature; docs colliding in any band become a
+  // candidate pair (P(candidate) ≈ 1-(1-j⁴)⁴: steep around j≈0.6, so
+  // low-similarity pairs stay out). The band-explode + self-join is
+  // the linear-scale path (no all-pairs compare): shuffle keyed on
+  // (band, band_hash).
+  // ---------------------------------------------------------------
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val sig = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, 15),
+                 i -> array_min(transform($shinglesE,
+                   g -> pmod(pmod(xxhash64(g), 2147483647) * (2 * i + 1) + 97 * i, 2147483647))))""")
+          .as("sig"))
+    val bands = sig.select(col("doc_id"),
+      expr("""explode(transform(sequence(0, 3),
+               b -> struct(b AS band, xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
+                                              element_at(sig, 4*b+3), element_at(sig, 4*b+4)) AS bh)))""")
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = bands.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val r = bands.select(col("band"), col("bh"), col("doc_id").as("d2"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---------------------------------------------------------------
+  // q48 SimHash — 64-bit similarity-preserving fingerprint over
+  // whitespace tokens: bit i is the sign of Σ±1 across token hashes.
+  // Near-dup docs differ in few bits (hamming distance).
+  // ---------------------------------------------------------------
+  def q48(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 63), 0L, (acc, i) ->
+                 acc + shiftleft(CASE WHEN aggregate(split(text, ' '), 0L,
+                   (a2, t) -> a2 + CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1
+                                   THEN 1L ELSE -1L END) > 0L
+                   THEN 1L ELSE 0L END, i))""").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // q49 document fingerprint — position-weighted rolling digest
+  // Σ ord(c_i)·i: order-sensitive (anagram-proof), exact integer
+  // arithmetic so it is oracle-verifiable cross-engine.
+  // ---------------------------------------------------------------
+  def q49(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("aggregate(sequence(1, length(text)), 0L, (acc, i) -> acc + ascii(substring(text, i, 1)) * i)")
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val q49Sql =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(1, length(text)),
+      |    i -> ord(substr(text, i, 1)) * i)) AS BIGINT) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_token_count", q40, Some(q40Sql)),
+    QueryDef("q41_text_quality", q41, Some(q41Sql)),
+    QueryDef("q42_exact_dedup", q42, Some(q42Sql)),
+    QueryDef("q43_langid_heuristic", q43, Some(q43Sql)),
+    QueryDef("q44_shingle_stats", q44, Some(q44Sql)),
+    QueryDef("q45_minhash_signature", q45, None),
+    QueryDef("q46_ngram_jaccard", q46, Some(q46Sql)),
+    QueryDef("q47_neardup_minhash_lsh", q47, None),
+    QueryDef("q48_simhash", q48, None),
+    QueryDef("q49_doc_fingerprint", q49, Some(q49Sql)))
+}
