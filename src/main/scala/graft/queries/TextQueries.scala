@@ -27,6 +27,27 @@ object TextQueries {
   private val shinglesE =
     "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
 
+  /** doc_id + 16-perm MinHash signature (shared by q45/q47).
+    *
+    * Shape: explode shingle hashes, then ONE hash-aggregate with 16
+    * `min(affine(h, i))` columns. Spark's higher-order lambdas are
+    * interpreted per element, so a nested `transform` fold costs ~10×
+    * codegen; the explode + partial/final min-aggregate keeps all the
+    * per-shingle arithmetic inside whole-stage codegen and map-side
+    * combines to one row per doc before any shuffle — the same plan
+    * at 100 TB never materializes the exploded rows.
+    */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(s"transform($shinglesE, g -> pmod(xxhash64(g), 2147483647))")).as("h"))
+    val mins = (0 until 16).map(i =>
+      min(pmod(col("h") * (2 * i + 1) + 97 * i, lit(2147483647L))).as(s"m$i"))
+    hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   // ---------------------------------------------------------------
   // q40 token counting — whitespace tokenization; the BPE-ish regex
   // variant splits on non-alphanumerics.
@@ -144,12 +165,8 @@ object TextQueries {
   // accuracy is property-tested in ScalaTest.
   // ---------------------------------------------------------------
   def q45(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr(s"""transform(sequence(0, 15),
-                 i -> array_min(transform($shinglesE,
-                   g -> pmod(pmod(xxhash64(g), 2147483647) * (2 * i + 1) + 97 * i, 2147483647))))""")
-          .as("minhash_sig"))
+    minhashSig(s, dir)
+      .select(col("doc_id"), col("sig").as("minhash_sig"))
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------
@@ -158,14 +175,25 @@ object TextQueries {
   // near-dup detection (q47 approximates it with LSH).
   // ---------------------------------------------------------------
   def q46(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), expr(shinglesE).as("g"))
-    val a = d.select(col("doc_id").as("d1"), col("g").as("ga"))
-    val b = d.select(col("doc_id").as("d2"), col("g").as("gb"))
-    a.join(b, col("d2") === col("d1") + 1)
+    // explode distinct shingles, then equi-join on the COMPOSITE key
+    // (g, adjacent doc_id) — joining on g alone would be quadratic in
+    // each shingle's document frequency (common shingles appear in
+    // most docs); the composite key keeps every hash bucket tiny.
+    // Set sizes |A∩B| / |A|,|B| come from codegen'd count aggregates,
+    // not interpreted array_intersect/array_union.
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(shinglesE)).as("g"))
+    val interCnt = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.g") === col("b.g") && col("b.doc_id") === col("a.doc_id") + 1)
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    interCnt
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
       .select(col("d1"), col("d2"),
-        round(expr("size(array_intersect(ga, gb))").cast("double") /
-          expr("size(array_union(ga, gb))"), 4).as("jaccard"))
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.05)
       .orderBy(col("d1"))
   }
@@ -197,12 +225,7 @@ object TextQueries {
   // (band, band_hash).
   // ---------------------------------------------------------------
   def q47(s: SparkSession, dir: String): DataFrame = {
-    val sig = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr(s"""transform(sequence(0, 15),
-                 i -> array_min(transform($shinglesE,
-                   g -> pmod(pmod(xxhash64(g), 2147483647) * (2 * i + 1) + 97 * i, 2147483647))))""")
-          .as("sig"))
+    val sig = minhashSig(s, dir)
     val bands = sig.select(col("doc_id"),
       expr("""explode(transform(sequence(0, 3),
                b -> struct(b AS band, xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
@@ -222,15 +245,21 @@ object TextQueries {
   // whitespace tokens: bit i is the sign of Σ±1 across token hashes.
   // Near-dup docs differ in few bits (hamming distance).
   // ---------------------------------------------------------------
-  def q48(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    // explode token hashes once; 64 codegen'd conditional-sum
+    // aggregates (one per bit) map-side combine to a row per doc,
+    // then the bit votes reassemble into the 64-bit fingerprint.
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("transform(split(text, ' '), t -> xxhash64(t))")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    hashed.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 63), 0L, (acc, i) ->
-                 acc + shiftleft(CASE WHEN aggregate(split(text, ' '), 0L,
-                   (a2, t) -> a2 + CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1
-                                   THEN 1L ELSE -1L END) > 0L
-                   THEN 1L ELSE 0L END, i))""").as("simhash"))
+        (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------
   // q49 document fingerprint — position-weighted rolling digest
