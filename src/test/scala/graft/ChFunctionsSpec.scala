@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.ch
+
+/** Scalar parity-layer unit tests (reference semantics from
+  * dbms/src/Functions — values derived from the documented bucket
+  * definitions, not from reference code execution). */
+class ChFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).collect()(0).get(0)
+
+  test("transform remaps values with default") {
+    val df = Seq("O", "F", "X").toDF("s")
+      .select(ch.transform(col("s"), Seq("O", "F"), Seq("open", "fin"), "other").as("r"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("open", "fin", "other"))
+  }
+
+  test("multiIf picks first matching branch") {
+    val df = Seq(1, 5, 50).toDF("x").select(
+      ch.multiIf(Seq((col("x") < 3, lit("lo")), (col("x") < 10, lit("mid"))), lit("hi")).as("r"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("lo", "mid", "hi"))
+  }
+
+  test("roundAge buckets match reference definition") {
+    val in = Seq(0, 10, 20, 30, 40, 50, 90)
+    val out = in.toDF("a").select(ch.roundAge(col("a")).as("r")).collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(0, 17, 18, 25, 35, 45, 55))
+  }
+
+  test("roundDuration buckets") {
+    val in = Seq(0, 5, 45, 299, 100000)
+    val out = in.toDF("d").select(ch.roundDuration(col("d")).as("r")).collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(0, 1, 30, 240, 36000))
+  }
+
+  test("roundToExp2 rounds down to a power of two") {
+    val in = Seq(0L, 1L, 2L, 3L, 1023L, 1024L)
+    val out = in.toDF("x").select(ch.roundToExp2(col("x")).as("r")).collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(0L, 1L, 2L, 2L, 512L, 1024L))
+  }
+
+  test("toYYYYMM composes year*100+month") {
+    val r = Seq("2024-03-15").toDF("d")
+      .select(ch.toYYYYMM(to_date(col("d"))).as("r")).collect()(0).getInt(0)
+    assert(r === 202403)
+  }
+
+  test("timeSlot truncates to half-hour") {
+    val r = Seq("2024-03-15 10:47:13").toDF("t")
+      .select(date_format(ch.timeSlot(to_timestamp(col("t"))), "yyyy-MM-dd HH:mm:ss").as("r"))
+      .collect()(0).getString(0)
+    assert(r === "2024-03-15 10:30:00")
+  }
+
+  test("intDivOrZero guards division by zero") {
+    val df = Seq((10, 3), (10, 0)).toDF("a", "b")
+      .select(ch.intDivOrZero(col("a"), col("b")).as("r"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(3L, 0L))
+  }
+
+  test("appendTrailingCharIfAbsent") {
+    val df = Seq("a/", "b").toDF("s")
+      .select(ch.appendTrailingCharIfAbsent(col("s"), "/").as("r"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("a/", "b/"))
+  }
+
+  test("bar renders proportional width") {
+    val df = Seq(0.0, 5.0, 10.0).toDF("x")
+      .select(length(ch.bar(col("x"), 0, 10, 10)).as("r"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 5, 10))
+  }
+}
