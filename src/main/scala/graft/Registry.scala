@@ -21,7 +21,8 @@ object Registry {
       queries.FunctionQueries.defs ++
       queries.MergeTreeQueries.defs ++
       queries.TextQueries.defs ++
-      queries.SimilarityQueries.defs
+      queries.SimilarityQueries.defs ++
+      queries.ExtensionQueries.defs
 
   lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(_.fnTuple).toMap

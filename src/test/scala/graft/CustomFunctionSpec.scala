@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SipHash64
+
+class CustomFunctionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Vectors generated from an independent from-spec SipHash-2-4
+  // implementation (k0=k1=0).
+  private val vectors = Seq(
+    "" -> 2202906307356721367L,
+    "a" -> -7583489610679606711L,
+    "abc" -> 4596069200710135518L,
+    "1234567" -> -611409910009243023L,
+    "12345678" -> 6766637294834280856L,
+    "123456789" -> 620596589959453183L,
+    "Hello, world!" -> -5886168601705459377L,
+    "the quick brown fox" -> 6125279140737828478L)
+
+  test("SipHash64.hash matches spec vectors") {
+    vectors.foreach { case (s, expected) =>
+      assert(SipHash64.hash(s.getBytes("UTF-8")) === expected, s"input '$s'")
+    }
+  }
+
+  test("siphash64 is SQL-callable and codegen evaluates the same values") {
+    GraftFunctions.register(spark)
+    val df = vectors.map(_._1).toDF("s")
+      .repartition(3) // force distributed evaluation
+      .selectExpr("s", "siphash64(s) AS h")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vectors.foreach { case (s, expected) => assert(got(s) === expected) }
+  }
+
+  test("uniq_upto saturates at n+1") {
+    GraftFunctions.register(spark)
+    val df = (1 to 100).map(i => ("many", i.toLong)) ++ (1 to 5).map(i => ("few", i.toLong))
+    val got = df.toDF("k", "v").repartition(4)
+      .groupBy("k").agg(expr("uniq_upto(v, 10) AS u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("many") === 11L)
+    assert(got("few") === 5L)
+  }
+
+  test("any_heavy finds the majority value across partitions") {
+    GraftFunctions.register(spark)
+    val rows = Seq.fill(60)("dominant") ++ (1 to 40).map(i => s"noise$i")
+    val got = rows.toDF("v").repartition(8)
+      .agg(expr("any_heavy(v) AS h")).collect()(0).getString(0)
+    assert(got === "dominant")
+  }
+
+  test("siphash64 null propagates") {
+    GraftFunctions.register(spark)
+    val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")
+      .selectExpr("siphash64(CAST(NULL AS STRING)) AS h").collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
