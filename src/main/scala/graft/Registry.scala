@@ -22,7 +22,9 @@ object Registry {
       queries.MergeTreeQueries.defs ++
       queries.TextQueries.defs ++
       queries.SimilarityQueries.defs ++
-      queries.ExtensionQueries.defs
+      queries.ExtensionQueries.defs ++
+      queries.ArrayQueries.defs ++
+      queries.MiscQueries.defs
 
   lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(_.fnTuple).toMap
