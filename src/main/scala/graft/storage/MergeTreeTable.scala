@@ -1,0 +1,108 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MergeTree-on-Parquet storage layer (SURVEY.md §2.1).
+  *
+  * The reference's MergeTree stores sorted parts, partitioned by
+  * toYYYYMM(date), with a sparse primary index every 8192 rows
+  * (dbms/src/Storages/MergeTree/MergeTreeData.h:59-61,230). The
+  * Spark-native restatement:
+  *
+  *  - partition dirs  ↔ `partitionBy(partition key)` → Catalyst
+  *    partition pruning (the by-month part pruning,
+  *    MergeTreeDataSelectExecutor.cpp:222-238);
+  *  - sorted parts    ↔ `sortWithinPartitions(sort key)` → parquet
+  *    row-group min/max stats become selective, so predicate pushdown
+  *    skips row groups exactly like the sparse index's
+  *    `mayBeTrueInRange` (PKCondition.cpp);
+  *  - background merge ↔ [[optimize]] — an explicit compaction that
+  *    folds rows per engine semantics and rewrites sorted parts
+  *    (MergeTreeDataMerger.cpp; SQL `OPTIMIZE TABLE`).
+  *
+  * At cluster scale each partition dir compacts independently and in
+  * parallel; nothing here serializes through the driver.
+  */
+object MergeTreeTable {
+
+  /** Engine flavor = how equal-sort-key rows fold at merge/read
+    * (StorageFactory.cpp:242-561 dispatch). */
+  sealed trait Engine
+  /** Plain MergeTree: no folding. */
+  case object Plain extends Engine
+  /** SummingMergeTree: sum `sumCols`, drop zero-sum rows. */
+  final case class Summing(sumCols: Seq[String]) extends Engine
+  /** ReplacingMergeTree: keep the max-`version` row per key. */
+  final case class Replacing(version: String) extends Engine
+  /** CollapsingMergeTree: ±1 `sign` cancels; keep keys with sign-sum > 0. */
+  final case class Collapsing(sign: String) extends Engine
+
+  final case class Spec(
+      sortKey: Seq[String],
+      partitionCol: Option[String] = None,
+      engine: Engine = Plain)
+
+  /** Sorted, partitioned append — the INSERT path. */
+  def write(df: DataFrame, path: String, spec: Spec,
+      mode: SaveMode = SaveMode.Append): Unit = {
+    val sorted = spec.partitionCol match {
+      case Some(p) =>
+        df.repartition(col(p))
+          .sortWithinPartitions((p +: spec.sortKey).map(col): _*)
+      case None =>
+        df.sortWithinPartitions(spec.sortKey.map(col): _*)
+    }
+    val w = sorted.write.mode(mode)
+    spec.partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** FINAL read — the engine's folded view computed at read time
+    * (CollapsingFinalBlockInputStream.cpp; SELECT ... FINAL). */
+  def readFinal(spark: SparkSession, path: String, spec: Spec): DataFrame =
+    fold(read(spark, path), spec)
+
+  /** OPTIMIZE — fold and rewrite sorted (the background merge made
+    * explicit). Rewrites to a temp dir first so a failed compaction
+    * never destroys the table. */
+  def optimize(spark: SparkSession, path: String, spec: Spec): Unit = {
+    val tmp = path + "__optimizing"
+    write(fold(read(spark, path), spec), tmp, spec, SaveMode.Overwrite)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** The merge fold for each engine (SummingSortedBlockInputStream,
+    * ReplacingSortedBlockInputStream, CollapsingSortedBlockInputStream
+    * semantics as declarative plans). */
+  def fold(df: DataFrame, spec: Spec): DataFrame = spec.engine match {
+    case Plain => df
+    case Summing(sumCols) =>
+      val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
+      val sums = sumCols.map(c => sum(col(c)).as(c))
+      df.groupBy(keys: _*)
+        .agg(sums.head, sums.tail: _*)
+        .filter(sumCols.map(c => col(c) =!= 0).reduce(_ || _))
+    case Replacing(version) =>
+      import org.apache.spark.sql.expressions.Window
+      val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
+      val w = Window.partitionBy(keys: _*).orderBy(col(version).desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    case Collapsing(sign) =>
+      val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
+      val others = df.columns.filterNot(c =>
+        (spec.partitionCol.toSeq ++ spec.sortKey :+ sign).contains(c))
+      val aggs = others.map(c => last(col(c)).as(c)) :+ sum(col(sign)).cast("int").as(sign)
+      df.orderBy((keys :+ col(sign)): _*)
+        .groupBy(keys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col(sign) > 0)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.storage.MergeTreeTable
+import graft.storage.MergeTreeTable.{Collapsing, Replacing, Spec, Summing}
+import graft.streaming.MaterializedView
+
+class StorageStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("MergeTree write partitions and sorts; partition pruning kicks in") {
+    val path = tmpDir("mt-plain")
+    val df = Seq(
+      (202401, 3L, "a"), (202401, 1L, "b"), (202402, 2L, "c"), (202402, 9L, "d"))
+      .toDF("yyyymm", "k", "v")
+    MergeTreeTable.write(df, path, Spec(Seq("k"), Some("yyyymm")), SaveMode.Overwrite)
+
+    // partition dirs exist
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("yyyymm="))
+    assert(dirs.toSet === Set("yyyymm=202401", "yyyymm=202402"))
+
+    // partition pruning is visible in the plan
+    val plan = MergeTreeTable.read(spark, path).filter(col("yyyymm") === 202401)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("202401"), plan)
+    assert(MergeTreeTable.read(spark, path).filter(col("yyyymm") === 202401).count() === 2)
+  }
+
+  test("Summing engine folds equal keys and drops zero sums") {
+    val path = tmpDir("mt-sum")
+    val spec = Spec(Seq("k"), engine = Summing(Seq("v")))
+    MergeTreeTable.write(Seq(("a", 5L), ("a", 3L), ("z", 2L), ("z", -2L)).toDF("k", "v"),
+      path, spec, SaveMode.Overwrite)
+    val got = MergeTreeTable.readFinal(spark, path, spec)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 8L))
+    MergeTreeTable.optimize(spark, path, spec)
+    assert(MergeTreeTable.read(spark, path).count() === 1)
+  }
+
+  test("Replacing engine keeps the max-version row; optimize compacts") {
+    val path = tmpDir("mt-rep")
+    val spec = Spec(Seq("k"), engine = Replacing("ver"))
+    MergeTreeTable.write(Seq(("a", 1L, "old"), ("a", 2L, "new"), ("b", 1L, "only"))
+      .toDF("k", "ver", "v"), path, spec, SaveMode.Overwrite)
+    // appends arrive later (a second part)
+    MergeTreeTable.write(Seq(("a", 3L, "newest")).toDF("k", "ver", "v"), path, spec)
+    val got = MergeTreeTable.readFinal(spark, path, spec)
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "newest", "b" -> "only"))
+    MergeTreeTable.optimize(spark, path, spec)
+    assert(MergeTreeTable.read(spark, path).count() === 2)
+  }
+
+  test("Collapsing engine cancels +1/-1 pairs") {
+    val path = tmpDir("mt-col")
+    val spec = Spec(Seq("k"), engine = Collapsing("sign"))
+    MergeTreeTable.write(Seq(
+      ("gone", "x", 1), ("gone", "x", -1),
+      ("kept", "y", 1), ("kept", "z", -1), ("kept", "z", 1), ("kept", "z", 1))
+      .toDF("k", "v", "sign"), path, spec, SaveMode.Overwrite)
+    val got = MergeTreeTable.readFinal(spark, path, spec)
+      .select("k", "sign").as[(String, Int)].collect().toMap
+    assert(got === Map("kept" -> 2))
+  }
+
+  test("materialized view incrementally folds the insert stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val source = mem.toDF().toDF("k", "v")
+    val q = MaterializedView.startSumming(
+      spark, source, Seq("k"), Seq("v"), "mv_target",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+
+    mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    q.processAllAvailable()
+    val after1 = spark.table("mv_target").as[(String, Long)].collect().toMap
+    assert(after1 === Map("a" -> 3L, "b" -> 10L))
+
+    // second insert wave arrives as a separate micro-batch and merges
+    mem.addData(("a", 4L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("mv_target").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 7L, "b" -> 10L))
+  }
+
+  test("buffer forwards micro-batches to a parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("buffer").toString
+    val q = MaterializedView.startBuffer(
+      mem.toDF().toDF("id", "payload"), s"$base/data", s"$base/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData((1L, "x"), (2L, "y"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$base/data").count() === 2)
+  }
+}
