@@ -24,7 +24,8 @@ object Registry {
       queries.SimilarityQueries.defs ++
       queries.ExtensionQueries.defs ++
       queries.ArrayQueries.defs ++
-      queries.MiscQueries.defs
+      queries.MiscQueries.defs ++
+      queries.MultimodalQueries.defs
 
   lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(_.fnTuple).toMap

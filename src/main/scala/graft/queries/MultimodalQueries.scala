@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.multimodal.Media
+
+/** Multimodal pipeline queries over the derived media table (binary
+  * content + typed metadata; decode stubbed deterministically — see
+  * [[graft.multimodal.Media]]).
+  */
+object MultimodalQueries {
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Media.fromDocuments(Tables(s, dir, "documents"))
+
+  // ---------------------------------------------------------------
+  // q71 metadata aggregation over opaque binary columns — the
+  // "catalog scan" of a media lake: no decode touches the payload.
+  // ---------------------------------------------------------------
+  def q71(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("content"))).as("total_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("duration_ms").cast("long")).as("sum_duration_ms"))
+      .orderBy(col("kind"))
+
+  private val q71Sql =
+    """SELECT kind, count(*) AS n,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+      |  CAST(sum((doc_id % 4) * 320 + 320) AS BIGINT) AS sum_width,
+      |  CAST(sum(length(text) * 10) AS BIGINT) AS sum_duration_ms
+      |FROM (SELECT doc_id, text,
+      |        ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind
+      |      FROM documents)
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q72 feature extraction (decode stub) — Array[Float] embedding per
+  // media row from the binary payload; rows-only (hash-derived).
+  // ---------------------------------------------------------------
+  def q72(s: SparkSession, dir: String): DataFrame =
+    Media.decodeFeatures(media(s, dir), dim = 16)
+      .select(col("media_id"), col("kind"),
+        expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("feat_norm2"))
+      .orderBy(col("media_id"))
+
+  // ---------------------------------------------------------------
+  // q73 frame sampling via mapPartitions — one row per sampled frame
+  // (stride 64, frame 32 bytes); per-kind frame counts are a pure
+  // function of payload length, so the oracle recomputes them.
+  // ---------------------------------------------------------------
+  def q73(s: SparkSession, dir: String): DataFrame =
+    Media.sampleFrames(s, media(s, dir), stride = 64, frameLen = 32)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("media_id")).as("n_media"))
+      .orderBy(col("kind"))
+
+  private val q73Sql =
+    """SELECT kind,
+      |  CAST(sum(CASE WHEN length(text) >= 32
+      |       THEN (length(text) - 32) // 64 + 1 ELSE 0 END) AS BIGINT) AS n_frames,
+      |  count(CASE WHEN length(text) >= 32 THEN 1 END) AS n_media
+      |FROM (SELECT text, ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind
+      |      FROM documents)
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q71_media_metadata", q71, Some(q71Sql)),
+    QueryDef("q72_media_features_stub", q72, None),
+    QueryDef("q73_media_frame_sampling", q73, Some(q73Sql)))
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** I/O format registry (reference: dbms/src/DataStreams/
+  * FormatFactory.cpp — Native, TabSeparated±WithNames, CSV±WithNames,
+  * JSONEachRow, Pretty*, Vertical…).
+  *
+  * Input/output formats map onto Spark's datasources: TSV/CSV are the
+  * csv source with the right separator/header, JSONEachRow is the
+  * json source, Native is parquet (our columnar native layout).
+  * Pretty and Vertical are presentation formats — they render a
+  * (small, already-limited) result for a CLI, so they format driver-
+  * side rows rather than pretending to be distributed sinks.
+  */
+object Formats {
+
+  final case class Fmt(source: String, options: Map[String, String])
+
+  val registry: Map[String, Fmt] = Map(
+    "Native" -> Fmt("parquet", Map.empty),
+    "TabSeparated" -> Fmt("csv", Map("sep" -> "\t", "header" -> "false")),
+    "TabSeparatedWithNames" -> Fmt("csv", Map("sep" -> "\t", "header" -> "true")),
+    "CSV" -> Fmt("csv", Map("header" -> "false")),
+    "CSVWithNames" -> Fmt("csv", Map("header" -> "true")),
+    "JSONEachRow" -> Fmt("json", Map.empty))
+
+  def read(spark: SparkSession, path: String, format: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val f = registry.getOrElse(format,
+      throw new IllegalArgumentException(s"unknown format: $format"))
+    val r = spark.read.format(f.source).options(f.options)
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  def write(df: DataFrame, path: String, format: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val f = registry.getOrElse(format,
+      throw new IllegalArgumentException(s"unknown format: $format"))
+    df.write.format(f.source).options(f.options).mode(mode).save(path)
+  }
+
+  /** Pretty — the reference's boxed table output (PrettyBlockOutputStream). */
+  def pretty(df: DataFrame, limit: Int = 50): String = {
+    val cols = df.columns
+    val rows = df.limit(limit).collect().map(_.toSeq.map(v => if (v == null) "\\N" else v.toString))
+    val widths = cols.indices.map(i => (cols(i).length +: rows.map(_(i).length)).max)
+    def line(l: String, m: String, r: String) =
+      widths.map("─" * _).mkString(l + "─", "─" + m + "─", "─" + r)
+    def row(vs: Seq[String]) =
+      vs.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("│ ", " │ ", " │")
+    (Seq(line("┌", "┬", "┐"), row(cols.toSeq), line("├", "┼", "┤")) ++
+      rows.map(row) :+ line("└", "┴", "┘")).mkString("\n")
+  }
+
+  /** Vertical — one row per block, `column: value` lines. */
+  def vertical(df: DataFrame, limit: Int = 50): String = {
+    val cols = df.columns
+    val w = cols.map(_.length).max
+    df.limit(limit).collect().zipWithIndex.map { case (r, i) =>
+      s"Row ${i + 1}:\n" + cols.indices.map(j =>
+        s"${cols(j).reverse.padTo(w, ' ').reverse}: ${if (r.isNullAt(j)) "\\N" else r.get(j)}").mkString("\n")
+    }.mkString("\n\n")
+  }
+}

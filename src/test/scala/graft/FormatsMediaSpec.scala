@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Media
+import graft.sources.Formats
+
+class FormatsMediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sample = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, "gamma", 0.25))
+
+  test("TSV / CSV / JSONEachRow round-trip") {
+    val df = sample.toDF("id", "name", "x")
+    Seq("TabSeparatedWithNames", "CSVWithNames", "JSONEachRow").foreach { fmt =>
+      val p = Files.createTempDirectory(s"fmt").toString + "/d"
+      Formats.write(df, p, fmt)
+      val back = Formats.read(spark, p, fmt,
+        if (fmt == "JSONEachRow") None else Some(df.schema))
+      val got = back.select(col("id").cast("long"), col("name"), col("x").cast("double"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(got === sample.toSet, fmt)
+    }
+  }
+
+  test("headerless TabSeparated reads with an explicit schema") {
+    val df = sample.toDF("id", "name", "x")
+    val p = Files.createTempDirectory("tsv").toString + "/d"
+    Formats.write(df, p, "TabSeparated")
+    val back = Formats.read(spark, p, "TabSeparated", Some(df.schema))
+    assert(back.count() === 3)
+    assert(back.columns.toSeq === Seq("id", "name", "x"))
+  }
+
+  test("Pretty and Vertical render") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    val p = Formats.pretty(df)
+    assert(p.contains("│") && p.contains("┌") && p.contains("a"))
+    val v = Formats.vertical(df)
+    assert(v.contains("Row 1:") && v.contains("k: 1"))
+  }
+
+  test("media table schema and deterministic features") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val media = Media.fromDocuments(docs)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "content", "width", "height", "sample_rate", "duration_ms"))
+    val feats = Media.decodeFeatures(media, dim = 8)
+      .select(col("media_id"), col("features")).limit(5).collect()
+    assert(feats.forall(_.getSeq[Float](1).size === 8))
+    // determinism: same input → same features on a second run
+    val feats2 = Media.decodeFeatures(media, dim = 8)
+      .select(col("media_id"), col("features")).limit(5).collect()
+    assert(feats.map(_.getSeq[Float](1)).toSeq === feats2.map(_.getSeq[Float](1)).toSeq)
+    assert(feats.forall(_.getSeq[Float](1).forall(f => f >= -1f && f <= 1f)))
+  }
+
+  test("frame sampling emits the arithmetic frame count") {
+    val media = Seq((1L, "video", Array.fill[Byte](200)(7))).toDF("media_id", "kind", "content")
+    val frames = Media.sampleFrames(spark, media, stride = 64, frameLen = 32)
+    // offsets 0, 64, 128 → (200-32)/64+1 = 3 frames of 32 bytes
+    assert(frames.count() === 3)
+    assert(frames.select(max(col("frame_offset"))).collect()(0).getInt(0) === 128)
+    assert(frames.select(length(col("frame"))).distinct().collect()(0).getInt(0) === 32)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the 100 TB contract. Each check
+  * pins a property that keeps a query scalable; a regression here
+  * means a plan silently degraded (lost pushdown, dropped broadcast,
+  * global sort instead of top-K) even though results stay correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q70: filter and projection reach the parquet scan (PREWHERE effect)") {
+    val p = plan(graft.queries.MiscQueries.q70(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), EqualTo(l_quantity,50.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("q04: dimension join is broadcast, not shuffled") {
+    val p = plan(graft.queries.CoreQueries.q04(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q14: ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(graft.queries.CoreQueries.q14(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q03: aggregation is two-phase (map-side partial before shuffle)") {
+    val p = plan(graft.queries.CoreQueries.q03(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("HashAggregate(keys="), p)
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q01: scan prunes to exactly the referenced lineitem columns") {
+    val p = plan(graft.queries.CoreQueries.q01(spark, sfDir))
+    // the plan truncates long schema strings; the prefix plus absence
+    // of unreferenced columns proves pruning
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double"), p)
+    assert(!p.contains("l_partkey") && !p.contains("l_tax"), p)
+  }
+
+  test("q50: ANN scan stays whole-stage-codegen with a broadcast query vector") {
+    val p = plan(graft.queries.SimilarityQueries.q50(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q37: deterministic sample is a pushable scan-level filter, no shuffle before agg") {
+    val p = plan(graft.queries.MergeTreeQueries.q37(spark, sfDir))
+    // one exchange only (for the final single-group aggregate)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("no scalar UDF boundaries anywhere in the registered queries") {
+    Registry.all.foreach { q =>
+      val p = plan(q.fn(spark, sfDir))
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"${q.name} contains a UDF boundary:\n$p")
+    }
+  }
+}
