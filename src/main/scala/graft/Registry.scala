@@ -25,7 +25,8 @@ object Registry {
       queries.ExtensionQueries.defs ++
       queries.ArrayQueries.defs ++
       queries.MiscQueries.defs ++
-      queries.MultimodalQueries.defs
+      queries.MultimodalQueries.defs ++
+      queries.StatsQueries.defs
 
   lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(_.fnTuple).toMap

@@ -126,6 +126,28 @@ object ch {
   def roundToExp2(c: Column): Column =
     when(c < 1, 0L).otherwise(pow(lit(2.0), floor(log2(c))).cast(LongType))
 
+  /** greatCircleDistance(lon1, lat1, lon2, lat2) in meters —
+    * haversine over the mean-Earth radius (FunctionsGeo.cpp). */
+  def greatCircleDistance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val r = 6371000.0
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
+    lit(2 * r) * asin(sqrt(a))
+  }
+
+  /** formatReadableSize(bytes) — '1.50 KiB' style
+    * (FunctionsFormatting.cpp). */
+  def formatReadableSize(bytes: Column): Column = {
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    val e = when(bytes <= 0, 0)
+      .otherwise(least(floor(log(2.0, bytes) / 10).cast("int"), lit(units.size - 1)))
+    val scaled = bytes.cast("double") / pow(lit(2.0), e.cast("double") * 10)
+    concat(format_number(scaled, 2),
+      element_at(array(units.map(lit): _*), e.cast("int") + 1))
+  }
+
   /** bar(x, min, max, width) — ASCII bar chart
     * (FunctionsMiscellaneous.cpp bar). */
   def bar(x: Column, minV: Double, maxV: Double, width: Int): Column = {

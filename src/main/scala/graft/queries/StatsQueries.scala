@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.functions.ch
+
+/** Remaining operator-inventory rows: outer joins with non-joined-row
+  * recovery, statistical aggregates (varSamp/stddevPop/covar/corr),
+  * set operations, -Array combinator (per-element aggregation), geo
+  * distance, and arrayEnumerateUniq (SURVEY.md §2.3, §2.4, §2.5,
+  * §2.7, §2.9).
+  */
+object StatsQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------
+  // q74 FULL OUTER JOIN — both-side non-joined rows survive with
+  // NULLs (reference streams unmatched RHS rows in a second pass,
+  // Join.h:254). Orders in a month window vs high-value customers.
+  // ---------------------------------------------------------------
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997 && month(col("o_orderdate")) === 1)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_jan97"))
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, o("o_custkey") === c("c_custkey"), "full")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_jan97"), col("c_mktsegment"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q74Sql =
+    """SELECT coalesce(o_custkey, c_custkey) AS custkey, n_jan97, c_mktsegment
+      |FROM (SELECT o_custkey, count(*) AS n_jan97 FROM orders
+      |      WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 1
+      |      GROUP BY o_custkey) o
+      |FULL JOIN (SELECT c_custkey, c_mktsegment FROM customer
+      |           WHERE c_custkey % 100 = 0) c
+      |ON o.o_custkey = c.c_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q75 statistical aggregates — varSamp/varPop/stddevSamp/covarPop/
+  // corr (AggregateFunctionsStatistics; all Spark built-ins). Rounded
+  // to 6 decimals for cross-engine float agreement.
+  // ---------------------------------------------------------------
+  def q75(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(var_samp(col("l_quantity")), 6).as("var_samp_qty"),
+        round(var_pop(col("l_quantity")), 6).as("var_pop_qty"),
+        round(stddev_samp(col("l_quantity")), 6).as("stddev_qty"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+
+  private val q75Sql =
+    """SELECT l_returnflag,
+      |  round(var_samp(l_quantity), 6) AS var_samp_qty,
+      |  round(var_pop(l_quantity), 6) AS var_pop_qty,
+      |  round(stddev_samp(l_quantity), 6) AS stddev_qty,
+      |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qp,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q76 INTERSECT / EXCEPT — absent in the reference (SURVEY §2.7:
+  // "free in Spark"); customers in both/only-one of two order years.
+  // ---------------------------------------------------------------
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    def custs(y: Int) = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    val both = custs(1996).intersect(custs(1997)).count()
+    val only96 = custs(1996).except(custs(1997)).count()
+    import s.implicits._
+    Seq((both, only96)).toDF("n_both_years", "n_only_1996")
+  }
+
+  private val q76Sql =
+    """SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |     INTERSECT
+      |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)) AS n_both_years,
+      |  (SELECT count(*) FROM (
+      |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |     EXCEPT
+      |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)) AS n_only_1996""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q77 -Array combinator + arrayEnumerateUniq — aggregate over array
+  // elements (sumArray ≡ explode-free `aggregate`), and the per-value
+  // occurrence index within an array (FunctionsArray.h
+  // arrayEnumerateUniq), realized without any shuffle.
+  // ---------------------------------------------------------------
+  def q77(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("split(text, ' ')").as("ws"))
+      .select(col("doc_id"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sum_array_lens"),
+        // occurrence index of each word at its position: count of equal
+        // words in the prefix up to i (1-based), max over the doc =
+        // the highest repetition count
+        expr("""array_max(transform(sequence(1, size(ws)),
+                 i -> size(filter(slice(ws, 1, i), w -> w = element_at(ws, i)))))""")
+          .as("max_enum_uniq"))
+      .filter(col("doc_id") < 50)
+      .orderBy(col("doc_id"))
+
+  private val q77Sql =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_array_lens,
+      |  CAST(list_max(list_transform(generate_series(1, len(ws)),
+      |    i -> len(list_filter(ws[1:i], w -> w = ws[i])))) AS BIGINT) AS max_enum_uniq
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q78 geo + formatting — greatCircleDistance (haversine) between
+  // synthetic coordinates and formatReadableSize over byte counts.
+  // ---------------------------------------------------------------
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (pmod(col("doc_id") * 7, lit(360)) - 180).cast("double").as("lon"),
+        (pmod(col("doc_id") * 13, lit(180)) - 90).cast("double").as("lat"))
+    d.select(col("doc_id"),
+      round(ch.greatCircleDistance(col("lon"), col("lat"), lit(0.0), lit(0.0)) / 1000, 1)
+        .as("km_to_origin"),
+      ch.formatReadableSize(col("n_chars") * 1024).as("readable_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q78Sql =
+    """SELECT doc_id,
+      |  round(2 * 6371000 * asin(sqrt(
+      |    sin(radians(0 - lat) / 2) * sin(radians(0 - lat) / 2) +
+      |    cos(radians(lat)) * cos(radians(0)) *
+      |    sin(radians(0 - lon) / 2) * sin(radians(0 - lon) / 2))) / 1000, 1) AS km_to_origin,
+      |  CASE WHEN n_chars * 1024 < 1048576
+      |       THEN format('{:.2f}', (n_chars * 1024) / 1024.0) || 'KiB'
+      |       ELSE format('{:.2f}', (n_chars * 1024) / 1048576.0) || 'MiB' END AS readable_size
+      |FROM (SELECT doc_id, n_chars,
+      |        CAST((doc_id * 7) % 360 - 180 AS DOUBLE) AS lon,
+      |        CAST((doc_id * 13) % 180 - 90 AS DOUBLE) AS lat
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q74_join_full_outer", q74, Some(q74Sql)),
+    QueryDef("q75_stats_aggregates", q75, Some(q75Sql)),
+    QueryDef("q76_intersect_except", q76, Some(q76Sql)),
+    QueryDef("q77_array_combinator_enum", q77, Some(q77Sql)),
+    QueryDef("q78_geo_formatting", q78, Some(q78Sql)))
+}
