@@ -41,6 +41,25 @@ object Formats {
     df.write.format(f.source).options(f.options).mode(mode).save(path)
   }
 
+  /** TabSeparated — the reference's default test-output format
+    * (TabSeparatedRowOutputStream): `\t`-joined values, `\N` nulls,
+    * booleans as UInt8 0/1, arrays as `[1,2]` / `['a','b']`. */
+  def tabSeparated(df: DataFrame, limit: Int = 1000000): String = {
+    def render(v: Any, inArray: Boolean): String = v match {
+      case null => "\\N"
+      case b: Boolean => if (b) "1" else "0"
+      case s: String =>
+        val esc = s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+        if (inArray) "'" + esc.replace("'", "\\'") + "'" else esc
+      case a: scala.collection.Seq[_] =>
+        a.map(render(_, inArray = true)).mkString("[", ",", "]")
+      case other => other.toString
+    }
+    df.limit(limit).collect()
+      .map(r => r.toSeq.map(render(_, inArray = false)).mkString("\t"))
+      .mkString("\n")
+  }
+
   /** Pretty — the reference's boxed table output (PrettyBlockOutputStream). */
   def pretty(df: DataFrame, limit: Int = 50): String = {
     val cols = df.columns

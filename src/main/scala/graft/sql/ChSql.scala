@@ -1,0 +1,165 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** CH-SQL dialect front end (SURVEY.md §7.2 step 6): translate the
+  * reference's SQL dialect into Spark SQL and register CH-named
+  * functions, so the reference's own stateless test queries
+  * (dbms/tests/queries/0_stateless) run nearly verbatim.
+  *
+  * Two layers:
+  *  - [[translate]] — structural rewrites (a token/char-level pass):
+  *    `system.numbers` → bounded `range`, `count()` → `count(*)`,
+  *    `[..]` literals → `array(..)`, `ARRAY JOIN` → `LATERAL VIEW
+  *    explode`, ANY/ALL join strictness, bare `USING a, b` →
+  *    `USING (a, b)`, `FORMAT x` / `SET x=y` stripping;
+  *  - [[registerChFunctions]] — CH-named functions as catalyst
+  *    builders (materialize, intDiv, toString/to*, position with the
+  *    reference's haystack-first argument order, arrayExists/Map/
+  *    Filter with the lambda-first order).
+  *
+  * Documented divergences: ANY JOIN translates to a plain join
+  * (identical when the build side is key-unique); `ARRAY JOIN col`
+  * without an alias shadows the source column name; outer-join
+  * non-matched columns are NULL (SQL / `join_use_nulls` semantics)
+  * where this reference version default-fills with 0/''.
+  */
+object ChSql {
+
+  def apply(spark: SparkSession, chQuery: String): DataFrame = {
+    registerChFunctions(spark)
+    spark.sql(translate(chQuery))
+  }
+
+  // ------------------------------------------------------------------
+  // structural translation
+  // ------------------------------------------------------------------
+
+  def translate(ch: String): String = {
+    var q = stripComments(ch).trim.stripSuffix(";").trim
+    // FORMAT <name> at the end is presentation, not semantics
+    q = q.replaceAll("(?i)\\s+FORMAT\\s+[A-Za-z]+\\s*$", "")
+    q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // system tables → generators (bounded; LocalLimit stops the scan)
+    q = q.replaceAll("(?i)\\bsystem\\.numbers\\b",
+      "(SELECT id AS number FROM range(100000000))")
+    q = q.replaceAll("(?i)\\bsystem\\.one\\b", "(SELECT 0 AS dummy)")
+    // join strictness: ANY ≈ plain join (exact when RHS key-unique)
+    q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
+    // bare USING list → parenthesized
+    q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
+      "USING ($1)")
+    // ARRAY JOIN clause → LATERAL VIEW explode
+    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+      "LATERAL VIEW OUTER explode($1) __aj AS $2")
+    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+      "LATERAL VIEW explode($1) __aj AS $2")
+    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
+      "LATERAL VIEW explode($1) __aj AS $1")
+    bracketLiteralsToArray(q)
+  }
+
+  /** Split a multi-statement test file into executable SELECTs,
+    * dropping SET statements and empty fragments. */
+  def statements(file: String): Seq[String] =
+    stripComments(file).split(";").map(_.trim)
+      .filter(s => s.nonEmpty && !s.toUpperCase.startsWith("SET "))
+      .toSeq
+
+  private def stripComments(s: String): String =
+    s.linesIterator.map(l => l.replaceAll("--.*$", "")).mkString("\n")
+
+  private val keywords = Set(
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY", "ON",
+    "THEN", "ELSE", "WHEN", "CASE", "FROM", "JOIN", "USING", "HAVING",
+    "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "GROUP", "ORDER",
+    "RETURN", "IF", "ARRAY")
+
+  /** `[1,2]` → `array(1,2)` (nested too), while leaving indexing
+    * brackets (`arr[1]`) and string literals untouched. A bracket is
+    * indexing only when the preceding token is a non-keyword
+    * identifier, `)` or `]`. */
+  private[sql] def bracketLiteralsToArray(q: String): String = {
+    val out = new StringBuilder
+    val stack = scala.collection.mutable.Stack[Boolean]() // true = literal bracket
+    var inString = false
+    var i = 0
+    def prevTokenIsValue: Boolean = {
+      var j = out.length - 1
+      while (j >= 0 && out(j).isWhitespace) j -= 1
+      if (j < 0) return false
+      val c = out(j)
+      if (c == ')' || c == ']') return true
+      if (!c.isLetterOrDigit && c != '_') return false
+      // walk back over the identifier and test against the keyword set
+      val end = j
+      while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_')) j -= 1
+      val tok = out.substring(j + 1, end + 1).toUpperCase
+      !keywords.contains(tok)
+    }
+    while (i < q.length) {
+      val c = q(i)
+      if (inString) { out += c; if (c == '\'') inString = false }
+      else c match {
+        case '\'' => inString = true; out += c
+        case '[' =>
+          val indexing = prevTokenIsValue
+          stack.push(!indexing)
+          out ++= (if (indexing) "[" else "array(")
+        case ']' =>
+          val literal = stack.nonEmpty && stack.pop()
+          out ++= (if (literal) ")" else "]")
+        case _ => out += c
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  // ------------------------------------------------------------------
+  // CH-named functions
+  // ------------------------------------------------------------------
+
+  private def cast(dt: DataType): Seq[Expression] => Expression = {
+    case Seq(e) => Cast(e, dt)
+    case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
+  }
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "materialize" -> { case Seq(e) => e },
+    "intDiv" -> { case Seq(a, b) => new IntegralDivide(a, b) },
+    "toString" -> cast(StringType),
+    "toUInt64" -> cast(LongType),
+    "toInt64" -> cast(LongType),
+    "toUInt32" -> cast(LongType),
+    "toInt32" -> cast(IntegerType),
+    "toUInt16" -> cast(IntegerType),
+    "toInt16" -> cast(IntegerType),
+    "toUInt8" -> cast(IntegerType),
+    "toInt8" -> cast(IntegerType),
+    "toFloat64" -> cast(DoubleType),
+    "toFloat32" -> cast(FloatType),
+    "toDate" -> cast(DateType),
+    // FixedString: length-preserving cases only (no padding emulation)
+    "toFixedString" -> { case Seq(s, _) => s },
+    // reference argument order: position(haystack, needle)
+    "position" -> { case Seq(h, n) => new StringLocate(n, h) },
+    // higher-order family: lambda first in the reference
+    "arrayExists" -> { case Seq(lam, arr) => new ArrayExists(arr, lam) },
+    "arrayMap" -> { case Seq(lam, arr) => new ArrayTransform(arr, lam) },
+    "arrayFilter" -> { case Seq(lam, arr) => new ArrayFilter(arr, lam) },
+    "arrayJoin" -> { case Seq(arr) => Explode(arr) })
+
+  def registerChFunctions(spark: SparkSession): Unit = {
+    graft.GraftFunctions.register(spark)
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name),
+        builder)
+    }
+  }
+}
