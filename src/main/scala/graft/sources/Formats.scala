@@ -53,6 +53,10 @@ object Formats {
         if (inArray) "'" + esc.replace("'", "\\'") + "'" else esc
       case a: scala.collection.Seq[_] =>
         a.map(render(_, inArray = true)).mkString("[", ",", "]")
+      case r: org.apache.spark.sql.Row =>
+        r.toSeq.map(render(_, inArray = true)).mkString("(", ",", ")")
+      case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong.toString
+      case f: Float if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
       case other => other.toString
     }
     df.limit(limit).collect()

@@ -44,8 +44,10 @@ object ChSql {
     q = q.replaceAll("(?i)\\s+FORMAT\\s+[A-Za-z]+\\s*$", "")
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
     // system tables → generators (bounded; LocalLimit stops the scan)
-    q = q.replaceAll("(?i)\\bsystem\\.numbers\\b",
+    q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
       "(SELECT id AS number FROM range(100000000))")
+    // CH `LIMIT offset, n` → SQL `LIMIT n OFFSET offset`
+    q = q.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
     q = q.replaceAll("(?i)\\bsystem\\.one\\b", "(SELECT 0 AS dummy)")
     // join strictness: ANY ≈ plain join (exact when RHS key-unique)
     q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
@@ -128,6 +130,14 @@ object ChSql {
     case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
   }
 
+  /** Bridge a Column-level helper (graft.functions.ch) into a SQL
+    * function builder. */
+  private def viaColumn(f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { es =>
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.expression(f(es.map(Bridge.column)))
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "materialize" -> { case Seq(e) => e },
     "intDiv" -> { case Seq(a, b) => new IntegralDivide(a, b) },
@@ -151,7 +161,57 @@ object ChSql {
     "arrayExists" -> { case Seq(lam, arr) => new ArrayExists(arr, lam) },
     "arrayMap" -> { case Seq(lam, arr) => new ArrayTransform(arr, lam) },
     "arrayFilter" -> { case Seq(lam, arr) => new ArrayFilter(arr, lam) },
-    "arrayJoin" -> { case Seq(arr) => Explode(arr) })
+    "arrayAll" -> { case Seq(lam, arr) => new ArrayForAll(arr, lam) },
+    "arrayJoin" -> { case Seq(arr) => Explode(arr) },
+    // more conversions / misc
+    "toDateTime" -> cast(TimestampType),
+    "toNullable" -> { case Seq(e) => e },
+    "assumeNotNull" -> { case Seq(e) => e },
+    "identity" -> { case Seq(e) => e },
+    "ignore" -> { case es => Literal(0) },
+    "tuple" -> { es => CreateStruct(es) },
+    "has" -> { case Seq(arr, e) => ArrayContains(arr, e) },
+    "indexOf" -> { case Seq(arr, e) => new ArrayPosition(arr, e) },
+    "match" -> { case Seq(h, p) => RLike(h, p) },
+    "positionUTF8" -> { case Seq(h, n) => new StringLocate(n, h) },
+    "replaceAll" -> { case Seq(s, f, t) => StringReplace(s, f, t) },
+    "replaceRegexpAll" -> { case Seq(s, f, t) => RegExpReplace(s, f, t) },
+    "lengthUTF8" -> { case Seq(e) => Length(e) },
+    "lowerUTF8" -> { case Seq(e) => Lower(e) },
+    "upperUTF8" -> { case Seq(e) => Upper(e) },
+    "substringUTF8" -> { case Seq(s, p, l) => Substring(s, p, l) },
+    // Column-helper bridges (graft.functions.ch)
+    "notEmpty" -> viaColumn { case Seq(c) => graft.functions.ch.notEmpty(c) },
+    "empty" -> viaColumn { case Seq(c) => graft.functions.ch.empty(c) },
+    "intDivOrZero" -> viaColumn { case Seq(a, b) => graft.functions.ch.intDivOrZero(a, b) },
+    "moduloOrZero" -> viaColumn { case Seq(a, b) => graft.functions.ch.moduloOrZero(a, b) },
+    "toYYYYMM" -> viaColumn { case Seq(c) => graft.functions.ch.toYYYYMM(c) },
+    "toStartOfMonth" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfMonth(c) },
+    "toMonday" -> viaColumn { case Seq(c) => graft.functions.ch.toMonday(c) },
+    "toStartOfHour" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfHour(c) },
+    "toStartOfMinute" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfMinute(c) },
+    "toStartOfFiveMinute" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfFiveMinute(c) },
+    "timeSlot" -> viaColumn { case Seq(c) => graft.functions.ch.timeSlot(c) },
+    "roundAge" -> viaColumn { case Seq(c) => graft.functions.ch.roundAge(c) },
+    "roundDuration" -> viaColumn { case Seq(c) => graft.functions.ch.roundDuration(c) },
+    "roundToExp2" -> viaColumn { case Seq(c) => graft.functions.ch.roundToExp2(c) },
+    "protocol" -> viaColumn { case Seq(c) => graft.functions.ch.protocol(c) },
+    "domain" -> viaColumn { case Seq(c) => graft.functions.ch.domain(c) },
+    "domainWithoutWWW" -> viaColumn { case Seq(c) => graft.functions.ch.domainWithoutWWW(c) },
+    "topLevelDomain" -> viaColumn { case Seq(c) => graft.functions.ch.topLevelDomain(c) },
+    "path" -> viaColumn { case Seq(c) => graft.functions.ch.path(c) },
+    "queryString" -> viaColumn { case Seq(c) => graft.functions.ch.queryString(c) },
+    "fragment" -> viaColumn { case Seq(c) => graft.functions.ch.fragment(c) },
+    "cutWWW" -> viaColumn { case Seq(c) => graft.functions.ch.cutWWW(c) },
+    "cutQueryString" -> viaColumn { case Seq(c) => graft.functions.ch.cutQueryString(c) },
+    "greatCircleDistance" -> viaColumn { case Seq(a, b, c, d) =>
+      graft.functions.ch.greatCircleDistance(a, b, c, d) },
+    "formatReadableSize" -> viaColumn { case Seq(c) => graft.functions.ch.formatReadableSize(c) },
+    "multiIf" -> viaColumn { cs =>
+      graft.functions.ch.multiIf(
+        cs.dropRight(1).grouped(2).collect { case Seq(c, v) => (c, v) }.toSeq,
+        cs.last)
+    })
 
   def registerChFunctions(spark: SparkSession): Unit = {
     graft.GraftFunctions.register(spark)

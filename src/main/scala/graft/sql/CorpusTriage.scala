@@ -1,0 +1,73 @@
+package graft.sql
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Formats
+
+/** Triage tool: run every reference stateless test through [[ChSql]]
+  * and report which match their .reference goldens. Used to grow the
+  * pinned set in ChSqlCorpusSpec; not part of the driver contract.
+  *
+  * Usage: runMain graft.sql.CorpusTriage [substringFilter]
+  */
+object CorpusTriage {
+  private val corpus = "/root/reference/dbms/tests/queries/0_stateless"
+
+  // features we knowingly don't support in the translator yet
+  private val skipMarkers = Seq(
+    "CREATE", "INSERT", "DROP TABLE", "DATABASE", "remote(", "FORMAT JSON",
+    "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
+    "toTypeName", "reinterpret", "intHash", "cityHash", "sipHash",
+    "quantile", "uniq", "extremes", "SAMPLE", "PREWHERE", "GLOBAL IN",
+    "sleep", "now()", "today()", "yesterday()", "rand", "FINAL",
+    "toStartOf", "toMonday", "toTime", "timeSlot", "visitParam",
+    "emptyArray", "range(", "replicate", "arrayEnumerate", "groupArray",
+    "sumArray", "point", "dict", "region", "OLAP", "SHOW", "DESC")
+
+  def main(args: Array[String]): Unit = {
+    val filter = args.headOption.getOrElse("")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val files = new File(corpus).listFiles()
+      .filter(f => f.getName.endsWith(".sql") && f.getName.contains(filter))
+      .sortBy(_.getName)
+    var pass, fail, skip = 0
+    files.foreach { f =>
+      val name = f.getName.stripSuffix(".sql")
+      val refFile = new File(corpus, s"$name.reference")
+      val sql = Files.readString(f.toPath)
+      if (!refFile.exists() || skipMarkers.exists(sql.contains)) { skip += 1 }
+      else {
+        val expected = Files.readString(refFile.toPath).stripLineEnd
+        try {
+          val fut = scala.concurrent.Future {
+            ChSql.statements(sql)
+              .map(st => Formats.tabSeparated(ChSql(spark, st)))
+              .filter(_.nonEmpty).mkString("\n")
+          }(scala.concurrent.ExecutionContext.global)
+          val got = scala.concurrent.Await.result(fut,
+            scala.concurrent.duration.Duration(60, "s"))
+          if (got == expected) { println(s"PASS $name"); pass += 1 }
+          else if (got.linesIterator.toSeq.sorted == expected.linesIterator.toSeq.sorted) {
+            println(s"PASS-UNORDERED $name"); pass += 1
+          } else { println(s"DIFF $name"); fail += 1 }
+        } catch {
+          case e: Throwable =>
+            println(s"ERR  $name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(100)}")
+            fail += 1
+        }
+      }
+    }
+    println(s"\npass=$pass fail=$fail skip=$skip")
+    spark.stop()
+  }
+}
