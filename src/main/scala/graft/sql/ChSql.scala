@@ -51,6 +51,13 @@ object ChSql {
     q = q.replaceAll("(?i)\\bsystem\\.one\\b", "(SELECT 0 AS dummy)")
     // join strictness: ANY ≈ plain join (exact when RHS key-unique)
     q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
+    // PREWHERE is an execution hint — a filter, which Catalyst pushes
+    // to the scan anyway (only the simple no-second-WHERE form here)
+    if (!q.toUpperCase.contains(" WHERE "))
+      q = q.replaceAll("(?i)\\bPREWHERE\\b", "WHERE")
+    // GLOBAL IN/JOIN ship the set to every shard = broadcast, which
+    // Spark plans on its own
+    q = q.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", " $1IN")
     // bare USING list → parenthesized
     q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
       "USING ($1)")
@@ -72,7 +79,8 @@ object ChSql {
       .toSeq
 
   private def stripComments(s: String): String =
-    s.linesIterator.map(l => l.replaceAll("--.*$", "")).mkString("\n")
+    s.replaceAll("(?s)/\\*.*?\\*/", " ")
+      .linesIterator.map(l => l.replaceAll("--.*$", "")).mkString("\n")
 
   private val keywords = Set(
     "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY", "ON",
@@ -211,7 +219,19 @@ object ChSql {
       graft.functions.ch.multiIf(
         cs.dropRight(1).grouped(2).collect { case Seq(c, v) => (c, v) }.toSeq,
         cs.last)
-    })
+    },
+    // CH range(n) = [0, …, n-1]; arrayEnumerate(arr) = [1, …, len]
+    "range" -> viaColumn { case Seq(n) =>
+      org.apache.spark.sql.functions.sequence(
+        org.apache.spark.sql.functions.lit(0L), n.cast("long") - 1L) },
+    "arrayEnumerate" -> viaColumn { case Seq(arr) =>
+      org.apache.spark.sql.functions.sequence(
+        org.apache.spark.sql.functions.lit(1),
+        org.apache.spark.sql.functions.size(arr)) },
+    "exp10" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(10.0), c) },
+    "exp2" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(2.0), c) })
 
   def registerChFunctions(spark: SparkSession): Unit = {
     graft.GraftFunctions.register(spark)

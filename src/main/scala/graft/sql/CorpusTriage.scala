@@ -21,11 +21,11 @@ object CorpusTriage {
     "CREATE", "INSERT", "DROP TABLE", "DATABASE", "remote(", "FORMAT JSON",
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
     "toTypeName", "reinterpret", "intHash", "cityHash", "sipHash",
-    "quantile", "uniq", "extremes", "SAMPLE", "PREWHERE", "GLOBAL IN",
+    "quantile", "uniq", "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand", "FINAL",
-    "toStartOf", "toMonday", "toTime", "timeSlot", "visitParam",
-    "emptyArray", "range(", "replicate", "arrayEnumerate", "groupArray",
-    "sumArray", "point", "dict", "region", "OLAP", "SHOW", "DESC")
+    "visitParam", "emptyArray", "replicate", "arrayEnumerateUniq",
+    "groupArray", "sumArray", "point", "dict", "region", "OLAP",
+    "SHOW", "DESC")
 
   def main(args: Array[String]): Unit = {
     val filter = args.headOption.getOrElse("")
