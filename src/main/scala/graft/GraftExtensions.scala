@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, SipHash64Expr, UniqUpTo}
+import graft.functions.{AnyHeavy, QuantileTiming, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -36,6 +36,25 @@ object GraftFunctions {
       case Seq(e) => AnyHeavy(e)
       case other => throw new IllegalArgumentException(
         s"any_heavy(expr) expected, got $other")
+    }),
+    // -State / -Merge combinators (first-class aggregate state)
+    (FunctionIdentifier("uniq_upto_state"), info("uniq_upto_state"), {
+      case Seq(e, Literal(n: Int, _)) => UniqUpToState(e, n)
+      case other => throw new IllegalArgumentException(
+        s"uniq_upto_state(expr, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("uniq_upto_merge"), info("uniq_upto_merge"), {
+      case Seq(e, Literal(n: Int, _)) => UniqUpToMerge(e, n)
+      case other => throw new IllegalArgumentException(
+        s"uniq_upto_merge(expr, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("quantile_timing"), info("quantile_timing"), {
+      case Seq(e, l) if l.foldable =>
+        val level = org.apache.spark.sql.catalyst.expressions.Cast(
+          l, org.apache.spark.sql.types.DoubleType).eval(null)
+        QuantileTiming(e, level.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"quantile_timing(expr, level literal) expected, got $other")
     }))
 
   /** Idempotent registration into an existing session. */

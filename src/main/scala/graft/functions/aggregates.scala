@@ -79,6 +79,179 @@ case class UniqUpTo(
     copy(child = newChildren.head)
 }
 
+/** `uniqUpToState(N)(x)` — the -State combinator
+  * (AggregateFunctions/AggregateFunctionState.cpp): instead of the
+  * final value, emit the SERIALIZED aggregation buffer as a binary
+  * column. This is the reference's `AggregateFunction(...)` data type
+  * (ColumnAggregateFunction): partial states become storable,
+  * re-aggregatable values — the AggregatingMergeTree idea.
+  */
+case class UniqUpToState(
+    child: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashSet[Long]]
+    with ImplicitCastInputTypes {
+
+  private val inner = UniqUpTo(child, n)
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "uniq_upto_state"
+
+  override def createAggregationBuffer(): java.util.HashSet[Long] =
+    inner.createAggregationBuffer()
+  override def update(buf: java.util.HashSet[Long], input: InternalRow): java.util.HashSet[Long] =
+    inner.update(buf, input)
+  override def merge(a: java.util.HashSet[Long], b: java.util.HashSet[Long]): java.util.HashSet[Long] =
+    inner.merge(a, b)
+  override def eval(buf: java.util.HashSet[Long]): Any = inner.serialize(buf)
+  override def serialize(buf: java.util.HashSet[Long]): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[Long] = inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): UniqUpToState =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): UniqUpToState =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): UniqUpToState =
+    copy(child = newChildren.head)
+}
+
+/** `uniqUpToMerge(N)(state)` — the -Merge combinator
+  * (AggregateFunctionMerge.cpp): consume serialized states produced
+  * by [[UniqUpToState]] and finish the aggregation. State tables can
+  * therefore be rolled up repeatedly (day → month → total) without
+  * touching raw rows — each level's input is |keys| rows, not |data|.
+  */
+case class UniqUpToMerge(
+    child: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashSet[Long]]
+    with ImplicitCastInputTypes {
+
+  private val codec = UniqUpTo(child, n)
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "uniq_upto_merge"
+
+  override def createAggregationBuffer(): java.util.HashSet[Long] =
+    new java.util.HashSet[Long]()
+
+  override def update(buf: java.util.HashSet[Long], input: InternalRow): java.util.HashSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) codec.merge(buf, codec.deserialize(v.asInstanceOf[Array[Byte]]))
+    else buf
+  }
+  override def merge(a: java.util.HashSet[Long], b: java.util.HashSet[Long]): java.util.HashSet[Long] =
+    codec.merge(a, b)
+  override def eval(buf: java.util.HashSet[Long]): Any =
+    math.min(buf.size().toLong, n.toLong + 1)
+  override def serialize(buf: java.util.HashSet[Long]): Array[Byte] = codec.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[Long] = codec.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): UniqUpToMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): UniqUpToMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): UniqUpToMerge =
+    copy(child = newChildren.head)
+}
+
+/** `quantileTiming(level)(ms)` — the reference's timing-quantile
+  * sketch (AggregateFunctions/AggregateFunctionsQuantileTiming.h
+  * semantics): millisecond values are exact below 1024, binned at
+  * 16 ms resolution up to 30 000, and clamped above — so state is a
+  * bounded histogram (≤ ~2 840 buckets) with exact merge, giving
+  * deterministic quantiles independent of partitioning (unlike
+  * sampling-based quantile sketches). Negative inputs count as 0.
+  * Result = the smallest bucket whose cumulative count reaches
+  * ceil(level × total); bucket values are their lower bounds.
+  */
+case class QuantileTiming(
+    child: Expression,
+    level: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+    with ImplicitCastInputTypes {
+
+  require(level >= 0.0 && level <= 1.0, s"quantile level out of range: $level")
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "quantile_timing"
+
+  private def bucket(v: Long): Long =
+    if (v < 0) 0L
+    else if (v < 1024) v
+    else if (v >= 30000) 30000L
+    else 1024L + ((v - 1024L) / 16L) * 16L
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(bucket(v.asInstanceOf[Long]), 1L, (a, b) => a + b)
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Long], b: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); a.merge(e.getKey, e.getValue, (x, y) => x + y) }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+    if (buf.isEmpty) return null
+    var total = 0L
+    buf.values().forEach(c => total += c)
+    val pos = math.max(1L, math.ceil(level * total).toLong)
+    val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
+    var acc = 0L
+    var i = 0
+    while (i < keys.length) {
+      acc += buf.get(keys(i))
+      if (acc >= pos) return keys(i)
+      i += 1
+    }
+    keys.last
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size())
+    bb.putInt(buf.size())
+    buf.forEach((k, v) => { bb.putLong(k); bb.putLong(v) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val sz = bb.getInt
+    val m = new java.util.HashMap[Long, Long](sz * 2)
+    var i = 0
+    while (i < sz) { m.put(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): QuantileTiming =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantileTiming =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileTiming =
+    copy(child = newChildren.head)
+}
+
 /** Boyer-Moore majority-vote state for [[AnyHeavy]]. */
 final class HeavyBuf(var value: UTF8String, var count: Long)
 

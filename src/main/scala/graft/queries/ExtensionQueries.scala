@@ -65,8 +65,67 @@ object ExtensionQueries {
     """SELECT l_returnflag, 'common' AS heavy, count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q79 -State/-Merge combinators — per-(type, day) partial states
+  // (binary AggregateFunction column), then a second-level merge per
+  // type. The merge level reads |keys| state rows, not raw data: the
+  // AggregatingMergeTree rollup pattern (SURVEY.md §7.4 hard part 1).
+  // Oracle: saturating CASE over the raw rows — state+merge must
+  // agree with direct aggregation exactly.
+  // ---------------------------------------------------------------
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("uniq_upto_state(user_id, 50)").as("state"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("uniq_upto_merge(state, 50)").as("u50"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q79Sql =
+    """SELECT event_type,
+      |  CAST(CASE WHEN count(DISTINCT user_id) <= 50
+      |       THEN count(DISTINCT user_id) ELSE 51 END AS BIGINT) AS u50,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q80 quantileTiming — deterministic bounded-histogram quantiles
+  // (exact <1024 ms, 16 ms bins to 30 s, clamped above). The oracle
+  // reproduces the binning + cumulative-count rule in SQL, so the
+  // sketch is value-verified, not rows-only.
+  // ---------------------------------------------------------------
+  def q80(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ms", (col("value") * 1000).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("quantile_timing(ms, CAST(0.5 AS DOUBLE))").as("p50_timing"),
+        expr("quantile_timing(ms, CAST(0.9 AS DOUBLE))").as("p90_timing"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  private val q80Sql =
+    """WITH b AS (SELECT event_type,
+      |    CASE WHEN ms < 0 THEN 0 WHEN ms < 1024 THEN ms WHEN ms >= 30000 THEN 30000
+      |         ELSE 1024 + ((ms - 1024) // 16) * 16 END AS bucket
+      |  FROM (SELECT event_type, CAST(trunc(value * 1000) AS BIGINT) AS ms FROM events)),
+      |g AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |c AS (SELECT event_type, bucket, cnt,
+      |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+      |        sum(cnt) OVER (PARTITION BY event_type) AS total
+      |      FROM g)
+      |SELECT event_type,
+      |  min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS p50_timing,
+      |  min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) AS p90_timing,
+      |  CAST(sum(cnt) AS BIGINT) AS cnt
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_siphash64_native", q55, None),
     QueryDef("q56_uniq_upto", q56, Some(q56Sql)),
-    QueryDef("q57_any_heavy", q57, Some(q57Sql)))
+    QueryDef("q57_any_heavy", q57, Some(q57Sql)),
+    QueryDef("q79_agg_state_merge", q79, Some(q79Sql)),
+    QueryDef("q80_quantile_timing", q80, Some(q80Sql)))
 }

@@ -52,6 +52,31 @@ class CustomFunctionSpec extends SparkSpec {
     assert(got === "dominant")
   }
 
+  test("state + merge equals direct aggregation (-State/-Merge combinators)") {
+    GraftFunctions.register(spark)
+    val df = (1 to 300).map(i => (i % 3, i.toLong % 70)).toDF("g", "v").repartition(6)
+    val direct = df.groupBy("g").agg(expr("uniq_upto(v, 10) AS u"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val viaState = df.withColumn("sub", col("v") % 5)
+      .groupBy("g", "sub").agg(expr("uniq_upto_state(v, 10) AS st"))
+      .groupBy("g").agg(expr("uniq_upto_merge(st, 10) AS u"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaState === direct)
+  }
+
+  test("quantile_timing: exact below 1024, binned to 16ms, clamped at 30s") {
+    GraftFunctions.register(spark)
+    def qt(vals: Seq[Long], level: Double): Long =
+      vals.toDF("v").repartition(4)
+        .agg(expr(s"quantile_timing(v, CAST($level AS DOUBLE)) AS q"))
+        .collect()(0).getLong(0)
+    assert(qt(1L to 100L, 0.5) === 50L)           // exact region
+    assert(qt(1L to 100L, 0.9) === 90L)
+    assert(qt(Seq(2005L), 0.5) === 2000L)          // 16ms bin lower bound
+    assert(qt(Seq(50000L, 60000L), 0.5) === 30000L) // clamp
+    assert(qt(Seq(-5L, -1L, 3L), 0.5) === 0L)      // negatives count as 0
+  }
+
   test("siphash64 null propagates") {
     GraftFunctions.register(spark)
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")
