@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table is a parquet scan — Catalyst supplies column pruning,
   * predicate pushdown and partition pruning on top (SURVEY.md §2.1),
   * so the "engine" distinction collapses to read-view semantics
-  * implemented in [[graft.operators.MergeTreeViews]].
+  * implemented in [[graft.storage.MergeTreeTable]].
   */
 object Tables {
   val names: Seq[String] = Seq(
