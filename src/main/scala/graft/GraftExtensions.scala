@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, QuantileTiming, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, QuantileTDigest, QuantileTiming, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -55,6 +55,14 @@ object GraftFunctions {
         QuantileTiming(e, level.asInstanceOf[Double])
       case other => throw new IllegalArgumentException(
         s"quantile_timing(expr, level literal) expected, got $other")
+    }),
+    (FunctionIdentifier("quantile_tdigest"), info("quantile_tdigest"), {
+      case Seq(e, l) if l.foldable =>
+        val level = org.apache.spark.sql.catalyst.expressions.Cast(
+          l, org.apache.spark.sql.types.DoubleType).eval(null)
+        QuantileTDigest(e, level.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"quantile_tdigest(expr, level literal) expected, got $other")
     }))
 
   /** Idempotent registration into an existing session. */

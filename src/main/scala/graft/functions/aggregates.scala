@@ -252,6 +252,54 @@ case class QuantileTiming(
     copy(child = newChildren.head)
 }
 
+/** `quantileTDigest(level)(x)` — t-digest quantile sketch
+  * (reference: dbms/src/AggregateFunctions/QuantileTDigest.h; see
+  * [[TDigest]]). O(δ) mergeable state with tight tail accuracy;
+  * results are approximate (rank error ≈ q(1−q)/δ), so the driver
+  * check is rows-only and accuracy is property-tested.
+  */
+case class QuantileTDigest(
+    child: Expression,
+    level: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TDigest]
+    with ImplicitCastInputTypes {
+
+  require(level >= 0.0 && level <= 1.0, s"quantile level out of range: $level")
+
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "quantile_tdigest"
+
+  override def createAggregationBuffer(): TDigest = new TDigest()
+
+  override def update(buf: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+
+  override def eval(buf: TDigest): Any = {
+    val q = buf.quantile(level)
+    if (q.isNaN) null else q
+  }
+
+  override def serialize(buf: TDigest): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): QuantileTDigest =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantileTDigest =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileTDigest =
+    copy(child = newChildren.head)
+}
+
 /** Boyer-Moore majority-vote state for [[AnyHeavy]]. */
 final class HeavyBuf(var value: UTF8String, var count: Long)
 

@@ -122,10 +122,25 @@ object ExtensionQueries {
       |  CAST(sum(cnt) AS BIGINT) AS cnt
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q81 quantileTDigest — t-digest sketch (QuantileTDigest.h): O(δ)
+  // mergeable state, tight tails. Approximate and merge-order-
+  // dependent → rows-only here; 1%-rank-error bound property-tested.
+  // ---------------------------------------------------------------
+  def q81(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("quantile_tdigest(l_extendedprice, CAST(0.5 AS DOUBLE))").as("p50_price"),
+        expr("quantile_tdigest(l_extendedprice, CAST(0.99 AS DOUBLE))").as("p99_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_siphash64_native", q55, None),
     QueryDef("q56_uniq_upto", q56, Some(q56Sql)),
     QueryDef("q57_any_heavy", q57, Some(q57Sql)),
     QueryDef("q79_agg_state_merge", q79, Some(q79Sql)),
-    QueryDef("q80_quantile_timing", q80, Some(q80Sql)))
+    QueryDef("q80_quantile_timing", q80, Some(q80Sql)),
+    QueryDef("q81_quantile_tdigest", q81, None))
 }

@@ -77,6 +77,19 @@ class CustomFunctionSpec extends SparkSpec {
     assert(qt(Seq(-5L, -1L, 3L), 0.5) === 0L)      // negatives count as 0
   }
 
+  test("quantile_tdigest: within 1% rank error of exact quantiles") {
+    GraftFunctions.register(spark)
+    val n = 100000
+    val df = (1 to n).map(_.toDouble).toDF("v").repartition(8)
+    Seq(0.5, 0.9, 0.99).foreach { level =>
+      val got = df.agg(expr(s"quantile_tdigest(v, CAST($level AS DOUBLE)) AS q"))
+        .collect()(0).getDouble(0)
+      val exact = level * n
+      assert(math.abs(got - exact) / n < 0.01,
+        s"level $level: got $got, exact $exact")
+    }
+  }
+
   test("siphash64 null propagates") {
     GraftFunctions.register(spark)
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")
