@@ -126,6 +126,11 @@ object ch {
   def roundToExp2(c: Column): Column =
     when(c < 1, 0L).otherwise(pow(lit(2.0), floor(log2(c))).cast(LongType))
 
+  /** convertCharset(s, from, to) (FunctionsCharset.cpp) — re-encode
+    * string bytes between charsets. */
+  def convertCharset(s: Column, from: String, to: String): Column =
+    decode(encode(s, from), to)
+
   /** greatCircleDistance(lon1, lat1, lon2, lat2) in meters —
     * haversine over the mean-Earth radius (FunctionsGeo.cpp). */
   def greatCircleDistance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {

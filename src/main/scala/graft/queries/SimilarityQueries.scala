@@ -167,10 +167,37 @@ object SimilarityQueries {
       |     sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) >= 0.2
       |ORDER BY v1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q82 element-wise vector aggregation — the -ForEach combinator
+  // (AggregateFunctionForEach.cpp: apply an aggregate per array
+  // element) in its scalable form: posexplode + groupBy(label, pos),
+  // i.e. per-label embedding centroids. DECIMAL(18,6) per-element
+  // sums keep the result exact and order-independent.
+  // ---------------------------------------------------------------
+  def q82(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .filter(col("pos0") < 8) // first 8 dims keep the result compact
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(round(sum(col("x").cast(DecimalType(18, 6))).cast("double"), 4).as("sum_x"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pos"))
+
+  private val q82Sql =
+    """SELECT label, pos,
+      |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_x,
+      |  count(*) AS n
+      |FROM (SELECT label, unnest(embedding) AS x,
+      |        unnest(generate_series(1, len(embedding))) AS pos
+      |      FROM embeddings)
+      |WHERE pos <= 8
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_cosine_brute_topk", q50, Some(q50Sql)),
     QueryDef("q51_norm_by_label", q51, Some(q51Sql)),
     QueryDef("q52_lsh_bucket_histogram", q52, Some(q52Sql)),
     QueryDef("q53_ann_lsh_topk", q53, Some(q53Sql)),
-    QueryDef("q54_embedding_neardup", q54, Some(q54Sql)))
+    QueryDef("q54_embedding_neardup", q54, Some(q54Sql)),
+    QueryDef("q82_sum_foreach_centroid", q82, Some(q82Sql)))
 }
