@@ -61,6 +61,26 @@ object MaterializedView {
       .start()
   }
 
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * capability superset over the reference's timeSlot bucketing
+    * (SURVEY.md §2.10: the reference has no event time, no late-data
+    * handling; Structured Streaming supplies both). Returns the
+    * windowed count/sum frame ready for `writeStream`.
+    */
+  def eventTimeWindow(
+      source: DataFrame,
+      tsCol: String,
+      window_ : String,
+      watermark: String,
+      valueCol: String): DataFrame = {
+    require(source.isStreaming, "source must be a streaming DataFrame")
+    source
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("win_start"), col("n"), col("total"))
+  }
+
   /** Buffer analog: forward micro-batches into an append-only parquet
     * target on a processing-time threshold (StorageBuffer flush). */
   def startBuffer(

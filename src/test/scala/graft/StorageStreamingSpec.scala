@@ -94,14 +94,51 @@ class StorageStreamingSpec extends SparkSpec {
     assert(got === Map("a" -> 7L, "b" -> 10L))
   }
 
+  test("as-of join attaches the latest right row at or before each left time") {
+    import graft.operators.AsOfJoin
+    val trades = Seq(("A", 3L, 101.0), ("A", 7L, 102.0), ("B", 5L, 50.0), ("C", 1L, 9.0))
+      .toDF("sym", "t", "px")
+    val quotes = Seq(("A", 1L, 100.5), ("A", 5L, 101.5), ("A", 7L, 101.9),
+      ("B", 9L, 49.0)).toDF("sym", "qt", "bid")
+    val got = AsOfJoin(trades, quotes, "sym", "t", "qt", Seq("bid"))
+      .select("sym", "t", "bid").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(got === Set(
+      ("A", 3L, Some(100.5)),  // latest quote at t<=3 is t=1
+      ("A", 7L, Some(101.9)),  // same-instant quote visible
+      ("B", 5L, None),         // no quote yet
+      ("C", 1L, None)))        // no quotes at all for key
+  }
+
+  test("event-time window with watermark aggregates late-arriving data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val windowed = MaterializedView.eventTimeWindow(
+      mem.toDF().toDF("ts", "v"), "ts", "10 minutes", "5 minutes", "v")
+    val q = windowed.writeStream.outputMode("update")
+      .format("memory").queryName("win_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((ts(1), 1.0), (ts(4), 2.0), (ts(12), 10.0), (ts(3), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .groupBy("win_start").agg(max("n").as("n"), max("total").as("total"))
+      .collect().map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("2024-01-01 10:00:00.0") === ((3L, 7.0)))
+    assert(rows("2024-01-01 10:10:00.0") === ((1L, 10.0)))
+  }
+
   test("buffer forwards micro-batches to a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val base = Files.createTempDirectory("buffer").toString
+    // data must exist before an AvailableNow query plans its offsets
+    mem.addData((1L, "x"), (2L, "y"))
     val q = MaterializedView.startBuffer(
       mem.toDF().toDF("id", "payload"), s"$base/data", s"$base/ckpt",
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    mem.addData((1L, "x"), (2L, "y"))
     q.processAllAvailable()
     q.stop()
     assert(spark.read.parquet(s"$base/data").count() === 2)
