@@ -153,7 +153,24 @@ object StatsQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q83 UInt64-exact summation — SURVEY §7.4 hard part 2: unsigned
+  // 64-bit sums overflow Long, so value-exact aggregation uses
+  // DECIMAL(20,0) (the benchmark's sum(UserID) case).
+  // ---------------------------------------------------------------
+  def q83(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(
+        sum(col("user_id").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          .as("sum_uint64"),
+        count(lit(1)).as("cnt"))
+
+  private val q83Sql =
+    """SELECT sum(CAST(user_id AS DECIMAL(20,0))) AS sum_uint64, count(*) AS cnt
+      |FROM events""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q83_uint64_decimal_sum", q83, Some(q83Sql)),
     QueryDef("q74_join_full_outer", q74, Some(q74Sql)),
     QueryDef("q75_stats_aggregates", q75, Some(q75Sql)),
     QueryDef("q76_intersect_except", q76, Some(q76Sql)),

@@ -23,9 +23,22 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Distinct character 5-gram shingles of `text` (SQL-expr form). */
+  /** Distinct character 5-gram shingles of `text` (SQL-expr form).
+    * Used where a per-row ARRAY is needed; the hot paths below use
+    * [[shingleRows]] instead. */
   private val shinglesE =
     "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+
+  /** (doc_id, shingle) rows with NO interpreted lambda: explode the
+    * position sequence (a codegen generator) and take `substring` as
+    * a plain projected expression. Emits the multiset (duplicates
+    * kept) — aggregations that are dup-invariant (min, countDistinct)
+    * consume it directly; set semantics add `.distinct()`. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(length(text) - 4, 1))")).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("g"))
 
   /** doc_id + 16-perm MinHash signature (shared by q45/q47).
     *
@@ -38,9 +51,10 @@ object TextQueries {
     * at 100 TB never materializes the exploded rows.
     */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val hashed = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(expr(s"transform($shinglesE, g -> pmod(xxhash64(g), 2147483647))")).as("h"))
+    // duplicates don't change minima, so the raw shingle multiset
+    // feeds the mins directly — zero interpreted lambdas end to end
+    val hashed = shingleRows(s, dir)
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(2147483647L)).as("h"))
     val mins = (0 until 16).map(i =>
       min(pmod(col("h") * (2 * i + 1) + 97 * i, lit(2147483647L))).as(s"m$i"))
     hashed.groupBy(col("doc_id"))
@@ -146,8 +160,9 @@ object TextQueries {
   // input cardinality MinHash estimates).
   // ---------------------------------------------------------------
   def q44(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), expr(s"size($shinglesE)").cast("long").as("n_shingles"))
+    shingleRows(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shingles"))
       .orderBy(col("doc_id"))
 
   private val q44Sql =
@@ -181,8 +196,7 @@ object TextQueries {
     // most docs); the composite key keeps every hash bucket tiny.
     // Set sizes |A∩B| / |A|,|B| come from codegen'd count aggregates,
     // not interpreted array_intersect/array_union.
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"), explode(expr(shinglesE)).as("g"))
+    val sh = shingleRows(s, dir).distinct()
     val interCnt = sh.alias("a")
       .join(sh.alias("b"),
         col("a.g") === col("b.g") && col("b.doc_id") === col("a.doc_id") + 1)
@@ -226,11 +240,12 @@ object TextQueries {
   // ---------------------------------------------------------------
   def q47(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
+    val bandStructs = (0 until 4).map { b =>
+      s"struct($b AS band, xxhash64(element_at(sig, ${4 * b + 1}), element_at(sig, ${4 * b + 2}), " +
+        s"element_at(sig, ${4 * b + 3}), element_at(sig, ${4 * b + 4})) AS bh)"
+    }.mkString(", ")
     val bands = sig.select(col("doc_id"),
-      expr("""explode(transform(sequence(0, 3),
-               b -> struct(b AS band, xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2),
-                                              element_at(sig, 4*b+3), element_at(sig, 4*b+4)) AS bh)))""")
-        .as("bb"))
+      expr(s"explode(array($bandStructs))").as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val l = bands.select(col("band"), col("bh"), col("doc_id").as("d1"))
     val r = bands.select(col("band"), col("bh"), col("doc_id").as("d2"))
@@ -250,7 +265,8 @@ object TextQueries {
     // aggregates (one per bit) map-side combine to a row per doc,
     // then the bit votes reassemble into the 64-bit fingerprint.
     val hashed = t(s, dir, "documents")
-      .select(col("doc_id"), explode(expr("transform(split(text, ' '), t -> xxhash64(t))")).as("h"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
     hashed.groupBy(col("doc_id"))
@@ -268,9 +284,10 @@ object TextQueries {
   // ---------------------------------------------------------------
   def q49(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("aggregate(sequence(1, length(text)), 0L, (acc, i) -> acc + ascii(substring(text, i, 1)) * i)")
-          .as("fingerprint"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text))")).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("CAST(ascii(substring(text, i, 1)) * i AS BIGINT)")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   private val q49Sql =

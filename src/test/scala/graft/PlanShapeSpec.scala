@@ -55,6 +55,23 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("hot text paths contain no interpreted higher-order lambdas") {
+    // transform()/aggregate() lambdas evaluate interpreted per element;
+    // the shingle/minhash/simhash/fingerprint pipelines must stay on
+    // the explode + codegen-projection path (10× at sf0.1).
+    Seq(
+      "q44" -> graft.queries.TextQueries.q44(spark, sfDir),
+      "q45" -> graft.queries.TextQueries.q45(spark, sfDir),
+      "q47" -> graft.queries.TextQueries.q47(spark, sfDir),
+      "q48" -> graft.queries.TextQueries.q48(spark, sfDir),
+      "q49" -> graft.queries.TextQueries.q49(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("lambdafunction"),
+        s"$name reintroduced an interpreted lambda:\n$p")
+    }
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))
