@@ -82,4 +82,20 @@ object Admin {
   def optimize(spark: SparkSession, path: String,
       spec: graft.storage.MergeTreeTable.Spec): Unit =
     graft.storage.MergeTreeTable.optimize(spark, path, spec)
+
+  /** The `extremes=1` side channel (IProfilingBlockInputStream):
+    * a (min, max) row pair over every numeric column of a result. */
+  def extremes(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val numeric = df.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
+    require(numeric.nonEmpty, "extremes: no numeric columns")
+    val mins = df.groupBy().agg(min(col(numeric.head)).as(numeric.head),
+      numeric.tail.map(c => min(col(c)).as(c)).toIndexedSeq: _*)
+      .withColumn("extreme", lit("min"))
+    val maxs = df.groupBy().agg(max(col(numeric.head)).as(numeric.head),
+      numeric.tail.map(c => max(col(c)).as(c)).toIndexedSeq: _*)
+      .withColumn("extreme", lit("max"))
+    mins.unionByName(maxs).select(("extreme" +: numeric.toIndexedSeq).map(col): _*)
+  }
 }

@@ -41,6 +41,19 @@ object Formats {
     df.write.format(f.source).options(f.options).mode(mode).save(path)
   }
 
+  /** Values — the INSERT literal format `(1,'a'),(2,'b')`
+    * (ValuesRowInputStream): delegated to Spark SQL's VALUES clause,
+    * then named and cast to the target schema. */
+  def parseValues(spark: SparkSession, values: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.sql(s"SELECT * FROM VALUES $values")
+    require(raw.columns.length == schema.length,
+      s"VALUES arity ${raw.columns.length} != schema arity ${schema.length}")
+    raw.select(raw.columns.zip(schema.fields).map { case (c, f) =>
+      col(c).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   /** TabSeparated — the reference's default test-output format
     * (TabSeparatedRowOutputStream): `\t`-joined values, `\N` nulls,
     * booleans as UInt8 0/1, arrays as `[1,2]` / `['a','b']`. */

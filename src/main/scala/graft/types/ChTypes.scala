@@ -1,0 +1,116 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse type names ↔ Spark DataTypes (SURVEY.md §1.2; factory
+  * dbms/src/DataTypes/DataTypeFactory.cpp). Recursive-descent over
+  * the type grammar: `Nullable(T)`, `Array(T)`, `Tuple(T1, …)`,
+  * `Nested(n1 T1, …)` (= Array(Struct)), `FixedString(N)`,
+  * `Enum8/16('a' = 1, …)`, and the scalar map.
+  *
+  * Width mapping: unsigned types use the next-wider signed Spark type
+  * except UInt64 → DECIMAL(20,0) (value-exact; Long would wrap).
+  */
+object ChTypes {
+
+  final case class Parsed(dataType: DataType, nullable: Boolean)
+
+  private val scalars: Map[String, DataType] = Map(
+    "UInt8" -> IntegerType, "UInt16" -> IntegerType,
+    "UInt32" -> LongType, "UInt64" -> DecimalType(20, 0),
+    "Int8" -> ByteType, "Int16" -> ShortType,
+    "Int32" -> IntegerType, "Int64" -> LongType,
+    "Float32" -> FloatType, "Float64" -> DoubleType,
+    "String" -> StringType,
+    "Date" -> DateType, "DateTime" -> TimestampType,
+    "Null" -> NullType)
+
+  /** Parse a ClickHouse type expression into a Spark type. */
+  def parse(ch: String): Parsed = {
+    val t = ch.trim
+    scalars.get(t) match {
+      case Some(dt) => Parsed(dt, nullable = false)
+      case None if t.startsWith("Nullable(") && t.endsWith(")") =>
+        parse(inner(t, "Nullable")).copy(nullable = true)
+      case None if t.startsWith("Array(") && t.endsWith(")") =>
+        val e = parse(inner(t, "Array"))
+        Parsed(ArrayType(e.dataType, containsNull = e.nullable), nullable = false)
+      case None if t.startsWith("Tuple(") && t.endsWith(")") =>
+        val fields = splitTop(inner(t, "Tuple")).zipWithIndex.map { case (f, i) =>
+          val p = parse(f)
+          StructField(s"_${i + 1}", p.dataType, p.nullable)
+        }
+        Parsed(StructType(fields), nullable = false)
+      case None if t.startsWith("Nested(") && t.endsWith(")") =>
+        val fields = splitTop(inner(t, "Nested")).map { f =>
+          val sp = f.trim.split("\\s+", 2)
+          require(sp.length == 2, s"Nested field needs 'name Type': $f")
+          val p = parse(sp(1))
+          StructField(sp(0), p.dataType, p.nullable)
+        }
+        Parsed(ArrayType(StructType(fields), containsNull = false), nullable = false)
+      case None if t.startsWith("FixedString(") =>
+        Parsed(StringType, nullable = false) // length enforced on write
+      case None if t.startsWith("Enum8(") || t.startsWith("Enum16(") =>
+        Parsed(StringType, nullable = false) // name-valued; dictionary on write
+      case None if t.startsWith("AggregateFunction(") =>
+        Parsed(BinaryType, nullable = false) // serialized state (see aggregates)
+      case None =>
+        throw new IllegalArgumentException(s"unsupported ClickHouse type: $ch")
+    }
+  }
+
+  /** Parse a full `name Type, name Type` column list into a schema. */
+  def schema(columns: String): StructType =
+    StructType(splitTop(columns).map { c =>
+      val sp = c.trim.split("\\s+", 2)
+      require(sp.length == 2, s"column needs 'name Type': $c")
+      val p = parse(sp(1))
+      StructField(sp(0), p.dataType, p.nullable)
+    })
+
+  /** Spark type → the ClickHouse name we'd surface (inverse map). */
+  def toChName(dt: DataType, nullable: Boolean = false): String = {
+    val base = dt match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "String"
+      case DateType => "Date"
+      case _: TimestampType => "DateTime"
+      case d: DecimalType if d.precision == 20 && d.scale == 0 => "UInt64"
+      case BinaryType => "String"
+      case NullType => "Null"
+      case ArrayType(e, n) => s"Array(${toChName(e, n)})"
+      case s: StructType =>
+        s"Tuple(${s.fields.map(f => toChName(f.dataType, f.nullable)).mkString(", ")})"
+      case other => other.simpleString
+    }
+    if (nullable && !dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[StructType])
+      s"Nullable($base)"
+    else base
+  }
+
+  private def inner(t: String, head: String): String =
+    t.substring(head.length + 1, t.length - 1)
+
+  /** Split on top-level commas (ignoring nesting and quotes). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQuote = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c@('(' | '[') if !inQuote => depth += 1; cur += c
+      case c@(')' | ']') if !inQuote => depth -= 1; cur += c
+      case ',' if depth == 0 && !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -42,6 +42,25 @@ class FormatsMediaSpec extends SparkSpec {
     assert(v.contains("Row 1:") && v.contains("k: 1"))
   }
 
+  test("Values format parses the INSERT literal body") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("x", DoubleType)))
+    val df = Formats.parseValues(spark, "(1, 'a', 0.5), (2, 'b', -1)", schema)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "x"))
+    assert(df.as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 0.5), (2L, "b", -1.0)))
+  }
+
+  test("extremes side channel yields min/max rows over numeric columns") {
+    val df = Seq((1L, "a", 5.0), (9L, "b", -2.0), (4L, "c", 0.0)).toDF("k", "s", "v")
+    val ex = graft.core.Admin.extremes(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ex("min") === ((1L, -2.0)))
+    assert(ex("max") === ((9L, 5.0)))
+  }
+
   test("media table schema and deterministic features") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     val media = Media.fromDocuments(docs)
