@@ -1,0 +1,187 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.sources.Formats
+import graft.storage.MergeTreeTable
+import graft.storage.MergeTreeTable.{Engine, Plain, Spec, Summing}
+import graft.types.ChTypes
+
+/** Minimal DDL/DML interpreter over the CH dialect (SURVEY.md §2.12;
+  * InterpreterFactory.cpp dispatch): CREATE TABLE … ENGINE=…, INSERT
+  * VALUES / INSERT SELECT, OPTIMIZE TABLE (engine fold), DROP TABLE,
+  * plus SELECT delegation to [[ChSql]]. Tables live in a session-
+  * scoped in-memory catalog registered as temp views (the Memory
+  * engine; MergeTree variants carry their fold Spec so OPTIMIZE
+  * applies the merge semantics).
+  */
+object ChDdl {
+
+  final case class Entry(name: String, view: String, var df: DataFrame, spec: Spec)
+
+  private val tables = scala.collection.concurrent.TrieMap[String, Entry]()
+
+  private def viewName(raw: String): String =
+    raw.trim.replace("`", "").replace(".", "_")
+
+  /** Execute one statement; SELECTs return a frame, DDL returns None. */
+  def execute(spark: SparkSession, stmtRaw: String): Option[DataFrame] = {
+    val stmt = stmtRaw.trim.stripSuffix(";").trim
+    val up = stmt.toUpperCase
+    if (stmt.isEmpty || up.startsWith("SET ") ||
+      up.startsWith("CREATE DATABASE") || up.startsWith("DROP DATABASE")) None
+    else if (up.startsWith("CREATE TABLE")) { createTable(spark, stmt); None }
+    else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
+    else if (up.startsWith("INSERT INTO")) { insert(spark, stmt); None }
+    else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
+    else Some(ChSql(spark, rewriteRefs(stmt)))
+  }
+
+  /** Run a whole multi-statement script, returning SELECT results. */
+  def executeScript(spark: SparkSession, script: String): Seq[DataFrame] =
+    ChSql.statements(script).flatMap(execute(spark, _))
+
+  /** Swap db-qualified names (test.foo) for their temp-view names. */
+  private def rewriteRefs(sql: String): String =
+    tables.values.foldLeft(sql) { (q, e) =>
+      if (e.name.contains(".")) q.replace(e.name, e.view) else q
+    }
+
+  private val createRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s*" +
+      "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\((.*)\\))?\\s*$").r
+
+  private def createTable(spark: SparkSession, stmt: String): Unit = stmt match {
+    case createRe(rawName, cols, engine, engineArgsOrNull) =>
+      val name = rawName.replace("`", "")
+      val schema = ChTypes.schema(cols)
+      val spec = engineSpec(engine, Option(engineArgsOrNull), schema)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema)
+      val entry = Entry(name, viewName(name), empty, spec)
+      tables.put(name, entry)
+      empty.createOrReplaceTempView(entry.view)
+    case _ =>
+      throw new IllegalArgumentException(s"unsupported CREATE TABLE: $stmt")
+  }
+
+  /** Old-style engine args:
+    * MergeTree(date, key|«(k1,k2)», granularity[, (sumCols)]) — the
+    * optional trailing parenthesized list names the columns to sum
+    * (SummingMergeTree only). */
+  private def engineSpec(engine: String, args: Option[String],
+      schema: org.apache.spark.sql.types.StructType): Spec = {
+    val parts = args.map(splitArgs).getOrElse(Seq.empty)
+    val (explicitSum, core) =
+      if (parts.nonEmpty && parts.last.startsWith("("))
+        (Some(parts.last.stripPrefix("(").stripSuffix(")")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+          parts.dropRight(1))
+      else (None, parts)
+    def sortKey: Seq[String] = core.drop(1).dropRight(1)
+      .flatMap(p => p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim))
+      .filter(_.nonEmpty)
+    engine match {
+      case "SummingMergeTree" =>
+        // the date column partitions parts; fold keeps it as part of
+        // the grouping so it survives compaction
+        val fullKey = core.headOption.toSeq ++ sortKey
+        val summed = explicitSum.getOrElse(schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            !fullKey.contains(f.name) => f.name
+        }.toSeq)
+        Spec(fullKey, None, Summing(summed))
+      case "MergeTree" | "ReplacingMergeTree" | "CollapsingMergeTree" =>
+        Spec(sortKey, None, Plain)
+      case _ => Spec(Seq.empty, None, Plain) // Memory / TinyLog / Log / Null
+    }
+  }
+
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case c@'(' => depth += 1; cur += c
+      case c@')' => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def dropTable(spark: SparkSession, stmt: String): Unit = {
+    val name = stmt.replaceAll("(?i)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?", "")
+      .replace("`", "").trim
+    tables.remove(name).foreach(e => spark.catalog.dropTempView(e.view))
+  }
+
+  /** CH default value for omitted columns (this version has no NULLs). */
+  private def defaultLit(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => lit("")
+      case _: ArrayType => expr("array()").cast(dt)
+      case DateType => lit("1970-01-01").cast(DateType)
+      case _: TimestampType => lit(0).cast(TimestampType)
+      case other => lit(0).cast(other)
+    }
+  }
+
+  private def insert(spark: SparkSession, stmt: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val m = "(?is)^INSERT\\s+INTO\\s+([\\w.`]+)\\s*(?:\\(([\\w\\s,`]*)\\))?\\s*(.*)$".r
+    stmt match {
+      case m(rawName, colListOrNull, rest) =>
+        val name = rawName.replace("`", "")
+        val entry = tables.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown table: $name"))
+        val target = Option(colListOrNull) match {
+          case Some(cl) if cl.trim.nonEmpty =>
+            org.apache.spark.sql.types.StructType(
+              cl.split(",").map(c => entry.df.schema(c.trim.replace("`", ""))))
+          case _ => entry.df.schema
+        }
+        val partial =
+          if (rest.trim.toUpperCase.startsWith("VALUES")) {
+            val body = ChSql.bracketLiteralsToArray(
+              rest.trim.replaceAll("(?is)^VALUES\\s*", ""))
+            Formats.parseValues(spark, body, target)
+          } else {
+            // INSERT INTO t SELECT …: align by position, cast to schema
+            val sel = ChSql(spark, rewriteRefs(rest))
+            sel.toDF(target.fieldNames.toIndexedSeq: _*)
+              .select(target.fields.map(f =>
+                col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          }
+        // omitted columns take the type's default value
+        val incoming = entry.df.schema.fields.foldLeft(partial) { (df, f) =>
+          if (target.fieldNames.contains(f.name)) df
+          else df.withColumn(f.name, defaultLit(f.dataType))
+        }.select(entry.df.schema.fieldNames.map(col).toIndexedSeq: _*)
+        entry.df = entry.df.unionByName(incoming)
+        entry.df.createOrReplaceTempView(entry.view)
+      case _ => throw new IllegalArgumentException(s"unsupported INSERT: $stmt")
+    }
+  }
+
+  private def optimizeTable(spark: SparkSession, stmt: String): Unit = {
+    val name = stmt.replaceAll("(?i)^OPTIMIZE\\s+TABLE\\s+", "").replace("`", "").trim
+    val entry = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    // materialize the fold so repeated optimizes don't stack plans
+    val folded = MergeTreeTable.fold(entry.df, entry.spec)
+    val rows = folded.collect()
+    entry.df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), folded.schema)
+    entry.df.createOrReplaceTempView(entry.view)
+  }
+
+  /** Test hook: forget everything (the catalog is process-global). */
+  def reset(spark: SparkSession): Unit = {
+    tables.values.foreach(e => spark.catalog.dropTempView(e.view))
+    tables.clear()
+  }
+}

@@ -88,10 +88,13 @@ object ChSql {
     "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "GROUP", "ORDER",
     "RETURN", "IF", "ARRAY")
 
-  /** `[1,2]` → `array(1,2)` (nested too), while leaving indexing
-    * brackets (`arr[1]`) and string literals untouched. A bracket is
-    * indexing only when the preceding token is a non-keyword
-    * identifier, `)` or `]`. */
+  /** `[1,2]` → `array(1,2)` (nested too); indexing brackets become
+    * `charrayelement(base, idx)` — the reference's 1-based /
+    * negative-from-end / default-on-out-of-range element access
+    * ([[graft.functions.ChArrayElement]]; Spark's own `[]` is
+    * 0-based). String literals untouched. A bracket is indexing only
+    * when the preceding token is a non-keyword identifier, `)` or a
+    * prior index result. */
   private[sql] def bracketLiteralsToArray(q: String): String = {
     val out = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]() // true = literal bracket
@@ -102,13 +105,38 @@ object ChSql {
       while (j >= 0 && out(j).isWhitespace) j -= 1
       if (j < 0) return false
       val c = out(j)
-      if (c == ')' || c == ']') return true
+      if (c == ')') return true
       if (!c.isLetterOrDigit && c != '_') return false
-      // walk back over the identifier and test against the keyword set
       val end = j
       while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_')) j -= 1
       val tok = out.substring(j + 1, end + 1).toUpperCase
       !keywords.contains(tok)
+    }
+    /** Start offset of the base expression ending at out's tail. */
+    def baseStart: Int = {
+      var j = out.length - 1
+      while (j >= 0 && out(j).isWhitespace) j -= 1
+      if (j < 0) return 0
+      if (out(j) == ')') {
+        var depth = 0
+        while (j >= 0) {
+          if (out(j) == ')') depth += 1
+          else if (out(j) == '(') {
+            depth -= 1
+            if (depth == 0) {
+              // include a function name directly before the parens
+              j -= 1
+              while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_')) j -= 1
+              return j + 1
+            }
+          }
+          j -= 1
+        }
+        0
+      } else {
+        while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_')) j -= 1
+        j + 1
+      }
     }
     while (i < q.length) {
       val c = q(i)
@@ -116,12 +144,17 @@ object ChSql {
       else c match {
         case '\'' => inString = true; out += c
         case '[' =>
-          val indexing = prevTokenIsValue
-          stack.push(!indexing)
-          out ++= (if (indexing) "[" else "array(")
+          if (prevTokenIsValue) {
+            out.insert(baseStart, "charrayelement(")
+            out ++= ", "
+            stack.push(false)
+          } else {
+            stack.push(true)
+            out ++= "array("
+          }
         case ']' =>
-          val literal = stack.nonEmpty && stack.pop()
-          out ++= (if (literal) ")" else "]")
+          if (stack.nonEmpty) stack.pop()
+          out ++= ")"
         case _ => out += c
       }
       i += 1
@@ -146,7 +179,7 @@ object ChSql {
     Bridge.expression(f(es.map(Bridge.column)))
   }
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private val baseFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "materialize" -> { case Seq(e) => e },
     "intDiv" -> { case Seq(a, b) => new IntegralDivide(a, b) },
     "toString" -> cast(StringType),
@@ -171,6 +204,8 @@ object ChSql {
     "arrayFilter" -> { case Seq(lam, arr) => new ArrayFilter(arr, lam) },
     "arrayAll" -> { case Seq(lam, arr) => new ArrayForAll(arr, lam) },
     "arrayJoin" -> { case Seq(arr) => Explode(arr) },
+    "arrayElement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
+    "charrayelement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
     // more conversions / misc
     "toDateTime" -> cast(TimestampType),
     "toNullable" -> { case Seq(e) => e },
@@ -232,6 +267,42 @@ object ChSql {
       org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(10.0), c) },
     "exp2" -> viaColumn { case Seq(c) =>
       org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(2.0), c) })
+
+  private val emptyArrayFns: Seq[(String, Seq[Expression] => Expression)] =
+    Seq[(String, DataType)](
+      "emptyArrayUInt8" -> IntegerType, "emptyArrayUInt16" -> IntegerType,
+      "emptyArrayUInt32" -> LongType, "emptyArrayUInt64" -> LongType,
+      "emptyArrayInt8" -> ByteType, "emptyArrayInt16" -> ShortType,
+      "emptyArrayInt32" -> IntegerType, "emptyArrayInt64" -> LongType,
+      "emptyArrayFloat32" -> FloatType, "emptyArrayFloat64" -> DoubleType,
+      "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType).map {
+      case (n, dt) => n -> { (_: Seq[Expression]) =>
+        Literal.create(Seq.empty[Any], ArrayType(dt, containsNull = false)): Expression }
+    }
+
+  // -If aggregate combinators (AggregateFunctionIf.cpp)
+  private val ifCombinatorFns: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "countIf" -> viaColumn { case Seq(c) =>
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when(c, 1)) },
+      "sumIf" -> viaColumn { case Seq(x, c) =>
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(c, x)),
+          org.apache.spark.sql.functions.lit(0)) },
+      "minIf" -> viaColumn { case Seq(x, c) =>
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.when(c, x)) },
+      "maxIf" -> viaColumn { case Seq(x, c) =>
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.when(c, x)) },
+      "avgIf" -> viaColumn { case Seq(x, c) =>
+        org.apache.spark.sql.functions.avg(
+          org.apache.spark.sql.functions.when(c, x)) })
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] =
+    baseFns ++ emptyArrayFns ++ ifCombinatorFns
 
   def registerChFunctions(spark: SparkSession): Unit = {
     graft.GraftFunctions.register(spark)

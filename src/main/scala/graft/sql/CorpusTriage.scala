@@ -18,14 +18,14 @@ object CorpusTriage {
 
   // features we knowingly don't support in the translator yet
   private val skipMarkers = Seq(
-    "CREATE", "INSERT", "DROP TABLE", "DATABASE", "remote(", "FORMAT JSON",
+    "ALTER", "ATTACH", "zookeeper", "remote(", "FORMAT JSON",
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
     "toTypeName", "reinterpret", "intHash", "cityHash", "sipHash",
     "quantile", "uniq", "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand", "FINAL",
-    "visitParam", "emptyArray", "replicate", "arrayEnumerateUniq",
+    "visitParam", "replicate", "arrayEnumerateUniq",
     "groupArray", "sumArray", "point", "dict", "region", "OLAP",
-    "SHOW", "DESC")
+    "SHOW", "DESC", "CHECK TABLE", "Nested(", "MATERIALIZED VIEW")
 
   def main(args: Array[String]): Unit = {
     val filter = args.headOption.getOrElse("")
@@ -51,7 +51,8 @@ object CorpusTriage {
         try {
           val fut = scala.concurrent.Future {
             ChSql.statements(sql)
-              .map(st => Formats.tabSeparated(ChSql(spark, st)))
+              .flatMap(st => ChDdl.execute(spark, st))
+              .map(Formats.tabSeparated(_))
               .filter(_.nonEmpty).mkString("\n")
           }(scala.concurrent.ExecutionContext.global)
           val got = scala.concurrent.Await.result(fut,

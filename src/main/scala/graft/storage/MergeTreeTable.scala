@@ -84,11 +84,29 @@ object MergeTreeTable {
   def fold(df: DataFrame, spec: Spec): DataFrame = spec.engine match {
     case Plain => df
     case Summing(sumCols) =>
-      val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
-      val sums = sumCols.map(c => sum(col(c)).as(c))
+      // Reference drop rule (SummingSortedBlockInputStream.cpp:195-247):
+      // only a MERGED group can become zero (a single row never does,
+      // `current_row_is_zero = false` on group start), and if every
+      // group zeroed out the LAST group is written anyway so the
+      // output is never empty while input wasn't.
+      import org.apache.spark.sql.expressions.Window
+      val keyNames = spec.partitionCol.toSeq ++ spec.sortKey
+      val keys = keyNames.map(col)
+      val others = df.columns.filterNot(c => keyNames.contains(c) || sumCols.contains(c))
+      val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+        others.map(c => first(col(c)).as(c)) :+ count(lit(1)).as("__cnt")
+      val keep = col("__cnt") === 1 ||
+        sumCols.map(c => col(c) =!= 0).reduce(_ || _)
+      val global = Window.partitionBy()
+      val lastFirst = Window.partitionBy().orderBy(keys.map(_.desc): _*)
       df.groupBy(keys: _*)
-        .agg(sums.head, sums.tail: _*)
-        .filter(sumCols.map(c => col(c) =!= 0).reduce(_ || _))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("__keep", keep)
+        .withColumn("__any", max(col("__keep").cast("int")).over(global))
+        .withColumn("__rn", row_number().over(lastFirst))
+        .filter(col("__keep") || (col("__any") === 0 && col("__rn") === 1))
+        .drop("__cnt", "__keep", "__any", "__rn")
+        .select(df.columns.map(col).toIndexedSeq: _*)
     case Replacing(version) =>
       import org.apache.spark.sql.expressions.Window
       val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)

@@ -1,0 +1,61 @@
+package graft
+
+import graft.sql.{ChDdl, ChSql}
+
+class ChDdlSpec extends SparkSpec {
+
+  test("create / insert / select round-trip (Memory engine)") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark, "CREATE TABLE t1 (s String, arr Array(UInt8)) ENGINE = Memory")
+    ChDdl.execute(spark, "INSERT INTO t1 VALUES ('Hello', [1,2]), ('World', [3,4,5]), ('Empty', [])")
+    val got = ChDdl.execute(spark, "SELECT s, arr FROM t1 ORDER BY s").get
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got === Map("Hello" -> List(1, 2), "World" -> List(3, 4, 5), "Empty" -> Nil))
+    ChDdl.execute(spark, "DROP TABLE t1")
+  }
+
+  test("db-qualified summing table with OPTIMIZE folds rows") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark,
+      "CREATE TABLE test.sm (d Date, k UInt64, v Int8) ENGINE=SummingMergeTree(d, k, 8192)")
+    ChDdl.execute(spark, "INSERT INTO test.sm VALUES ('2015-01-01', 1, 10)")
+    ChDdl.execute(spark, "INSERT INTO test.sm VALUES ('2015-01-01', 1, -3),('2015-01-01', 2, 7)")
+    ChDdl.execute(spark, "OPTIMIZE TABLE test.sm")
+    val got = ChDdl.execute(spark, "SELECT k, v FROM test.sm ORDER BY k").get
+      .collect().map(r => (r.getDecimal(0).longValue(), r.getLong(1))).toMap
+    assert(got === Map(1L -> 7L, 2L -> 7L))
+    ChDdl.execute(spark, "DROP TABLE test.sm")
+  }
+
+  test("ch array indexing: 1-based, negative from end, default out of range") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark, "CREATE TABLE ix (arr Array(Int32), id Int32) ENGINE = Memory")
+    ChDdl.execute(spark,
+      "INSERT INTO ix VALUES ([11,12,13], 2), ([11,12], -1), ([11,12], 0), ([11], 5)")
+    val got = ChDdl.execute(spark, "SELECT arr[id] FROM ix").get
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(12, 12, 0, 0))
+    // string arrays default to ''
+    ChDdl.execute(spark, "CREATE TABLE ixs (arr Array(String)) ENGINE = Memory")
+    ChDdl.execute(spark, "INSERT INTO ixs VALUES (['a','b'])")
+    assert(ChDdl.execute(spark, "SELECT arr[7] FROM ixs").get
+      .collect()(0).getString(0) === "")
+    ChDdl.execute(spark, "DROP TABLE ix")
+    ChDdl.execute(spark, "DROP TABLE ixs")
+  }
+
+  test("insert-select appends through the dialect") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark, "CREATE TABLE nums (n UInt32) ENGINE = TinyLog")
+    ChDdl.execute(spark, "INSERT INTO nums SELECT number FROM system.numbers LIMIT 5")
+    ChDdl.execute(spark, "INSERT INTO nums VALUES (100)")
+    val got = ChDdl.execute(spark, "SELECT sum(n) FROM nums").get.collect()(0).getLong(0)
+    assert(got === 110L)
+    ChDdl.execute(spark, "DROP TABLE nums")
+  }
+
+  test("bare ARRAY JOIN shadows the source column") {
+    assert(ChSql.translate("SELECT s, arr FROM t ARRAY JOIN arr")
+      .contains("LATERAL VIEW"))
+  }
+}

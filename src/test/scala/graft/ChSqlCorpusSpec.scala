@@ -36,6 +36,9 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00010_big_array_join",
     "00011_array_join_alias",
     "00012_array_join_alias_2",
+    "00013_1_create_table_with_arrays",
+    "00013_4_select_from_table_with_arrays",
+    "00013_6_select_from_table_with_arrays",
     "00018_distinct_in_subquery",
     "00020_sorting_arrays",
     "00022_func_higher_order_and_constants",
@@ -46,22 +49,37 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00032_fixed_string_to_string",
     "00033_fixed_string_to_string",
     "00034_fixed_string_to_number",
+    "00036_array_element",
     "00041_aggregation_remap",
     "00042_set",
+    "00043_summing_empty_part",
     "00060_date_lut",
+    "00068_empty_tiny_log",
+    "00071_insert_fewer_columns",
     "00072_in_types",
     "00077_set_keys_fit_128_bits_many_blocks",
     "00078_string_concat",
+    "00084_summing_merge_tree",
     "00086_concat_nary_const_with_nonconst_segfault",
+    "00087_distinct_of_empty_arrays",
+    "00098_1_union_all",
+    "00098_2_union_all",
+    "00098_3_union_all",
+    "00098_4_union_all",
+    "00098_5_union_all",
     "00098_6_union_all",
     "00098_7_union_all",
     "00098_8_union_all",
     "00098_9_union_all",
     "00098_a_union_all",
     "00098_b_union_all",
+    "00098_d_union_all",
+    "00098_e_union_all",
+    "00098_f_union_all",
     "00098_g_union_all",
     "00098_h_union_all",
     "00114_float_type_result_of_division",
+    "00126_buffer",
     "00127_group_by_concat",
     "00131_set_hashed",
     "00136_duplicate_order_by_elems",
@@ -70,6 +88,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00151_tuple_with_array",
     "00156_array_map_to_constant",
     "00157_aliases_and_lambda_formal_parameters",
+    "00159_whitespace_in_columns_list",
     "00173_compare_date_time_with_constant_string",
     "00174_compare_date_time_with_constant_string_in_in",
     "00187_like_regexp_prefix",
@@ -80,16 +99,29 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00239_type_conversion_in_in",
     "00250_tuple_comparison",
     "00251_has_types",
+    "00288_empty_stripelog",
+    "00299_stripe_log_multiple_inserts",
     "00316_rounding_functions_and_empty_block",
     "00320_between",
     "00333_parser_number_bug",
+    "00345_index_signed_unsigned_comparison",
     "00351_select_distinct_arrays_tuples",
     "00353_join_by_tuple",
     "00355_array_of_non_const_convertible_types",
     "00369_int_div_of_float",
     "00389_concat_operator",
     "00404_null_literal",
+    "00412_logical_expressions_optimizer",
+    "00413_distinct",
     "00436_fixed_string_16_comparisons")
+
+  // cases share DDL state across files in name order, exactly like
+  // the reference runner sharing one server (00013_1 creates the
+  // table 00013_4 reads); reset only once at suite start
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.sql.ChDdl.reset(spark)
+  }
 
   cases.foreach { name =>
     test(s"reference stateless test $name") {
@@ -97,7 +129,8 @@ class ChSqlCorpusSpec extends SparkSpec {
       val expected = Files.readString(Paths.get(s"$corpus/$name.reference"))
         .stripLineEnd
       val got = ChSql.statements(sql)
-        .map(st => Formats.tabSeparated(ChSql(spark, st)))
+        .flatMap(st => graft.sql.ChDdl.execute(spark, st))
+        .map(Formats.tabSeparated(_))
         .filter(_.nonEmpty).mkString("\n")
       if (sql.toUpperCase.contains("ORDER BY")) assert(got === expected)
       else assert(got.linesIterator.toSeq.sorted ===

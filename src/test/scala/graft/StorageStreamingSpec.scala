@@ -34,16 +34,25 @@ class StorageStreamingSpec extends SparkSpec {
     assert(MergeTreeTable.read(spark, path).filter(col("yyyymm") === 202401).count() === 2)
   }
 
-  test("Summing engine folds equal keys and drops zero sums") {
+  test("Summing engine folds equal keys and drops merged-to-zero groups") {
     val path = tmpDir("mt-sum")
     val spec = Spec(Seq("k"), engine = Summing(Seq("v")))
-    MergeTreeTable.write(Seq(("a", 5L), ("a", 3L), ("z", 2L), ("z", -2L)).toDF("k", "v"),
-      path, spec, SaveMode.Overwrite)
+    // "z" merges to zero → dropped; "q" is a SINGLE zero row → kept
+    // (reference rule: only merged groups can zero out)
+    MergeTreeTable.write(Seq(("a", 5L), ("a", 3L), ("z", 2L), ("z", -2L), ("q", 0L))
+      .toDF("k", "v"), path, spec, SaveMode.Overwrite)
     val got = MergeTreeTable.readFinal(spark, path, spec)
       .as[(String, Long)].collect().toMap
-    assert(got === Map("a" -> 8L))
+    assert(got === Map("a" -> 8L, "q" -> 0L))
     MergeTreeTable.optimize(spark, path, spec)
-    assert(MergeTreeTable.read(spark, path).count() === 1)
+    assert(MergeTreeTable.read(spark, path).count() === 2)
+  }
+
+  test("Summing keeps the last group when everything merges to zero") {
+    val df = Seq(("a", 1L), ("a", -1L), ("b", 2L), ("b", -2L)).toDF("k", "v")
+    val got = MergeTreeTable.fold(df, Spec(Seq("k"), engine = Summing(Seq("v"))))
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("b", 0L)), "last group must survive an all-zero merge")
   }
 
   test("Replacing engine keeps the max-version row; optimize compacts") {
