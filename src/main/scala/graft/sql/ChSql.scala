@@ -61,6 +61,10 @@ object ChSql {
     // bare USING list → parenthesized
     q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
       "USING ($1)")
+    // multi-expression ARRAY JOIN (lockstep unnest): posexplode the
+    // first array; every further alias becomes positional access into
+    // its expression — shared offsets, exactly the Nested semantics
+    q = rewriteMultiArrayJoin(q)
     // ARRAY JOIN clause → LATERAL VIEW explode
     q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW OUTER explode($1) __aj AS $2")
@@ -69,6 +73,47 @@ object ChSql {
     q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $1")
     bracketLiteralsToArray(q)
+  }
+
+  /** `ARRAY JOIN e1 AS a1, e2 AS a2, …` (clause at statement end):
+    * `LATERAL VIEW posexplode(e1) __aj AS __ajpos, a1`, and each
+    * further alias ak is textually replaced by
+    * `charrayelement(ek, __ajpos + 1)` — same offsets, so the unnest
+    * is lockstep like the reference's shared-offset Nested columns. */
+  private def rewriteMultiArrayJoin(q: String): String = {
+    val re = "(?is)\\bARRAY\\s+JOIN\\s+(.+?\\s+AS\\s+\\w+\\s*(?:,\\s*.+?\\s+AS\\s+\\w+\\s*)+)$".r
+    re.findFirstMatchIn(q) match {
+      case None => q
+      case Some(m) =>
+        val items = splitTopLevel(m.group(1)).map { it =>
+          val parts = it.split("(?i)\\s+AS\\s+")
+          (parts.dropRight(1).mkString(" AS ").trim, parts.last.trim)
+        }
+        val (e1, a1) = items.head
+        var body = q.substring(0, m.start)
+        items.tail.foreach { case (ek, ak) =>
+          body = body.replaceAll("\\b" + ak + "\\b",
+            s"charrayelement($ek, __ajpos + 1)")
+        }
+        body + s" LATERAL VIEW posexplode($e1) __aj AS __ajpos, $a1"
+    }
+  }
+
+  /** Split on top-level commas (nesting- and quote-aware). */
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQuote = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c@('(' | '[') if !inQuote => depth += 1; cur += c
+      case c@(')' | ']') if !inQuote => depth -= 1; cur += c
+      case ',' if depth == 0 && !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Split a multi-statement test file into executable SELECTs,
@@ -256,13 +301,10 @@ object ChSql {
         cs.last)
     },
     // CH range(n) = [0, …, n-1]; arrayEnumerate(arr) = [1, …, len]
-    "range" -> viaColumn { case Seq(n) =>
-      org.apache.spark.sql.functions.sequence(
-        org.apache.spark.sql.functions.lit(0L), n.cast("long") - 1L) },
-    "arrayEnumerate" -> viaColumn { case Seq(arr) =>
-      org.apache.spark.sql.functions.sequence(
-        org.apache.spark.sql.functions.lit(1),
-        org.apache.spark.sql.functions.size(arr)) },
+    "range" -> { case Seq(n) =>
+      new Sequence(Literal(0L), Subtract(Cast(n, LongType), Literal(1L))) },
+    "arrayEnumerate" -> { case Seq(arr) =>
+      new Sequence(Literal(1), new Size(arr)) },
     "exp10" -> viaColumn { case Seq(c) =>
       org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(10.0), c) },
     "exp2" -> viaColumn { case Seq(c) =>

@@ -39,6 +39,10 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00013_1_create_table_with_arrays",
     "00013_4_select_from_table_with_arrays",
     "00013_6_select_from_table_with_arrays",
+    "00013_7_select_from_table_with_arrays",
+    "00013_8_select_from_table_with_arrays",
+    "00013_9_select_from_table_with_arrays",
+    "00013_a_select_from_table_with_arrays",
     "00018_distinct_in_subquery",
     "00020_sorting_arrays",
     "00022_func_higher_order_and_constants",
@@ -99,6 +103,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00239_type_conversion_in_in",
     "00250_tuple_comparison",
     "00251_has_types",
+    "00258_materializing_tuples",
     "00288_empty_stripelog",
     "00299_stripe_log_multiple_inserts",
     "00316_rounding_functions_and_empty_block",
