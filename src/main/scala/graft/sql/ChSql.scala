@@ -216,6 +216,14 @@ object ChSql {
     case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
   }
 
+  /** `toXxxOrZero`: TRY-cast, 0 when unparseable. */
+  private def orZero(dt: DataType): Seq[Expression] => Expression = {
+    case Seq(e) => Coalesce(Seq(
+      new Cast(e, dt, None, org.apache.spark.sql.catalyst.expressions.EvalMode.TRY),
+      Cast(Literal(0), dt)))
+    case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
+  }
+
   /** Bridge a Column-level helper (graft.functions.ch) into a SQL
     * function builder. */
   private def viaColumn(f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
@@ -305,6 +313,22 @@ object ChSql {
       new Sequence(Literal(0L), Subtract(Cast(n, LongType), Literal(1L))) },
     "arrayEnumerate" -> { case Seq(arr) =>
       new Sequence(Literal(1), new Size(arr)) },
+    // parse-or-zero conversions: TRY cast, zero when unparseable
+    "toUInt64OrZero" -> orZero(LongType),
+    "toInt64OrZero" -> orZero(LongType),
+    "toUInt32OrZero" -> orZero(LongType),
+    "toInt32OrZero" -> orZero(IntegerType),
+    "toFloat64OrZero" -> orZero(DoubleType),
+    "toFloat32OrZero" -> orZero(FloatType),
+    "positionCaseInsensitive" -> { case Seq(h, n) =>
+      new StringLocate(Lower(n), Lower(h)) },
+    "positionCaseInsensitiveUTF8" -> { case Seq(h, n) =>
+      new StringLocate(Lower(n), Lower(h)) },
+    "isFinite" -> { case Seq(e) =>
+      And(Not(IsNaN(e)), LessThan(Abs(e), Literal(Double.PositiveInfinity))) },
+    "isInfinite" -> { case Seq(e) =>
+      And(Not(IsNaN(e)), GreaterThanOrEqual(Abs(e), Literal(Double.PositiveInfinity))) },
+    "isNaN" -> { case Seq(e) => IsNaN(e) },
     "exp10" -> viaColumn { case Seq(c) =>
       org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(10.0), c) },
     "exp2" -> viaColumn { case Seq(c) =>
