@@ -47,6 +47,8 @@ case class ChArrayElement(left: Expression, right: Expression)
     case StringType => UTF8String.EMPTY_UTF8
     case ArrayType(_, _) => ArrayData.toArrayData(Array.empty[Any])
     case BooleanType => false
+    case DateType => 0            // 1970-01-01 (internal: days)
+    case _: TimestampType => 0L   // epoch (internal: µs)
     case _ => null
   }
 

@@ -149,7 +149,9 @@ object ch {
     val e = when(bytes <= 0, 0)
       .otherwise(least(floor(log(2.0, bytes) / 10).cast("int"), lit(units.size - 1)))
     val scaled = bytes.cast("double") / pow(lit(2.0), e.cast("double") * 10)
-    concat(format_number(scaled, 2),
+    // format_string, not format_number: the latter inserts
+    // thousands-separator commas (e.g. '1,000.00KiB')
+    concat(format_string("%.2f", scaled),
       element_at(array(units.map(lit): _*), e.cast("int") + 1))
   }
 

@@ -24,6 +24,12 @@ object SaltedJoin {
   def apply(skewed: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // right/full outer would emit unmatched small-side rows once per
+    // salt bucket — replication is only sound when the small side's
+    // non-matches never surface
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"SaltedJoin does not support join type '$joinType' (small side is replicated)")
     val salted = skewed.withColumn(saltCol,
       pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicated = small.withColumn(saltCol,

@@ -91,8 +91,27 @@ object ChDdl {
             !fullKey.contains(f.name) => f.name
         }.toSeq)
         Spec(fullKey, None, Summing(summed))
-      case "MergeTree" | "ReplacingMergeTree" | "CollapsingMergeTree" =>
-        Spec(sortKey, None, Plain)
+      case "ReplacingMergeTree" =>
+        // old syntax: (date, key, granularity[, version]); with no
+        // version column the date column is the best available order
+        val (version, coreNoVer) =
+          if (core.nonEmpty && !core.last.forall(_.isDigit))
+            (core.last, core.dropRight(1))
+          else (core.headOption.getOrElse(""), core)
+        val key = coreNoVer.drop(1).dropRight(1)
+          .flatMap(p => p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim))
+          .filter(_.nonEmpty)
+        Spec(coreNoVer.headOption.toSeq ++ key, None,
+          graft.storage.MergeTreeTable.Replacing(version))
+      case "CollapsingMergeTree" =>
+        // old syntax: (date, key, granularity, sign) — sign last
+        val key = core.drop(1).dropRight(2)
+          .flatMap(p => p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim))
+          .filter(_.nonEmpty)
+        Spec(core.headOption.toSeq ++ key, None,
+          graft.storage.MergeTreeTable.Collapsing(core.last))
+      case "MergeTree" =>
+        Spec(core.headOption.toSeq ++ sortKey, None, Plain)
       case _ => Spec(Seq.empty, None, Plain) // Memory / TinyLog / Log / Null
     }
   }

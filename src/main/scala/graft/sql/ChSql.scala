@@ -70,6 +70,8 @@ object ChSql {
       "LATERAL VIEW OUTER explode($1) __aj AS $2")
     q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $2")
+    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
+      "LATERAL VIEW OUTER explode($1) __aj AS $1")
     q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $1")
     bracketLiteralsToArray(q)
@@ -123,9 +125,21 @@ object ChSql {
       .filter(s => s.nonEmpty && !s.toUpperCase.startsWith("SET "))
       .toSeq
 
-  private def stripComments(s: String): String =
-    s.replaceAll("(?s)/\\*.*?\\*/", " ")
-      .linesIterator.map(l => l.replaceAll("--.*$", "")).mkString("\n")
+  private def stripComments(s: String): String = {
+    val noBlock = s.replaceAll("(?s)/\\*.*?\\*/", " ")
+    noBlock.linesIterator.map { l =>
+      // strip -- comments only outside string literals
+      var inQuote = false
+      var cut = l.length
+      var i = 0
+      while (i < l.length - 1 && cut == l.length) {
+        if (l(i) == '\'') inQuote = !inQuote
+        else if (!inQuote && l(i) == '-' && l(i + 1) == '-') cut = i
+        i += 1
+      }
+      l.substring(0, cut)
+    }.mkString("\n")
+  }
 
   private val keywords = Set(
     "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY", "ON",
@@ -151,9 +165,9 @@ object ChSql {
       if (j < 0) return false
       val c = out(j)
       if (c == ')') return true
-      if (!c.isLetterOrDigit && c != '_') return false
+      if (!c.isLetterOrDigit && c != '_' && c != '.') return false
       val end = j
-      while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_')) j -= 1
+      while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_' || out(j) == '.')) j -= 1
       val tok = out.substring(j + 1, end + 1).toUpperCase
       !keywords.contains(tok)
     }
@@ -179,7 +193,7 @@ object ChSql {
         }
         0
       } else {
-        while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_')) j -= 1
+        while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_' || out(j) == '.')) j -= 1
         j + 1
       }
     }
@@ -310,9 +324,14 @@ object ChSql {
     },
     // CH range(n) = [0, …, n-1]; arrayEnumerate(arr) = [1, …, len]
     "range" -> { case Seq(n) =>
-      new Sequence(Literal(0L), Subtract(Cast(n, LongType), Literal(1L))) },
+      val nL = Cast(n, LongType)
+      If(LessThanOrEqual(nL, Literal(0L)),
+        Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)),
+        new Sequence(Literal(0L), Subtract(nL, Literal(1L)))) },
     "arrayEnumerate" -> { case Seq(arr) =>
-      new Sequence(Literal(1), new Size(arr)) },
+      If(LessThanOrEqual(new Size(arr), Literal(0)),
+        Literal.create(Seq.empty[Int], ArrayType(IntegerType, containsNull = false)),
+        new Sequence(Literal(1), new Size(arr))) },
     // parse-or-zero conversions: TRY cast, zero when unparseable
     "toUInt64OrZero" -> orZero(LongType),
     "toInt64OrZero" -> orZero(LongType),

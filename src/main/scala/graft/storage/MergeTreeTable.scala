@@ -95,8 +95,9 @@ object MergeTreeTable {
       val others = df.columns.filterNot(c => keyNames.contains(c) || sumCols.contains(c))
       val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
         others.map(c => first(col(c)).as(c)) :+ count(lit(1)).as("__cnt")
-      val keep = col("__cnt") === 1 ||
-        sumCols.map(c => col(c) =!= 0).reduce(_ || _)
+      val keep =
+        if (sumCols.isEmpty) lit(true) // nothing to sum → plain dedup
+        else col("__cnt") === 1 || sumCols.map(c => col(c) =!= 0).reduce(_ || _)
       val global = Window.partitionBy()
       val lastFirst = Window.partitionBy().orderBy(keys.map(_.desc): _*)
       df.groupBy(keys: _*)

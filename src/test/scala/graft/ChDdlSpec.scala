@@ -58,4 +58,55 @@ class ChDdlSpec extends SparkSpec {
     assert(ChSql.translate("SELECT s, arr FROM t ARRAY JOIN arr")
       .contains("LATERAL VIEW"))
   }
+
+  test("bare LEFT ARRAY JOIN keeps OUTER semantics, no dangling LEFT") {
+    val t = ChSql.translate("SELECT x FROM t LEFT ARRAY JOIN arr")
+    assert(t.contains("LATERAL VIEW OUTER explode(arr)"), t)
+    assert(!t.matches("(?s).*\\bLEFT\\s+LATERAL.*"), t)
+  }
+
+  test("qualified column indexing translates cleanly") {
+    val t = ChSql.translate("SELECT t.arr[1] FROM tbl t")
+    assert(t.contains("charrayelement(t.arr, 1)"), t)
+  }
+
+  test("double dash inside a string literal is not a comment") {
+    ChDdl.reset(spark)
+    val r = ChDdl.execute(spark, "SELECT 'a--b' AS s").get.collect()(0).getString(0)
+    assert(r === "a--b")
+  }
+
+  test("range(0) and arrayEnumerate on empty arrays yield empty arrays") {
+    ChDdl.reset(spark)
+    assert(ChDdl.execute(spark, "SELECT range(0) AS r").get
+      .collect()(0).getSeq[Long](0).isEmpty)
+    assert(ChDdl.execute(spark, "SELECT arrayEnumerate(emptyArrayUInt8()) AS r").get
+      .collect()(0).getSeq[Int](0).isEmpty)
+    assert(ChDdl.execute(spark, "SELECT range(3) AS r").get
+      .collect()(0).getSeq[Long](0) === Seq(0L, 1L, 2L))
+  }
+
+  test("ReplacingMergeTree OPTIMIZE keeps the max-version row") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark,
+      "CREATE TABLE test.rp (d Date, k UInt32, ver UInt32, v String) ENGINE=ReplacingMergeTree(d, k, 8192, ver)")
+    ChDdl.execute(spark, "INSERT INTO test.rp VALUES ('2020-01-01', 1, 1, 'old')")
+    ChDdl.execute(spark, "INSERT INTO test.rp VALUES ('2020-01-01', 1, 2, 'new'), ('2020-01-01', 2, 1, 'only')")
+    ChDdl.execute(spark, "OPTIMIZE TABLE test.rp")
+    val got = ChDdl.execute(spark, "SELECT k, v FROM test.rp ORDER BY k").get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "new", 2L -> "only"))
+    ChDdl.execute(spark, "DROP TABLE test.rp")
+  }
+
+  test("SummingMergeTree with no numeric non-key columns degrades to dedup") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark,
+      "CREATE TABLE test.sv (d Date, k UInt32, v String) ENGINE=SummingMergeTree(d, k, 8192)")
+    ChDdl.execute(spark, "INSERT INTO test.sv VALUES ('2020-01-01', 1, 'a'), ('2020-01-01', 1, 'b')")
+    ChDdl.execute(spark, "OPTIMIZE TABLE test.sv")
+    assert(ChDdl.execute(spark, "SELECT count(*) FROM test.sv").get
+      .collect()(0).getLong(0) === 1L)
+    ChDdl.execute(spark, "DROP TABLE test.sv")
+  }
 }
