@@ -190,23 +190,29 @@ object TextQueries {
   // near-dup detection (q47 approximates it with LSH).
   // ---------------------------------------------------------------
   def q46(s: SparkSession, dir: String): DataFrame = {
-    // explode distinct shingles, then equi-join on the COMPOSITE key
-    // (g, adjacent doc_id) — joining on g alone would be quadratic in
-    // each shingle's document frequency (common shingles appear in
-    // most docs); the composite key keeps every hash bucket tiny.
-    // Set sizes |A∩B| / |A|,|B| come from codegen'd count aggregates,
-    // not interpreted array_intersect/array_union.
+    // Single-pass pair membership, no self-join: every distinct
+    // (doc, shingle) row votes into BOTH adjacent pairs — as the
+    // right member of pair (doc-1, doc) and the left member of
+    // (doc, doc+1). One aggregate per (pair, shingle) counts side
+    // presence; a second per pair yields |A|, |B| and |A∩B| together.
+    // Two shuffles total vs a distinct + composite-key self-join +
+    // two count joins.
     val sh = shingleRows(s, dir).distinct()
-    val interCnt = sh.alias("a")
-      .join(sh.alias("b"),
-        col("a.g") === col("b.g") && col("b.doc_id") === col("a.doc_id") + 1)
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    interCnt
-      .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-      .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-      .select(col("d1"), col("d2"),
+    val votes = sh.select(
+      explode(expr(
+        "array(struct(doc_id AS pair, 0 AS side), struct(doc_id + 1 AS pair, 1 AS side))"))
+        .as("ps"), col("g"))
+      .select(col("ps.pair").as("pair"), col("ps.side").as("side"), col("g"))
+    votes
+      .groupBy(col("pair"), col("g"))
+      .agg(max(when(col("side") === 0, 1).otherwise(0)).as("l"),
+        max(when(col("side") === 1, 1).otherwise(0)).as("r"))
+      .groupBy(col("pair"))
+      .agg(sum(col("l")).as("nb"),  // side 0 = pair's RIGHT doc (= pair id)
+        sum(col("r")).as("na"),     // side 1 = pair's LEFT doc (= pair-1)
+        sum(when(col("l") === 1 && col("r") === 1, 1L).otherwise(0L)).as("i"))
+      .filter(col("na") > 0 && col("nb") > 0) // both docs of the pair exist
+      .select((col("pair") - 1).as("d1"), col("pair").as("d2"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.05)
       .orderBy(col("d1"))
