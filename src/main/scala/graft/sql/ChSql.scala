@@ -348,6 +348,22 @@ object ChSql {
     "isInfinite" -> { case Seq(e) =>
       And(Not(IsNaN(e)), GreaterThanOrEqual(Abs(e), Literal(Double.PositiveInfinity))) },
     "isNaN" -> { case Seq(e) => IsNaN(e) },
+    // visitParam JSON family (FunctionsVisitParam.cpp); name given as
+    // a string literal, path built at registration time
+    "visitParamHas" -> { case Seq(j, Literal(n, StringType)) =>
+      IsNotNull(GetJsonObject(j, Literal(s"$$.$n"))) },
+    "visitParamExtractUInt" -> { case Seq(j, Literal(n, StringType)) =>
+      Cast(GetJsonObject(j, Literal(s"$$.$n")), LongType) },
+    "visitParamExtractInt" -> { case Seq(j, Literal(n, StringType)) =>
+      Cast(GetJsonObject(j, Literal(s"$$.$n")), LongType) },
+    "visitParamExtractFloat" -> { case Seq(j, Literal(n, StringType)) =>
+      Cast(GetJsonObject(j, Literal(s"$$.$n")), DoubleType) },
+    "visitParamExtractBool" -> { case Seq(j, Literal(n, StringType)) =>
+      Cast(GetJsonObject(j, Literal(s"$$.$n")), BooleanType) },
+    "visitParamExtractString" -> { case Seq(j, Literal(n, StringType)) =>
+      GetJsonObject(j, Literal(s"$$.$n")) },
+    "visitParamExtractRaw" -> { case Seq(j, Literal(n, StringType)) =>
+      GetJsonObject(j, Literal(s"$$.$n")) },
     "exp10" -> viaColumn { case Seq(c) =>
       org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(10.0), c) },
     "exp2" -> viaColumn { case Seq(c) =>
