@@ -34,8 +34,22 @@ object ChDdl {
     else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
     else if (up.startsWith("INSERT INTO")) { insert(spark, stmt); None }
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
-    else Some(ChSql(spark, rewriteRefs(stmt)))
+    else Some(ChSql(spark, rewriteRefs(rewriteFinal(spark, stmt))))
   }
+
+  /** `FROM t FINAL` — merge-at-read: register a folded view of the
+    * table and point the query at it (CollapsingFinalBlockInputStream
+    * semantics; the fold comes from the table's engine Spec). */
+  private def rewriteFinal(spark: SparkSession, sql: String): String =
+    tables.values.foldLeft(sql) { (q, e) =>
+      val pat = "\\b" + java.util.regex.Pattern.quote(e.name) + "\\s+FINAL\\b"
+      if (pat.r.findFirstIn(q).isEmpty) q
+      else {
+        val fview = e.view + "__final"
+        MergeTreeTable.fold(e.df, e.spec).createOrReplaceTempView(fview)
+        q.replaceAll(pat, fview)
+      }
+    }
 
   /** Run a whole multi-statement script, returning SELECT results. */
   def executeScript(spark: SparkSession, script: String): Seq[DataFrame] =

@@ -22,8 +22,8 @@ object CorpusTriage {
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
     "toTypeName", "reinterpret", "intHash", "cityHash", "sipHash",
     "quantile", "uniq", "extremes", "SAMPLE",
-    "sleep", "now()", "today()", "yesterday()", "rand", "FINAL",
-    "visitParam", "replicate", "arrayEnumerateUniq",
+    "sleep", "now()", "today()", "yesterday()", "rand",
+    "replicate", "arrayEnumerateUniq",
     "groupArray", "sumArray", "point", "dict", "region", "OLAP",
     "SHOW", "DESC", "CHECK TABLE", "Nested(", "MATERIALIZED VIEW")
 

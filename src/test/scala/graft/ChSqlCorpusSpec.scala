@@ -108,6 +108,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00299_stripe_log_multiple_inserts",
     "00316_rounding_functions_and_empty_block",
     "00320_between",
+    "00331_final_and_prewhere",
     "00333_parser_number_bug",
     "00345_index_signed_unsigned_comparison",
     "00351_select_distinct_arrays_tuples",
