@@ -70,6 +70,11 @@ object Formats {
         r.toSeq.map(render(_, inArray = true)).mkString("(", ",", ")")
       case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong.toString
       case f: Float if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
+      case b: java.math.BigDecimal =>
+        // decimal literals keep their scale in toString ('-1.0');
+        // the reference prints the plain numeric value ('-1')
+        val s = b.stripTrailingZeros
+        if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
       case other => other.toString
     }
     df.limit(limit).collect()

@@ -53,6 +53,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00032_fixed_string_to_string",
     "00033_fixed_string_to_string",
     "00034_fixed_string_to_number",
+    "00035_function_array_return_type",
     "00036_array_element",
     "00041_aggregation_remap",
     "00042_set",
@@ -95,6 +96,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00159_whitespace_in_columns_list",
     "00173_compare_date_time_with_constant_string",
     "00174_compare_date_time_with_constant_string_in_in",
+    "00185_array_literals",
     "00187_like_regexp_prefix",
     "00202_cross_join",
     "00218_like_regexp_newline",
