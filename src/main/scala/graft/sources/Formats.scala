@@ -70,6 +70,11 @@ object Formats {
         r.toSeq.map(render(_, inArray = true)).mkString("(", ",", ")")
       case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong.toString
       case f: Float if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
+      case d: java.sql.Date =>
+        if (inArray) s"'$d'" else d.toString
+      case t: java.sql.Timestamp =>
+        val s = t.toString.stripSuffix(".0")
+        if (inArray) s"'$s'" else s
       case b: java.math.BigDecimal =>
         // decimal literals keep their scale in toString ('-1.0');
         // the reference prints the plain numeric value ('-1')

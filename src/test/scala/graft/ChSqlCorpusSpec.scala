@@ -84,6 +84,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00098_g_union_all",
     "00098_h_union_all",
     "00114_float_type_result_of_division",
+    "00117_parsing_arrays",
     "00126_buffer",
     "00127_group_by_concat",
     "00131_set_hashed",
