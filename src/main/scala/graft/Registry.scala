@@ -26,7 +26,8 @@ object Registry {
       queries.ArrayQueries.defs ++
       queries.MiscQueries.defs ++
       queries.MultimodalQueries.defs ++
-      queries.StatsQueries.defs
+      queries.StatsQueries.defs ++
+      queries.OperatorQueries.defs
 
   lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(_.fnTuple).toMap

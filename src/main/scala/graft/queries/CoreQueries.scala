@@ -29,6 +29,16 @@ object CoreQueries {
   /** Exact money arithmetic (order-independent at any scale). */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Canonical rendering of a FINAL decimal aggregate. The aggregation
+    * itself stays decimal (exact, merge-order-independent); only the
+    * output value is converted to double so both engines surface one
+    * representation — Spark's widened DECIMAL(28,2) arrives in the
+    * driver harness as `Decimal('2058.20')` (trailing zero preserved)
+    * while DuckDB's sum arrives as float64 `2058.2`, which hash-compare
+    * treats as different even though the values are equal.
+    */
+  def decOut(c: Column): Column = c.cast("double")
+
   // ---------------------------------------------------------------
   // q01 pricing summary — flagship (TPC-H Q1 shape; reference
   // benchmark Q3-style sum+count+avg, queries.sql:3).
@@ -39,8 +49,8 @@ object CoreQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        decOut(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        decOut(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))))
           .as("sum_disc_price"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -49,8 +59,8 @@ object CoreQueries {
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  sum(l_quantity) / count(*) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
@@ -75,12 +85,12 @@ object CoreQueries {
   def q03(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), decOut(sum(dec2(col("value")))).as("sum_value"))
       .orderBy(col("cnt").desc, col("event_type"))
 
   private val q03Sql =
     """SELECT event_type, count(*) AS cnt,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
 
   // ---------------------------------------------------------------
@@ -93,13 +103,13 @@ object CoreQueries {
     val c = t(s, dir, "customer")
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), decOut(sum(dec2(col("o_totalprice")))).as("revenue"))
       .orderBy(col("c_mktsegment"))
   }
 
   private val q04Sql =
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
@@ -119,14 +129,14 @@ object CoreQueries {
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .filter(year(col("o_orderdate")) === 1996)
       .groupBy(col("n_name"))
-      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+      .agg(decOut(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   private val q05Sql =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -319,12 +329,12 @@ object CoreQueries {
   def q16(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .rollup(col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), sum(dec2(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("cnt"), decOut(sum(dec2(col("o_totalprice")))).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first)
 
   private val q16Sql =
     """SELECT o_orderstatus, count(*) AS cnt,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP(o_orderstatus)
       |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.queries.CoreQueries.dec2
+import graft.queries.CoreQueries.{dec2, decOut}
 
 /** Scalar-function and window-idiom surface (SURVEY.md §2.5, §2.9):
   * conditional / date-time / string / search / math / JSON families,
@@ -30,14 +30,14 @@ object FunctionQueries {
           .when(col("l_quantity") < 30, "mid")
           .otherwise("high"))
       .groupBy(col("qty_bucket"))
-      .agg(count(lit(1)).as("cnt"), sum(dec2(col("l_extendedprice"))).as("sum_price"))
+      .agg(count(lit(1)).as("cnt"), decOut(sum(dec2(col("l_extendedprice")))).as("sum_price"))
       .orderBy(col("qty_bucket"))
 
   private val q17Sql =
     """SELECT CASE WHEN l_quantity < 10 THEN 'low'
       |            WHEN l_quantity < 30 THEN 'mid'
       |            ELSE 'high' END AS qty_bucket,
-      |  count(*) AS cnt, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |  count(*) AS cnt, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1 ORDER BY qty_bucket""".stripMargin
 
   // ---------------------------------------------------------------
@@ -68,13 +68,13 @@ object FunctionQueries {
       .groupBy(
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"))
-      .agg(count(lit(1)).as("cnt"), sum(dec2(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("cnt"), decOut(sum(dec2(col("o_totalprice")))).as("total"))
       .orderBy(col("yr"), col("mo"))
 
   private val q19Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |  CAST(month(o_orderdate) AS INTEGER) AS mo,
-      |  count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
   // ---------------------------------------------------------------
@@ -219,15 +219,15 @@ object FunctionQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .select(col("user_id"), col("event_id"),
-        sum(dec2(col("value"))).over(w).as("running_value"))
+        decOut(sum(dec2(col("value"))).over(w)).as("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
   private val q27Sql =
     """SELECT user_id, event_id,
-      |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -311,14 +311,16 @@ object FunctionQueries {
     t(s, dir, "nation")
       .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
       .agg(
-        array_sort(collect_list(col("n_name"))).as("nations"),
-        array_sort(collect_set(substring(col("n_name"), 1, 1))).as("initials"))
+        // string render: the driver's pandas harness can't hash a raw
+        // array column (numpy.ndarray is unhashable in sort_values)
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        concat_ws(",", array_sort(collect_set(substring(col("n_name"), 1, 1)))).as("initials"))
       .orderBy(col("n_regionkey"))
 
   private val q32Sql =
     """SELECT n_regionkey,
-      |  list_sort(list(n_name)) AS nations,
-      |  list_sort(list(DISTINCT substring(n_name, 1, 1))) AS initials
+      |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+      |  array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 1))), ',') AS initials
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   // ---------------------------------------------------------------
@@ -330,14 +332,14 @@ object FunctionQueries {
     t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(
-        sum(when(col("event_type") === "purchase", dec2(col("value")))).as("purchase_value"),
+        decOut(sum(when(col("event_type") === "purchase", dec2(col("value"))))).as("purchase_value"),
         count(when(col("event_type") === "click", lit(1))).as("n_clicks"))
       .filter(col("n_clicks") >= 5)
       .orderBy(col("user_id"))
 
   private val q33Sql =
     """SELECT user_id,
-      |  sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS purchase_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
       |  count(*) FILTER (WHERE event_type = 'click') AS n_clicks
       |FROM events GROUP BY user_id HAVING count(*) FILTER (WHERE event_type = 'click') >= 5
       |ORDER BY user_id""".stripMargin

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.queries.CoreQueries.dec2
+import graft.queries.CoreQueries.{dec2, decOut}
 
 /** MergeTree-family table semantics restated as read-views
   * (SURVEY.md §2.1): Replacing / Summing / Collapsing fold rows with
@@ -55,12 +55,12 @@ object MergeTreeQueries {
   def q35(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("user_id"))
-      .agg(sum(dec2(col("value"))).as("sum_value"), count(lit(1)).as("n_rows"))
+      .agg(decOut(sum(dec2(col("value")))).as("sum_value"), count(lit(1)).as("n_rows"))
       .filter(col("sum_value") =!= 0)
       .orderBy(col("user_id"))
 
   private val q35Sql =
-    """SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS sum_value, count(*) AS n_rows
+    """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, count(*) AS n_rows
       |FROM events GROUP BY user_id
       |HAVING sum(CAST(value AS DECIMAL(18,2))) <> 0
       |ORDER BY user_id""".stripMargin
@@ -76,13 +76,13 @@ object MergeTreeQueries {
       .withColumn("sign", when(col("event_type") === "error", -1).otherwise(1))
       .groupBy(col("user_id"))
       .agg(sum(col("sign")).cast("long").as("net_sign"),
-        sum(col("sign") * dec2(col("value"))).as("net_value"))
+        decOut(sum(col("sign") * dec2(col("value")))).as("net_value"))
       .filter(col("net_sign") > 0)
       .orderBy(col("user_id"))
 
   private val q36Sql =
     """SELECT user_id, CAST(sum(sign) AS BIGINT) AS net_sign,
-      |  sum(sign * CAST(value AS DECIMAL(18,2))) AS net_value
+      |  CAST(sum(sign * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS net_value
       |FROM (SELECT user_id, value,
       |        CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign
       |      FROM events)
@@ -144,12 +144,12 @@ object MergeTreeQueries {
   def q39(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(graft.functions.ch.toYYYYMM(col("o_orderdate")).as("yyyymm"))
-      .agg(count(lit(1)).as("cnt"), sum(dec2(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("cnt"), decOut(sum(dec2(col("o_totalprice")))).as("total"))
       .orderBy(col("yyyymm"))
 
   private val q39Sql =
     """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
-      |  count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY yyyymm""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

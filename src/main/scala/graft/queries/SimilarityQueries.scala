@@ -84,13 +84,14 @@ object SimilarityQueries {
       .select(col("label"),
         sqrt(expr(norm2E("embedding"))).cast(DecimalType(18, 6)).as("nrm"))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("nrm")).as("sum_norm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("nrm")).cast("double").as("sum_norm"))
       .orderBy(col("label"))
 
   private val q51Sql =
     """SELECT label, count(*) AS n_vecs,
-      |  sum(CAST(sqrt(list_sum(list_transform(embedding,
-      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,6))) AS sum_norm
+      |  CAST(sum(CAST(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------------

@@ -161,12 +161,14 @@ object StatsQueries {
   def q83(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .agg(
+        // scale-0 string render keeps the full 64-bit exactness the
+        // decimal buffer provides (a double output would lose it >2^53)
         sum(col("user_id").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
-          .as("sum_uint64"),
+          .cast("string").as("sum_uint64"),
         count(lit(1)).as("cnt"))
 
   private val q83Sql =
-    """SELECT sum(CAST(user_id AS DECIMAL(20,0))) AS sum_uint64, count(*) AS cnt
+    """SELECT CAST(sum(CAST(user_id AS DECIMAL(20,0))) AS VARCHAR) AS sum_uint64, count(*) AS cnt
       |FROM events""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

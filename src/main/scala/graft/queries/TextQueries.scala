@@ -181,7 +181,9 @@ object TextQueries {
   // ---------------------------------------------------------------
   def q45(s: SparkSession, dir: String): DataFrame =
     minhashSig(s, dir)
-      .select(col("doc_id"), col("sig").as("minhash_sig"))
+      // string render: the driver's pandas harness can't hash a raw
+      // array column (numpy.ndarray is unhashable in sort_values)
+      .select(col("doc_id"), array_join(col("sig"), ",").as("minhash_sig"))
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------
