@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, QuantileTDigest, QuantileTiming, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, CharWeightedFingerprintExpr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -63,6 +63,37 @@ object GraftFunctions {
         QuantileTDigest(e, level.asInstanceOf[Double])
       case other => throw new IllegalArgumentException(
         s"quantile_tdigest(expr, level literal) expected, got $other")
+    }),
+    // per-document text/sketch kernels (TextKernels.scala)
+    (FunctionIdentifier("ngram_distinct_count"), info("ngram_distinct_count"), {
+      case Seq(e, Literal(n: Int, _)) => NGramDistinctCountExpr(e, n)
+      case other => throw new IllegalArgumentException(
+        s"ngram_distinct_count(text, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("ngram_jaccard"), info("ngram_jaccard"), {
+      case Seq(a, b, Literal(n: Int, _)) => NGramJaccardExpr(a, b, n)
+      case other => throw new IllegalArgumentException(
+        s"ngram_jaccard(a, b, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("minhash_sig"), info("minhash_sig"), {
+      case Seq(e, Literal(k: Int, _), Literal(n: Int, _)) => MinHashSigExpr(e, k, n)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig(text, K literal, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("simhash64"), info("simhash64"), {
+      case Seq(e) => SimHashExpr(e)
+      case other => throw new IllegalArgumentException(
+        s"simhash64(text) expected, got $other")
+    }),
+    (FunctionIdentifier("rolling_fingerprint"), info("rolling_fingerprint"), {
+      case Seq(e) => RollingFingerprintExpr(e)
+      case other => throw new IllegalArgumentException(
+        s"rolling_fingerprint(bytes) expected, got $other")
+    }),
+    (FunctionIdentifier("char_weighted_fingerprint"), info("char_weighted_fingerprint"), {
+      case Seq(e) => CharWeightedFingerprintExpr(e)
+      case other => throw new IllegalArgumentException(
+        s"char_weighted_fingerprint(text) expected, got $other")
     }))
 
   /** Idempotent registration into an existing session. */

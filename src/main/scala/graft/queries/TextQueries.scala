@@ -23,43 +23,18 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Distinct character 5-gram shingles of `text` (SQL-expr form).
-    * Used where a per-row ARRAY is needed; the hot paths below use
-    * [[shingleRows]] instead. */
-  private val shinglesE =
-    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
-
-  /** (doc_id, shingle) rows with NO interpreted lambda: explode the
-    * position sequence (a codegen generator) and take `substring` as
-    * a plain projected expression. Emits the multiset (duplicates
-    * kept) — aggregations that are dup-invariant (min, countDistinct)
-    * consume it directly; set semantics add `.distinct()`. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, greatest(length(text) - 4, 1))")).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 5)").as("g"))
-
-  /** doc_id + 16-perm MinHash signature (shared by q45/q47).
-    *
-    * Shape: explode shingle hashes, then ONE hash-aggregate with 16
-    * `min(affine(h, i))` columns. Spark's higher-order lambdas are
-    * interpreted per element, so a nested `transform` fold costs ~10×
-    * codegen; the explode + partial/final min-aggregate keeps all the
-    * per-shingle arithmetic inside whole-stage codegen and map-side
-    * combines to one row per doc before any shuffle — the same plan
-    * at 100 TB never materializes the exploded rows.
+  /** doc_id + 16-perm MinHash signature (shared by q45/q47), via the
+    * native [[graft.functions.MinHashSigExpr]] kernel: the whole
+    * signature is ONE codegen'd call per document — a narrow
+    * projection, no generator rows, no aggregate, no shuffle. (The
+    * previous shape — explode shingle hashes + 16 min-aggregates —
+    * was already linear but materialized ~len rows per doc through a
+    * hash aggregate; at 100 TB that is pure waste.)
     */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    // duplicates don't change minima, so the raw shingle multiset
-    // feeds the mins directly — zero interpreted lambdas end to end
-    val hashed = shingleRows(s, dir)
-      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(2147483647L)).as("h"))
-    val mins = (0 until 16).map(i =>
-      min(pmod(col("h") * (2 * i + 1) + 97 * i, lit(2147483647L))).as(s"m$i"))
-    hashed.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+    graft.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("minhash_sig(text, 16, 5)").as("sig"))
   }
 
   // ---------------------------------------------------------------
@@ -159,11 +134,13 @@ object TextQueries {
   // q44 shingle statistics — distinct char-5-gram count per doc (the
   // input cardinality MinHash estimates).
   // ---------------------------------------------------------------
-  def q44(s: SparkSession, dir: String): DataFrame =
-    shingleRows(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shingles"))
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("ngram_distinct_count(text, 5)").as("n_shingles"))
       .orderBy(col("doc_id"))
+  }
 
   private val q44Sql =
     """SELECT doc_id,
@@ -192,30 +169,19 @@ object TextQueries {
   // near-dup detection (q47 approximates it with LSH).
   // ---------------------------------------------------------------
   def q46(s: SparkSession, dir: String): DataFrame = {
-    // Single-pass pair membership, no self-join: every distinct
-    // (doc, shingle) row votes into BOTH adjacent pairs — as the
-    // right member of pair (doc-1, doc) and the left member of
-    // (doc, doc+1). One aggregate per (pair, shingle) counts side
-    // presence; a second per pair yields |A|, |B| and |A∩B| together.
-    // Two shuffles total vs a distinct + composite-key self-join +
-    // two count joins.
-    val sh = shingleRows(s, dir).distinct()
-    val votes = sh.select(
-      explode(expr(
-        "array(struct(doc_id AS pair, 0 AS side), struct(doc_id + 1 AS pair, 1 AS side))"))
-        .as("ps"), col("g"))
-      .select(col("ps.pair").as("pair"), col("ps.side").as("side"), col("g"))
-    votes
-      .groupBy(col("pair"), col("g"))
-      .agg(max(when(col("side") === 0, 1).otherwise(0)).as("l"),
-        max(when(col("side") === 1, 1).otherwise(0)).as("r"))
-      .groupBy(col("pair"))
-      .agg(sum(col("l")).as("nb"),  // side 0 = pair's RIGHT doc (= pair id)
-        sum(col("r")).as("na"),     // side 1 = pair's LEFT doc (= pair-1)
-        sum(when(col("l") === 1 && col("r") === 1, 1L).otherwise(0L)).as("i"))
-      .filter(col("na") > 0 && col("nb") > 0) // both docs of the pair exist
+    // Pair the texts (one equi-join shuffle of 1 row/doc — for this
+    // demo the pair source is consecutive ids; the production pair
+    // source is the q47 LSH bucket join), then ONE codegen'd
+    // ngram_jaccard call per pair. The previous shape shuffled the
+    // exploded distinct (doc, shingle) multiset — ~len rows per doc —
+    // through two aggregates; this shuffles only the documents.
+    graft.GraftFunctions.register(s)
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val a = d.select((col("doc_id") + 1).as("pair"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("pair"), col("text").as("text_b"))
+    a.join(b, "pair")
       .select((col("pair") - 1).as("d1"), col("pair").as("d2"),
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+        round(expr("ngram_jaccard(text_a, text_b, 5)"), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.05)
       .orderBy(col("d1"))
   }
@@ -255,8 +221,17 @@ object TextQueries {
     val bands = sig.select(col("doc_id"),
       expr(s"explode(array($bandStructs))").as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val l = bands.select(col("band"), col("bh"), col("doc_id").as("d1"))
-    val r = bands.select(col("band"), col("bh"), col("doc_id").as("d2"))
+    // Hot-bucket cap: a degenerate bucket of B docs (boilerplate,
+    // empty strings) would emit B² candidate pairs; buckets larger
+    // than 64 are skipped. The window partitions by the join key, so
+    // the count rides the same hash exchange the self-join needs.
+    val capped = bands
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= 64).drop("bsz")
+    val l = capped.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val r = capped.select(col("band"), col("bh"), col("doc_id").as("d2"))
     l.join(r, Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
@@ -269,19 +244,12 @@ object TextQueries {
   // Near-dup docs differ in few bits (hamming distance).
   // ---------------------------------------------------------------
   def q48(s: SparkSession, dir: String): DataFrame = {
-    // explode token hashes once; 64 codegen'd conditional-sum
-    // aggregates (one per bit) map-side combine to a row per doc,
-    // then the bit votes reassemble into the 64-bit fingerprint.
-    val hashed = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
-    hashed.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    // one codegen'd SimHash kernel call per document (SimHashExpr) —
+    // a narrow projection; the previous shape exploded every token
+    // through 64 conditional-sum aggregates and a shuffle.
+    graft.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -290,13 +258,17 @@ object TextQueries {
   // Σ ord(c_i)·i: order-sensitive (anagram-proof), exact integer
   // arithmetic so it is oracle-verifiable cross-engine.
   // ---------------------------------------------------------------
-  def q49(s: SparkSession, dir: String): DataFrame =
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    // one codegen'd pass per document (CharWeightedFingerprintExpr) —
+    // same oracle-verifiable Σ ord(c_i)·i value, but a narrow
+    // projection instead of the per-character explode + aggregate
+    // (the most wasteful plan in the round-2 tree).
+    graft.GraftFunctions.register(s)
     t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, length(text))")).as("i"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("CAST(ascii(substring(text, i, 1)) * i AS BIGINT)")).as("fingerprint"))
+      .select(col("doc_id"),
+        expr("char_weighted_fingerprint(text)").as("fingerprint"))
       .orderBy(col("doc_id"))
+  }
 
   private val q49Sql =
     """SELECT doc_id,

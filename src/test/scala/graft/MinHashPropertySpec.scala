@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.GraftFunctions
+
 /** Property checks for the approximate operators the DuckDB oracle
   * can't verify (SURVEY.md §5: cheap wins the reference lacks). */
 class MinHashPropertySpec extends SparkSpec {
@@ -10,29 +12,60 @@ class MinHashPropertySpec extends SparkSpec {
   // MinHash signature equality rate across permutations estimates
   // Jaccard similarity: identical docs → identical signatures,
   // disjoint docs → (whp) fully distinct signatures.
-  test("minhash: identical texts collide, disjoint texts do not") {
+  test("minhash: identical texts collide, disjoint texts do not (native expr)") {
+    GraftFunctions.register(spark)
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo"))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("mh_docs")
-    val shingles =
-      "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
-    val sig = docs.select(col("doc_id"),
-      explode(expr(s"transform($shingles, g -> pmod(xxhash64(g), 2147483647))")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg((0 until 16).map(i =>
-        min(pmod(col("h") * (2 * i + 1) + 97 * i, lit(2147483647L))).as(s"m$i")).head,
-        (0 until 16).map(i =>
-          min(pmod(col("h") * (2 * i + 1) + 97 * i, lit(2147483647L))).as(s"m$i")).tail: _*)
-    val rows = sig.orderBy("doc_id").collect()
-    val s0 = rows(0).toSeq.drop(1)
-    val s1 = rows(1).toSeq.drop(1)
-    val s2 = rows(2).toSeq.drop(1)
+    val rows = docs.selectExpr("doc_id", "minhash_sig(text, 16, 5) AS sig")
+      .orderBy("doc_id").collect()
+    val s0 = rows(0).getSeq[Long](1)
+    val s1 = rows(1).getSeq[Long](1)
+    val s2 = rows(2).getSeq[Long](1)
     assert(s0 === s1, "identical docs must share the full signature")
     val matches02 = s0.zip(s2).count { case (a, b) => a == b }
     assert(matches02 <= 3, s"disjoint docs matched $matches02/16 signature slots")
+  }
+
+  test("minhash signature match rate estimates n-gram Jaccard") {
+    // two near-dup texts sharing most shingles: the fraction of equal
+    // signature slots must land near the exact Jaccard (k=64 keeps
+    // the binomial std-dev ≈ sqrt(j(1-j)/64) ≈ 0.06 — assert ±0.25)
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    val exact = graft.functions.TextKernels.ngramJaccard(a, b, 5)
+    val sa = graft.functions.TextKernels.minHashSig(a, 64, 5)
+    val sb = graft.functions.TextKernels.minHashSig(b, 64, 5)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 64
+    assert(math.abs(est - exact) < 0.25, s"estimate $est vs exact $exact")
+  }
+
+  test("text kernels: SQL expressions match the JVM kernels") {
+    GraftFunctions.register(spark)
+    val txt = "abcabcabc xyz abcabc"
+    val r = spark.sql(
+      s"""SELECT ngram_distinct_count('$txt', 5) AS c,
+         |  simhash64('$txt') AS sh,
+         |  char_weighted_fingerprint('$txt') AS fp,
+         |  rolling_fingerprint(CAST('$txt' AS BINARY)) AS rf,
+         |  ngram_jaccard('$txt', '$txt', 5) AS j""".stripMargin).collect()(0)
+    assert(r.getLong(0) === graft.functions.TextKernels.ngramDistinctCount(txt, 5))
+    assert(r.getLong(1) === graft.functions.TextKernels.simHash64(txt))
+    assert(r.getLong(2) === graft.functions.TextKernels.charWeightedFingerprint(txt))
+    assert(r.getLong(3) === graft.functions.TextKernels.rollingFingerprint(
+      txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("char_weighted_fingerprint matches the SQL explode formula") {
+    val txt = "hello world 123"
+    val viaSql = spark.sql(
+      s"SELECT CAST(aggregate(transform(sequence(1, length('$txt')), " +
+        s"i -> ascii(substring('$txt', i, 1)) * i), 0L, (acc, x) -> acc + x) AS BIGINT)")
+      .collect()(0).getLong(0)
+    assert(graft.functions.TextKernels.charWeightedFingerprint(txt) === viaSql)
   }
 
   test("approx_count_distinct within 10% of exact on events") {

@@ -58,10 +58,11 @@ class PlanShapeSpec extends SparkSpec {
   test("hot text paths contain no interpreted higher-order lambdas") {
     // transform()/aggregate() lambdas evaluate interpreted per element;
     // the shingle/minhash/simhash/fingerprint pipelines must stay on
-    // the explode + codegen-projection path (10× at sf0.1).
+    // the native-kernel codegen path (10× at sf0.1).
     Seq(
       "q44" -> graft.queries.TextQueries.q44(spark, sfDir),
       "q45" -> graft.queries.TextQueries.q45(spark, sfDir),
+      "q46" -> graft.queries.TextQueries.q46(spark, sfDir),
       "q47" -> graft.queries.TextQueries.q47(spark, sfDir),
       "q48" -> graft.queries.TextQueries.q48(spark, sfDir),
       "q49" -> graft.queries.TextQueries.q49(spark, sfDir)
@@ -69,6 +70,22 @@ class PlanShapeSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("lambdafunction"),
         s"$name reintroduced an interpreted lambda:\n$p")
+    }
+  }
+
+  test("per-doc sketches are explode-free narrow projections (native kernels)") {
+    // q44/q45/q48/q49 compute one value per document — the plan must
+    // contain NO generator (explode) and NO aggregate: a single
+    // codegen'd kernel call per row (plus the output sort).
+    Seq(
+      "q44" -> graft.queries.TextQueries.q44(spark, sfDir),
+      "q45" -> graft.queries.TextQueries.q45(spark, sfDir),
+      "q48" -> graft.queries.TextQueries.q48(spark, sfDir),
+      "q49" -> graft.queries.TextQueries.q49(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Generate"), s"$name still explodes rows:\n$p")
+      assert(!p.contains("HashAggregate"), s"$name still aggregates:\n$p")
     }
   }
 
