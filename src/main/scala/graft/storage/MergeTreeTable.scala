@@ -89,24 +89,32 @@ object MergeTreeTable {
       // `current_row_is_zero = false` on group start), and if every
       // group zeroed out the LAST group is written anyway so the
       // output is never empty while input wasn't.
-      import org.apache.spark.sql.expressions.Window
       val keyNames = spec.partitionCol.toSeq ++ spec.sortKey
       val keys = keyNames.map(col)
       val others = df.columns.filterNot(c => keyNames.contains(c) || sumCols.contains(c))
+      // min(col) not first(col): first() is pick-any under a shuffle,
+      // min is deterministic regardless of merge order
       val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
-        others.map(c => first(col(c)).as(c)) :+ count(lit(1)).as("__cnt")
+        others.map(c => min(col(c)).as(c)) :+ count(lit(1)).as("__cnt")
       val keep =
         if (sumCols.isEmpty) lit(true) // nothing to sum → plain dedup
         else col("__cnt") === 1 || sumCols.map(c => col(c) =!= 0).reduce(_ || _)
-      val global = Window.partitionBy()
-      val lastFirst = Window.partitionBy().orderBy(keys.map(_.desc): _*)
-      df.groupBy(keys: _*)
+      // The "every group zeroed out → keep the last group" edge case
+      // (SummingSortedBlockInputStream.cpp:195-247) needs one global
+      // fact, not a global ordering: a 1-row scalar aggregate
+      // (any-survivor flag + max key tuple) broadcast-cross-joined
+      // back. Costs a second partial-aggregated reduce-to-one-row
+      // pass; the previous empty-key window forced EVERY folded row
+      // through a single partition — a scale-killer.
+      val folded = df.groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("__keep", keep)
-        .withColumn("__any", max(col("__keep").cast("int")).over(global))
-        .withColumn("__rn", row_number().over(lastFirst))
-        .filter(col("__keep") || (col("__any") === 0 && col("__rn") === 1))
-        .drop("__cnt", "__keep", "__any", "__rn")
+        .withColumn("__key", struct(keys: _*))
+      val summary = folded.agg(
+        max(col("__keep").cast("int")).as("__any"),
+        max(col("__key")).as("__lastkey"))
+      folded.crossJoin(broadcast(summary))
+        .filter(col("__keep") || (col("__any") === 0 && col("__key") === col("__lastkey")))
         .select(df.columns.map(col).toIndexedSeq: _*)
     case Replacing(version) =>
       import org.apache.spark.sql.expressions.Window
@@ -115,13 +123,24 @@ object MergeTreeTable {
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     case Collapsing(sign) =>
+      // Deterministic survivor row per key: row_number over a TOTAL
+      // order (sign desc, then every payload column) — a global
+      // orderBy + last() aggregate let the aggregation exchange
+      // destroy the sort, making the surviving payload arbitrary.
+      // Both window functions share the key partitioning: one
+      // shuffle, one sort, scales per-key.
+      import org.apache.spark.sql.expressions.Window
       val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
       val others = df.columns.filterNot(c =>
         (spec.partitionCol.toSeq ++ spec.sortKey :+ sign).contains(c))
-      val aggs = others.map(c => last(col(c)).as(c)) :+ sum(col(sign)).cast("int").as(sign)
-      df.orderBy((keys :+ col(sign)): _*)
-        .groupBy(keys: _*)
-        .agg(aggs.head, aggs.tail: _*)
-        .filter(col(sign) > 0)
+      val wOrd = Window.partitionBy(keys: _*)
+        .orderBy((col(sign).desc +: others.map(c => col(c).desc)): _*)
+      val wKey = Window.partitionBy(keys: _*)
+      df.withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__signsum", sum(col(sign)).over(wKey))
+        .filter(col("__rn") === 1 && col("__signsum") > 0)
+        .withColumn(sign, col("__signsum").cast("int"))
+        .drop("__rn", "__signsum")
+        .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -24,10 +24,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MaterializedView {
 
-  /** Start a summing MV: `source` (streaming) → groupBy(keys) sum
-    * of `sumCols` → merged into the session-scoped target view
-    * `targetView`. The target is re-registered after every batch, so
-    * readers always see the latest folded state.
+  /** Start a summing MV: `source` (streaming) → per-batch partial
+    * aggregate appended to a parquet *state log* at `targetPath` →
+    * `targetView` registered as the lazy final aggregation over the
+    * log (the AggregatingMergeTree read path: states merge at read).
+    *
+    * Scale + recovery properties (the round-2 version collected the
+    * whole state to the driver every batch and double-counted on
+    * replay):
+    *  - the per-batch write is a map-side-combined partial aggregate,
+    *    appended distributed — nothing flows through the driver;
+    *  - each partial carries its `__batch_id`; a replayed batch
+    *    (at-least-once foreachBatch after failure recovery) is
+    *    detected by id and skipped, so the merge is idempotent;
+    *  - `checkpoint` is required, so restarts resume offsets instead
+    *    of re-reading the source from scratch;
+    *  - readers pay a partial/final aggregate over one row per
+    *    (key, batch) — [[compact]] folds the log back to one row per
+    *    key (the background-merge analog).
     */
   def startSumming(
       spark: SparkSession,
@@ -35,30 +49,53 @@ object MaterializedView {
       keys: Seq[String],
       sumCols: Seq[String],
       targetView: String,
+      targetPath: String,
+      checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     require(source.isStreaming, "source must be a streaming DataFrame")
+    def sums = sumCols.map(c => sum(col(c)).as(c))
+    def registerView(): Unit =
+      spark.read.parquet(targetPath)
+        .groupBy(keys.map(col): _*)
+        .agg(sums.head, sums.tail: _*)
+        .createOrReplaceTempView(targetView)
     source.writeStream
       .outputMode("update")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val partial = batch.groupBy(keys.map(col): _*)
-          .agg(sumCols.map(c => sum(col(c)).as(c)).head,
-            sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-        val merged =
-          if (spark.catalog.tableExists(targetView)) {
-            spark.table(targetView).unionByName(partial)
-              .groupBy(keys.map(col): _*)
-              .agg(sumCols.map(c => sum(col(c)).as(c)).head,
-                sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-          } else partial
-        // materialize before replacing the view the plan reads from
-        val rows = merged.collect()
-        val snapshot = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
-        snapshot.createOrReplaceTempView(targetView)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val exists = new java.io.File(targetPath).exists()
+        val replayed = exists && spark.read.parquet(targetPath)
+          .filter(col("__batch_id") === batchId).limit(1).count() > 0
+        if (!replayed) {
+          batch.groupBy(keys.map(col): _*)
+            .agg(sums.head, sums.tail: _*)
+            .withColumn("__batch_id", lit(batchId))
+            .write.mode("append").parquet(targetPath)
+        }
+        registerView()
         ()
       }
       .start()
+  }
+
+  /** Fold the state log back to one row per key (OPTIMIZE analog for
+    * the MV target). Safe to run while readers use `targetView` —
+    * the view re-registers over the compacted log afterwards. */
+  def compact(spark: SparkSession, targetPath: String,
+      keys: Seq[String], sumCols: Seq[String]): Unit = {
+    val sums = sumCols.map(c => sum(col(c)).as(c))
+    val folded = spark.read.parquet(targetPath)
+      .groupBy(keys.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("__batch_id", lit(-1L))
+    val tmp = targetPath + "__compacting"
+    folded.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(targetPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
   /** Event-time tumbling-window aggregation with a watermark — the

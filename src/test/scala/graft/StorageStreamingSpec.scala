@@ -85,8 +85,10 @@ class StorageStreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
     val source = mem.toDF().toDF("k", "v")
+    val base = Files.createTempDirectory("mv").toString
     val q = MaterializedView.startSumming(
       spark, source, Seq("k"), Seq("v"), "mv_target",
+      s"$base/state", s"$base/ckpt",
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
 
     mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
@@ -101,6 +103,36 @@ class StorageStreamingSpec extends SparkSpec {
 
     val got = spark.table("mv_target").as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 7L, "b" -> 10L))
+
+    // the state log holds partials (no driver-side fold); compaction
+    // folds it to one row per key without changing the view's answer
+    assert(spark.read.parquet(s"$base/state").count() >= 3)
+    MaterializedView.compact(spark, s"$base/state", Seq("k"), Seq("v"))
+    assert(spark.read.parquet(s"$base/state").count() === 2)
+    spark.read.parquet(s"$base/state").groupBy("k").agg(sum("v").as("v"))
+      .as[(String, Long)].collect().toMap === Map("a" -> 7L, "b" -> 10L)
+  }
+
+  test("collapsing fold is deterministic under input order shuffles") {
+    val spec = Spec(Seq("k"), engine = Collapsing("sign"))
+    val rows = Seq(
+      ("k1", "v-old", 1), ("k1", "v-old", -1), ("k1", "v-new", 1),
+      ("k2", "a", 1), ("k2", "b", 1), ("k2", "a", -1))
+    val expected = MergeTreeTable.fold(
+      rows.toDF("k", "v", "sign"), spec)
+      .select("k", "v", "sign").as[(String, String, Int)].collect().toSet
+    // every permutation of arrival order folds to the same survivors
+    Seq(rows.reverse, rows.sortBy(_._2), scala.util.Random.shuffle(rows)).foreach { perm =>
+      val got = MergeTreeTable.fold(
+        perm.toDF("k", "v", "sign").repartition(7), spec)
+        .select("k", "v", "sign").as[(String, String, Int)].collect().toSet
+      assert(got === expected, s"fold diverged for order $perm")
+    }
+    // survivor payload = max (sign, payload…) tuple — "arrival order"
+    // does not exist after a shuffle, so the deterministic total
+    // order replaces the reference's keep-last-in-part rule
+    // (documented divergence; version-keyed keep-last is Replacing)
+    assert(expected === Set(("k1", "v-old", 1), ("k2", "b", 1)))
   }
 
   test("as-of join attaches the latest right row at or before each left time") {
