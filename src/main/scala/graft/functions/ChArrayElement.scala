@@ -20,8 +20,11 @@ case class ChArrayElement(left: Expression, right: Expression)
   override def dataType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
+  // nullable also when the element type has no constructible default
+  // (an out-of-range index then yields NULL instead of a default)
   override def nullable: Boolean =
-    left.dataType.asInstanceOf[ArrayType].containsNull
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      defaultFor(dataType).isEmpty
 
   override def prettyName: String = "charrayelement"
 
@@ -36,21 +39,38 @@ case class ChArrayElement(left: Expression, right: Expression)
 
   private lazy val elemType = dataType
 
-  private def defaultValue: Any = elemType match {
-    case ByteType => 0.toByte
-    case ShortType => 0.toShort
-    case IntegerType => 0
-    case LongType => 0L
-    case FloatType => 0f
-    case DoubleType => 0d
-    case _: DecimalType => org.apache.spark.sql.types.Decimal(0)
-    case StringType => UTF8String.EMPTY_UTF8
-    case ArrayType(_, _) => ArrayData.toArrayData(Array.empty[Any])
-    case BooleanType => false
-    case DateType => 0            // 1970-01-01 (internal: days)
-    case _: TimestampType => 0L   // epoch (internal: µs)
-    case _ => null
+  /** Recursive default value — a struct default is the struct of its
+    * fields' defaults (the reference returns a default-valued tuple,
+    * FunctionsArray.h arrayElement); None when the type has no
+    * constructible default (then [[nullable]] reports true and the
+    * out-of-range result is NULL). */
+  private def defaultFor(dt: DataType): Option[Any] = dt match {
+    case ByteType => Some(0.toByte)
+    case ShortType => Some(0.toShort)
+    case IntegerType => Some(0)
+    case LongType => Some(0L)
+    case FloatType => Some(0f)
+    case DoubleType => Some(0d)
+    case _: DecimalType => Some(org.apache.spark.sql.types.Decimal(0))
+    case StringType => Some(UTF8String.EMPTY_UTF8)
+    case ArrayType(_, _) => Some(ArrayData.toArrayData(Array.empty[Any]))
+    case BooleanType => Some(false)
+    case DateType => Some(0)            // 1970-01-01 (internal: days)
+    case _: TimestampType => Some(0L)   // epoch (internal: µs)
+    case st: StructType =>
+      val fs = st.fields.map(f => defaultFor(f.dataType))
+      if (fs.forall(_.isDefined))
+        Some(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          fs.map(_.get).toIndexedSeq))
+      else None
+    case MapType(_, _, _) =>
+      Some(new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        ArrayData.toArrayData(Array.empty[Any]),
+        ArrayData.toArrayData(Array.empty[Any])))
+    case _ => None
   }
+
+  private lazy val defaultValue: Any = defaultFor(elemType).orNull
 
   override def nullSafeEval(arrAny: Any, idxAny: Any): Any = {
     val arr = arrAny.asInstanceOf[ArrayData]

@@ -62,8 +62,14 @@ object ch {
 
   // --- arithmetic (reference: Functions/FunctionsArithmetic.h) ---
 
-  /** intDiv with divide-by-zero → error; OrZero variant yields 0. */
-  def intDiv(a: Column, b: Column): Column = (a.cast(LongType) / b.cast(LongType)).cast(LongType)
+  /** intDiv with divide-by-zero → error; OrZero variant yields 0.
+    * True integral division (Catalyst IntegralDivide) — a
+    * divide-through-double would lose exactness above 2^53. */
+  def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a.cast(LongType)),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b.cast(LongType))))
   def intDivOrZero(a: Column, b: Column): Column =
     when(b === 0, lit(0L)).otherwise(intDiv(a, b))
   def moduloOrZero(a: Column, b: Column): Column =

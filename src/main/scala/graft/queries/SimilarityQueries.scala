@@ -177,8 +177,9 @@ object SimilarityQueries {
   // ---------------------------------------------------------------
   def q82(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .filter(col("pos0") < 8) // first 8 dims keep the result compact
+      // slice BEFORE posexplode: exploding all 64 dims then filtering
+      // pos < 8 generates 8× the rows for nothing
+      .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos0", "x")))
       .groupBy(col("label"), (col("pos0") + 1).as("pos"))
       .agg(round(sum(col("x").cast(DecimalType(18, 6))).cast("double"), 4).as("sum_x"),
         count(lit(1)).as("n"))

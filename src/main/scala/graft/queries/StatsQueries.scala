@@ -75,12 +75,16 @@ object StatsQueries {
   // "free in Spark"); customers in both/only-one of two order years.
   // ---------------------------------------------------------------
   def q76(s: SparkSession, dir: String): DataFrame = {
+    // one LAZY plan (a cross join of two 1-row aggregates) — eager
+    // .count() calls here would run jobs at plan-build time, which
+    // breaks composability and bench timing
     def custs(y: Int) = t(s, dir, "orders")
       .filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
-    val both = custs(1996).intersect(custs(1997)).count()
-    val only96 = custs(1996).except(custs(1997)).count()
-    import s.implicits._
-    Seq((both, only96)).toDF("n_both_years", "n_only_1996")
+    val both = custs(1996).intersect(custs(1997))
+      .agg(count(lit(1)).as("n_both_years"))
+    val only96 = custs(1996).except(custs(1997))
+      .agg(count(lit(1)).as("n_only_1996"))
+    both.crossJoin(only96)
   }
 
   private val q76Sql =

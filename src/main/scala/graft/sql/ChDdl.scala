@@ -42,12 +42,12 @@ object ChDdl {
     * semantics; the fold comes from the table's engine Spec). */
   private def rewriteFinal(spark: SparkSession, sql: String): String =
     tables.values.foldLeft(sql) { (q, e) =>
-      val pat = "\\b" + java.util.regex.Pattern.quote(e.name) + "\\s+FINAL\\b"
-      if (pat.r.findFirstIn(q).isEmpty) q
+      val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(e.name) + "\\s+FINAL\\b").r
+      if (pat.findFirstIn(q).isEmpty) q
       else {
         val fview = e.view + "__final"
         MergeTreeTable.fold(e.df, e.spec).createOrReplaceTempView(fview)
-        q.replaceAll(pat, fview)
+        ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, fview))
       }
     }
 
@@ -55,10 +55,16 @@ object ChDdl {
   def executeScript(spark: SparkSession, script: String): Seq[DataFrame] =
     ChSql.statements(script).flatMap(execute(spark, _))
 
-  /** Swap db-qualified names (test.foo) for their temp-view names. */
+  /** Swap db-qualified names (test.foo) for their temp-view names —
+    * anchored so a prefix-sharing name (test.foo vs test.foobar) never
+    * mistranslates, and string literals are left untouched. */
   private def rewriteRefs(sql: String): String =
     tables.values.foldLeft(sql) { (q, e) =>
-      if (e.name.contains(".")) q.replace(e.name, e.view) else q
+      if (!e.name.contains(".")) q
+      else {
+        val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(e.name) + "(?![\\w.`])").r
+        ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, e.view))
+      }
     }
 
   private val createRe =

@@ -52,9 +52,9 @@ object ChSql {
     // join strictness: ANY ≈ plain join (exact when RHS key-unique)
     q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
     // PREWHERE is an execution hint — a filter, which Catalyst pushes
-    // to the scan anyway (only the simple no-second-WHERE form here)
-    if (!q.toUpperCase.contains(" WHERE "))
-      q = q.replaceAll("(?i)\\bPREWHERE\\b", "WHERE")
+    // to the scan anyway. `PREWHERE p WHERE q` (both clauses, valid
+    // CH) merges to `WHERE (p) AND (q)`.
+    q = mergePrewhere(q)
     // GLOBAL IN/JOIN ship the set to every shard = broadcast, which
     // Spark plans on its own
     q = q.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", " $1IN")
@@ -77,6 +77,37 @@ object ChSql {
     bracketLiteralsToArray(q)
   }
 
+  /** `PREWHERE p [WHERE q]` → `WHERE (p) AND (q)` / `WHERE p`. */
+  private def mergePrewhere(q: String): String = {
+    val both = ("(?is)\\bPREWHERE\\s+(.+?)\\s+WHERE\\s+(.+?)" +
+      "(?=\\s+(?:GROUP\\s+BY|ORDER\\s+BY|LIMIT|HAVING|UNION|SETTINGS|FORMAT)\\b|\\s*$)").r
+    both.findFirstMatchIn(q) match {
+      case Some(m) =>
+        q.substring(0, m.start) +
+          s"WHERE (${m.group(1).trim}) AND (${m.group(2).trim})" +
+          q.substring(m.end)
+      case None => q.replaceAll("(?i)\\bPREWHERE\\b", "WHERE")
+    }
+  }
+
+  /** Apply `f` to the parts of `sql` OUTSIDE single-quoted string
+    * literals — structural rewrites must never touch data values. */
+  private[sql] def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inQ = false
+    sql.foreach { c =>
+      if (c == '\'') {
+        if (!inQ) { out.append(f(seg.toString)); seg.clear() }
+        out.append(c)
+        inQ = !inQ
+      } else if (inQ) out.append(c)
+      else seg.append(c)
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
   /** `ARRAY JOIN e1 AS a1, e2 AS a2, …` (clause at statement end):
     * `LATERAL VIEW posexplode(e1) __aj AS __ajpos, a1`, and each
     * further alias ak is textually replaced by
@@ -94,8 +125,13 @@ object ChSql {
         val (e1, a1) = items.head
         var body = q.substring(0, m.start)
         items.tail.foreach { case (ek, ak) =>
-          body = body.replaceAll("\\b" + ak + "\\b",
+          // quote the alias pattern AND the expression replacement ($
+          // or \ in ek would corrupt the rewrite); never touch string
+          // literals
+          val pat = ("\\b" + java.util.regex.Pattern.quote(ak) + "\\b").r
+          val repl = java.util.regex.Matcher.quoteReplacement(
             s"charrayelement($ek, __ajpos + 1)")
+          body = mapOutsideQuotes(body)(seg => pat.replaceAllIn(seg, repl))
         }
         body + s" LATERAL VIEW posexplode($e1) __aj AS __ajpos, $a1"
     }

@@ -109,4 +109,34 @@ class ChDdlSpec extends SparkSpec {
       .collect()(0).getLong(0) === 1L)
     ChDdl.execute(spark, "DROP TABLE test.sv")
   }
+
+  test("PREWHERE combined with WHERE merges into one conjunction") {
+    val t = graft.sql.ChSql.translate(
+      "SELECT count() FROM t PREWHERE a > 1 WHERE b < 2 GROUP BY c")
+    assert(t.contains("WHERE (a > 1) AND (b < 2)"), t)
+    val solo = graft.sql.ChSql.translate("SELECT count() FROM t PREWHERE a > 1")
+    assert(solo.contains("WHERE a > 1"), solo)
+  }
+
+  test("table name inside a string literal is not rewritten") {
+    ChDdl.execute(spark, "CREATE TABLE test.lit (x UInt32) ENGINE=Memory")
+    ChDdl.execute(spark, "INSERT INTO test.lit VALUES (7)")
+    val r = ChDdl.execute(spark,
+      "SELECT 'test.lit' AS tag, x FROM test.lit").get.collect()(0)
+    assert(r.getString(0) === "test.lit")
+    assert(r.getLong(1) === 7L)
+    ChDdl.execute(spark, "DROP TABLE test.lit")
+  }
+
+  test("out-of-range index on an array of tuples yields a default tuple") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      array(struct(lit(5).as("a"), lit("x").as("b"))).as("arr"))
+    val got = df.select(Bridge.column(graft.functions.ChArrayElement(
+      Bridge.expression(col("arr")), Bridge.expression(lit(9)))).as("e"))
+      .collect()(0).getStruct(0)
+    assert(got.getInt(0) === 0)
+    assert(got.getString(1) === "")
+  }
 }

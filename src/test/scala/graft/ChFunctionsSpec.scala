@@ -63,6 +63,14 @@ class ChFunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(3L, 0L))
   }
 
+  test("intDiv is exact above 2^53 (no divide-through-double)") {
+    val big = (1L << 60) + 1L
+    val df = Seq((big, 1L), (big, 3L), (-7L, 2L)).toDF("a", "b")
+      .select(ch.intDiv(col("a"), col("b")).as("r"))
+    // a double round-trip would lose the +1; integral div truncates
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(big, big / 3L, -3L))
+  }
+
   test("appendTrailingCharIfAbsent") {
     val df = Seq("a/", "b").toDF("s")
       .select(ch.appendTrailingCharIfAbsent(col("s"), "/").as("r"))
