@@ -25,7 +25,7 @@ object GraftFunctions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
-  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  private val base: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("siphash64"), info("siphash64"), SipHash64Expr.builder),
     (FunctionIdentifier("uniq_upto"), info("uniq_upto"), {
       case Seq(e, Literal(n: Int, _)) => UniqUpTo(e, n)
@@ -95,6 +95,20 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"char_weighted_fingerprint(text) expected, got $other")
     }))
+
+  // hash family (FunctionsHashing.h) + coding family
+  // (FunctionsCoding.h) — single-arg kernels; the CH camelCase names
+  // (cityHash64, intHash32, halfMD5, URLHash) resolve to these via
+  // the registry's case-insensitivity
+  private val kernelFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("cityhash64", "inthash32", "inthash64", "halfmd5", "urlhash",
+      "unhex_ch", "bitmask_to_array", "bitmask_to_list",
+      "ipv6_num_to_string", "ipv6_string_to_num", "ipv4_to_ipv6",
+      "uuid_num_to_string", "uuid_string_to_num", "to_string_cut_to_zero")
+      .map(k => (FunctionIdentifier(k), info(k), graft.functions.KernelExpr.builder(k)))
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    base ++ kernelFns
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =

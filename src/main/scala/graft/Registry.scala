@@ -27,7 +27,8 @@ object Registry {
       queries.MiscQueries.defs ++
       queries.MultimodalQueries.defs ++
       queries.StatsQueries.defs ++
-      queries.OperatorQueries.defs
+      queries.OperatorQueries.defs ++
+      queries.HashQueries.defs
 
   lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(_.fnTuple).toMap

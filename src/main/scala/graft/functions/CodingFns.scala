@@ -1,0 +1,208 @@
+package graft.functions
+
+/** Coding/formatting kernels matching the reference's
+  * dbms/src/Functions/FunctionsCoding.h surface: CH-style hex for
+  * numbers (whole-byte, big-endian, upper case — hex(257)='0101'),
+  * bitmaskToArray, IPv6 Num↔String (inet_ntop6 semantics: lowercase,
+  * longest-zero-run `::` compression, embedded IPv4 forms), IPv4ToIPv6
+  * mapping, UUID Num↔String, toStringCutToZero.
+  */
+object CodingFns {
+  private final val HEX = "0123456789ABCDEF".toCharArray
+  private final val hexLower = "0123456789abcdef".toCharArray
+
+  /** CH hex(number): big-endian, leading zero BYTES trimmed (at least
+    * one byte kept), upper case (FunctionsCoding.h:32-34,1266). */
+  def hexNum(x: Long): String = {
+    var firstByte = 7
+    while (firstByte > 0 && ((x >>> (firstByte * 8)) & 0xff) == 0) firstByte -= 1
+    val sb = new java.lang.StringBuilder((firstByte + 1) * 2)
+    var i = firstByte
+    while (i >= 0) {
+      val b = ((x >>> (i * 8)) & 0xff).toInt
+      sb.append(HEX(b >> 4)).append(HEX(b & 0xf))
+      i -= 1
+    }
+    sb.toString
+  }
+
+  /** CH hex(string): per-byte upper-case hex (same as Spark hex). */
+  def hexBytes(data: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(data.length * 2)
+    data.foreach { b => sb.append(HEX((b >> 4) & 0xf)).append(HEX(b & 0xf)) }
+    sb.toString
+  }
+
+  /** unhex: case-insensitive, odd length ⇒ implicit leading zero
+    * (FunctionsCoding.h:1506-1538). */
+  def unhex(s: String): Array[Byte] = {
+    val n = s.length
+    val out = new Array[Byte]((n + 1) / 2)
+    var si = 0
+    var oi = 0
+    if (n % 2 == 1) { out(0) = digit(s.charAt(0)).toByte; si = 1; oi = 1 }
+    while (si < n) {
+      out(oi) = ((digit(s.charAt(si)) << 4) | digit(s.charAt(si + 1))).toByte
+      si += 2; oi += 1
+    }
+    out
+  }
+
+  private def digit(c: Char): Int = c match {
+    case c if c >= '0' && c <= '9' => c - '0'
+    case c if c >= 'a' && c <= 'f' => c - 'a' + 10
+    case c if c >= 'A' && c <= 'F' => c - 'A' + 10
+    case _ => 0
+  }
+
+  /** bitmaskToArray(x): powers of two in x's binary representation,
+    * ascending (FunctionsCoding.h:38,1612). */
+  def bitmaskToArray(x0: Long): Array[Long] = {
+    var x = x0
+    val out = Array.newBuilder[Long]
+    while (x != 0) {
+      val low = x & -x // lowest set bit (works on the full u64 ring)
+      out += low
+      x ^= low
+    }
+    out.result()
+  }
+
+  /** bitmaskToList(x): same decomposition as a comma-joined string. */
+  def bitmaskToList(x: Long): String =
+    bitmaskToArray(x).map(java.lang.Long.toUnsignedString).mkString(",")
+
+  /** IPv6NumToString over a 16-byte address — inet_ntop6 semantics
+    * (FunctionsCoding.h:60-175): lowercase hex words, `::` replaces
+    * the longest (first on tie, length ≥ 2) zero run, and `::a.b.c.d`
+    * / `::ffff:a.b.c.d` render the embedded-IPv4 forms. */
+  def ipv6NumToString(src: Array[Byte]): String = {
+    require(src.length == 16, s"IPv6 address must be 16 bytes, got ${src.length}")
+    val words = new Array[Int](8)
+    var i = 0
+    while (i < 16) { words(i / 2) |= (src(i) & 0xff) << ((1 - (i % 2)) << 3); i += 1 }
+
+    var bestBase = -1; var bestLen = 0
+    var curBase = -1; var curLen = 0
+    i = 0
+    while (i < 8) {
+      if (words(i) == 0) {
+        if (curBase == -1) { curBase = i; curLen = 1 } else curLen += 1
+      } else if (curBase != -1) {
+        if (bestBase == -1 || curLen > bestLen) { bestBase = curBase; bestLen = curLen }
+        curBase = -1
+      }
+      i += 1
+    }
+    if (curBase != -1 && (bestBase == -1 || curLen > bestLen)) { bestBase = curBase; bestLen = curLen }
+    if (bestBase != -1 && bestLen < 2) bestBase = -1
+
+    val sb = new java.lang.StringBuilder(46)
+    i = 0
+    var done = false
+    while (i < 8 && !done) {
+      if (bestBase != -1 && i >= bestBase && i < bestBase + bestLen) {
+        if (i == bestBase) sb.append(':')
+      } else {
+        if (i != 0) sb.append(':')
+        if (i == 6 && bestBase == 0 &&
+          (bestLen == 6 || (bestLen == 5 && words(5) == 0xffff))) {
+          sb.append(src(12) & 0xff).append('.').append(src(13) & 0xff)
+            .append('.').append(src(14) & 0xff).append('.').append(src(15) & 0xff)
+          done = true
+        } else {
+          val w = words(i)
+          if (w == 0) sb.append('0')
+          else {
+            var started = false
+            var shift = 12
+            while (shift >= 0) {
+              val d = (w >> shift) & 0xf
+              if (d != 0 || started) { sb.append(hexLower(d)); started = true }
+              shift -= 4
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (!done && bestBase != -1 && bestBase + bestLen == 8) sb.append(':')
+    sb.toString
+  }
+
+  /** IPv6StringToNum: parse full/compressed/embedded-IPv4 forms to 16
+    * bytes; malformed input yields all-zero (the reference's
+    * default-value convention, FunctionsCoding.h:429-490). */
+  def ipv6StringToNum(s: String): Array[Byte] = {
+    val out = new Array[Byte](16)
+    try {
+      val (head, tail) = s.indexOf("::") match {
+        case -1 => (s, null)
+        case ix => (s.substring(0, ix), s.substring(ix + 2))
+      }
+      def parseGroups(part: String): Seq[Array[Byte]] =
+        if (part == null || part.isEmpty) Seq.empty
+        else part.split(":", -1).toSeq.map { g =>
+          if (g.contains('.')) { // embedded IPv4 tail
+            val o = g.split("\\.").map(_.toInt)
+            require(o.length == 4 && o.forall(b => b >= 0 && b <= 255))
+            Array[Byte](o(0).toByte, o(1).toByte, o(2).toByte, o(3).toByte)
+          } else {
+            require(g.nonEmpty && g.length <= 4)
+            val v = Integer.parseInt(g, 16)
+            Array[Byte]((v >> 8).toByte, v.toByte)
+          }
+        }
+      val h = parseGroups(head).flatten
+      val t = if (tail == null) Seq.empty else parseGroups(tail).flatten
+      require(h.length + t.length <= 16 && (tail != null || h.length == 16))
+      var i = 0
+      h.foreach { b => out(i) = b; i += 1 }
+      i = 16 - t.length
+      t.foreach { b => out(i) = b; i += 1 }
+      out
+    } catch { case _: Exception => new Array[Byte](16) }
+  }
+
+  /** IPv4ToIPv6(n): the ::ffff:a.b.c.d mapped address
+    * (FunctionsCoding.h:927). */
+  def ipv4ToIpv6(n: Long): Array[Byte] = {
+    val out = new Array[Byte](16)
+    out(10) = 0xff.toByte
+    out(11) = 0xff.toByte
+    out(12) = ((n >> 24) & 0xff).toByte
+    out(13) = ((n >> 16) & 0xff).toByte
+    out(14) = ((n >> 8) & 0xff).toByte
+    out(15) = (n & 0xff).toByte
+    out
+  }
+
+  /** UUIDNumToString: 16 bytes → 8-4-4-4-12 lowercase
+    * (FunctionsCoding.h:988-1035). */
+  def uuidNumToString(src: Array[Byte]): String = {
+    require(src.length == 16, s"UUID must be 16 bytes, got ${src.length}")
+    val sb = new java.lang.StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+      sb.append(hexLower((src(i) >> 4) & 0xf)).append(hexLower(src(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** UUIDStringToNum: 36-char textual UUID → 16 bytes
+    * (FunctionsCoding.h:1147); malformed yields zeros. */
+  def uuidStringToNum(s: String): Array[Byte] = {
+    val hex = s.replace("-", "")
+    if (hex.length != 32) new Array[Byte](16) else unhex(hex)
+  }
+
+  /** toStringCutToZero: bytes up to the first NUL
+    * (FunctionsCoding.h:1720). */
+  def toStringCutToZero(data: Array[Byte]): String = {
+    var n = 0
+    while (n < data.length && data(n) != 0) n += 1
+    new String(data, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

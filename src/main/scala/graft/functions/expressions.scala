@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for sipHash64 (reference:
@@ -124,6 +124,132 @@ case class RollingFingerprintExpr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingFingerprint($c)")
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
+    copy(child = newChild)
+}
+
+/** One-argument kernel-backed codegen'd expressions, keyed by kernel
+  * name — the hash family (reference FunctionsHashing.h: cityHash64,
+  * intHash32/64, halfMD5, URLHash) and the coding family
+  * (FunctionsCoding.h: unhex, bitmaskToArray/List, IPv6/UUID
+  * Num↔String, IPv4ToIPv6, toStringCutToZero). One class keyed by
+  * name keeps 15 scalar kernels at ~1 line of registration each.
+  */
+case class KernelExpr(child: Expression, kernel: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  private val spec = KernelExpr.kernels(kernel)
+  override def inputTypes = Seq(spec.in)
+  override def dataType: DataType = spec.out
+  override def prettyName: String = kernel
+  override protected def nullSafeEval(input: Any): Any = spec.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, spec.gen)
+  override protected def withNewChildInternal(newChild: Expression): KernelExpr =
+    copy(child = newChild)
+}
+
+object KernelExpr {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  final case class Spec(in: DataType, out: DataType,
+      gen: String => String, eval: Any => Any)
+
+  private def bytes(a: Any): Array[Byte] = a.asInstanceOf[Array[Byte]]
+  private def str(a: Any): String = a.asInstanceOf[UTF8String].toString
+  private def u8(s: String): UTF8String = UTF8String.fromString(s)
+  private val U8 = "org.apache.spark.unsafe.types.UTF8String.fromString"
+
+  /** ArrayData bridge for codegen'd calls. */
+  def longsArray(xs: Array[Long]): ArrayData = new GenericArrayData(xs)
+
+  val kernels: Map[String, Spec] = Map(
+    "cityhash64" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.HashFns.cityHash64($c)",
+      a => HashFns.cityHash64(bytes(a))),
+    "inthash64" -> Spec(LongType, LongType,
+      c => s"graft.functions.HashFns.intHash64($c)",
+      a => HashFns.intHash64(a.asInstanceOf[Long])),
+    "inthash32" -> Spec(LongType, LongType,
+      c => s"graft.functions.HashFns.intHash32($c)",
+      a => HashFns.intHash32(a.asInstanceOf[Long])),
+    "halfmd5" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.HashFns.halfMD5($c)",
+      a => HashFns.halfMD5(bytes(a))),
+    "urlhash" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.HashFns.urlHash($c)",
+      a => HashFns.urlHash(bytes(a))),
+    "unhex_ch" -> Spec(StringType, BinaryType,
+      c => s"graft.functions.CodingFns.unhex($c.toString())",
+      a => CodingFns.unhex(str(a))),
+    "bitmask_to_array" -> Spec(LongType, ArrayType(LongType, containsNull = false),
+      c => s"graft.functions.KernelExpr.longsArray(graft.functions.CodingFns.bitmaskToArray($c))",
+      a => longsArray(CodingFns.bitmaskToArray(a.asInstanceOf[Long]))),
+    "bitmask_to_list" -> Spec(LongType, StringType,
+      c => s"$U8(graft.functions.CodingFns.bitmaskToList($c))",
+      a => u8(CodingFns.bitmaskToList(a.asInstanceOf[Long]))),
+    "ipv6_num_to_string" -> Spec(BinaryType, StringType,
+      c => s"$U8(graft.functions.CodingFns.ipv6NumToString($c))",
+      a => u8(CodingFns.ipv6NumToString(bytes(a)))),
+    "ipv6_string_to_num" -> Spec(StringType, BinaryType,
+      c => s"graft.functions.CodingFns.ipv6StringToNum($c.toString())",
+      a => CodingFns.ipv6StringToNum(str(a))),
+    "ipv4_to_ipv6" -> Spec(LongType, BinaryType,
+      c => s"graft.functions.CodingFns.ipv4ToIpv6($c)",
+      a => CodingFns.ipv4ToIpv6(a.asInstanceOf[Long])),
+    "uuid_num_to_string" -> Spec(BinaryType, StringType,
+      c => s"$U8(graft.functions.CodingFns.uuidNumToString($c))",
+      a => u8(CodingFns.uuidNumToString(bytes(a)))),
+    "uuid_string_to_num" -> Spec(StringType, BinaryType,
+      c => s"graft.functions.CodingFns.uuidStringToNum($c.toString())",
+      a => CodingFns.uuidStringToNum(str(a))),
+    "to_string_cut_to_zero" -> Spec(BinaryType, StringType,
+      c => s"$U8(graft.functions.CodingFns.toStringCutToZero($c))",
+      a => u8(CodingFns.toStringCutToZero(bytes(a)))))
+
+  def builder(kernel: String): Seq[Expression] => Expression = {
+    case Seq(e) => KernelExpr(e, kernel)
+    case other => throw new IllegalArgumentException(
+      s"$kernel expects 1 argument, got ${other.size}")
+  }
+}
+
+/** CH `hex(x)` — type-dispatching: numbers render big-endian with
+  * leading zero BYTES trimmed (hex(257)='0101'); strings/binary render
+  * per-byte (FunctionsCoding.h:32-34,1266). */
+case class ChHexExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hex expects an integer or string argument, got $other")
+    }
+  override def prettyName: String = "hex"
+  override protected def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType => UTF8String.fromString(
+      CodingFns.hexBytes(input.asInstanceOf[UTF8String].getBytes))
+    case BinaryType => UTF8String.fromString(
+      CodingFns.hexBytes(input.asInstanceOf[Array[Byte]]))
+    case _ => UTF8String.fromString(CodingFns.hexNum(input match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+    }))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u8 = "org.apache.spark.unsafe.types.UTF8String.fromString"
+    child.dataType match {
+      case StringType => defineCodeGen(ctx, ev,
+        c => s"$u8(graft.functions.CodingFns.hexBytes($c.getBytes()))")
+      case BinaryType => defineCodeGen(ctx, ev,
+        c => s"$u8(graft.functions.CodingFns.hexBytes($c))")
+      case _ => defineCodeGen(ctx, ev,
+        c => s"$u8(graft.functions.CodingFns.hexNum((long)$c))")
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): ChHexExpr =
     copy(child = newChild)
 }
 

@@ -403,7 +403,40 @@ object ChSql {
     "exp10" -> viaColumn { case Seq(c) =>
       org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(10.0), c) },
     "exp2" -> viaColumn { case Seq(c) =>
-      org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(2.0), c) })
+      org.apache.spark.sql.functions.pow(org.apache.spark.sql.functions.lit(2.0), c) },
+    // coding family (FunctionsCoding.h) under the CH names whose
+    // spelling differs beyond case from the kernel registrations
+    "hex" -> { case Seq(e) => graft.functions.ChHexExpr(e) },
+    // CH unhex returns String (raw bytes); kernel yields binary
+    "unhex" -> { case Seq(e) =>
+      Cast(graft.functions.KernelExpr(e, "unhex_ch"), StringType) },
+    "bitmaskToArray" -> { case Seq(e) =>
+      graft.functions.KernelExpr(Cast(e, LongType), "bitmask_to_array") },
+    "bitmaskToList" -> { case Seq(e) =>
+      graft.functions.KernelExpr(Cast(e, LongType), "bitmask_to_list") },
+    "IPv6NumToString" -> { case Seq(e) =>
+      graft.functions.KernelExpr(e, "ipv6_num_to_string") },
+    "IPv6StringToNum" -> { case Seq(e) =>
+      graft.functions.KernelExpr(e, "ipv6_string_to_num") },
+    "IPv4ToIPv6" -> { case Seq(e) =>
+      graft.functions.KernelExpr(Cast(e, LongType), "ipv4_to_ipv6") },
+    "UUIDNumToString" -> { case Seq(e) =>
+      graft.functions.KernelExpr(e, "uuid_num_to_string") },
+    "UUIDStringToNum" -> { case Seq(e) =>
+      graft.functions.KernelExpr(e, "uuid_string_to_num") },
+    "toStringCutToZero" -> { case Seq(e) =>
+      graft.functions.KernelExpr(e, "to_string_cut_to_zero") },
+    // bit-test family (FunctionsCoding.h:1866-2236)
+    "bitTest" -> { case Seq(x, p) =>
+      Cast(BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), IntegerType) },
+    "bitTestAny" -> { case x +: ps =>
+      ps.map(p => GreaterThan(
+        BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), Literal(0L)))
+        .reduceLeft[Expression]((a, b) => Or(a, b)) },
+    "bitTestAll" -> { case x +: ps =>
+      ps.map(p => GreaterThan(
+        BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), Literal(0L)))
+        .reduceLeft[Expression]((a, b) => And(a, b)) })
 
   private val emptyArrayFns: Seq[(String, Seq[Expression] => Expression)] =
     Seq[(String, DataType)](
