@@ -34,6 +34,8 @@ object ChDdl {
     else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
     else if (up.startsWith("INSERT INTO")) { insert(spark, stmt); None }
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
+    else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
+    else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }
     else Some(ChSql(spark, rewriteRefs(rewriteFinal(spark, stmt))))
   }
 
@@ -203,6 +205,76 @@ object ChDdl {
         entry.df = entry.df.unionByName(incoming)
         entry.df.createOrReplaceTempView(entry.view)
       case _ => throw new IllegalArgumentException(s"unsupported INSERT: $stmt")
+    }
+  }
+
+  /** ALTER TABLE t ADD|DROP|MODIFY COLUMN …, comma-separated actions
+    * (reference: Parsers/ASTAlterQuery.h:26-35; schema evolution is a
+    * daily operation). ADD takes the type's default value for existing
+    * rows and honors AFTER positioning; MODIFY casts in place.
+    */
+  private def alterTable(spark: SparkSession, stmt: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val re = "(?is)^ALTER\\s+TABLE\\s+([\\w.`]+)\\s+(.*)$".r
+    stmt match {
+      case re(rawName, actionsStr) =>
+        val name = rawName.replace("`", "")
+        val entry = tables.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown table: $name"))
+        ChSql.splitTopLevel(actionsStr).foreach { action =>
+          val a = action.trim
+          val up = a.toUpperCase
+          if (up.startsWith("ADD COLUMN")) {
+            val body = a.replaceAll("(?i)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?", "")
+            val (colDef, after) = body.split("(?i)\\s+AFTER\\s+") match {
+              case Array(d, af) => (d.trim, Some(af.trim.replace("`", "")))
+              case Array(d) => (d.trim, None)
+            }
+            val field = ChTypes.schema(colDef).fields.head
+            if (!entry.df.columns.contains(field.name)) {
+              val withCol = entry.df.withColumn(field.name, defaultLit(field.dataType))
+              val cols = entry.df.columns.toSeq
+              val ordered = after match {
+                case Some(af) =>
+                  val idx = cols.indexOf(af)
+                  require(idx >= 0, s"AFTER column not found: $af")
+                  cols.patch(idx + 1, Seq(field.name), 0)
+                case None => cols :+ field.name
+              }
+              entry.df = withCol.select(ordered.map(col): _*)
+            }
+          } else if (up.startsWith("DROP COLUMN")) {
+            val cname = a.replaceAll("(?i)^DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?", "")
+              .replace("`", "").trim
+            entry.df = entry.df.drop(cname)
+          } else if (up.startsWith("MODIFY COLUMN")) {
+            val field = ChTypes.schema(
+              a.replaceAll("(?i)^MODIFY\\s+COLUMN\\s+", "").trim).fields.head
+            // withColumn keeps the column's position
+            entry.df = entry.df.withColumn(field.name, col(field.name).cast(field.dataType))
+          } else throw new IllegalArgumentException(s"unsupported ALTER action: $a")
+        }
+        entry.df.createOrReplaceTempView(entry.view)
+      case _ => throw new IllegalArgumentException(s"unsupported ALTER: $stmt")
+    }
+  }
+
+  /** RENAME TABLE a TO b[, c TO d] (InterpreterRenameQuery semantics). */
+  private def renameTable(spark: SparkSession, stmt: String): Unit = {
+    val body = stmt.replaceAll("(?i)^RENAME\\s+TABLE\\s+", "")
+    ChSql.splitTopLevel(body).foreach { pair =>
+      pair.split("(?i)\\s+TO\\s+") match {
+        case Array(fromRaw, toRaw) =>
+          val from = fromRaw.replace("`", "").trim
+          val to = toRaw.replace("`", "").trim
+          val e = tables.remove(from).getOrElse(
+            throw new IllegalArgumentException(s"unknown table: $from"))
+          spark.catalog.dropTempView(e.view)
+          val renamed = Entry(to, viewName(to), e.df, e.spec)
+          tables.put(to, renamed)
+          renamed.df.createOrReplaceTempView(renamed.view)
+        case _ => throw new IllegalArgumentException(s"unsupported RENAME: $pair")
+      }
     }
   }
 

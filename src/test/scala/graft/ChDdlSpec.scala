@@ -128,6 +128,40 @@ class ChDdlSpec extends SparkSpec {
     ChDdl.execute(spark, "DROP TABLE test.lit")
   }
 
+  test("ALTER TABLE add/modify/drop column evolves the schema in place") {
+    ChDdl.execute(spark, "CREATE TABLE test.alt (k UInt32, v String) ENGINE=Memory")
+    ChDdl.execute(spark, "INSERT INTO test.alt VALUES (1, 'a'), (2, 'b')")
+    // ADD with AFTER positioning; existing rows take the default
+    ChDdl.execute(spark, "ALTER TABLE test.alt ADD COLUMN n UInt32 AFTER k")
+    val df1 = ChDdl.execute(spark, "SELECT * FROM test.alt ORDER BY k").get
+    assert(df1.columns.toSeq === Seq("k", "n", "v"))
+    assert(df1.collect()(0).getLong(1) === 0L)
+    // MODIFY retypes in place (UInt32 -> String)
+    ChDdl.execute(spark, "ALTER TABLE test.alt MODIFY COLUMN n String")
+    val df2 = ChDdl.execute(spark, "SELECT n FROM test.alt").get
+    assert(df2.schema.fields.head.dataType ===
+      org.apache.spark.sql.types.StringType)
+    // DROP removes; inserts against the new schema work
+    ChDdl.execute(spark, "ALTER TABLE test.alt DROP COLUMN v")
+    ChDdl.execute(spark, "INSERT INTO test.alt VALUES (3, 'three')")
+    val rows = ChDdl.execute(spark, "SELECT k, n FROM test.alt ORDER BY k").get.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(2).getString(1) === "three")
+    ChDdl.execute(spark, "DROP TABLE test.alt")
+  }
+
+  test("RENAME TABLE moves the catalog entry") {
+    ChDdl.execute(spark, "CREATE TABLE test.rn_a (x UInt32) ENGINE=Memory")
+    ChDdl.execute(spark, "INSERT INTO test.rn_a VALUES (9)")
+    ChDdl.execute(spark, "RENAME TABLE test.rn_a TO test.rn_b")
+    assert(ChDdl.execute(spark, "SELECT x FROM test.rn_b").get
+      .collect()(0).getLong(0) === 9L)
+    intercept[Exception] {
+      ChDdl.execute(spark, "SELECT x FROM test.rn_a").get.collect()
+    }
+    ChDdl.execute(spark, "DROP TABLE test.rn_b")
+  }
+
   test("out-of-range index on an array of tuples yields a default tuple") {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.functions._
