@@ -205,4 +205,86 @@ object CodingFns {
     while (n < data.length && data(n) != 0) n += 1
     new String(data, 0, n, java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  /** decodeURLComponent: %XX percent-decoding only — unlike
+    * java.net.URLDecoder, '+' stays '+' (FunctionsURL.h
+    * DecodeURLComponentImpl). Malformed escapes pass through. */
+  def decodeUrlComponent(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i)
+      if (c == '%' && i + 2 < bytes.length &&
+        isHexDigit(bytes(i + 1)) && isHexDigit(bytes(i + 2))) {
+        out.write((digit(bytes(i + 1).toChar) << 4) | digit(bytes(i + 2).toChar))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def isHexDigit(b: Byte): Boolean = {
+    val c = b.toChar
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  }
+
+  /** URLHierarchy(url) — growing URL prefixes per the reference's
+    * URLParser walk (FunctionsURL.h URLHierarchyImpl): token 1 =
+    * protocol + domain (+ one slash), each further token adds one
+    * path/query segment; URLs without `proto://` yield the whole URL
+    * as the single token. */
+  def urlHierarchy(url: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val end = url.length
+    var pos = 0
+    // protocol scan: letters/digits (exclusive bounds as in the ref)
+    while (pos < end && {
+      val c = url.charAt(pos)
+      (c > 'a' && c < 'z') || (c > '0' && c < '9')
+    }) pos += 1
+    val hasProto = pos != 0 && pos < end && url.charAt(pos) == ':' &&
+      pos + 2 < end && url.charAt(pos + 1) == '/' && url.charAt(pos + 2) == '/' &&
+      pos + 3 < end
+    if (!hasProto) {
+      if (end > 0) out += url
+      return out.result()
+    }
+    pos += 3
+    while (pos < end && "/?#".indexOf(url.charAt(pos)) < 0) pos += 1
+    if (pos != end) pos += 1
+    out += url.substring(0, pos)
+    var done = false
+    while (!done && pos < end) {
+      while (pos < end && "/?#".indexOf(url.charAt(pos)) >= 0) pos += 1
+      if (pos == end) done = true
+      else {
+        while (pos < end && "/?#".indexOf(url.charAt(pos)) < 0) pos += 1
+        if (pos != end) pos += 1
+        out += url.substring(0, pos)
+      }
+    }
+    out.result()
+  }
+
+  /** firstSignificantSubdomain (FunctionsURL.h:716): the domain label
+    * left of the public suffix, where {com, net, org, co} after a dot
+    * mark a two-level suffix (news.yandex.com.tr → yandex). */
+  def firstSignificantSubdomain(url: String): String = {
+    // host = text between (optional) "//" and the next / ? # :
+    var start = url.indexOf("//") match {
+      case -1 => 0
+      case i => i + 2
+    }
+    var end = start
+    while (end < url.length && "/?#:".indexOf(url.charAt(end)) < 0) end += 1
+    val host = url.substring(start, end)
+    val parts = host.split("\\.")
+    if (parts.length < 2) return if (parts.isEmpty) "" else parts(0)
+    val secondLevel = Set("com", "net", "org", "co")
+    if (parts.length >= 3 && secondLevel.contains(parts(parts.length - 2)))
+      parts(parts.length - 3)
+    else parts(parts.length - 2)
+  }
 }

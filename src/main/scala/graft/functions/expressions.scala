@@ -203,13 +203,82 @@ object KernelExpr {
       a => CodingFns.uuidStringToNum(str(a))),
     "to_string_cut_to_zero" -> Spec(BinaryType, StringType,
       c => s"$U8(graft.functions.CodingFns.toStringCutToZero($c))",
-      a => u8(CodingFns.toStringCutToZero(bytes(a)))))
+      a => u8(CodingFns.toStringCutToZero(bytes(a)))),
+    "decode_url_component" -> Spec(StringType, StringType,
+      c => s"$U8(graft.functions.CodingFns.decodeUrlComponent($c.toString()))",
+      a => u8(CodingFns.decodeUrlComponent(str(a)))),
+    "first_significant_subdomain" -> Spec(StringType, StringType,
+      c => s"$U8(graft.functions.CodingFns.firstSignificantSubdomain($c.toString()))",
+      a => u8(CodingFns.firstSignificantSubdomain(str(a)))),
+    "url_hierarchy" -> Spec(StringType, ArrayType(StringType, containsNull = false),
+      c => s"graft.functions.KernelExpr.stringsArray(graft.functions.CodingFns.urlHierarchy($c.toString()))",
+      a => stringsArray(CodingFns.urlHierarchy(str(a)))))
+
+  /** ArrayData bridge for codegen'd string-array kernels. */
+  def stringsArray(xs: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      xs.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
 
   def builder(kernel: String): Seq[Expression] => Expression = {
     case Seq(e) => KernelExpr(e, kernel)
     case other => throw new IllegalArgumentException(
       s"$kernel expects 1 argument, got ${other.size}")
   }
+}
+
+/** CH treats UInt8 comparison results as summable numbers
+  * (`sum(x = y)`); Spark's booleans are not. This wrapper turns a
+  * boolean child into 0/1 Int and passes every other type through
+  * unchanged — the dialect wraps aggregate arguments with it. */
+case class BoolToUInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    if (child.dataType == org.apache.spark.sql.types.BooleanType) IntegerType
+    else child.dataType
+  override def prettyName: String = "booltouint8"
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case b: Boolean => if (b) 1 else 0
+    case other => other
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (child.dataType == org.apache.spark.sql.types.BooleanType)
+      defineCodeGen(ctx, ev, c => s"($c ? 1 : 0)")
+    else defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): BoolToUInt8 =
+    copy(child = newChild)
+}
+
+/** CH `visibleWidth(x)`: the character width of the value rendered in
+  * the reference's text format — tuples as `(1,2)`, arrays as
+  * `[1,2,3]`, strings quoted inside containers
+  * (FunctionsMiscellaneous.cpp visibleWidth). CodegenFallback: a
+  * formatting helper for presentation, never a hot path. */
+case class VisibleWidthExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "visiblewidth"
+
+  private def render(v: Any, dt: DataType, inContainer: Boolean): String = (v, dt) match {
+    case (null, _) => "\\N"
+    case (s: UTF8String, _) =>
+      if (inContainer) "'" + s.toString + "'" else s.toString
+    case (a: org.apache.spark.sql.catalyst.util.ArrayData, org.apache.spark.sql.types.ArrayType(et, _)) =>
+      (0 until a.numElements()).map(i => render(a.get(i, et), et, inContainer = true))
+        .mkString("[", ",", "]")
+    case (r: org.apache.spark.sql.catalyst.InternalRow, st: org.apache.spark.sql.types.StructType) =>
+      st.fields.zipWithIndex.map { case (f, i) =>
+        render(r.get(i, f.dataType), f.dataType, inContainer = true)
+      }.mkString("(", ",", ")")
+    case (d: Double, _) if d.isWhole && math.abs(d) < 1e15 => d.toLong.toString
+    case (f: Float, _) if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
+    case (x, _) => x.toString
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    render(input, child.dataType, inContainer = false).length.toLong
+
+  override protected def withNewChildInternal(newChild: Expression): VisibleWidthExpr =
+    copy(child = newChild)
 }
 
 /** CH `hex(x)` — type-dispatching: numbers render big-endian with

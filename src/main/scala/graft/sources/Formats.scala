@@ -57,7 +57,17 @@ object Formats {
   /** TabSeparated — the reference's default test-output format
     * (TabSeparatedRowOutputStream): `\t`-joined values, `\N` nulls,
     * booleans as UInt8 0/1, arrays as `[1,2]` / `['a','b']`. */
-  def tabSeparated(df: DataFrame, limit: Int = 1000000): String = {
+  def tabSeparated(df: DataFrame, limit: Int = 1000000): String =
+    df.limit(limit).collect()
+      .map(r => r.toSeq.map(renderValue(_, inArray = false)).mkString("\t"))
+      .mkString("\n")
+
+  /** One external row, TabSeparated (shared with the WITH TOTALS
+    * renderer in ChDdl). */
+  def renderRow(values: Seq[Any]): String =
+    values.map(renderValue(_, inArray = false)).mkString("\t")
+
+  def renderValue(v: Any, inArray: Boolean): String = {
     def render(v: Any, inArray: Boolean): String = v match {
       case null => "\\N"
       case b: Boolean => if (b) "1" else "0"
@@ -82,9 +92,7 @@ object Formats {
         if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
       case other => other.toString
     }
-    df.limit(limit).collect()
-      .map(r => r.toSeq.map(render(_, inArray = false)).mkString("\t"))
-      .mkString("\n")
+    render(v, inArray)
   }
 
   /** Pretty — the reference's boxed table output (PrettyBlockOutputStream). */

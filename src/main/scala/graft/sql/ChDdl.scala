@@ -57,6 +57,41 @@ object ChDdl {
   def executeScript(spark: SparkSession, script: String): Seq[DataFrame] =
     ChSql.statements(script).flatMap(execute(spark, _))
 
+  /** Execute one statement and render TabSeparated the way the
+    * reference's test runner sees it. `WITH TOTALS` results render as
+    * main rows, a blank line, then the totals row with the grouping
+    * keys shown as their type defaults (TotalsHavingBlockInputStream's
+    * side-channel row; the translator models it as GROUPING SETS with
+    * a hidden grouping_id marker). */
+  def executeRendered(spark: SparkSession, stmtRaw: String): Option[String] = {
+    val hasTotals = "(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(stmtRaw).isDefined
+    execute(spark, stmtRaw).map { df =>
+      if (!hasTotals || !df.columns.contains("__gid")) Formats.tabSeparated(df)
+      else {
+        val gid = df.columns.indexOf("__gid")
+        val fields = df.schema.fields
+        val rows = df.collect()
+        def defaultFor(dt: org.apache.spark.sql.types.DataType): Any = dt match {
+          case org.apache.spark.sql.types.StringType => ""
+          case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf("1970-01-01")
+          case org.apache.spark.sql.types.DoubleType => 0.0d
+          case org.apache.spark.sql.types.FloatType => 0.0f
+          case _: org.apache.spark.sql.types.ArrayType => Seq.empty
+          case _ => 0L
+        }
+        def values(r: Row, totals: Boolean): Seq[Any] =
+          fields.indices.filter(_ != gid).map { i =>
+            val v = r.get(i)
+            if (v == null && totals) defaultFor(fields(i).dataType) else v
+          }.toSeq
+        val (tot, main) = rows.partition(_.getAs[Number](gid).longValue != 0L)
+        (main.map(r => Formats.renderRow(values(r, totals = false))) ++
+          Seq("") ++
+          tot.map(r => Formats.renderRow(values(r, totals = true)))).mkString("\n")
+      }
+    }
+  }
+
   /** Swap db-qualified names (test.foo) for their temp-view names —
     * anchored so a prefix-sharing name (test.foo vs test.foobar) never
     * mistranslates, and string literals are left untouched. */

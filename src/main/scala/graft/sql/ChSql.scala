@@ -48,6 +48,10 @@ object ChSql {
       "(SELECT id AS number FROM range(100000000))")
     // CH `LIMIT offset, n` → SQL `LIMIT n OFFSET offset`
     q = q.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
+    // 0x… integer literals (Spark has no hex literal syntax)
+    q = mapOutsideQuotes(q)(seg =>
+      "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg,
+        m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString))
     q = q.replaceAll("(?i)\\bsystem\\.one\\b", "(SELECT 0 AS dummy)")
     // join strictness: ANY ≈ plain join (exact when RHS key-unique)
     q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
@@ -55,12 +59,24 @@ object ChSql {
     // to the scan anyway. `PREWHERE p WHERE q` (both clauses, valid
     // CH) merges to `WHERE (p) AND (q)`.
     q = mergePrewhere(q)
+    // CH allows aliasing ANY expression in place (`lower('x' AS s)`);
+    // inline the constant-alias form Spark can't parse
+    q = inlineLiteralAliases(q)
+    // GROUP BY k WITH TOTALS → GROUPING SETS ((k),()) + hidden
+    // grouping_id marker; ChDdl.executeRendered splits the totals row
+    q = rewriteWithTotals(q)
     // GLOBAL IN/JOIN ship the set to every shard = broadcast, which
     // Spark plans on its own
     q = q.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", " $1IN")
     // bare USING list → parenthesized
     q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
       "USING ($1)")
+    // CH ternary operator `cond ? a : b` (parenthesized form)
+    q = ternaryToIf(q)
+    // table-less `FROM ARRAY JOIN expr AS alias` → explode subquery
+    q = q.replaceAll(
+      "(?is)\\bFROM\\s+ARRAY\\s+JOIN\\s+(.+?)\\s+[Aa][Ss]\\s+(\\w+)\\s*$",
+      "FROM (SELECT explode($1) AS $2)")
     // multi-expression ARRAY JOIN (lockstep unnest): posexplode the
     // first array; every further alias becomes positional access into
     // its expression — shared offsets, exactly the Nested semantics
@@ -75,6 +91,179 @@ object ChSql {
     q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $1")
     bracketLiteralsToArray(q)
+  }
+
+  /** Paren depth at each character position (quote-aware). */
+  private def depths(q: String): Array[Int] = {
+    val d = new Array[Int](q.length)
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && (c == '(' || c == '[')) depth += 1
+      else if (!inQ && (c == ')' || c == ']')) depth -= 1
+      d(i) = depth
+      i += 1
+    }
+    d
+  }
+
+  private val chTypeNames = Set(
+    "UInt8", "UInt16", "UInt32", "UInt64", "Int8", "Int16", "Int32", "Int64",
+    "Float32", "Float64", "String", "Date", "DateTime", "Array", "FixedString", "Nullable")
+
+  /** CH permits aliasing any subexpression in place (`f('x' AS s)`,
+    * later referring to `s`). Spark can't parse the inner AS; for the
+    * LITERAL case the alias is inlined: the ` AS s` is dropped and
+    * every bare `s` reference becomes the literal. Only applies at
+    * paren depth > 0 (top-level `SELECT 1 AS x` is normal SQL), and
+    * never when the "alias" is a CH type name (CAST syntax). */
+  private def inlineLiteralAliases(q: String): String = {
+    val lit = "'(?:[^'\\\\]|\\\\.)*'|(?<![\\w.])\\d+(?:\\.\\d+)?"
+    val re = (s"(materialize\\(\\s*(?:$lit)\\s*\\)|$lit)" +
+      "\\s+[Aa][Ss]\\s+([A-Za-z_]\\w*)").r
+    val d = depths(q)
+    // innermost enclosing '(' of a position; None at top level
+    def openParenOf(pos: Int): Option[Int] = {
+      var stack = List.empty[Int]
+      var inQ = false
+      var i = 0
+      while (i < pos) {
+        val c = q.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') stack = i :: stack
+        else if (!inQ && c == ')') stack = stack.drop(1)
+        i += 1
+      }
+      stack.headOption
+    }
+    // inline only inside FUNCTION parens — `(SELECT 1 AS x)` is a
+    // subquery whose alias is a real output column, not inlineable
+    def inFunctionCall(pos: Int): Boolean = openParenOf(pos) match {
+      case None => false
+      case Some(p) =>
+        !q.substring(p + 1).stripLeading.toUpperCase.startsWith("SELECT")
+    }
+    val matches = re.findAllMatchIn(q).toList
+      .filter(m => d(m.start) > 0 && !chTypeNames.contains(m.group(2)) &&
+        inFunctionCall(m.start))
+    if (matches.isEmpty) return q
+    // drop the ` AS alias` part of each match (right to left)
+    var out = q
+    matches.reverse.foreach { m =>
+      out = out.substring(0, m.start) + m.group(1) + out.substring(m.end)
+    }
+    // replace bare alias references with the literal
+    matches.foreach { m =>
+      val pat = ("\\b" + java.util.regex.Pattern.quote(m.group(2)) + "\\b").r
+      val repl = java.util.regex.Matcher.quoteReplacement(m.group(1))
+      out = mapOutsideQuotes(out)(seg => pat.replaceAllIn(seg, repl))
+    }
+    out
+  }
+
+  /** `GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS
+    * ((k1, k2), ())`, appending a hidden `grouping_id() AS __gid`
+    * column to the select list so the renderer can split the totals
+    * row (TotalsHavingBlockInputStream's side-channel row, rendered
+    * after a blank line in TabSeparated). */
+  private def rewriteWithTotals(q: String): String = {
+    val re = "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
+    re.findFirstMatchIn(q) match {
+      case None => q
+      case Some(m) =>
+        val keys = m.group(1).trim
+        val rewritten = q.substring(0, m.start) +
+          s"GROUP BY GROUPING SETS (($keys), ())" + q.substring(m.end)
+        // insert the marker before the first top-level FROM/GROUP
+        val d = depths(rewritten)
+        val up = rewritten.toUpperCase
+        val fromIx = Iterator.from(0)
+          .map(i => up.indexOf(" FROM ", i))
+          .takeWhile(_ >= 0)
+          .find(i => d(i) == 0)
+        val groupIx = Iterator.from(0)
+          .map(i => up.indexOf(" GROUP ", i))
+          .takeWhile(_ >= 0)
+          .find(i => d(i) == 0)
+        val at = (fromIx, groupIx) match {
+          case (Some(f), Some(g)) => math.min(f, g)
+          case (Some(f), None) => f
+          case (None, Some(g)) => g
+          case _ => rewritten.length
+        }
+        rewritten.substring(0, at) + ", grouping_id() AS __gid" +
+          rewritten.substring(at)
+    }
+  }
+
+  /** CH `cond ? a : b` → `if(cond, a, b)` for the parenthesized form
+    * `(… ? … : …)`: cond spans from the enclosing '(' to '?', the
+    * branches split at the matching ':' of the same depth. Applied
+    * repeatedly until no ternary remains. */
+  private def ternaryToIf(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val d = depths(q)
+      var inQ = false
+      var i = 0
+      while (i < q.length && !changed) {
+        val c = q.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '?' && d(i) > 0 &&
+          // not the JDBC-parameter or LIKE wildcard contexts; CH uses
+          // bare '?' only for ternaries in these tests
+          i + 1 < q.length) {
+          // innermost enclosing '(' and its matching ')'
+          var open = -1
+          var depth2 = 0
+          var j = i - 1
+          var inQ2 = false
+          // scan backwards for the unmatched '('
+          while (j >= 0 && open < 0) {
+            val ch = q.charAt(j)
+            if (ch == '\'') inQ2 = !inQ2
+            else if (!inQ2 && ch == ')') depth2 += 1
+            else if (!inQ2 && ch == '(') {
+              if (depth2 == 0) open = j else depth2 -= 1
+            }
+            j -= 1
+          }
+          if (open >= 0) {
+            // forward: matching ':' at same depth, then the closing ')'
+            var colon = -1
+            var close = -1
+            var k = i + 1
+            var dep = d(i)
+            var inQ3 = false
+            while (k < q.length && close < 0) {
+              val ch = q.charAt(k)
+              if (ch == '\'') inQ3 = !inQ3
+              else if (!inQ3 && (ch == '(' || ch == '[')) dep += 1
+              else if (!inQ3 && (ch == ')' || ch == ']')) {
+                if (ch == ')' && dep == d(i)) close = k
+                dep -= 1
+              }
+              else if (!inQ3 && ch == ':' && dep == d(i) && colon < 0) colon = k
+              k += 1
+            }
+            if (colon > 0 && close > colon) {
+              val cond = q.substring(open + 1, i).trim
+              val a = q.substring(i + 1, colon).trim
+              val b = q.substring(colon + 1, close).trim
+              q = q.substring(0, open) + s"(if($cond, $a, $b))" + q.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    q
   }
 
   /** `PREWHERE p [WHERE q]` → `WHERE (p) AND (q)` / `WHERE p`. */
@@ -261,8 +450,12 @@ object ChSql {
   // CH-named functions
   // ------------------------------------------------------------------
 
+  /** CH numeric conversions WRAP on overflow (reinterpret-style
+    * truncation, e.g. toInt32(3584912846) < 0) — LEGACY cast, not the
+    * ANSI error. */
   private def cast(dt: DataType): Seq[Expression] => Expression = {
-    case Seq(e) => Cast(e, dt)
+    case Seq(e) => new Cast(e, dt, None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
     case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
   }
 
@@ -272,6 +465,21 @@ object ChSql {
       new Cast(e, dt, None, org.apache.spark.sql.catalyst.expressions.EvalMode.TRY),
       Cast(Literal(0), dt)))
     case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
+  }
+
+  /** CH transform: CaseWhen over zipped from/to array literals
+    * (FunctionsTransform.cpp). */
+  private def chTransform(x: Expression, from: Expression, to: Expression,
+      default: Expression): Expression = {
+    def items(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(es, _) => es
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("array") => f.arguments
+      case other => throw new IllegalArgumentException(
+        s"transform expects array literals, got $other")
+    }
+    CaseWhen(items(from).zip(items(to)).map { case (f, t) => (EqualTo(x, f), t) },
+      Some(default))
   }
 
   /** Bridge a Column-level helper (graft.functions.ch) into a SQL
@@ -310,7 +518,13 @@ object ChSql {
     "arrayElement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
     "charrayelement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
     // more conversions / misc
-    "toDateTime" -> cast(TimestampType),
+    // toDateTime: a STRING of digits is a unix timestamp (the
+    // reference parses '1000000000' as the epoch second)
+    "toDateTime" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      when(c.cast("string").rlike("^[0-9]+$"),
+        c.cast("string").cast("long").cast("timestamp"))
+        .otherwise(c.cast("timestamp")) },
     "toNullable" -> { case Seq(e) => e },
     "assumeNotNull" -> { case Seq(e) => e },
     "identity" -> { case Seq(e) => e },
@@ -426,17 +640,122 @@ object ChSql {
       graft.functions.KernelExpr(e, "uuid_string_to_num") },
     "toStringCutToZero" -> { case Seq(e) =>
       graft.functions.KernelExpr(e, "to_string_cut_to_zero") },
+    // statistics aggregates under CH camelCase names
+    "varSamp" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.var_samp(c) },
+    "varPop" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.var_pop(c) },
+    "stddevSamp" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.stddev_samp(c) },
+    "stddevPop" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.stddev_pop(c) },
+    "covarSamp" -> viaColumn { case Seq(a, b) => org.apache.spark.sql.functions.covar_samp(a, b) },
+    "covarPop" -> viaColumn { case Seq(a, b) => org.apache.spark.sql.functions.covar_pop(a, b) },
+    // replaceOne: first occurrence only (FunctionsStringSearch.h)
+    "replaceOne" -> { case Seq(s, f, t) =>
+      val loc = new StringLocate(f, s)
+      If(GreaterThan(loc, Literal(0)),
+        Concat(Seq(
+          Substring(s, Literal(1), Subtract(loc, Literal(1))),
+          t,
+          Substring(s, Add(loc, Length(f)), Literal(Int.MaxValue)))),
+        s) },
+    // string-array family (FunctionsStringArray.h)
+    "arrayStringConcat" -> { case Seq(a) => ArrayJoin(a, Literal(""), None)
+      case Seq(a, sep) => ArrayJoin(a, sep, None) },
+    "emptyArrayToSingle" -> { case Seq(a) =>
+      If(LessThanOrEqual(new Size(a), Literal(0)),
+        CreateArray(Seq(graft.functions.ChArrayElement(a, Literal(1)))), a) },
+    "appendTrailingCharIfAbsent" -> { case Seq(s, Literal(c, StringType)) =>
+      org.apache.spark.sql.graftbridge.Bridge.expression(
+        graft.functions.ch.appendTrailingCharIfAbsent(
+          org.apache.spark.sql.graftbridge.Bridge.column(s), c.toString)) },
+    // bit rotation over the UInt64 ring (FunctionsArithmetic.h)
+    "bitRotateLeft" -> { case Seq(x, n) =>
+      BitwiseOr(ShiftLeft(Cast(x, LongType), Cast(n, IntegerType)),
+        ShiftRightUnsigned(Cast(x, LongType),
+          Subtract(Literal(64), Cast(n, IntegerType)))) },
+    "bitRotateRight" -> { case Seq(x, n) =>
+      BitwiseOr(ShiftRightUnsigned(Cast(x, LongType), Cast(n, IntegerType)),
+        ShiftLeft(Cast(x, LongType),
+          Subtract(Literal(64), Cast(n, IntegerType)))) },
+    // IPv4 text coding (FunctionsCoding.h:640-927); malformed input
+    // yields 0 (the reference's default-value convention)
+    "IPv4StringToNum" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      val p = split(c, "\\.")
+      val octets = (1 to 4).map(i => element_at(p, i).cast("long"))
+      when(c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$") &&
+        octets.map(_ < 256).reduce(_ && _),
+        octets(0) * 16777216L + octets(1) * 65536L + octets(2) * 256L + octets(3))
+        .otherwise(0L) },
+    "IPv4NumToString" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      concat_ws(".",
+        (c.cast("long") / 16777216L).cast("long") % 256,
+        (c.cast("long") / 65536L).cast("long") % 256,
+        (c.cast("long") / 256L).cast("long") % 256,
+        c.cast("long") % 256) },
+    "IPv4NumToStringClassC" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      concat_ws(".",
+        (c.cast("long") / 16777216L).cast("long") % 256,
+        (c.cast("long") / 65536L).cast("long") % 256,
+        (c.cast("long") / 256L).cast("long") % 256,
+        lit("xxx")) },
+    // deeper URL surface (FunctionsURL.h)
+    "URLHierarchy" -> { case Seq(e) =>
+      graft.functions.KernelExpr(e, "url_hierarchy") },
+    // URLHash(url, level) ≡ URLHash(URLHierarchy(url)[level+1]) — the
+    // out-of-range level hashes the array element's default ''
+    "URLHash" -> {
+      case Seq(e) => graft.functions.KernelExpr(e, "urlhash")
+      case Seq(e, l) => graft.functions.KernelExpr(
+        graft.functions.ChArrayElement(
+          graft.functions.KernelExpr(e, "url_hierarchy"),
+          Add(Cast(l, IntegerType), Literal(1))), "urlhash") },
+    // CH transform(x, [from…], [to…][, default]) — value remapping.
+    // The 2-arg lambda form stays Spark's higher-order transform so
+    // the session-wide registration is non-destructive.
+    "transform" -> {
+      case Seq(a, l) => ArrayTransform(a, l)
+      case Seq(x, f, t) => chTransform(x, f, t, x)
+      case Seq(x, f, t, d) => chTransform(x, f, t, d) },
+    "firstSignificantSubdomain" -> { case Seq(e) =>
+      graft.functions.KernelExpr(e, "first_significant_subdomain") },
+    "extractURLParameter" -> { case Seq(u, Literal(name, StringType)) =>
+      RegExpExtract(u,
+        Literal("[?&]" + java.util.regex.Pattern.quote(name.toString) + "=([^&#]*)"),
+        Literal(1)) },
+    "extractURLParameters" -> viaColumn { case Seq(u) =>
+      import org.apache.spark.sql.functions._
+      filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"), x => x =!= "") },
+    "visibleWidth" -> { case Seq(e) => graft.functions.VisibleWidthExpr(e) },
+    // -State/-Merge scaffolding for the simple cases the corpus hits
+    "countState" -> { es =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Count(
+        if (es.isEmpty) Seq(Literal(1)) else es) },
+    "finalizeAggregation" -> { case Seq(e) => e },
     // bit-test family (FunctionsCoding.h:1866-2236)
     "bitTest" -> { case Seq(x, p) =>
       Cast(BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), IntegerType) },
     "bitTestAny" -> { case x +: ps =>
-      ps.map(p => GreaterThan(
+      Cast(ps.map(p => GreaterThan(
         BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), Literal(0L)))
-        .reduceLeft[Expression]((a, b) => Or(a, b)) },
+        .reduceLeft[Expression]((a, b) => Or(a, b)), IntegerType) },
     "bitTestAll" -> { case x +: ps =>
-      ps.map(p => GreaterThan(
+      Cast(ps.map(p => GreaterThan(
         BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), Literal(0L)))
-        .reduceLeft[Expression]((a, b) => And(a, b)) })
+        .reduceLeft[Expression]((a, b) => And(a, b)), IntegerType) },
+    // CH sums/avgs UInt8 comparison results (`sum(x = y)`)
+    "sum" -> { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+        graft.functions.BoolToUInt8(e)) },
+    "avg" -> { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+        graft.functions.BoolToUInt8(e)) },
+    "min" -> { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Min(
+        graft.functions.BoolToUInt8(e)) },
+    "max" -> { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Max(
+        graft.functions.BoolToUInt8(e)) })
 
   private val emptyArrayFns: Seq[(String, Seq[Expression] => Expression)] =
     Seq[(String, DataType)](

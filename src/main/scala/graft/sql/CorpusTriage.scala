@@ -18,9 +18,9 @@ object CorpusTriage {
 
   // features we knowingly don't support in the translator yet
   private val skipMarkers = Seq(
-    "ALTER", "ATTACH", "zookeeper", "remote(", "FORMAT JSON",
+    "ATTACH", "zookeeper", "remote(", "FORMAT JSON",
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
-    "toTypeName", "reinterpret", "intHash", "cityHash", "sipHash",
+    "toTypeName", "reinterpret",
     "quantile", "uniq", "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand",
     "replicate", "arrayEnumerateUniq",
@@ -51,8 +51,7 @@ object CorpusTriage {
         try {
           val fut = scala.concurrent.Future {
             ChSql.statements(sql)
-              .flatMap(st => ChDdl.execute(spark, st))
-              .map(Formats.tabSeparated(_))
+              .flatMap(st => ChDdl.executeRendered(spark, st))
               .filter(_.nonEmpty).mkString("\n")
           }(scala.concurrent.ExecutionContext.global)
           val got = scala.concurrent.Await.result(fut,

@@ -2,14 +2,21 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Column ↔ Expression bridge. `ExpressionUtils` is private[sql], so
   * this one-liner lives in an org.apache.spark.sql subpackage — the
   * supported pattern for extension libraries needing the classic
   * Column internals (no behavior, just visibility).
+  *
+  * `expression` converts RECURSIVELY via the classic
+  * ColumnNodeToExpressionConverter: the lazy `ExpressionUtils
+  * .expression` wrapper leaves ColumnNode shims in the tree, which
+  * the analyzer accepts from Dataset.select but cannot resolve when
+  * the tree is returned from a FunctionRegistry builder.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def expression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
 }

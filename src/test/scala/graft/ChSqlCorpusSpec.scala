@@ -43,6 +43,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00013_8_select_from_table_with_arrays",
     "00013_9_select_from_table_with_arrays",
     "00013_a_select_from_table_with_arrays",
+    "00015_totals_having_constants",
     "00018_distinct_in_subquery",
     "00020_sorting_arrays",
     "00022_func_higher_order_and_constants",
@@ -83,37 +84,51 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00098_f_union_all",
     "00098_g_union_all",
     "00098_h_union_all",
+    "00103_ipv4_num_to_string_class_c",
     "00114_float_type_result_of_division",
     "00117_parsing_arrays",
     "00126_buffer",
     "00127_group_by_concat",
     "00131_set_hashed",
     "00136_duplicate_order_by_elems",
+    "00140_parse_unix_timestamp_as_datetime",
+    "00140_prewhere_column_order",
+    "00142_parse_timestamp_as_datetime",
     "00144_empty_regexp",
     "00145_empty_likes",
+    "00149_function_url_hash",
     "00151_tuple_with_array",
+    "00153_transform",
     "00156_array_map_to_constant",
     "00157_aliases_and_lambda_formal_parameters",
     "00159_whitespace_in_columns_list",
+    "00165_transform_non_const_default",
     "00173_compare_date_time_with_constant_string",
     "00174_compare_date_time_with_constant_string_in_in",
     "00185_array_literals",
     "00187_like_regexp_prefix",
+    "00194_identity",
+    "00196_float32_formatting",
     "00202_cross_join",
+    "00204_extract_url_parameter",
     "00218_like_regexp_newline",
     "00219_full_right_join_column_order",
+    "00234_disjunctive_equality_chains_optimization",
     "00238_removal_of_temporary_columns",
     "00239_type_conversion_in_in",
     "00250_tuple_comparison",
     "00251_has_types",
     "00258_materializing_tuples",
+    "00268_aliases_without_as_keyword",
     "00288_empty_stripelog",
     "00299_stripe_log_multiple_inserts",
+    "00312_position_case_insensitive_utf8",
     "00316_rounding_functions_and_empty_block",
     "00320_between",
     "00331_final_and_prewhere",
     "00333_parser_number_bug",
     "00345_index_signed_unsigned_comparison",
+    "00349_visible_width",
     "00351_select_distinct_arrays_tuples",
     "00353_join_by_tuple",
     "00355_array_of_non_const_convertible_types",
@@ -122,7 +137,9 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00404_null_literal",
     "00412_logical_expressions_optimizer",
     "00413_distinct",
-    "00436_fixed_string_16_comparisons")
+    "00436_fixed_string_16_comparisons",
+    "00438_bit_rotate",
+    "00448_to_string_cut_to_zero")
 
   // cases share DDL state across files in name order, exactly like
   // the reference runner sharing one server (00013_1 creates the
@@ -138,8 +155,7 @@ class ChSqlCorpusSpec extends SparkSpec {
       val expected = Files.readString(Paths.get(s"$corpus/$name.reference"))
         .stripLineEnd
       val got = ChSql.statements(sql)
-        .flatMap(st => graft.sql.ChDdl.execute(spark, st))
-        .map(Formats.tabSeparated(_))
+        .flatMap(st => graft.sql.ChDdl.executeRendered(spark, st))
         .filter(_.nonEmpty).mkString("\n")
       if (sql.toUpperCase.contains("ORDER BY")) assert(got === expected)
       else assert(got.linesIterator.toSeq.sorted ===
