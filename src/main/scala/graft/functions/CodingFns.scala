@@ -268,23 +268,33 @@ object CodingFns {
     out.result()
   }
 
-  /** firstSignificantSubdomain (FunctionsURL.h:716): the domain label
-    * left of the public suffix, where {com, net, org, co} after a dot
-    * mark a two-level suffix (news.yandex.com.tr → yandex). */
+  /** firstSignificantSubdomain — the exact reference algorithm
+    * (FunctionsURL.h ExtractFirstSignificantSubdomain): host after
+    * `scheme://` with a leading `www.` and one trailing dot stripped;
+    * 0 dots → whole host, 1 dot → first label, ≥2 dots → the label
+    * before a {com., net., org., co.} second-level suffix, else the
+    * label between the last two dots. */
   def firstSignificantSubdomain(url: String): String = {
-    // host = text between (optional) "//" and the next / ? # :
-    var start = url.indexOf("//") match {
-      case -1 => 0
-      case i => i + 2
-    }
+    val schemeIx = url.indexOf("://")
+    if (schemeIx < 0) return ""
+    val start = schemeIx + 3
     var end = start
     while (end < url.length && "/?#:".indexOf(url.charAt(end)) < 0) end += 1
-    val host = url.substring(start, end)
-    val parts = host.split("\\.")
-    if (parts.length < 2) return if (parts.isEmpty) "" else parts(0)
-    val secondLevel = Set("com", "net", "org", "co")
-    if (parts.length >= 3 && secondLevel.contains(parts(parts.length - 2)))
-      parts(parts.length - 3)
-    else parts(parts.length - 2)
+    var host = url.substring(start, end)
+    if (host.length > 4 && host.startsWith("www.")) host = host.substring(4)
+    if (host.nonEmpty && host.charAt(host.length - 1) == '.')
+      host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return ""
+    val dots = (0 until host.length).filter(host.charAt(_) == '.')
+    if (dots.isEmpty) return host
+    if (dots.length == 1) return host.substring(0, dots(0))
+    val p0 = dots.last
+    val p1 = dots(dots.length - 2)
+    val p2 = if (dots.length >= 3) dots(dots.length - 3) else -1
+    val afterP1 = host.substring(p1 + 1)
+    if (afterP1.startsWith("com.") || afterP1.startsWith("net.") ||
+      afterP1.startsWith("org.") || afterP1.startsWith("co."))
+      host.substring(p2 + 1, p1)
+    else host.substring(p1 + 1, p0)
   }
 }

@@ -80,9 +80,10 @@ object ch {
   def empty(c: Column): Column = length(c) === 0
   def notEmpty(c: Column): Column = length(c) > 0
 
-  /** appendTrailingCharIfAbsent (FunctionsString.h). */
+  /** appendTrailingCharIfAbsent (FunctionsString.h) — empty strings
+    * stay empty (the reference only appends to non-empty values). */
   def appendTrailingCharIfAbsent(c: Column, ch: String): Column =
-    when(c.endsWith(ch), c).otherwise(concat(c, lit(ch)))
+    when(length(c) === 0 || c.endsWith(ch), c).otherwise(concat(c, lit(ch)))
 
   // --- URL family (reference: Functions/FunctionsURL.h) ---
 
@@ -140,7 +141,7 @@ object ch {
   /** greatCircleDistance(lon1, lat1, lon2, lat2) in meters —
     * haversine over the mean-Earth radius (FunctionsGeo.cpp). */
   def greatCircleDistance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
-    val r = 6371000.0
+    val r = 6372797.560856 // the reference's EARTH_RADIUS_IN_METERS (FunctionsGeo.h:21)
     val dLat = radians(lat2 - lat1) / 2
     val dLon = radians(lon2 - lon1) / 2
     val a = sin(dLat) * sin(dLat) +
@@ -152,12 +153,14 @@ object ch {
     * (FunctionsFormatting.cpp). */
   def formatReadableSize(bytes: Column): Column = {
     val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
-    val e = when(bytes <= 0, 0)
-      .otherwise(least(floor(log(2.0, bytes) / 10).cast("int"), lit(units.size - 1)))
+    // unit chosen by |bytes| so negative sizes scale too (the
+    // reference formats via std::abs)
+    val e = when(abs(bytes) < 1, 0)
+      .otherwise(least(floor(log(2.0, abs(bytes)) / 10).cast("int"), lit(units.size - 1)))
     val scaled = bytes.cast("double") / pow(lit(2.0), e.cast("double") * 10)
     // format_string, not format_number: the latter inserts
     // thousands-separator commas (e.g. '1,000.00KiB')
-    concat(format_string("%.2f", scaled),
+    concat(format_string("%.2f ", scaled),
       element_at(array(units.map(lit): _*), e.cast("int") + 1))
   }
 

@@ -247,37 +247,67 @@ case class BoolToUInt8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The reference's text rendering of an INTERNAL value — tuples as
+  * `(1,2)`, arrays as `[1,2,3]`, strings quoted inside containers,
+  * whole doubles without the `.0`, dates/timestamps in their text
+  * forms. Shared by visibleWidth and the CH toString. */
+object ChRender {
+  import org.apache.spark.sql.types._
+  def render(v: Any, dt: DataType, inContainer: Boolean): String = (v, dt) match {
+    case (null, _) => "\\N"
+    case (s: UTF8String, _) =>
+      if (inContainer) "'" + s.toString + "'" else s.toString
+    case (b: Boolean, _) => if (b) "1" else "0"
+    case (days: Int, DateType) =>
+      val d = java.time.LocalDate.ofEpochDay(days.toLong).toString
+      if (inContainer) s"'$d'" else d
+    case (micros: Long, _: TimestampType) =>
+      val t = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      if (inContainer) s"'$t'" else t
+    case (a: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(et, _)) =>
+      (0 until a.numElements()).map(i => render(a.get(i, et), et, inContainer = true))
+        .mkString("[", ",", "]")
+    case (r: org.apache.spark.sql.catalyst.InternalRow, st: StructType) =>
+      st.fields.zipWithIndex.map { case (f, i) =>
+        render(r.get(i, f.dataType), f.dataType, inContainer = true)
+      }.mkString("(", ",", ")")
+    case (d: Double, _) => graft.sources.Formats.renderDouble(d)
+    case (f: Float, _) if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
+    case (d: org.apache.spark.sql.types.Decimal, _) =>
+      val s = d.toJavaBigDecimal.stripTrailingZeros
+      if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
+    case (x, _) => x.toString
+  }
+}
+
 /** CH `visibleWidth(x)`: the character width of the value rendered in
-  * the reference's text format — tuples as `(1,2)`, arrays as
-  * `[1,2,3]`, strings quoted inside containers
-  * (FunctionsMiscellaneous.cpp visibleWidth). CodegenFallback: a
-  * formatting helper for presentation, never a hot path. */
+  * the reference's text format (FunctionsMiscellaneous.cpp
+  * visibleWidth). CodegenFallback: a formatting helper for
+  * presentation, never a hot path. */
 case class VisibleWidthExpr(child: Expression)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "visiblewidth"
-
-  private def render(v: Any, dt: DataType, inContainer: Boolean): String = (v, dt) match {
-    case (null, _) => "\\N"
-    case (s: UTF8String, _) =>
-      if (inContainer) "'" + s.toString + "'" else s.toString
-    case (a: org.apache.spark.sql.catalyst.util.ArrayData, org.apache.spark.sql.types.ArrayType(et, _)) =>
-      (0 until a.numElements()).map(i => render(a.get(i, et), et, inContainer = true))
-        .mkString("[", ",", "]")
-    case (r: org.apache.spark.sql.catalyst.InternalRow, st: org.apache.spark.sql.types.StructType) =>
-      st.fields.zipWithIndex.map { case (f, i) =>
-        render(r.get(i, f.dataType), f.dataType, inContainer = true)
-      }.mkString("(", ",", ")")
-    case (d: Double, _) if d.isWhole && math.abs(d) < 1e15 => d.toLong.toString
-    case (f: Float, _) if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
-    case (x, _) => x.toString
-  }
-
   override protected def nullSafeEval(input: Any): Any =
-    render(input, child.dataType, inContainer = false).length.toLong
-
+    ChRender.render(input, child.dataType, inContainer = false).length.toLong
   override protected def withNewChildInternal(newChild: Expression): VisibleWidthExpr =
+    copy(child = newChild)
+}
+
+/** CH `toString(x)`: the reference's text rendering — notably whole
+  * Float64 values print without the trailing `.0` (toString(
+  * round(exp10(1))) = '10'), which a plain string cast gets wrong. */
+case class ChToStringExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "tostring"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(ChRender.render(input, child.dataType, inContainer = false))
+  override protected def withNewChildInternal(newChild: Expression): ChToStringExpr =
     copy(child = newChild)
 }
 

@@ -144,13 +144,13 @@ object StatsQueries {
 
   private val q78Sql =
     """SELECT doc_id,
-      |  round(2 * 6371000 * asin(sqrt(
+      |  round(2 * 6372797.560856 * asin(sqrt(
       |    sin(radians(0 - lat) / 2) * sin(radians(0 - lat) / 2) +
       |    cos(radians(lat)) * cos(radians(0)) *
       |    sin(radians(0 - lon) / 2) * sin(radians(0 - lon) / 2))) / 1000, 1) AS km_to_origin,
       |  CASE WHEN n_chars * 1024 < 1048576
-      |       THEN format('{:.2f}', (n_chars * 1024) / 1024.0) || 'KiB'
-      |       ELSE format('{:.2f}', (n_chars * 1024) / 1048576.0) || 'MiB' END AS readable_size
+      |       THEN format('{:.2f}', (n_chars * 1024) / 1024.0) || ' KiB'
+      |       ELSE format('{:.2f}', (n_chars * 1024) / 1048576.0) || ' MiB' END AS readable_size
       |FROM (SELECT doc_id, n_chars,
       |        CAST((doc_id * 7) % 360 - 180 AS DOUBLE) AS lon,
       |        CAST((doc_id * 13) % 180 - 90 AS DOUBLE) AS lat

@@ -67,19 +67,44 @@ object Formats {
   def renderRow(values: Seq[Any]): String =
     values.map(renderValue(_, inArray = false)).mkString("\t")
 
+  /** CH TabSeparated renders Float64 in plain (non-scientific)
+    * notation over the everyday range; Java's Double.toString switches
+    * to exponent form at 1e7. Specials print as inf/-inf/nan. */
+  def renderDouble(d: Double): String = {
+    if (d.isNaN) "nan"
+    else if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+    else if (math.abs(d) >= 1e-4 && math.abs(d) < 1e15)
+      new java.math.BigDecimal(d.toString).toPlainString
+    else d.toString
+  }
+
   def renderValue(v: Any, inArray: Boolean): String = {
+    // writeEscapedString (TabSeparated): \b \f \n \r \t \0 \' \\ are
+    // escaped in String VALUES; strings inside containers also quote
+    def escape(s: String): String =
+      s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+        .replace("\u0000", "\\0").replace("'", "\\'")
     def render(v: Any, inArray: Boolean): String = v match {
       case null => "\\N"
       case b: Boolean => if (b) "1" else "0"
       case s: String =>
-        val esc = s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
-        if (inArray) "'" + esc.replace("'", "\\'") + "'" else esc
+        if (inArray) "'" + escape(s) + "'" else escape(s)
       case a: scala.collection.Seq[_] =>
         a.map(render(_, inArray = true)).mkString("[", ",", "]")
       case r: org.apache.spark.sql.Row =>
         r.toSeq.map(render(_, inArray = true)).mkString("(", ",", ")")
-      case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong.toString
+      case d: Double => renderDouble(d)
+      case f: Float if f.isNaN => "nan"
+      case f: Float if f.isPosInfinity => "inf"
+      case f: Float if f.isNegInfinity => "-inf"
       case f: Float if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
+      case f: Float if math.abs(f) >= 1e-4f && math.abs(f) < 1e7f =>
+        // via the float's own shortest repr — a double round-trip
+        // would print the binary approximation tail
+        new java.math.BigDecimal(f.toString).toPlainString
+      case f: Float => f.toString
       case d: java.sql.Date =>
         if (inArray) s"'$d'" else d.toString
       case t: java.sql.Timestamp =>

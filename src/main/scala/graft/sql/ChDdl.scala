@@ -65,9 +65,23 @@ object ChDdl {
     * a hidden grouping_id marker). */
   def executeRendered(spark: SparkSession, stmtRaw: String): Option[String] = {
     val hasTotals = "(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(stmtRaw).isDefined
-    execute(spark, stmtRaw).map { df =>
-      if (!hasTotals || !df.columns.contains("__gid")) Formats.tabSeparated(df)
-      else {
+    // BlockTabSeparated prints COLUMNS as lines (values tab-joined)
+    val blockTsv = "(?i)FORMAT\\s+BlockTabSeparated\\s*$".r
+      .findFirstIn(stmtRaw.trim.stripSuffix(";").trim).isDefined
+    execute(spark, stmtRaw).flatMap { df =>
+      if (blockTsv) {
+        val rows = df.limit(1000000).collect()
+        if (rows.isEmpty) None
+        else Some(df.columns.indices.map(i =>
+          rows.map(r => Formats.renderValue(r.get(i), inArray = false))
+            .mkString("\t")).mkString("\n"))
+      } else if (!hasTotals || !df.columns.contains("__gid")) {
+        // a zero-row result prints NOTHING (not an empty line), while
+        // one row holding '' legitimately prints one empty line
+        val rows = df.limit(1000000).collect()
+        if (rows.isEmpty) None
+        else Some(rows.map(r => Formats.renderRow(r.toSeq)).mkString("\n"))
+      } else Some {
         val gid = df.columns.indexOf("__gid")
         val fields = df.schema.fields
         val rows = df.collect()

@@ -52,6 +52,15 @@ object ChSql {
     q = mapOutsideQuotes(q)(seg =>
       "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg,
         m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString))
+    // \xNN byte escapes in string literals (consecutive runs decode
+    // as UTF-8; Spark's parser has no \x escape)
+    q = "((?:\\\\x[0-9A-Fa-f]{2})+)".r.replaceAllIn(q, m => {
+      val bytes = m.group(1).split("\\\\x").filter(_.nonEmpty)
+        .map(h => Integer.parseInt(h, 16).toByte)
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .replace("\\", "\\\\").replace("'", "\\'")
+      java.util.regex.Matcher.quoteReplacement(s)
+    })
     q = q.replaceAll("(?i)\\bsystem\\.one\\b", "(SELECT 0 AS dummy)")
     // join strictness: ANY ≈ plain join (exact when RHS key-unique)
     q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
@@ -467,6 +476,21 @@ object ChSql {
     case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
   }
 
+  /** toFloat64/32 with the reference's inf/-inf/±nan spellings. */
+  private def floatConv(e: Expression, dt: DataType): Expression = {
+    val s = Lower(Cast(e, StringType))
+    def d(v: Double): Expression =
+      if (dt == FloatType) Literal(v.toFloat) else Literal(v)
+    CaseWhen(Seq(
+      (In(s, Seq(Literal("inf"), Literal("+inf"), Literal("infinity"), Literal("+infinity"))),
+        d(Double.PositiveInfinity)),
+      (In(s, Seq(Literal("-inf"), Literal("-infinity"))),
+        d(Double.NegativeInfinity)),
+      (In(s, Seq(Literal("nan"), Literal("-nan"), Literal("+nan"))), d(Double.NaN))),
+      Some(new Cast(e, dt, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)))
+  }
+
   /** CH transform: CaseWhen over zipped from/to array literals
     * (FunctionsTransform.cpp). */
   private def chTransform(x: Expression, from: Expression, to: Expression,
@@ -493,7 +517,12 @@ object ChSql {
   private val baseFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "materialize" -> { case Seq(e) => e },
     "intDiv" -> { case Seq(a, b) => new IntegralDivide(a, b) },
-    "toString" -> cast(StringType),
+    "toString" -> { case Seq(e) => graft.functions.ChToStringExpr(e) },
+    // CH lower/upper are ASCII-only (lowerUTF8/upperUTF8 do Unicode)
+    "lower" -> { case Seq(e) => StringTranslate(e,
+      Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), Literal("abcdefghijklmnopqrstuvwxyz")) },
+    "upper" -> { case Seq(e) => StringTranslate(e,
+      Literal("abcdefghijklmnopqrstuvwxyz"), Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ")) },
     "toUInt64" -> cast(LongType),
     "toInt64" -> cast(LongType),
     "toUInt32" -> cast(LongType),
@@ -502,8 +531,11 @@ object ChSql {
     "toInt16" -> cast(IntegerType),
     "toUInt8" -> cast(IntegerType),
     "toInt8" -> cast(IntegerType),
-    "toFloat64" -> cast(DoubleType),
-    "toFloat32" -> cast(FloatType),
+    // toFloat64/32 accept the reference's special spellings
+    // inf/-inf/±nan. The fallback is a TRY cast: an ANSI cast of 'inf'
+    // would throw at constant-folding time even on an unreached branch.
+    "toFloat64" -> { case Seq(e) => floatConv(e, DoubleType) },
+    "toFloat32" -> { case Seq(e) => floatConv(e, FloatType) },
     "toDate" -> cast(DateType),
     // FixedString: length-preserving cases only (no padding emulation)
     "toFixedString" -> { case Seq(s, _) => s },

@@ -52,7 +52,7 @@ object CorpusTriage {
           val fut = scala.concurrent.Future {
             ChSql.statements(sql)
               .flatMap(st => ChDdl.executeRendered(spark, st))
-              .filter(_.nonEmpty).mkString("\n")
+              .mkString("\n")
           }(scala.concurrent.ExecutionContext.global)
           val got = scala.concurrent.Await.result(fut,
             scala.concurrent.duration.Duration(60, "s"))

@@ -156,7 +156,7 @@ class ChSqlCorpusSpec extends SparkSpec {
         .stripLineEnd
       val got = ChSql.statements(sql)
         .flatMap(st => graft.sql.ChDdl.executeRendered(spark, st))
-        .filter(_.nonEmpty).mkString("\n")
+        .mkString("\n")
       if (sql.toUpperCase.contains("ORDER BY")) assert(got === expected)
       else assert(got.linesIterator.toSeq.sorted ===
         expected.linesIterator.toSeq.sorted)
