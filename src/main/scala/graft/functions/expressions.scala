@@ -226,6 +226,30 @@ object KernelExpr {
   }
 }
 
+/** CH conditions are UInt8: any non-zero number is true. Wraps a
+  * condition so numeric children become `!= 0` while boolean children
+  * pass through — the dialect's if()/and()/or() tolerance. */
+case class UInt8ToBool(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "uint8tobool"
+  private def isBool = child.dataType == org.apache.spark.sql.types.BooleanType
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case b: Boolean => b
+    case b: Byte => b != 0
+    case s: Short => s != 0
+    case i: Int => i != 0
+    case l: Long => l != 0L
+    case f: Float => f != 0f
+    case d: Double => d != 0d
+    case other => other != null
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isBool) defineCodeGen(ctx, ev, c => c)
+    else defineCodeGen(ctx, ev, c => s"($c != 0)")
+  override protected def withNewChildInternal(newChild: Expression): UInt8ToBool =
+    copy(child = newChild)
+}
+
 /** CH treats UInt8 comparison results as summable numbers
   * (`sum(x = y)`); Spark's booleans are not. This wrapper turns a
   * boolean child into 0/1 Int and passes every other type through

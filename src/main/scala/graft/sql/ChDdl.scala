@@ -17,9 +17,21 @@ import graft.types.ChTypes
   */
 object ChDdl {
 
-  final case class Entry(name: String, view: String, var df: DataFrame, spec: Spec)
+  final case class Entry(name: String, view: String, var df: DataFrame, spec: Spec,
+      defaults: Seq[(String, String)] = Seq.empty)
 
   private val tables = scala.collection.concurrent.TrieMap[String, Entry]()
+
+  /** `USE db` state: bare table names resolve as `db.name`. */
+  @volatile private var currentDb: Option[String] = None
+
+  /** `SET join_use_nulls = 1` state: with 0 (the reference default)
+    * non-joined columns render as type defaults, not NULL. */
+  @volatile private var joinUseNulls: Boolean = false
+
+  /** Per-test-file settings reset (the reference runner starts a new
+    * client per file, so SET never leaks across files). */
+  def resetSettings(): Unit = { joinUseNulls = false }
 
   private def viewName(raw: String): String =
     raw.trim.replace("`", "").replace(".", "_")
@@ -28,9 +40,19 @@ object ChDdl {
   def execute(spark: SparkSession, stmtRaw: String): Option[DataFrame] = {
     val stmt = stmtRaw.trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
-    if (stmt.isEmpty || up.startsWith("SET ") ||
+    if (up.startsWith("SET ")) {
+      if ("(?i)join_use_nulls\\s*=\\s*1".r.findFirstIn(stmt).isDefined)
+        joinUseNulls = true
+      None
+    }
+    else if (stmt.isEmpty ||
       up.startsWith("CREATE DATABASE") || up.startsWith("DROP DATABASE")) None
-    else if (up.startsWith("CREATE TABLE")) { createTable(spark, stmt); None }
+    else if (up.startsWith("USE ")) {
+      currentDb = Some(stmt.substring(4).replace("`", "").trim)
+      None
+    }
+    else if (up.startsWith("CREATE TABLE") ||
+      up.startsWith("CREATE TEMPORARY TABLE")) { createTable(spark, stmt); None }
     else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
     else if (up.startsWith("INSERT INTO")) { insert(spark, stmt); None }
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
@@ -79,24 +101,25 @@ object ChDdl {
         // a zero-row result prints NOTHING (not an empty line), while
         // one row holding '' legitimately prints one empty line
         val rows = df.limit(1000000).collect()
+        // this reference version fills non-joined columns with type
+        // DEFAULTS (0/'') unless join_use_nulls is set
+        val fillJoin = !joinUseNulls &&
+          "(?i)\\bJOIN\\b".r.findFirstIn(stmtRaw).isDefined
+        def fill(r: Row): Seq[Any] =
+          if (!fillJoin) r.toSeq
+          else df.schema.fields.indices.map { i =>
+            if (r.isNullAt(i)) renderDefault(df.schema.fields(i).dataType) else r.get(i)
+          }
         if (rows.isEmpty) None
-        else Some(rows.map(r => Formats.renderRow(r.toSeq)).mkString("\n"))
+        else Some(rows.map(r => Formats.renderRow(fill(r))).mkString("\n"))
       } else Some {
         val gid = df.columns.indexOf("__gid")
         val fields = df.schema.fields
         val rows = df.collect()
-        def defaultFor(dt: org.apache.spark.sql.types.DataType): Any = dt match {
-          case org.apache.spark.sql.types.StringType => ""
-          case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf("1970-01-01")
-          case org.apache.spark.sql.types.DoubleType => 0.0d
-          case org.apache.spark.sql.types.FloatType => 0.0f
-          case _: org.apache.spark.sql.types.ArrayType => Seq.empty
-          case _ => 0L
-        }
         def values(r: Row, totals: Boolean): Seq[Any] =
           fields.indices.filter(_ != gid).map { i =>
             val v = r.get(i)
-            if (v == null && totals) defaultFor(fields(i).dataType) else v
+            if (v == null && totals) renderDefault(fields(i).dataType) else v
           }.toSeq
         val (tot, main) = rows.partition(_.getAs[Number](gid).longValue != 0L)
         (main.map(r => Formats.renderRow(values(r, totals = false))) ++
@@ -106,32 +129,101 @@ object ChDdl {
     }
   }
 
+  /** Type default for rendering (this reference version has no NULLs:
+    * totals key columns and non-joined columns print defaults). */
+  private def renderDefault(dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case org.apache.spark.sql.types.StringType => ""
+    case org.apache.spark.sql.types.DateType => java.sql.Date.valueOf("1970-01-01")
+    case org.apache.spark.sql.types.DoubleType => 0.0d
+    case org.apache.spark.sql.types.FloatType => 0.0f
+    case _: org.apache.spark.sql.types.ArrayType => Seq.empty
+    case _ => 0L
+  }
+
   /** Swap db-qualified names (test.foo) for their temp-view names —
     * anchored so a prefix-sharing name (test.foo vs test.foobar) never
     * mistranslates, and string literals are left untouched. */
-  private def rewriteRefs(sql: String): String =
-    tables.values.foldLeft(sql) { (q, e) =>
+  private def rewriteRefs(sql: String): String = {
+    val qualified = tables.values.foldLeft(sql) { (q, e) =>
       if (!e.name.contains(".")) q
       else {
         val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(e.name) + "(?![\\w.`])").r
         ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, e.view))
       }
     }
+    // after USE db, bare names of db-qualified tables resolve too
+    // (case-sensitive: a lowercase table named 'join' must not touch
+    // the uppercase JOIN keyword)
+    currentDb.fold(qualified) { db =>
+      tables.values.filter(_.name.startsWith(db + ".")).foldLeft(qualified) { (q, e) =>
+        val bare = e.name.stripPrefix(db + ".")
+        val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(bare) + "(?![\\w.`])").r
+        ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, e.view))
+      }
+    }
+  }
 
-  private val createRe =
-    ("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s*" +
-      "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\((.*)\\))?\\s*$").r
+  private val createHeaderRe =
+    "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s*(.*)$".r
 
+  /** CREATE [TEMPORARY] TABLE name [(cols)] [ENGINE = E[(args)]]
+    * [AS SELECT …] — TEMPORARY is the session-scoped catalog anyway;
+    * a missing ENGINE means Memory; AS SELECT populates from the
+    * query (columns/types inferred when not declared). */
   private def createTable(spark: SparkSession, stmt: String): Unit = stmt match {
-    case createRe(rawName, cols, engine, engineArgsOrNull) =>
+    case createHeaderRe(rawName, rest0) =>
       val name = rawName.replace("`", "")
-      val schema = ChTypes.schema(cols)
-      val spec = engineSpec(engine, Option(engineArgsOrNull), schema)
-      val empty = spark.createDataFrame(
-        new java.util.ArrayList[Row](), schema)
-      val entry = Entry(name, viewName(name), empty, spec)
+      var rest = rest0.trim
+      // AS SELECT tail
+      val asSel = "(?is)\\bAS\\s+(SELECT\\b.*)$".r.findFirstMatchIn(rest)
+      val select = asSel.map(_.group(1))
+      asSel.foreach(m => rest = rest.substring(0, m.start).trim)
+      // balanced (cols) prefix
+      val cols: Option[String] =
+        if (rest.startsWith("(")) {
+          var depth = 0
+          var close = -1
+          var i = 0
+          while (i < rest.length && close < 0) {
+            val c = rest.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+            i += 1
+          }
+          require(close > 0, s"unbalanced column list: $stmt")
+          val cl = rest.substring(1, close)
+          rest = rest.substring(close + 1).trim
+          Some(cl)
+        } else None
+      val engineRe = "(?is)^ENGINE\\s*=\\s*(\\w+)\\s*(?:\\((.*)\\))?\\s*$".r
+      val (engine, engineArgs) = rest match {
+        case "" => ("Memory", None)
+        case engineRe(e, argsOrNull) => (e, Option(argsOrNull))
+        case other => throw new IllegalArgumentException(
+          s"unsupported CREATE TABLE tail: $other")
+      }
+      val parsedCols = cols.map(ChTypes.schemaWithDefaults)
+      val initial = (parsedCols, select) match {
+        case (Some((schema, _)), None) =>
+          spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        case (colsOpt, Some(sel)) =>
+          val df = ChSql(spark, rewriteRefs(sel))
+          colsOpt match {
+            case Some((schema, _)) =>
+              import org.apache.spark.sql.functions.col
+              df.toDF(schema.fieldNames.toIndexedSeq: _*)
+                .select(schema.fields.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+            case None => df
+          }
+        case (None, None) =>
+          throw new IllegalArgumentException(s"CREATE TABLE without columns: $stmt")
+      }
+      val spec = engineSpec(engine, engineArgs, initial.schema)
+      val entry = Entry(name, viewName(name), initial, spec,
+        parsedCols.map(_._2).getOrElse(Seq.empty))
       tables.put(name, entry)
-      empty.createOrReplaceTempView(entry.view)
+      initial.createOrReplaceTempView(entry.view)
     case _ =>
       throw new IllegalArgumentException(s"unsupported CREATE TABLE: $stmt")
   }
@@ -246,10 +338,18 @@ object ChDdl {
               .select(target.fields.map(f =>
                 col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
           }
-        // omitted columns take the type's default value
+        // omitted columns take their declared DEFAULT expression
+        // (evaluated over the incoming row) or the type's default
+        val defaultsMap = entry.defaults.toMap
         val incoming = entry.df.schema.fields.foldLeft(partial) { (df, f) =>
           if (target.fieldNames.contains(f.name)) df
-          else df.withColumn(f.name, defaultLit(f.dataType))
+          else defaultsMap.get(f.name) match {
+            case Some(e) =>
+              ChSql.registerChFunctions(spark)
+              df.withColumn(f.name,
+                org.apache.spark.sql.functions.expr(e).cast(f.dataType))
+            case None => df.withColumn(f.name, defaultLit(f.dataType))
+          }
         }.select(entry.df.schema.fieldNames.map(col).toIndexedSeq: _*)
         entry.df = entry.df.unionByName(incoming)
         entry.df.createOrReplaceTempView(entry.view)
@@ -343,5 +443,6 @@ object ChDdl {
   def reset(spark: SparkSession): Unit = {
     tables.values.foreach(e => spark.catalog.dropTempView(e.view))
     tables.clear()
+    currentDb = None
   }
 }

@@ -31,6 +31,9 @@ object ChSql {
 
   def apply(spark: SparkSession, chQuery: String): DataFrame = {
     registerChFunctions(spark)
+    // CH has no positional GROUP BY/ORDER BY: integers are constants
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
+    spark.conf.set("spark.sql.orderByOrdinal", "false")
     spark.sql(translate(chQuery))
   }
 
@@ -42,6 +45,8 @@ object ChSql {
     var q = stripComments(ch).trim.stripSuffix(";").trim
     // FORMAT <name> at the end is presentation, not semantics
     q = q.replaceAll("(?i)\\s+FORMAT\\s+[A-Za-z]+\\s*$", "")
+    // SETTINGS k=v[, …] is an execution hint
+    q = q.replaceAll("(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*\\S+(\\s*,\\s*\\w+\\s*=\\s*\\S+)*", "")
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
     // system tables → generators (bounded; LocalLimit stops the scan)
     q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
@@ -99,6 +104,21 @@ object ChSql {
       "LATERAL VIEW OUTER explode($1) __aj AS $1")
     q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $1")
+    // FROM-less queries referencing `dummy` implicitly read system.one
+    if ("(?i)(?<![\\w.`])dummy(?![\\w.`])".r.findFirstIn(q).isDefined) {
+      val d = depths(q)
+      val up = q.toUpperCase
+      val hasFrom = Iterator.from(0).map(i => up.indexOf(" FROM ", i))
+        .takeWhile(_ >= 0).exists(i => d(i) == 0)
+      if (!hasFrom) {
+        val at = Seq(" GROUP ", " ORDER ", " LIMIT ", " HAVING ", " UNION ")
+          .flatMap { kw =>
+            Iterator.from(0).map(i => up.indexOf(kw, i))
+              .takeWhile(_ >= 0).find(i => d(i) == 0)
+          }.minOption.getOrElse(q.length)
+        q = q.substring(0, at) + " FROM (SELECT 0 AS dummy)" + q.substring(at)
+      }
+    }
     bracketLiteralsToArray(q)
   }
 
@@ -208,11 +228,17 @@ object ChSql {
     }
   }
 
-  /** CH `cond ? a : b` → `if(cond, a, b)` for the parenthesized form
-    * `(… ? … : …)`: cond spans from the enclosing '(' to '?', the
-    * branches split at the matching ':' of the same depth. Applied
-    * repeatedly until no ternary remains. */
+  /** CH `cond ? a : b` → `if(cond, a, b)`. The expression's extent:
+    * cond reaches back to the nearest same-depth boundary (enclosing
+    * '(', a same-depth ',', or a keyword like SELECT/WHERE/THEN); the
+    * else-branch reaches forward to the matching same-depth boundary
+    * (enclosing ')', ',', or AS/FROM/GROUP/…). Applied repeatedly,
+    * innermost-'?'-first, until no ternary remains. */
   private def ternaryToIf(q0: String): String = {
+    // greedy .* ⇒ group(1) is the LAST keyword before the '?'
+    val leftKw = "(?is).*\\b(SELECT|WHERE|HAVING|THEN|WHEN|ELSE|ON|BY|AND|OR)\\b".r
+    val rightKw = Seq("AS", "FROM", "WHERE", "GROUP", "ORDER", "LIMIT",
+      "FORMAT", "UNION", "HAVING", "SETTINGS")
     var q = q0
     var changed = true
     while (changed) {
@@ -223,48 +249,68 @@ object ChSql {
       while (i < q.length && !changed) {
         val c = q.charAt(i)
         if (c == '\'') inQ = !inQ
-        else if (!inQ && c == '?' && d(i) > 0 &&
-          // not the JDBC-parameter or LIKE wildcard contexts; CH uses
-          // bare '?' only for ternaries in these tests
-          i + 1 < q.length) {
-          // innermost enclosing '(' and its matching ')'
-          var open = -1
-          var depth2 = 0
+        else if (!inQ && c == '?') {
+          val d0 = d(i)
+          // LEFT boundary: nearest same-depth ',', enclosing '(', or
+          // keyword end before the condition
+          var start = 0
           var j = i - 1
-          var inQ2 = false
-          // scan backwards for the unmatched '('
-          while (j >= 0 && open < 0) {
-            val ch = q.charAt(j)
-            if (ch == '\'') inQ2 = !inQ2
-            else if (!inQ2 && ch == ')') depth2 += 1
-            else if (!inQ2 && ch == '(') {
-              if (depth2 == 0) open = j else depth2 -= 1
+          var stop = false
+          while (j >= 0 && !stop) {
+            if (d(j) < d0) {
+              // j is just before the enclosing '(' (the paren itself
+              // carries the inner depth) — skip past it
+              start = j + 2; stop = true
             }
-            j -= 1
+            else if (d(j) == d0 && q.charAt(j) == ',') {
+              start = j + 1; stop = true
+            } else j -= 1
           }
-          if (open >= 0) {
-            // forward: matching ':' at same depth, then the closing ')'
-            var colon = -1
-            var close = -1
-            var k = i + 1
-            var dep = d(i)
-            var inQ3 = false
-            while (k < q.length && close < 0) {
-              val ch = q.charAt(k)
-              if (ch == '\'') inQ3 = !inQ3
-              else if (!inQ3 && (ch == '(' || ch == '[')) dep += 1
-              else if (!inQ3 && (ch == ')' || ch == ']')) {
-                if (ch == ')' && dep == d(i)) close = k
-                dep -= 1
+          if (!stop && d0 > 0 && start < q.length &&
+            (q.charAt(start) == '(' || q.charAt(start) == '[')) start += 1
+          // tighten: a trailing keyword inside [start, i) shifts start
+          leftKw.findFirstMatchIn(q.substring(start, i)) match {
+            case Some(m) => start = start + m.end(1)
+            case None =>
+          }
+          // RIGHT: same-depth ':' then the else-branch end
+          var colon = -1
+          var end = q.length
+          var k = i + 1
+          var inQ3 = false
+          var done = false
+          while (k < q.length && !done) {
+            val ch = q.charAt(k)
+            if (ch == '\'') inQ3 = !inQ3
+            else if (!inQ3 && d(k) < d0) { end = k; done = true }
+            else if (!inQ3 && d(k) == d0) {
+              if (colon < 0 && ch == ':') colon = k
+              else if (colon >= 0 && ch == ',') { end = k; done = true }
+              else if (colon >= 0 && ch == ' ') {
+                val rest = q.substring(k + 1)
+                if (rightKw.exists(kw => rest.regionMatches(true, 0, kw, 0, kw.length) &&
+                  (rest.length == kw.length || !rest.charAt(kw.length).isLetterOrDigit))) {
+                  end = k; done = true
+                }
               }
-              else if (!inQ3 && ch == ':' && dep == d(i) && colon < 0) colon = k
-              k += 1
             }
-            if (colon > 0 && close > colon) {
-              val cond = q.substring(open + 1, i).trim
-              val a = q.substring(i + 1, colon).trim
-              val b = q.substring(colon + 1, close).trim
-              q = q.substring(0, open) + s"(if($cond, $a, $b))" + q.substring(close + 1)
+            if (!done) k += 1
+          }
+          if (colon > i) {
+            val cond = q.substring(start, i).trim
+            val a = q.substring(i + 1, colon).trim
+            val b = q.substring(colon, end).substring(1).trim
+            if (cond.nonEmpty && a.nonEmpty && b.nonEmpty) {
+              val pre = q.substring(0, start)
+              val sep = if (pre.nonEmpty && pre.last.isLetterOrDigit) " " else ""
+              // literal condition folds TEXTUALLY — the reference
+              // folds before resolution, so the dead branch may name
+              // columns that don't exist
+              val folded =
+                if (cond.matches("\\d+"))
+                  if (cond.toLong != 0L) a else b
+                else s"if($cond, $a, $b)"
+              q = pre + sep + folded + q.substring(end)
               changed = true
             }
           }
@@ -775,6 +821,24 @@ object ChSql {
       Cast(ps.map(p => GreaterThan(
         BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), Literal(0L)))
         .reduceLeft[Expression]((a, b) => And(a, b)), IntegerType) },
+    // CH if(cond, a, b): numeric conditions mean `!= 0`; a LITERAL
+    // condition folds at build time (the reference folds before
+    // resolution, so the dead branch may reference unknown columns)
+    "if" -> {
+      case Seq(Literal(c, _), a, b) =>
+        val truthy = c match {
+          case null => false
+          case b0: Boolean => b0
+          case n: Number => n.longValue != 0L
+          case _ => true
+        }
+        if (truthy) a else b
+      case Seq(c, a, b) => If(graft.functions.UInt8ToBool(c), a, b) },
+    "and" -> { es => es.map(e => graft.functions.UInt8ToBool(e): Expression)
+      .reduceLeft[Expression]((a, b) => And(a, b)) },
+    "or" -> { es => es.map(e => graft.functions.UInt8ToBool(e): Expression)
+      .reduceLeft[Expression]((a, b) => Or(a, b)) },
+    "not" -> { case Seq(e) => Not(graft.functions.UInt8ToBool(e)) },
     // CH sums/avgs UInt8 comparison results (`sum(x = y)`)
     "sum" -> { case Seq(e) =>
       org.apache.spark.sql.catalyst.expressions.aggregate.Sum(

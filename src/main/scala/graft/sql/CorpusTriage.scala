@@ -48,6 +48,7 @@ object CorpusTriage {
       if (!refFile.exists() || skipMarkers.exists(sql.contains)) { skip += 1 }
       else {
         val expected = Files.readString(refFile.toPath).stripLineEnd
+        ChDdl.resetSettings() // SET never leaks across files
         try {
           val fut = scala.concurrent.Future {
             ChSql.statements(sql)

@@ -61,13 +61,29 @@ object ChTypes {
   }
 
   /** Parse a full `name Type, name Type` column list into a schema. */
-  def schema(columns: String): StructType =
-    StructType(splitTop(columns).map { c =>
+  def schema(columns: String): StructType = schemaWithDefaults(columns)._1
+
+  /** Column list where defs may carry `DEFAULT expr` / `MATERIALIZED
+    * expr` / `ALIAS expr` (ColumnsDescription; the expression is
+    * returned as text for the INSERT pipeline to evaluate). */
+  def schemaWithDefaults(columns: String): (StructType, Seq[(String, String)]) = {
+    val defaults = Seq.newBuilder[(String, String)]
+    val fields = splitTop(columns).map { c =>
       val sp = c.trim.split("\\s+", 2)
       require(sp.length == 2, s"column needs 'name Type': $c")
-      val p = parse(sp(1))
+      val (typeText, defaultExpr) =
+        "(?is)^(.*?)\\s*\\b(DEFAULT|MATERIALIZED|ALIAS)\\s+(.+)$".r
+          .findFirstMatchIn(sp(1)) match {
+          case Some(m) => (m.group(1).trim, Some(m.group(3).trim))
+          case None => (sp(1).trim, None)
+        }
+      require(typeText.nonEmpty, s"typeless DEFAULT column unsupported: $c")
+      defaultExpr.foreach(e => defaults += (sp(0) -> e))
+      val p = parse(typeText)
       StructField(sp(0), p.dataType, p.nullable)
-    })
+    }
+    (StructType(fields), defaults.result())
+  }
 
   /** Spark type → the ClickHouse name we'd surface (inverse map). */
   def toChName(dt: DataType, nullable: Boolean = false): String = {

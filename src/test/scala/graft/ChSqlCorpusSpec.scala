@@ -44,6 +44,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00013_9_select_from_table_with_arrays",
     "00013_a_select_from_table_with_arrays",
     "00015_totals_having_constants",
+    "00016_totals_having_constants",
     "00018_distinct_in_subquery",
     "00020_sorting_arrays",
     "00022_func_higher_order_and_constants",
@@ -59,12 +60,16 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00041_aggregation_remap",
     "00042_set",
     "00043_summing_empty_part",
+    "00055_join_two_numbers",
+    "00056_join_number_string",
     "00060_date_lut",
+    "00066_group_by_in",
     "00068_empty_tiny_log",
     "00071_insert_fewer_columns",
     "00072_in_types",
     "00077_set_keys_fit_128_bits_many_blocks",
     "00078_string_concat",
+    "00082_append_trailing_char_if_absent",
     "00084_summing_merge_tree",
     "00086_concat_nary_const_with_nonconst_segfault",
     "00087_distinct_of_empty_arrays",
@@ -84,9 +89,13 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00098_f_union_all",
     "00098_g_union_all",
     "00098_h_union_all",
+    "00102_insert_into_temporary_table",
     "00103_ipv4_num_to_string_class_c",
+    "00106_totals_after_having",
     "00114_float_type_result_of_division",
     "00117_parsing_arrays",
+    "00118_storage_join",
+    "00119_storage_join",
     "00126_buffer",
     "00127_group_by_concat",
     "00131_set_hashed",
@@ -103,43 +112,58 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00157_aliases_and_lambda_formal_parameters",
     "00159_whitespace_in_columns_list",
     "00165_transform_non_const_default",
+    "00170_lower_upper_utf8",
     "00173_compare_date_time_with_constant_string",
     "00174_compare_date_time_with_constant_string_in_in",
+    "00176_if_string_arrays",
     "00185_array_literals",
     "00187_like_regexp_prefix",
     "00194_identity",
     "00196_float32_formatting",
     "00202_cross_join",
+    "00203_full_join",
     "00204_extract_url_parameter",
     "00218_like_regexp_newline",
     "00219_full_right_join_column_order",
     "00234_disjunctive_equality_chains_optimization",
+    "00235_create_temporary_table_as",
     "00238_removal_of_temporary_columns",
     "00239_type_conversion_in_in",
     "00250_tuple_comparison",
     "00251_has_types",
+    "00255_array_concat_string",
     "00258_materializing_tuples",
     "00268_aliases_without_as_keyword",
+    "00278_insert_already_sorted",
+    "00280_hex_escape_sequence",
     "00288_empty_stripelog",
     "00299_stripe_log_multiple_inserts",
     "00312_position_case_insensitive_utf8",
     "00316_rounding_functions_and_empty_block",
+    "00318_pk_tuple_order",
     "00320_between",
     "00331_final_and_prewhere",
     "00333_parser_number_bug",
     "00345_index_signed_unsigned_comparison",
     "00349_visible_width",
     "00351_select_distinct_arrays_tuples",
+    "00352_external_sorting_and_constants",
     "00353_join_by_tuple",
     "00355_array_of_non_const_convertible_types",
+    "00362_great_circle_distance",
+    "00364_java_style_denormals",
     "00369_int_div_of_float",
+    "00373_group_by_tuple",
+    "00381_first_significant_subdomain",
     "00389_concat_operator",
     "00404_null_literal",
     "00412_logical_expressions_optimizer",
     "00413_distinct",
     "00436_fixed_string_16_comparisons",
     "00438_bit_rotate",
-    "00448_to_string_cut_to_zero")
+    "00440_nulls_merge_tree",
+    "00448_to_string_cut_to_zero",
+    "00451_left_array_join_and_constants")
 
   // cases share DDL state across files in name order, exactly like
   // the reference runner sharing one server (00013_1 creates the
@@ -151,6 +175,7 @@ class ChSqlCorpusSpec extends SparkSpec {
 
   cases.foreach { name =>
     test(s"reference stateless test $name") {
+      graft.sql.ChDdl.resetSettings() // SET never leaks across files
       val sql = Files.readString(Paths.get(s"$corpus/$name.sql"))
       val expected = Files.readString(Paths.get(s"$corpus/$name.reference"))
         .stripLineEnd
