@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footer cache, executor spin-up)
-    // so the first measured query isn't charged ~3s of startup.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warm the session (codegen, parquet footer cache, executor
+    // spin-up) INCLUDING the noop-sink write path — a bare count()
+    // warm-up left the first measured query paying ~3s of residual
+    // codegen/datasource initialization.
+    try queries.CoreQueries.q02(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every output column
     // (count() would let Catalyst prune unused projections and

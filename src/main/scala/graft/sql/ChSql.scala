@@ -76,6 +76,11 @@ object ChSql {
     // CH allows aliasing ANY expression in place (`lower('x' AS s)`);
     // inline the constant-alias form Spark can't parse
     q = inlineLiteralAliases(q)
+    // CH select-list aliases SHADOW source columns for later items
+    // (`number * 2 AS number, number + 1` uses the doubled value);
+    // Spark resolves the real column first — inline the shadowing
+    // expression into later items
+    q = inlineShadowingAliases(q)
     // GROUP BY k WITH TOTALS → GROUPING SETS ((k),()) + hidden
     // grouping_id marker; ChDdl.executeRendered splits the totals row
     q = rewriteWithTotals(q)
@@ -191,6 +196,46 @@ object ChSql {
       out = mapOutsideQuotes(out)(seg => pat.replaceAllIn(seg, repl))
     }
     out
+  }
+
+  /** Self-shadowing select-list aliases: in `EXPR AS a` where `a` is
+    * itself referenced inside EXPR (so the alias shadows a source
+    * column), later select items referring to `a` get `(EXPR)`
+    * inlined — the reference resolves the ALIAS there, Spark the
+    * source column. */
+  private def inlineShadowingAliases(q: String): String = {
+    val selRe = "(?is)\\bSELECT\\s+(.+?)\\s+FROM\\b".r
+    selRe.replaceAllIn(q, m => {
+      // a nested subquery's FROM would truncate the span — skip then
+      val span = m.group(1)
+      val balanced = span.count(_ == '(') == span.count(_ == ')')
+      if (!balanced) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val items = splitTopLevel(span)
+        val aliasRe = "(?is)^(.+?)\\s+AS\\s+([A-Za-z_]\\w*)$".r
+        val out = items.toBuffer
+        items.zipWithIndex.foreach {
+          case (aliasRe(expr, name), idx) =>
+            val selfRef = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+            if (selfRef.findFirstIn(expr).isDefined && expr.trim != name) {
+              val repl = java.util.regex.Matcher.quoteReplacement(s"($expr)")
+              for (j <- (idx + 1) until out.length) {
+                // don't touch the later item's own alias position
+                out(j) = aliasRe.findFirstMatchIn(out(j)) match {
+                  case Some(mm) =>
+                    mapOutsideQuotes(mm.group(1))(seg =>
+                      selfRef.replaceAllIn(seg, repl)) + s" AS ${mm.group(2)}"
+                  case None =>
+                    mapOutsideQuotes(out(j))(seg => selfRef.replaceAllIn(seg, repl))
+                }
+              }
+            }
+          case _ =>
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          "SELECT " + out.mkString(", ") + " FROM ")
+      }
+    })
   }
 
   /** `GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS
