@@ -120,6 +120,116 @@ object Formats {
     render(v, inArray)
   }
 
+  /** TabSeparatedWithNames / …AndTypes — header row(s) then data
+    * (TabSeparatedRowOutputStream with_names/with_types). Types print
+    * under their ClickHouse names. */
+  def tabSeparatedWithNames(df: DataFrame, withTypes: Boolean = false,
+      limit: Int = 1000000): String = {
+    val header = Seq(df.columns.mkString("\t")) ++
+      (if (withTypes)
+        Seq(df.schema.fields.map(f =>
+          graft.types.ChTypes.toChName(f.dataType, f.nullable)).mkString("\t"))
+      else Seq.empty)
+    (header ++ df.limit(limit).collect()
+      .map(r => renderRow(r.toSeq))).mkString("\n")
+  }
+
+  /** TSKV — `name=value` pairs, tab-separated (TSKVRowOutputStream). */
+  def tskv(df: DataFrame, limit: Int = 1000000): String = {
+    val names = df.columns
+    df.limit(limit).collect().map { r =>
+      names.indices.map(i =>
+        s"${names(i)}=${renderValue(r.get(i), inArray = false)}").mkString("\t")
+    }.mkString("\n")
+  }
+
+  private def jsonString(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""
+    case b: Boolean => if (b) "1" else "0"
+    case a: scala.collection.Seq[_] => a.map(jsonString).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(jsonString).mkString("[", ",", "]")
+    case d: Double => renderDouble(d)
+    case other: java.lang.Number => other.toString
+    case other => jsonString(other.toString)
+  }
+
+  /** JSON — the reference's structured output: meta (names + CH type
+    * names), data as objects, rows count (JSONRowOutputStream). */
+  def json(df: DataFrame, limit: Int = 1000000): String = {
+    val meta = df.schema.fields.map(f =>
+      s"""{"name":${jsonString(f.name)},"type":${jsonString(
+        graft.types.ChTypes.toChName(f.dataType, f.nullable))}}""").mkString(",")
+    val rows = df.limit(limit).collect()
+    val data = rows.map(r =>
+      df.columns.indices.map(i =>
+        s"${jsonString(df.columns(i))}:${jsonString(r.get(i))}")
+        .mkString("{", ",", "}")).mkString(",\n")
+    s"""{"meta":[$meta],"data":[\n$data\n],"rows":${rows.length}}"""
+  }
+
+  /** JSONCompact — same meta, data as positional arrays
+    * (JSONCompactRowOutputStream). */
+  def jsonCompact(df: DataFrame, limit: Int = 1000000): String = {
+    val meta = df.schema.fields.map(f =>
+      s"""{"name":${jsonString(f.name)},"type":${jsonString(
+        graft.types.ChTypes.toChName(f.dataType, f.nullable))}}""").mkString(",")
+    val rows = df.limit(limit).collect()
+    val data = rows.map(r =>
+      r.toSeq.map(jsonString).mkString("[", ",", "]")).mkString(",\n")
+    s"""{"meta":[$meta],"data":[\n$data\n],"rows":${rows.length}}"""
+  }
+
+  /** XML — the reference's XML output shape (XMLRowOutputStream). */
+  def xml(df: DataFrame, limit: Int = 1000000): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    val meta = df.schema.fields.map(f =>
+      s"<column><name>${esc(f.name)}</name><type>${esc(
+        graft.types.ChTypes.toChName(f.dataType, f.nullable))}</type></column>")
+      .mkString
+    val rows = df.limit(limit).collect()
+    val data = rows.map(r =>
+      df.columns.indices.map(i =>
+        s"<${esc(df.columns(i))}>${esc(renderValue(r.get(i), inArray = false))}</${esc(df.columns(i))}>")
+        .mkString("<row>", "", "</row>")).mkString
+    s"<result><meta><columns>$meta</columns></meta><data>$data</data>" +
+      s"<rows>${rows.length}</rows></result>"
+  }
+
+  /** RowBinary — fixed-width little-endian scalars, varint-prefixed
+    * strings (RowBinaryRowOutputStream). Returns the raw bytes. */
+  def rowBinary(df: DataFrame, limit: Int = 1000000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(n0: Long): Unit = {
+      var n = n0
+      while ((n & ~0x7fL) != 0) { out.write(((n & 0x7f) | 0x80).toInt); n >>>= 7 }
+      out.write(n.toInt)
+    }
+    def le(v: Long, bytes: Int): Unit =
+      (0 until bytes).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    def write(v: Any): Unit = v match {
+      case b: Boolean => out.write(if (b) 1 else 0)
+      case b: Byte => le(b.toLong, 1)
+      case s: Short => le(s.toLong, 2)
+      case i: Int => le(i.toLong, 4)
+      case l: Long => le(l, 8)
+      case f: Float => le(java.lang.Float.floatToIntBits(f).toLong, 4)
+      case d: Double => le(java.lang.Double.doubleToLongBits(d), 8)
+      case s: String =>
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        varint(b.length.toLong); out.write(b)
+      case a: scala.collection.Seq[_] =>
+        varint(a.length.toLong); a.foreach(write)
+      case d: java.sql.Date => le(d.toLocalDate.toEpochDay, 2) // UInt16 days
+      case t: java.sql.Timestamp => le(t.getTime / 1000, 4)    // UInt32 secs
+      case other => write(other.toString)
+    }
+    df.limit(limit).collect().foreach(r => r.toSeq.foreach(write))
+    out.toByteArray
+  }
+
   /** Pretty — the reference's boxed table output (PrettyBlockOutputStream). */
   def pretty(df: DataFrame, limit: Int = 50): String = {
     val cols = df.columns

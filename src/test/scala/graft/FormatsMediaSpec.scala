@@ -61,6 +61,24 @@ class FormatsMediaSpec extends SparkSpec {
     assert(ex("max") === ((9L, 5.0)))
   }
 
+  test("TSKV / JSON / JSONCompact / XML / WithNamesAndTypes / RowBinary render") {
+    import graft.sources.Formats
+    val df = spark.sql("SELECT 1 AS a, 'x\ty' AS b UNION ALL SELECT 2, 'z' ORDER BY a")
+    assert(Formats.tskv(df) === "a=1\tb=x\\ty\na=2\tb=z")
+    val wnt = Formats.tabSeparatedWithNames(df, withTypes = true)
+    assert(wnt.linesIterator.toSeq.take(2) === Seq("a\tb", "Int32\tString"))
+    val j = Formats.json(df)
+    assert(j.contains(""""meta":[{"name":"a","type":"Int32"}""") &&
+      j.contains(""""rows":2""") && j.contains("""{"a":1,"b":"x\ty"}"""), j)
+    assert(Formats.jsonCompact(df).contains("[1,\"x\\ty\"]"))
+    val x = Formats.xml(df)
+    assert(x.contains("<row><a>1</a>") && x.contains("<rows>2</rows>"), x)
+    // RowBinary: Int32 LE + varint-length string bytes
+    val bin = Formats.rowBinary(df)
+    assert(bin.take(5).toSeq === Seq[Byte](1, 0, 0, 0, 3), bin.take(8).toSeq)
+    assert(new String(bin.slice(5, 8), "UTF-8") === "x\ty")
+  }
+
   test("media table schema and deterministic features") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     val media = Media.fromDocuments(docs)
