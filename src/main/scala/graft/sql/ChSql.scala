@@ -105,10 +105,7 @@ object ChSql {
       "LATERAL VIEW OUTER explode($1) __aj AS $2")
     q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $2")
-    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
-      "LATERAL VIEW OUTER explode($1) __aj AS $1")
-    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)",
-      "LATERAL VIEW explode($1) __aj AS $1")
+    q = rewriteBareArrayJoin(q)
     // FROM-less queries referencing `dummy` implicitly read system.one
     if ("(?i)(?<![\\w.`])dummy(?![\\w.`])".r.findFirstIn(q).isDefined) {
       val d = depths(q)
@@ -196,6 +193,54 @@ object ChSql {
       out = mapOutsideQuotes(out)(seg => pat.replaceAllIn(seg, repl))
     }
     out
+  }
+
+  /** Bare `[LEFT] ARRAY JOIN col`: the reference REPLACES `col` with
+    * its elements for the whole query (shadowing). Emit the lateral
+    * view under a fresh alias and redirect the query's own (depth-0)
+    * `col` references to it — subqueries keep their bindings, so a
+    * subquery-produced array still feeds the explode. */
+  private def rewriteBareArrayJoin(q0: String): String = {
+    val re = "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+([A-Za-z_]\\w*)\\b".r
+    var q = q0
+    var m = re.findFirstMatchIn(q)
+    var guard = 0
+    while (m.isDefined && guard < 8) {
+      val mm = m.get
+      val outer = mm.group(1) != null
+      val name = mm.group(2)
+      val fresh = s"__aj_$name"
+      val marker = ""
+      q = q.substring(0, mm.start) +
+        s"LATERAL VIEW ${if (outer) "OUTER " else ""}explode($marker) __aj AS $fresh" +
+        q.substring(mm.end)
+      // redirect depth-0 references only (subqueries are protected)
+      val d = depths(q)
+      val pat = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      val sb = new StringBuilder
+      var i = 0
+      var inQ = false
+      val seg = new StringBuilder
+      def flush(depth0: Boolean): Unit = {
+        if (depth0) sb.append(pat.replaceAllIn(seg.toString, fresh))
+        else sb.append(seg.toString)
+        seg.clear()
+      }
+      var curDepth0 = true
+      while (i < q.length) {
+        val c = q.charAt(i)
+        if (c == '\'') inQ = !inQ
+        val isDepth0 = !inQ && d(i) == 0 && c != '\''
+        if (isDepth0 != curDepth0) { flush(curDepth0); curDepth0 = isDepth0 }
+        seg.append(c)
+        i += 1
+      }
+      flush(curDepth0)
+      q = sb.toString.replace(marker, name)
+      m = re.findFirstMatchIn(q)
+      guard += 1
+    }
+    q
   }
 
   /** Self-shadowing select-list aliases: in `EXPR AS a` where `a` is

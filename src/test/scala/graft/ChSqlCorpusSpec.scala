@@ -38,6 +38,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00012_array_join_alias_2",
     "00013_1_create_table_with_arrays",
     "00013_4_select_from_table_with_arrays",
+    "00013_5_select_from_table_with_arrays",
     "00013_6_select_from_table_with_arrays",
     "00013_7_select_from_table_with_arrays",
     "00013_8_select_from_table_with_arrays",
@@ -60,6 +61,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00041_aggregation_remap",
     "00042_set",
     "00043_summing_empty_part",
+    "00049_any_left_join",
     "00055_join_two_numbers",
     "00056_join_number_string",
     "00060_date_lut",
@@ -67,6 +69,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00068_empty_tiny_log",
     "00071_insert_fewer_columns",
     "00072_in_types",
+    "00073_merge_sorting_empty_array_joined",
     "00077_set_keys_fit_128_bits_many_blocks",
     "00078_string_concat",
     "00082_append_trailing_char_if_absent",
@@ -144,6 +147,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00320_between",
     "00331_final_and_prewhere",
     "00333_parser_number_bug",
+    "00338_replicate_array_of_strings",
     "00345_index_signed_unsigned_comparison",
     "00349_visible_width",
     "00351_select_distinct_arrays_tuples",
