@@ -88,10 +88,25 @@ object ChDdl {
   def executeRendered(spark: SparkSession, stmtRaw: String): Option[String] = {
     val hasTotals = "(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(stmtRaw).isDefined
     // BlockTabSeparated prints COLUMNS as lines (values tab-joined)
+    val trimmed = stmtRaw.trim.stripSuffix(";").trim
     val blockTsv = "(?i)FORMAT\\s+BlockTabSeparated\\s*$".r
-      .findFirstIn(stmtRaw.trim.stripSuffix(";").trim).isDefined
+      .findFirstIn(trimmed).isDefined
+    // Vertical(Raw): one `col: value` block per row
+    val vertical = "(?i)FORMAT\\s+Vertical(Raw)?\\s*$".r.findFirstMatchIn(trimmed)
     execute(spark, stmtRaw).flatMap { df =>
-      if (blockTsv) {
+      if (vertical.isDefined) {
+        val raw = vertical.get.group(1) != null
+        val rows = df.limit(1000000).collect()
+        if (rows.isEmpty) None
+        else Some(rows.zipWithIndex.map { case (r, i) =>
+          s"Row ${i + 1}:\n──────\n" + df.columns.indices.map { c =>
+            val v =
+              if (raw) Option(r.get(c)).map(_.toString).getOrElse("\\N")
+              else Formats.renderValue(r.get(c), inArray = false)
+            s"${df.columns(c)}: $v"
+          }.mkString("\n")
+        }.mkString("\n"))
+      } else if (blockTsv) {
         val rows = df.limit(1000000).collect()
         if (rows.isEmpty) None
         else Some(df.columns.indices.map(i =>
@@ -393,9 +408,34 @@ object ChDdl {
               entry.df = withCol.select(ordered.map(col): _*)
             }
           } else if (up.startsWith("DROP COLUMN")) {
-            val cname = a.replaceAll("(?i)^DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?", "")
-              .replace("`", "").trim
-            entry.df = entry.df.drop(cname)
+            val body = a.replaceAll("(?i)^DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?", "")
+            val partRe = "(?is)^(\\S+)\\s+FROM\\s+PARTITION\\s+'(\\d{6})'\\s*$".r
+            body.trim match {
+              case partRe(cnameRaw, yyyymm) =>
+                // partition-scoped drop: the column resets to its type
+                // default for rows of that month partition (the date
+                // column is the engine's first argument)
+                import org.apache.spark.sql.functions._
+                val cname = cnameRaw.replace("`", "")
+                val dateCol = entry.spec.sortKey.headOption.getOrElse(
+                  throw new IllegalArgumentException(
+                    s"no partition column for scoped DROP: $a"))
+                val dt = entry.df.schema(cname).dataType
+                entry.df = entry.df.withColumn(cname,
+                  when(year(col(dateCol)) * 100 + month(col(dateCol)) === yyyymm.toInt,
+                    defaultLit(dt)).otherwise(col(cname)))
+              case plain =>
+                entry.df = entry.df.drop(plain.replace("`", "").trim)
+            }
+          } else if (up.startsWith("DROP PARTITION")) {
+            // month-partition delete (ALTER ... DROP PARTITION yyyymm)
+            import org.apache.spark.sql.functions._
+            val yyyymm = a.replaceAll("(?i)^DROP\\s+PARTITION\\s+", "")
+              .replace("'", "").trim.toInt
+            val dateCol = entry.spec.sortKey.headOption.getOrElse(
+              throw new IllegalArgumentException(s"no partition column: $a"))
+            entry.df = entry.df.filter(
+              year(col(dateCol)) * 100 + month(col(dateCol)) =!= yyyymm)
           } else if (up.startsWith("MODIFY COLUMN")) {
             val field = ChTypes.schema(
               a.replaceAll("(?i)^MODIFY\\s+COLUMN\\s+", "").trim).fields.head

@@ -128,6 +128,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00204_extract_url_parameter",
     "00218_like_regexp_newline",
     "00219_full_right_join_column_order",
+    "00231_format_vertical_raw",
     "00234_disjunctive_equality_chains_optimization",
     "00235_create_temporary_table_as",
     "00238_removal_of_temporary_columns",
@@ -166,6 +167,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00436_fixed_string_16_comparisons",
     "00438_bit_rotate",
     "00440_nulls_merge_tree",
+    "00446_drop_column",
     "00448_to_string_cut_to_zero",
     "00451_left_array_join_and_constants")
 
