@@ -344,7 +344,34 @@ object FunctionQueries {
       |FROM events GROUP BY user_id HAVING count(*) FILTER (WHERE event_type = 'click') >= 5
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q89 split/extract family under the CH names (splitByChar,
+  // splitByString, alphaTokens, extractAll — FunctionsStringArray.h:
+  // 20,112; FunctionsStringSearch extractAll). Arrays stringified for
+  // the harness hash; DuckDB string_split/regexp_extract_all oracle.
+  // ---------------------------------------------------------------
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.ChSql.registerChFunctions(s)
+    t(s, dir, "part")
+      .selectExpr(
+        "p_partkey",
+        "concat_ws('|', splitByChar(' ', p_name)) AS by_char",
+        "concat_ws('|', splitByString('la', p_name)) AS by_str",
+        "concat_ws('|', alphaTokens(p_name)) AS alpha",
+        "concat_ws('|', extractAll(p_name, '([a-z]+)o')) AS ext")
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q89Sql =
+    """SELECT p_partkey,
+      |  array_to_string(string_split(p_name, ' '), '|') AS by_char,
+      |  array_to_string(string_split(p_name, 'la'), '|') AS by_str,
+      |  array_to_string(regexp_extract_all(p_name, '[a-zA-Z]+'), '|') AS alpha,
+      |  coalesce(array_to_string(regexp_extract_all(p_name, '([a-z]+)o', 1), '|'), '') AS ext
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q89_split_functions", q89, Some(q89Sql)),
     QueryDef("q17_conditional_multiif", q17, Some(q17Sql)),
     QueryDef("q18_transform_map", q18, Some(q18Sql)),
     QueryDef("q19_date_functions", q19, Some(q19Sql)),

@@ -827,6 +827,29 @@ object ChSql {
     // string-array family (FunctionsStringArray.h)
     "arrayStringConcat" -> { case Seq(a) => ArrayJoin(a, Literal(""), None)
       case Seq(a, sep) => ArrayJoin(a, sep, None) },
+    // split family (FunctionsStringArray.h:20,112) — NOTE the CH arg
+    // order is (separator, subject). Empty substrings are kept
+    // (splitByChar(',', ',a,') = ['','a','']), which matches Spark's
+    // split limit=-1; separators are literal text, not regexes, so
+    // quote them before handing to Spark's regex split.
+    "splitByChar" -> { case Seq(Literal(sep, StringType), s) =>
+      StringSplit(s,
+        Literal(java.util.regex.Pattern.quote(sep.toString)), Literal(-1)) },
+    "splitByString" -> { case Seq(Literal(sep, StringType), s) =>
+      // empty separator splits into single characters (the reference's
+      // SplitByStringImpl special case)
+      if (sep.toString.isEmpty) StringSplit(s, Literal("(?!^)(?!$)"), Literal(-1))
+      else StringSplit(s,
+        Literal(java.util.regex.Pattern.quote(sep.toString)), Literal(-1)) },
+    // alphaTokens: maximal runs of ASCII letters, no empties
+    "alphaTokens" -> { case Seq(s) =>
+      RegExpExtractAll(s, Literal("[a-zA-Z]+"), Literal(0)) },
+    // extractAll(s, re): every match; the first capture group when the
+    // pattern has one, else the whole match (OneOrZeroStringSearcher)
+    "extractAll" -> { case Seq(s, re @ Literal(pat, StringType)) =>
+      val groups = java.util.regex.Pattern.compile(pat.toString)
+        .matcher("").groupCount()
+      RegExpExtractAll(s, re, Literal(if (groups > 0) 1 else 0)) },
     "emptyArrayToSingle" -> { case Seq(a) =>
       If(LessThanOrEqual(new Size(a), Literal(0)),
         CreateArray(Seq(graft.functions.ChArrayElement(a, Literal(1)))), a) },
