@@ -102,6 +102,7 @@ object GraftFunctions {
   // the registry's case-insensitivity
   private val kernelFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq("cityhash64", "inthash32", "inthash64", "halfmd5", "urlhash",
+      "farmhash64", "metrohash64", "siphash128",
       "unhex_ch", "bitmask_to_array", "bitmask_to_list",
       "ipv6_num_to_string", "ipv6_string_to_num", "ipv4_to_ipv6",
       "uuid_num_to_string", "uuid_string_to_num", "to_string_cut_to_zero")

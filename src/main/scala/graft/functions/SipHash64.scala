@@ -45,6 +45,49 @@ object SipHash64 {
     v0 ^ v1 ^ v2 ^ v3
   }
 
+  /** sipHash128 — same state machine, 16-byte output (v0^v1, v2^v3)
+    * little-endian (reference SipHash.h get128; FunctionsHashing.h:139
+    * FixedString(16) result). */
+  def hash128(data: Array[Byte]): Array[Byte] = {
+    var v0 = 0x736f6d6570736575L
+    var v1 = 0x646f72616e646f6dL
+    var v2 = 0x6c7967656e657261L
+    var v3 = 0x7465646279746573L
+
+    @inline def round(): Unit = {
+      v0 += v1; v1 = java.lang.Long.rotateLeft(v1, 13); v1 ^= v0; v0 = java.lang.Long.rotateLeft(v0, 32)
+      v2 += v3; v3 = java.lang.Long.rotateLeft(v3, 16); v3 ^= v2
+      v0 += v3; v3 = java.lang.Long.rotateLeft(v3, 21); v3 ^= v0
+      v2 += v1; v1 = java.lang.Long.rotateLeft(v1, 17); v1 ^= v2; v2 = java.lang.Long.rotateLeft(v2, 32)
+    }
+
+    val n = data.length
+    var i = 0
+    while (n - i >= 8) {
+      val m = littleEndianLong(data, i)
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    var last = (n & 0xff).toLong << 56
+    var j = n - i - 1
+    while (j >= 0) {
+      last |= (data(i + j) & 0xffL) << (8 * j)
+      j -= 1
+    }
+    v3 ^= last; round(); round(); v0 ^= last
+    v2 ^= 0xff
+    round(); round(); round(); round()
+    val out = new Array[Byte](16)
+    writeLE(out, 0, v0 ^ v1)
+    writeLE(out, 8, v2 ^ v3)
+    out
+  }
+
+  @inline private def writeLE(out: Array[Byte], off: Int, v: Long): Unit = {
+    var k = 0
+    while (k < 8) { out(off + k) = ((v >>> (8 * k)) & 0xff).toByte; k += 1 }
+  }
+
   private def littleEndianLong(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) |
       ((b(off + 1) & 0xffL) << 8) |

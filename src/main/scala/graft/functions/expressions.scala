@@ -171,6 +171,15 @@ object KernelExpr {
     "inthash32" -> Spec(LongType, LongType,
       c => s"graft.functions.HashFns.intHash32($c)",
       a => HashFns.intHash32(a.asInstanceOf[Long])),
+    "farmhash64" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.FarmHash64.hash($c)",
+      a => FarmHash64.hash(bytes(a))),
+    "metrohash64" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.MetroHash64.hash($c)",
+      a => MetroHash64.hash(bytes(a))),
+    "siphash128" -> Spec(BinaryType, BinaryType,
+      c => s"graft.functions.SipHash64.hash128($c)",
+      a => SipHash64.hash128(bytes(a))),
     "halfmd5" -> Spec(BinaryType, LongType,
       c => s"graft.functions.HashFns.halfMD5($c)",
       a => HashFns.halfMD5(bytes(a))),

@@ -81,8 +81,31 @@ object HashQueries {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------
+  // q90 hash-parity tail — farmHash64, metroHash64, sipHash128
+  // (FunctionsHashing.h:852,861,139). No DuckDB counterparts
+  // (vendored-library vectors pinned in HashCodingSpec), so
+  // rows-only: per-shard histograms over each hash must agree in
+  // total and spread across all 8 buckets.
+  // ---------------------------------------------------------------
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .selectExpr(
+        "pmod(farmhash64(text), 8) AS farm_shard",
+        "pmod(metrohash64(text), 8) AS metro_shard",
+        // 128-bit digest folded via its low word for the histogram
+        "pmod(cityhash64(siphash128(text)), 8) AS sip_shard")
+      .groupBy(col("farm_shard"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("metro_shard")).as("metro_spread"),
+        countDistinct(col("sip_shard")).as("sip_spread"))
+      .orderBy(col("farm_shard"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q86_halfmd5_hex", q86, Some(q86Sql)),
     QueryDef("q87_coding_bitmask_hex", q87, Some(q87Sql)),
-    QueryDef("q88_cityhash_sharding", q88, None))
+    QueryDef("q88_cityhash_sharding", q88, None),
+    QueryDef("q90_hash_parity_tail", q90, None))
 }
