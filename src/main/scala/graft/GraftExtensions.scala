@@ -56,6 +56,30 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"quantile_timing(expr, level literal) expected, got $other")
     }),
+    (FunctionIdentifier("quantile_exact_weighted"), info("quantile_exact_weighted"), {
+      case Seq(v, w, l) if l.foldable =>
+        val level = org.apache.spark.sql.catalyst.expressions.Cast(
+          l, org.apache.spark.sql.types.DoubleType).eval(null)
+        graft.functions.QuantileExactWeighted(v, w, level.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"quantile_exact_weighted(value, weight, level literal) expected, got $other")
+    }),
+    (FunctionIdentifier("quantile_timing_weighted"), info("quantile_timing_weighted"), {
+      case Seq(v, w, l) if l.foldable =>
+        val level = org.apache.spark.sql.catalyst.expressions.Cast(
+          l, org.apache.spark.sql.types.DoubleType).eval(null)
+        graft.functions.QuantileTimingWeighted(v, w, level.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"quantile_timing_weighted(ms, weight, level literal) expected, got $other")
+    }),
+    (FunctionIdentifier("quantile_deterministic"), info("quantile_deterministic"), {
+      case Seq(v, d, l) if l.foldable =>
+        val level = org.apache.spark.sql.catalyst.expressions.Cast(
+          l, org.apache.spark.sql.types.DoubleType).eval(null)
+        graft.functions.QuantileDeterministic(v, d, level.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"quantile_deterministic(value, determinator, level literal) expected, got $other")
+    }),
     (FunctionIdentifier("quantile_tdigest"), info("quantile_tdigest"), {
       case Seq(e, l) if l.foldable =>
         val level = org.apache.spark.sql.catalyst.expressions.Cast(

@@ -136,11 +136,86 @@ object ExtensionQueries {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------
+  // q91 quantileExactWeighted + quantileTimingWeighted
+  // (AggregateFunctionQuantileExactWeighted.cpp:44;
+  // AggregateFunctionsQuantileTiming.h weighted variant). Both have
+  // exact, SQL-expressible fold rules: smallest value whose
+  // cumulative weight reaches ceil(level × Σw) — re-derived in
+  // DuckDB with window functions, so the oracle checks values.
+  // ---------------------------------------------------------------
+  def q91(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("w", col("l_linenumber").cast("long"))
+      .withColumn("cs", (col("l_quantity") * 100).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("quantile_exact_weighted(CAST(l_quantity AS DOUBLE), w, CAST(0.5 AS DOUBLE))").as("p50_w"),
+        expr("quantile_exact_weighted(CAST(l_quantity AS DOUBLE), w, CAST(0.9 AS DOUBLE))").as("p90_w"),
+        expr("quantile_timing_weighted(cs, w, CAST(0.5 AS DOUBLE))").as("p50_tw"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  private val q91Sql =
+    """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+      |    CAST(l_linenumber AS BIGINT) AS w,
+      |    CAST(l_quantity * 100 AS BIGINT) AS cs
+      |  FROM lineitem),
+      |a AS (SELECT l_returnflag, v, sum(w) AS w FROM g GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, v, w,
+      |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |        sum(w) OVER (PARTITION BY l_returnflag) AS total
+      |      FROM a),
+      |tb AS (SELECT l_returnflag,
+      |    CASE WHEN cs < 0 THEN 0 WHEN cs < 1024 THEN cs WHEN cs >= 30000 THEN 30000
+      |         ELSE 1024 + ((cs - 1024) // 16) * 16 END AS bucket, w
+      |  FROM g),
+      |ta AS (SELECT l_returnflag, bucket, sum(w) AS w FROM tb GROUP BY 1, 2),
+      |tc AS (SELECT l_returnflag, bucket, w,
+      |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+      |        sum(w) OVER (PARTITION BY l_returnflag) AS total
+      |      FROM ta),
+      |q AS (SELECT l_returnflag,
+      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN v END) AS p50_w,
+      |    min(CASE WHEN cum >= ceil(0.9 * total) THEN v END) AS p90_w
+      |  FROM c GROUP BY 1),
+      |tq AS (SELECT l_returnflag,
+      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS p50_tw
+      |  FROM tc GROUP BY 1),
+      |n AS (SELECT l_returnflag, count(*) AS cnt FROM g GROUP BY 1)
+      |SELECT q.l_returnflag, q.p50_w, q.p90_w, tq.p50_tw, n.cnt
+      |FROM q JOIN tq USING (l_returnflag) JOIN n USING (l_returnflag)
+      |ORDER BY q.l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q92 quantileDeterministic — deterministic-sampling quantile
+  // (AggregateFunctionsQuantileDeterministic.cpp:88;
+  // ReservoirSamplerDeterministic.h). Groups here fit the 8192-slot
+  // reservoir, so the interpolated sample quantile IS the exact
+  // continuous quantile — DuckDB quantile_cont oracle.
+  // ---------------------------------------------------------------
+  def q92(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") < 200)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        expr("quantile_deterministic(value, user_id, CAST(0.5 AS DOUBLE))").as("p50_det"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q92Sql =
+    """SELECT user_id, event_type,
+      |  quantile_cont(value, 0.5) AS p50_det, count(*) AS cnt
+      |FROM events WHERE user_id < 200
+      |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_siphash64_native", q55, None),
     QueryDef("q56_uniq_upto", q56, Some(q56Sql)),
     QueryDef("q57_any_heavy", q57, Some(q57Sql)),
     QueryDef("q79_agg_state_merge", q79, Some(q79Sql)),
     QueryDef("q80_quantile_timing", q80, Some(q80Sql)),
-    QueryDef("q81_quantile_tdigest", q81, None))
+    QueryDef("q81_quantile_tdigest", q81, None),
+    QueryDef("q91_quantile_exact_weighted", q91, Some(q91Sql)),
+    QueryDef("q92_quantile_deterministic", q92, Some(q92Sql)))
 }

@@ -90,6 +90,48 @@ class CustomFunctionSpec extends SparkSpec {
     }
   }
 
+  test("quantile_exact_weighted: weighted multiset rule, distributed merge") {
+    GraftFunctions.register(spark)
+    // multiset {1×1, 2×2, 3×3, 4×4}: Σw=10, p50 threshold=5 → cum(1)=1,
+    // cum(2)=3, cum(3)=6 ≥ 5 → 3.0; p90 threshold=9 → 4.0
+    val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (4.0, 4L)).toDF("v", "w")
+      .repartition(3)
+    val r = df.agg(
+      expr("quantile_exact_weighted(v, w, CAST(0.5 AS DOUBLE)) AS p50"),
+      expr("quantile_exact_weighted(v, w, CAST(0.9 AS DOUBLE)) AS p90")).collect()(0)
+    assert(r.getDouble(0) === 3.0)
+    assert(r.getDouble(1) === 4.0)
+  }
+
+  test("quantile_timing_weighted: weight multiplies bucket counts") {
+    GraftFunctions.register(spark)
+    // {10×1, 20×9}: p50 threshold=5 falls in the 20 bucket
+    val df = Seq((10L, 1L), (20L, 9L)).toDF("ms", "w").repartition(2)
+    val r = df.agg(expr("quantile_timing_weighted(ms, w, CAST(0.5 AS DOUBLE)) AS p50"))
+      .collect()(0)
+    assert(r.getLong(0) === 20L)
+  }
+
+  test("quantile_deterministic: exact below reservoir capacity, stable and sane above") {
+    GraftFunctions.register(spark)
+    // 1..1001 fits the 8192-slot reservoir → interpolated quantile is
+    // the exact continuous quantile
+    val small = (1 to 1001).map(i => (i.toDouble, i.toLong)).toDF("v", "d").repartition(4)
+    val r = small.agg(expr("quantile_deterministic(v, d, CAST(0.5 AS DOUBLE)) AS p50"))
+      .collect()(0)
+    assert(r.getDouble(0) === 501.0)
+    // 100k values overflows the reservoir → deterministically thinned
+    // sample; the median must stay within 2% rank error and repeat runs
+    // must agree exactly (the function's defining property)
+    val big = (1 to 100000).map(i => (i.toDouble, i.toLong)).toDF("v", "d").repartition(8)
+    val q1 = big.agg(expr("quantile_deterministic(v, d, CAST(0.5 AS DOUBLE)) AS p50"))
+      .collect()(0).getDouble(0)
+    val q2 = big.agg(expr("quantile_deterministic(v, d, CAST(0.5 AS DOUBLE)) AS p50"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(q1 - 50000.0) / 100000.0 < 0.02, s"rank error too big: $q1")
+    assert(q1 === q2, "same data + same partitioning must give identical results")
+  }
+
   test("siphash64 null propagates") {
     GraftFunctions.register(spark)
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")
