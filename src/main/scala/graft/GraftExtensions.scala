@@ -132,8 +132,22 @@ object GraftFunctions {
       "uuid_num_to_string", "uuid_string_to_num", "to_string_cut_to_zero")
       .map(k => (FunctionIdentifier(k), info(k), graft.functions.KernelExpr.builder(k)))
 
+  // reinterpretAs* (FunctionsReinterpret.h) — registered under the CH
+  // camelCase names (the registry lower-cases identifiers, so
+  // `reinterpretAsUInt8(...)` in SQL resolves here)
+  private val reinterpretFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("UInt8", "UInt16", "UInt32", "UInt64",
+      "Int8", "Int16", "Int32", "Int64",
+      "Float32", "Float64", "Date", "DateTime", "String")
+      .map { suffix =>
+        val chName = s"reinterpretAs$suffix"
+        val kernel = "reinterpret_as_" + suffix.toLowerCase
+        (FunctionIdentifier(chName), info(chName),
+          graft.functions.KernelExpr.builder(kernel))
+      }
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    base ++ kernelFns
+    base ++ kernelFns ++ reinterpretFns
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =

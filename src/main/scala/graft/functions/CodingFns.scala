@@ -297,4 +297,46 @@ object CodingFns {
       host.substring(p2 + 1, p1)
     else host.substring(p1 + 1, p0)
   }
+
+  // --- reinterpretAs* family (FunctionsReinterpret.h) -------------
+  // The reference's memcpy semantics: a string's first
+  // min(len, width) bytes read little-endian, zero-padded when
+  // shorter; numbers render as their little-endian bytes with
+  // trailing zero bytes stripped.
+
+  /** First min(len, width) bytes little-endian, zero-extended. */
+  def reinterpretUnsigned(data: Array[Byte], width: Int): Long = {
+    var v = 0L
+    val n = math.min(data.length, width)
+    var i = 0
+    while (i < n) { v |= (data(i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Same read, sign-extended from the width's top bit. */
+  def reinterpretSigned(data: Array[Byte], width: Int): Long = {
+    val v = reinterpretUnsigned(data, width)
+    if (width >= 8) v
+    else {
+      val shift = 64 - 8 * width
+      (v << shift) >> shift
+    }
+  }
+
+  def reinterpretFloat32(data: Array[Byte]): Float =
+    java.lang.Float.intBitsToFloat(reinterpretUnsigned(data, 4).toInt)
+
+  def reinterpretFloat64(data: Array[Byte]): Double =
+    java.lang.Double.longBitsToDouble(reinterpretUnsigned(data, 8))
+
+  /** reinterpretAsString(integer): little-endian bytes, trailing
+    * zero bytes stripped (FunctionsReinterpret.h:60-70). */
+  def reinterpretAsStringBytes(x: Long): Array[Byte] = {
+    var len = 8
+    while (len > 0 && ((x >>> (8 * (len - 1))) & 0xff) == 0) len -= 1
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) { out(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
 }

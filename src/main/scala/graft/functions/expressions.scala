@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for sipHash64 (reference:
@@ -213,6 +213,48 @@ object KernelExpr {
     "to_string_cut_to_zero" -> Spec(BinaryType, StringType,
       c => s"$U8(graft.functions.CodingFns.toStringCutToZero($c))",
       a => u8(CodingFns.toStringCutToZero(bytes(a)))),
+    // reinterpretAs* family (FunctionsReinterpret.h): memcpy
+    // little-endian reads; UInt64 shares Long's 64 bits (values with
+    // the top bit set render negative — documented UInt64 caveat)
+    "reinterpret_as_uint8" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretUnsigned($c, 1)",
+      a => CodingFns.reinterpretUnsigned(bytes(a), 1)),
+    "reinterpret_as_uint16" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretUnsigned($c, 2)",
+      a => CodingFns.reinterpretUnsigned(bytes(a), 2)),
+    "reinterpret_as_uint32" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretUnsigned($c, 4)",
+      a => CodingFns.reinterpretUnsigned(bytes(a), 4)),
+    "reinterpret_as_uint64" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretUnsigned($c, 8)",
+      a => CodingFns.reinterpretUnsigned(bytes(a), 8)),
+    "reinterpret_as_int8" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretSigned($c, 1)",
+      a => CodingFns.reinterpretSigned(bytes(a), 1)),
+    "reinterpret_as_int16" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretSigned($c, 2)",
+      a => CodingFns.reinterpretSigned(bytes(a), 2)),
+    "reinterpret_as_int32" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretSigned($c, 4)",
+      a => CodingFns.reinterpretSigned(bytes(a), 4)),
+    "reinterpret_as_int64" -> Spec(BinaryType, LongType,
+      c => s"graft.functions.CodingFns.reinterpretSigned($c, 8)",
+      a => CodingFns.reinterpretSigned(bytes(a), 8)),
+    "reinterpret_as_float32" -> Spec(BinaryType, FloatType,
+      c => s"graft.functions.CodingFns.reinterpretFloat32($c)",
+      a => CodingFns.reinterpretFloat32(bytes(a))),
+    "reinterpret_as_float64" -> Spec(BinaryType, DoubleType,
+      c => s"graft.functions.CodingFns.reinterpretFloat64($c)",
+      a => CodingFns.reinterpretFloat64(bytes(a))),
+    "reinterpret_as_date" -> Spec(BinaryType, DateType,
+      c => s"(int) graft.functions.CodingFns.reinterpretUnsigned($c, 2)",
+      a => CodingFns.reinterpretUnsigned(bytes(a), 2).toInt),
+    "reinterpret_as_datetime" -> Spec(BinaryType, TimestampType,
+      c => s"graft.functions.CodingFns.reinterpretUnsigned($c, 4) * 1000000L",
+      a => CodingFns.reinterpretUnsigned(bytes(a), 4) * 1000000L),
+    "reinterpret_as_string" -> Spec(LongType, StringType,
+      c => s"org.apache.spark.unsafe.types.UTF8String.fromBytes(graft.functions.CodingFns.reinterpretAsStringBytes($c))",
+      a => UTF8String.fromBytes(CodingFns.reinterpretAsStringBytes(a.asInstanceOf[Long]))),
     "decode_url_component" -> Spec(StringType, StringType,
       c => s"$U8(graft.functions.CodingFns.decodeUrlComponent($c.toString()))",
       a => u8(CodingFns.decodeUrlComponent(str(a)))),

@@ -20,7 +20,7 @@ object CorpusTriage {
   private val skipMarkers = Seq(
     "ATTACH", "zookeeper", "remote(", "FORMAT JSON",
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
-    "toTypeName", "reinterpret",
+    "toTypeName",
     "quantile", "uniq", "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand",
     "replicate", "arrayEnumerateUniq",
