@@ -146,8 +146,45 @@ object GraftFunctions {
           graft.functions.KernelExpr.builder(kernel))
       }
 
+  // embedded region dictionary (FunctionsEmbeddedDictionaries.cpp:9-11)
+  // + the hierarchy forms of the external-dict API
+  // (FunctionsExternalDictionaries: dictGetHierarchy, dictIsIn — the
+  // 'regions' dictionary is the built-in hierarchy here)
+  private val regionFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{RegionDict, RegionHierarchyExpr, RegionInExpr, RegionToTypeExpr}
+    def toType(name: String, t: Int): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), info(name), {
+        case Seq(e) => RegionToTypeExpr(e, t)
+        case other => throw new IllegalArgumentException(s"$name(id) expected, got $other")
+      })
+    Seq(
+      toType("regionToCity", RegionDict.City),
+      toType("regionToArea", RegionDict.Area),
+      toType("regionToDistrict", RegionDict.District),
+      toType("regionToCountry", RegionDict.Country),
+      toType("regionToContinent", RegionDict.Continent),
+      (FunctionIdentifier("regionHierarchy"), info("regionHierarchy"), {
+        case Seq(e) => RegionHierarchyExpr(e)
+        case other => throw new IllegalArgumentException(s"regionHierarchy(id) expected, got $other")
+      }),
+      (FunctionIdentifier("regionIn"), info("regionIn"), {
+        case Seq(l, r) => RegionInExpr(l, r)
+        case other => throw new IllegalArgumentException(s"regionIn(child, ancestor) expected, got $other")
+      }),
+      (FunctionIdentifier("dictGetHierarchy"), info("dictGetHierarchy"), {
+        case Seq(Literal(_, _), e) => RegionHierarchyExpr(e)
+        case other => throw new IllegalArgumentException(
+          s"dictGetHierarchy('regions', id) expected, got $other")
+      }),
+      (FunctionIdentifier("dictIsIn"), info("dictIsIn"), {
+        case Seq(Literal(_, _), l, r) => RegionInExpr(l, r)
+        case other => throw new IllegalArgumentException(
+          s"dictIsIn('regions', child, ancestor) expected, got $other")
+      }))
+  }
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    base ++ kernelFns ++ reinterpretFns
+    base ++ kernelFns ++ reinterpretFns ++ regionFns
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -148,10 +148,44 @@ object MiscQueries {
     """SELECT count(*) AS cnt, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
       |FROM lineitem WHERE l_quantity = 50""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q93 embedded region dictionary
+  // (FunctionsEmbeddedDictionaries.cpp:9-11): regionTo*/regionIn/
+  // dictGetHierarchy walk a broadcast parent-pointer hierarchy. The
+  // synthetic fixture is arithmetic in the id (city 1000+k → area
+  // 100+k/5 → country 10+k/10 → continent 1+(k/10)%2), so DuckDB
+  // re-derives every walk exactly.
+  // ---------------------------------------------------------------
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    t(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("k")).distinct()
+      .withColumn("city_id", col("k") + 1000L)
+      .selectExpr(
+        "k",
+        "regionToCity(city_id) AS city",
+        "regionToArea(city_id) AS area",
+        "regionToCountry(city_id) AS country",
+        "regionToContinent(city_id) AS continent",
+        "CAST(regionIn(city_id, CAST(1 AS BIGINT)) AS BIGINT) AS in_continent1",
+        "concat_ws('/', CAST(dictGetHierarchy('regions', city_id) AS ARRAY<STRING>)) AS chain")
+      .orderBy(col("k"))
+  }
+
+  private val q93Sql =
+    """SELECT k, 1000 + k AS city, 100 + k // 5 AS area, 10 + k // 10 AS country,
+      |  1 + (k // 10) % 2 AS continent,
+      |  CAST(CASE WHEN (k // 10) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS in_continent1,
+      |  CAST(1000 + k AS VARCHAR) || '/' || CAST(100 + k // 5 AS VARCHAR) || '/' ||
+      |    CAST(10 + k // 10 AS VARCHAR) || '/' || CAST(1 + (k // 10) % 2 AS VARCHAR) AS chain
+      |FROM (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer)
+      |ORDER BY k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q66_url_functions", q66, Some(q66Sql)),
     QueryDef("q67_ipv4_coding", q67, Some(q67Sql)),
     QueryDef("q68_conversions", q68, Some(q68Sql)),
     QueryDef("q69_dict_get_broadcast", q69, Some(q69Sql)),
-    QueryDef("q70_prewhere_pushdown", q70, Some(q70Sql)))
+    QueryDef("q70_prewhere_pushdown", q70, Some(q70Sql)),
+    QueryDef("q93_region_dict", q93, Some(q93Sql)))
 }

@@ -132,6 +132,30 @@ class CustomFunctionSpec extends SparkSpec {
     assert(q1 === q2, "same data + same partitioning must give identical results")
   }
 
+  test("region dictionary: chain walks, reflexive regionIn, unknown ids") {
+    import graft.functions.RegionDict
+    // fixture: city 1017 → area 103 → country 11 → continent 2
+    assert(RegionDict.toType(1017L, RegionDict.City) === 1017L)
+    assert(RegionDict.toType(1017L, RegionDict.Area) === 103L)
+    assert(RegionDict.toType(1017L, RegionDict.Country) === 11L)
+    assert(RegionDict.toType(1017L, RegionDict.Continent) === 2L)
+    assert(RegionDict.toType(103L, RegionDict.City) === 0L) // no walk down
+    assert(RegionDict.toType(999999L, RegionDict.Country) === 0L) // unknown
+    assert(RegionDict.hierarchy(1017L).toSeq === Seq(1017L, 103L, 11L, 2L))
+    assert(RegionDict.hierarchy(999999L).isEmpty)
+    assert(RegionDict.isIn(1017L, 1017L)) // reflexive
+    assert(RegionDict.isIn(1017L, 2L))
+    assert(!RegionDict.isIn(1017L, 1L))
+    // SQL surface
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT regionToCountry(1005L) AS c, regionIn(1005L, 1L) AS i,
+        |  dictIsIn('regions', 1005L, 10L) AS d""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 10L)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 1)
+  }
+
   test("siphash64 null propagates") {
     GraftFunctions.register(spark)
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")
