@@ -221,18 +221,21 @@ object TextQueries {
     val bands = sig.select(col("doc_id"),
       expr(s"explode(array($bandStructs))").as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // ONE shuffle keyed (band, bh): bucket membership as a
+    // collect_list, then pairs via a bounded nested explode inside
+    // each bucket. The round-3 band SELF-JOIN recomputed the whole
+    // MinHash scan on its broadcast side (exchange reuse doesn't
+    // apply across hash/broadcast exchange kinds) — this shape runs
+    // the signature kernel exactly once by construction.
     // Hot-bucket cap: a degenerate bucket of B docs (boilerplate,
     // empty strings) would emit B² candidate pairs; buckets larger
-    // than 64 are skipped. The window partitions by the join key, so
-    // the count rides the same hash exchange the self-join needs.
-    val capped = bands
-      .withColumn("bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh"))))
-      .filter(col("bsz") <= 64).drop("bsz")
-    val l = capped.select(col("band"), col("bh"), col("doc_id").as("d1"))
-    val r = capped.select(col("band"), col("bh"), col("doc_id").as("d2"))
-    l.join(r, Seq("band", "bh"))
+    // than 64 are skipped, singletons pair with nothing.
+    val buckets = bands.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, 64))
+    buckets
+      .select(explode(col("docs")).as("d1"), col("docs"))
+      .select(col("d1"), explode(col("docs")).as("d2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
       .orderBy(col("d1"), col("d2"))

@@ -471,11 +471,16 @@ object ChDdl {
     val name = stmt.replaceAll("(?i)^OPTIMIZE\\s+TABLE\\s+", "").replace("`", "").trim
     val entry = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table: $name"))
-    // materialize the fold so repeated optimizes don't stack plans
+    // Materialize the fold (so repeated OPTIMIZEs don't stack plans)
+    // as a distributed sorted parquet snapshot — the same rewrite
+    // MergeTreeTable.optimize performs on path-backed tables. Nothing
+    // collects to the driver, so a multi-TB Memory-engine table would
+    // compact exactly like a MergeTree part rewrite.
     val folded = MergeTreeTable.fold(entry.df, entry.spec)
-    val rows = folded.collect()
-    entry.df = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), folded.schema)
+    val snap = java.nio.file.Files.createTempDirectory("graft_optimize").toString
+    MergeTreeTable.write(folded, snap, entry.spec,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    entry.df = MergeTreeTable.read(spark, snap)
     entry.df.createOrReplaceTempView(entry.view)
   }
 

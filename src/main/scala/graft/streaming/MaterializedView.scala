@@ -33,10 +33,13 @@ object MaterializedView {
     * whole state to the driver every batch and double-counted on
     * replay):
     *  - the per-batch write is a map-side-combined partial aggregate,
-    *    appended distributed — nothing flows through the driver;
-    *  - each partial carries its `__batch_id`; a replayed batch
-    *    (at-least-once foreachBatch after failure recovery) is
-    *    detected by id and skipped, so the merge is idempotent;
+    *    written distributed — nothing flows through the driver;
+    *  - the log is partitioned by `__batch_id` and each batch
+    *    dynamically overwrites only its own partition, so a replayed
+    *    batch (at-least-once foreachBatch after failure recovery)
+    *    rewrites identical content instead of double-appending —
+    *    idempotent with an O(1) footprint, no scan of the growing
+    *    log per batch;
     *  - `checkpoint` is required, so restarts resume offsets instead
     *    of re-reading the source from scratch;
     *  - readers pay a partial/final aggregate over one row per
@@ -64,15 +67,19 @@ object MaterializedView {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val exists = new java.io.File(targetPath).exists()
-        val replayed = exists && spark.read.parquet(targetPath)
-          .filter(col("__batch_id") === batchId).limit(1).count() > 0
-        if (!replayed) {
-          batch.groupBy(keys.map(col): _*)
-            .agg(sums.head, sums.tail: _*)
-            .withColumn("__batch_id", lit(batchId))
-            .write.mode("append").parquet(targetPath)
-        }
+        // Replay idempotence without scanning the log: the state log
+        // is partitioned by __batch_id and each micro-batch
+        // dynamically overwrites ONLY its own partition — a replayed
+        // batch rewrites identical content instead of double-
+        // appending (and heals a partial write), and the old
+        // O(log-files) per-batch replay probe disappears entirely.
+        batch.groupBy(keys.map(col): _*)
+          .agg(sums.head, sums.tail: _*)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(targetPath)
         registerView()
         ()
       }
@@ -90,7 +97,9 @@ object MaterializedView {
       .agg(sums.head, sums.tail: _*)
       .withColumn("__batch_id", lit(-1L))
     val tmp = targetPath + "__compacting"
-    folded.write.mode("overwrite").parquet(tmp)
+    // keep the __batch_id partition layout so post-compaction batches
+    // land in the same directory scheme
+    folded.write.mode("overwrite").partitionBy("__batch_id").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(targetPath)
