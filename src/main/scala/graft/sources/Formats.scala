@@ -181,6 +181,36 @@ object Formats {
     s"""{"meta":[$meta],"data":[\n$data\n],"rows":${rows.length}}"""
   }
 
+  /** JSONEachRow — one JSON object per line
+    * (JSONEachRowRowOutputStream). */
+  def jsonEachRow(df: DataFrame, limit: Int = 1000000): String =
+    df.limit(limit).collect().map(r =>
+      df.columns.indices.map(i =>
+        s"${jsonString(df.columns(i))}:${jsonString(r.get(i))}")
+        .mkString("{", ",", "}")).mkString("\n")
+
+  /** CSV / CSVWithNames — RFC-ish quoting, every string quoted with
+    * `"` doubled (CSVRowOutputStream). */
+  def csv(df: DataFrame, withNames: Boolean = false,
+      limit: Int = 1000000): String = {
+    def cell(v: Any): String = v match {
+      case null => "\\N"
+      case s: String => "\"" + s.replace("\"", "\"\"") + "\""
+      case other => renderValue(other, inArray = false)
+    }
+    val header =
+      if (withNames) Seq(df.columns.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(","))
+      else Seq.empty
+    (header ++ df.limit(limit).collect()
+      .map(r => r.toSeq.map(cell).mkString(","))).mkString("\n")
+  }
+
+  /** Values — `(1,'a'),(2,'b')` rows (ValuesRowOutputStream). */
+  def values(df: DataFrame, limit: Int = 1000000): String =
+    df.limit(limit).collect()
+      .map(r => r.toSeq.map(renderValue(_, inArray = true)).mkString("(", ",", ")"))
+      .mkString(",")
+
   /** XML — the reference's XML output shape (XMLRowOutputStream). */
   def xml(df: DataFrame, limit: Int = 1000000): String = {
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")

@@ -58,7 +58,142 @@ object ChDdl {
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
     else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }
-    else Some(ChSql(spark, rewriteRefs(rewriteFinal(spark, stmt))))
+    else Some(ChSql(spark,
+      rewriteRefs(rewriteFinal(spark, rewriteTableFunctions(spark, stmt)))))
+  }
+
+  // ------------------------------------------------------------------
+  // table functions (reference: dbms/src/TableFunctions/)
+  // ------------------------------------------------------------------
+
+  /** Shard count of a remote() address pattern
+    * (TableFunctionRemote.cpp:65-77): top-level commas separate
+    * shards; `{a..b}` and `{x,y,z}` brace groups multiply out as a
+    * direct product; `{r1|r2}` lists REPLICAS of one shard (counts
+    * once). remote()'s result is the union of every shard's table.
+    */
+  private[sql] def shardCount(desc: String): Int = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    var depth = 0
+    var start = 0
+    desc.indices.foreach { i =>
+      desc(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case ',' if depth == 0 => parts += desc.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    parts += desc.substring(start)
+    parts.filter(_.trim.nonEmpty).map { p =>
+      "\\{([^}]*)\\}".r.findAllMatchIn(p).map(_.group(1)).map { body =>
+        if (body.contains("|")) 1 // replicas of one shard
+        else if (body.contains("..")) {
+          val Array(a, b) = body.split("\\.\\.", 2)
+          b.trim.toInt - a.trim.toInt + 1
+        } else body.split(",").length
+      }.product
+    }.sum
+  }
+
+  /** A FROM-able SQL fragment for `db.table` — catalog tables resolve
+    * to their temp view; the system tables the corpus reads through
+    * remote() resolve to their generator subqueries. */
+  private def tableFragment(db: String, table: String): String =
+    tables.get(s"$db.$table")
+      .orElse(if (db == "default" || currentDb.contains(db)) tables.get(table) else None)
+      .map(_.view).getOrElse {
+      (db, table) match {
+        case ("system", "one") => "(SELECT CAST(0 AS TINYINT) AS dummy)"
+        case ("system", "numbers") | ("system", "numbers_mt") =>
+          "(SELECT id AS number FROM range(100000000))"
+        case _ => throw new IllegalArgumentException(
+          s"table function target not found: $db.$table")
+      }
+    }
+
+  private val tfCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** Table functions in FROM:
+    *  - `remote('addrs', db, table)` (TableFunctionRemote.cpp) — on a
+    *    cluster, reads the table from every shard the address pattern
+    *    expands to and unions the streams (Distributed semantics). A
+    *    single-process engine holds every "shard" locally, so this
+    *    becomes the table unioned once per expanded shard — which is
+    *    also exactly what the reference's own shard tests observe
+    *    when all addresses point at one server.
+    *  - `shardByHash('cluster', 'key', db, table)`
+    *    (TableFunctionShardByHash.cpp:35-62) — picks the ONE shard
+    *    owning sipHash64(key); any single-cluster read is the local
+    *    table.
+    *  - `merge(db, 'regex')` (TableFunctionMerge.cpp:58-79) — union
+    *    of the db's tables whose names match the regex, with the
+    *    `_table` virtual column available.
+    */
+  /** replaceAllIn that skips matches starting inside a single-quoted
+    * string literal (the patterns here contain quotes themselves, so
+    * mapOutsideQuotes's segment split would hide them). */
+  private def replaceQuoteAware(q: String, re: scala.util.matching.Regex)(
+      fn: scala.util.matching.Regex.Match => String): String = {
+    val inQuote = new Array[Boolean](q.length + 1)
+    var inQ = false
+    q.indices.foreach { i => inQuote(i) = inQ; if (q(i) == '\'') inQ = !inQ }
+    re.replaceAllIn(q, m =>
+      if (inQuote(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else fn(m))
+  }
+
+  /** Table name → catalog entries, honoring `default`/USE-db bare
+    * names (the same resolution tableFragment applies). */
+  private def dbTables(db: String): Seq[(String, Entry)] =
+    tables.values.toSeq.flatMap { e =>
+      if (e.name.startsWith(db + ".")) Some(e.name.stripPrefix(db + ".") -> e)
+      else if (!e.name.contains(".") &&
+        (db == "default" || currentDb.contains(db))) Some(e.name -> e)
+      else None
+    }
+
+  private def rewriteTableFunctions(spark: SparkSession, sql: String): String = {
+    var q = sql
+    val remoteRe =
+      ("(?i)\\bremote\\s*\\(\\s*'([^']*)'\\s*,\\s*`?(\\w+)`?" +
+        "(?:\\s*\\.\\s*`?(\\w+)`?|\\s*,\\s*`?(\\w+)`?)\\s*\\)").r
+    q = replaceQuoteAware(q, remoteRe)(m => {
+      val db = m.group(2)
+      val table = Option(m.group(3)).getOrElse(m.group(4))
+      val frag = tableFragment(db, table)
+      val n = shardCount(m.group(1)) max 1
+      java.util.regex.Matcher.quoteReplacement(
+        if (n == 1) frag
+        else Seq.fill(n)(s"SELECT * FROM $frag").mkString("(", " UNION ALL ", ")"))
+    })
+    val shardRe =
+      ("(?i)\\bshardByHash\\s*\\(\\s*'[^']*'\\s*,\\s*'[^']*'\\s*," +
+        "\\s*`?(\\w+)`?\\s*,\\s*`?(\\w+)`?\\s*\\)").r
+    q = replaceQuoteAware(q, shardRe)(m =>
+      java.util.regex.Matcher.quoteReplacement(tableFragment(m.group(1), m.group(2))))
+    val mergeRe = "(?i)(?<![\\w.`])merge\\s*\\(\\s*`?(\\w+)`?\\s*,\\s*'([^']*)'\\s*\\)".r
+    q = replaceQuoteAware(q, mergeRe)(m => {
+      val db = m.group(1)
+      val re = m.group(2).r
+      val matching = dbTables(db)
+        .filter { case (bare, _) => re.findFirstIn(bare).isDefined }
+        .sortBy(_._1)
+      require(matching.nonEmpty, s"merge($db, '${m.group(2)}'): no tables match")
+      // `_table` is VIRTUAL (StorageMerge.cpp): materialized into the
+      // union only when the query mentions it, so `SELECT *` keeps
+      // the physical width
+      val wantsTable = "(?i)(?<![\\w.`])_table(?![\\w.`])".r
+        .findFirstIn(sql).isDefined
+      val view = s"__tf_merge_${tfCounter.incrementAndGet()}"
+      matching.map { case (bare, e) =>
+        if (wantsTable)
+          e.df.withColumn("_table", org.apache.spark.sql.functions.lit(bare))
+        else e.df
+      }.reduce(_ unionByName _).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+    q
   }
 
   /** `FROM t FINAL` — merge-at-read: register a folded view of the

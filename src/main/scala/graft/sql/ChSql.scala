@@ -90,6 +90,9 @@ object ChSql {
     // bare USING list → parenthesized
     q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
       "USING ($1)")
+    // USING-join resolution quirks (outer-alias keys, main-table `*`,
+    // left-priority ambiguity)
+    q = rewriteUsingJoin(q)
     // CH ternary operator `cond ? a : b` (parenthesized form)
     q = ternaryToIf(q)
     // table-less `FROM ARRAY JOIN expr AS alias` → explode subquery
@@ -447,6 +450,127 @@ object ChSql {
     * further alias ak is textually replaced by
     * `charrayelement(ek, __ajpos + 1)` — same offsets, so the unnest
     * is lockstep like the reference's shared-offset Nested columns. */
+  /** JOIN … USING resolution quirks of the reference dialect
+    * (ExpressionAnalyzer.cpp name resolution):
+    *  - `*` after a USING join expands to the LEFT (main) table's
+    *    columns only, not the joined width;
+    *  - a USING column may name an alias defined in the OUTER select
+    *    list (`number/2 AS n … USING (n)` joins on the computed
+    *    value) — Spark resolves USING against the table sides, so
+    *    the alias is injected into the left side;
+    *  - a bare column present on BOTH sides (and not in USING)
+    *    resolves to the left table — Spark calls it ambiguous, so
+    *    such refs are qualified to the aliased left side.
+    * Only the single-top-level-JOIN shape is rewritten (the corpus
+    * shape); anything else passes through untouched.
+    */
+  private def rewriteUsingJoin(q: String): String = {
+    if (!q.toUpperCase.startsWith("SELECT")) return q
+    val d = depths(q)
+    def topMatches(pat: String): List[scala.util.matching.Regex.Match] =
+      ("(?i)" + pat).r.findAllMatchIn(q).filter(m => d(m.start) == 0).toList
+    val joins = topMatches("\\bJOIN\\b")
+    if (joins.size != 1) return q
+    val joinM = joins.head
+    val usings = topMatches("\\bUSING\\s*\\(").filter(_.start > joinM.end)
+    if (usings.isEmpty) return q
+    val usingM = usings.head
+    val froms = topMatches("\\bFROM\\b").filter(_.start < joinM.start)
+    if (froms.isEmpty) return q
+    val fromM = froms.head
+
+    var sel = q.substring("SELECT".length, fromM.start)
+    // left operand, peeling trailing join-type keywords
+    var leftSeg = q.substring(fromM.end, joinM.start)
+    val jtWords = new StringBuilder
+    val kw = "(?is)\\s+(LEFT|RIGHT|INNER|FULL|OUTER|CROSS)\\s*$".r
+    var km = kw.findFirstMatchIn(leftSeg)
+    while (km.isDefined) {
+      jtWords.insert(0, km.get.group(1) + " ")
+      leftSeg = leftSeg.substring(0, km.get.start)
+      km = kw.findFirstMatchIn(leftSeg)
+    }
+    var left = leftSeg.trim
+    val right = q.substring(joinM.end, usingM.start).trim
+    // USING (...) column list
+    val openIdx = usingM.end - 1
+    var depth = 0
+    var close = openIdx
+    while (close < q.length && { if (q.charAt(close) == '(') depth += 1
+      else if (q.charAt(close) == ')') depth -= 1; depth != 0 }) close += 1
+    val usingCols = splitTopLevel(q.substring(openIdx + 1, close))
+      .map(_.trim.replace("`", ""))
+    var rest = q.substring(close + 1)
+
+    /** Output column names of a parenthesized subquery (first branch
+      * of a UNION); None when not statically known. */
+    def colsOf(op: String): Option[Seq[String]] = {
+      val t = op.trim
+      if (!t.startsWith("(") || !t.endsWith(")")) return None
+      val inner = t.substring(1, t.length - 1).trim
+      if (!inner.toUpperCase.startsWith("SELECT")) return None
+      val di = depths(inner)
+      val stop = "(?i)\\bFROM\\b|\\bUNION\\b".r.findAllMatchIn(inner)
+        .find(m => di(m.start) == 0).map(_.start).getOrElse(inner.length)
+      val items = splitTopLevel(inner.substring("SELECT".length, stop))
+      val aliasRe = "(?is)\\s+AS\\s+`?([A-Za-z_]\\w*)`?\\s*$".r
+      val bare = "^`?([A-Za-z_]\\w*)`?$".r
+      Some(items.flatMap { it =>
+        aliasRe.findFirstMatchIn(it).map(_.group(1)).orElse(it.trim match {
+          case bare(n) => Some(n)
+          case _ => None
+        })
+      })
+    }
+
+    var leftCols = colsOf(left)
+    val rightCols = colsOf(right)
+    val selItems = splitTopLevel(sel)
+
+    // (1) USING key defined as an outer-select alias → inject into left
+    usingCols.foreach { uc =>
+      if (leftCols.exists(cs => !cs.contains(uc))) {
+        val aliasDef = selItems.find(it =>
+          ("(?is)\\s+AS\\s+`?" + java.util.regex.Pattern.quote(uc) + "`?\\s*$").r
+            .findFirstIn(it).isDefined)
+        aliasDef.foreach { item =>
+          left = s"(SELECT *, ${item.trim} FROM $left)"
+          leftCols = leftCols.map(_ :+ uc)
+        }
+      }
+    }
+
+    // (2) `*` expands to the left table's columns
+    if (leftCols.isDefined && selItems.exists(_.trim == "*")) {
+      val expanded = selItems.map(it =>
+        if (it.trim == "*") leftCols.get.mkString(", ") else it)
+      sel = " " + expanded.mkString(", ") + " "
+    }
+
+    // (3) both-sides columns resolve left → qualify via side aliases
+    val dups = (for { lc <- leftCols; rc <- rightCols }
+      yield lc.intersect(rc).filterNot(usingCols.contains)).getOrElse(Seq.empty)
+    var leftOut = left
+    var rightOut = right
+    if (dups.nonEmpty) {
+      val referenced = dups.filter { c =>
+        val pat = ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(c) + "(?![\\w.`])").r
+        pat.findFirstIn(sel).isDefined || pat.findFirstIn(rest).isDefined
+      }
+      if (referenced.nonEmpty) {
+        leftOut = s"$left __jl"
+        rightOut = s"$right __jr"
+        referenced.foreach { c =>
+          val pat = ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(c) + "(?![\\w.`])").r
+          sel = mapOutsideQuotes(sel)(seg => pat.replaceAllIn(seg, s"__jl.$c"))
+          rest = mapOutsideQuotes(rest)(seg => pat.replaceAllIn(seg, s"__jl.$c"))
+        }
+      }
+    }
+
+    s"SELECT $sel FROM $leftOut ${jtWords.toString}JOIN $rightOut USING (${usingCols.mkString(", ")})$rest"
+  }
+
   private def rewriteMultiArrayJoin(q: String): String = {
     val re = "(?is)\\bARRAY\\s+JOIN\\s+(.+?\\s+AS\\s+\\w+\\s*(?:,\\s*.+?\\s+AS\\s+\\w+\\s*)+)$".r
     re.findFirstMatchIn(q) match {

@@ -30,6 +30,7 @@ class ChSqlCorpusSpec extends SparkSpec {
   private val cases: Seq[String] = Seq(
     "00001_select_1",
     "00002_system_numbers",
+    "00003_reinterpret_as_string",
     "00007_array",
     "00008_array_join",
     "00009_array_join_subquery",
@@ -62,8 +63,14 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00042_set",
     "00043_summing_empty_part",
     "00049_any_left_join",
+    "00050_any_left_join",
+    "00051_any_inner_join",
+    "00052_all_left_join",
+    "00053_all_inner_join",
+    "00054_join_string",
     "00055_join_two_numbers",
     "00056_join_number_string",
+    "00057_join_aliases",
     "00060_date_lut",
     "00066_group_by_in",
     "00068_empty_tiny_log",
@@ -92,7 +99,10 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00098_f_union_all",
     "00098_g_union_all",
     "00098_h_union_all",
+    "00098_l_union_all",
+    "00099_join_many_blocks_segfault",
     "00102_insert_into_temporary_table",
+    "00122_join_with_subquery_with_subquery",
     "00103_ipv4_num_to_string_class_c",
     "00106_totals_after_having",
     "00114_float_type_result_of_division",
@@ -115,6 +125,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00157_aliases_and_lambda_formal_parameters",
     "00159_whitespace_in_columns_list",
     "00165_transform_non_const_default",
+    "00169_join_constant_keys",
     "00170_lower_upper_utf8",
     "00173_compare_date_time_with_constant_string",
     "00174_compare_date_time_with_constant_string_in_in",
