@@ -17,8 +17,11 @@ import graft.functions.{AnyHeavy, CharWeightedFingerprintExpr, MinHashSigExpr, N
   *  - `GraftFunctions.register(spark)` for an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // CH's UInt8-as-boolean semantics in WHERE/ON/CASE/NOT seats
+    ext.injectResolutionRule(_ => graft.plans.ChBooleanCoercion)
+  }
 }
 
 object GraftFunctions {

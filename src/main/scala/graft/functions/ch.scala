@@ -152,7 +152,7 @@ object ch {
   /** formatReadableSize(bytes) — '1.50 KiB' style
     * (FunctionsFormatting.cpp). */
   def formatReadableSize(bytes: Column): Column = {
-    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB")
     // unit chosen by |bytes| so negative sizes scale too (the
     // reference formats via std::abs)
     val e = when(abs(bytes) < 1, 0)
@@ -171,4 +171,87 @@ object ch {
     val n = greatest(lit(0), least(lit(width), round(frac * width).cast("int")))
     repeat(lit("█"), n)
   }
+
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.graftbridge.Bridge
+  import org.apache.spark.sql.types.{DoubleType, StringType}
+
+  private def stringKernel3(method: String, s: Column, f: Column, t: Column): Column =
+    Bridge.column(StaticInvoke(
+      classOf[StringKernels.type], StringType, method,
+      Seq(Bridge.expression(s), Bridge.expression(f), Bridge.expression(t)),
+      Seq(StringType, StringType, StringType)))
+
+  /** replaceOne/replaceRegexpOne — first occurrence only
+    * (FunctionsStringSearch.h). StaticInvoke = codegen'd, no UDF. */
+  def replaceOne(s: Column, f: Column, t: Column): Column =
+    stringKernel3("replaceOne", s, f, t)
+  def replaceRegexpOne(s: Column, f: Column, t: Column): Column =
+    stringKernel3("replaceRegexpOne", s, f, t)
+
+  private def mathKernel1(method: String, x: Column): Column =
+    Bridge.column(StaticInvoke(
+      classOf[MathKernels.type], DoubleType, method,
+      Seq(Bridge.expression(x.cast("double"))), Seq(DoubleType),
+      returnNullable = false))
+
+  /** C-math semantics the Spark builtins diverge from: Spark's
+    * log/log2/log10 return NULL at 0 where C (and the reference,
+    * FunctionsMath.h) return -inf; Spark has no gamma/erf. All via
+    * codegen'd StaticInvoke on commons-math3 / java.lang.Math. */
+  def tgamma(x: Column): Column = mathKernel1("tgamma", x)
+  def lgamma(x: Column): Column = mathKernel1("lgamma", x)
+  def erf(x: Column): Column = mathKernel1("erf", x)
+  def erfc(x: Column): Column = mathKernel1("erfc", x)
+  def logC(x: Column): Column = mathKernel1("log", x)
+  def log2C(x: Column): Column = mathKernel1("log2", x)
+  def log10C(x: Column): Column = mathKernel1("log10", x)
+}
+
+/** JVM double kernels (see [[ch.tgamma]]). */
+object MathKernels {
+  import org.apache.commons.math3.special.{Erf, Gamma}
+
+  /** C tgamma: pole at 0 is +inf (commons-math3 returns NaN there). */
+  def tgamma(x: Double): Double =
+    if (x == 0d) Double.PositiveInfinity else Gamma.gamma(x)
+  def lgamma(x: Double): Double = Gamma.logGamma(x)
+  def erf(x: Double): Double = Erf.erf(x)
+  def erfc(x: Double): Double = Erf.erfc(x)
+  def log(x: Double): Double = math.log(x)
+  def log2(x: Double): Double = math.log(x) / math.log(2.0)
+  def log10(x: Double): Double = math.log10(x)
+}
+
+/** JVM string kernels for functions with no Spark builtin, invoked
+  * through StaticInvoke — codegen'd static calls, not UDFs.
+  * Reference: FunctionsStringSearch.h replaceOne/replaceRegexpOne. */
+object StringKernels {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** UInt64 rendering: unsigned decimal (the reference's UInt64
+    * toString; Spark Longs are signed). */
+  def uint64ToString(x: Long): UTF8String =
+    UTF8String.fromString(java.lang.Long.toUnsignedString(x))
+
+  def replaceOne(s: UTF8String, f: UTF8String, t: UTF8String): UTF8String =
+    if (s == null || f == null || t == null) null
+    else UTF8String.fromString(s.toString.replaceFirst(
+      java.util.regex.Pattern.quote(f.toString),
+      java.util.regex.Matcher.quoteReplacement(t.toString)))
+
+  /** CH replacement backrefs are `\0`/`\1`… (re2 style); Java wants
+    * `$0`/`$1` — translate, escaping any literal `$`. */
+  private def javaRepl(t: String): String =
+    t.replace("$", "\\$").replaceAll("\\\\(\\d)", "\\$$1")
+
+  def replaceRegexpOne(s: UTF8String, f: UTF8String, t: UTF8String): UTF8String =
+    if (s == null || f == null || t == null) null
+    else UTF8String.fromString(
+      s.toString.replaceFirst(f.toString, javaRepl(t.toString)))
+
+  def replaceRegexpAll(s: UTF8String, f: UTF8String, t: UTF8String): UTF8String =
+    if (s == null || f == null || t == null) null
+    else UTF8String.fromString(
+      s.toString.replaceAll(f.toString, javaRepl(t.toString)))
 }

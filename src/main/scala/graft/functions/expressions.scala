@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, Length, RuntimeReplaceable, Size, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for sipHash64 (reference:
@@ -441,5 +442,49 @@ case class CharWeightedFingerprintExpr(child: Expression)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextKernels.charWeightedFingerprint($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): CharWeightedFingerprintExpr =
+    copy(child = newChild)
+}
+
+/** CH `length` works on String AND Array/Map (FunctionsString.h
+  * length / FunctionsArray.h arrayLength share the name); Spark
+  * splits them as length()/size(). Dispatch on the resolved child
+  * type via RuntimeReplaceable, so codegen uses the underlying
+  * builtin directly. */
+case class ChLength(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
+    case _ => Length(child)
+  }
+  override def prettyName: String = "length"
+  override protected def withNewChildInternal(newChild: Expression): ChLength =
+    copy(child = newChild)
+}
+
+/** CH arraySum (FunctionsArray.h arraySum): integral arrays fold
+  * into Int64/UInt64, float arrays into Float64. Type dispatch via
+  * RuntimeReplaceable onto a resolved ArrayAggregate (codegen'd). */
+case class ChArraySum(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, LambdaFunction, NamedLambdaVariable}
+    val ArrayType(et, containsNull) = child.dataType: @unchecked
+    val accType: DataType = et match {
+      case FloatType | DoubleType => DoubleType
+      case _: org.apache.spark.sql.types.DecimalType => DoubleType
+      case _ => LongType
+    }
+    val acc = NamedLambdaVariable("acc", accType, nullable = true)
+    val x = NamedLambdaVariable("x", et, containsNull)
+    val merge = LambdaFunction(Add(acc, Cast(x, accType)), Seq(acc, x))
+    val acc2 = NamedLambdaVariable("acc", accType, nullable = true)
+    val finish = LambdaFunction(acc2, Seq(acc2))
+    ArrayAggregate(child,
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        if (accType == DoubleType) 0d else 0L, accType),
+      merge, finish)
+  }
+  override def prettyName: String = "arraysum"
+  override protected def withNewChildInternal(newChild: Expression): ChArraySum =
     copy(child = newChild)
 }

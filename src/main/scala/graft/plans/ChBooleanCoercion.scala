@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, Expression, If, Not, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{NullType, NumericType}
+
+import graft.functions.UInt8ToBool
+
+/** The reference dialect has no boolean type: conditions are UInt8
+  * and any non-zero number is true (ExpressionAnalyzer / the
+  * `if`/`and`/`or` implementations in FunctionsLogical.h take UInt8
+  * columns). Spark requires BooleanType in WHERE / HAVING / JOIN ON /
+  * CASE WHEN / NOT, so this resolution rule inserts the `!= 0`
+  * adapter ([[UInt8ToBool]], codegen'd) wherever a resolved numeric
+  * expression sits in a boolean seat:
+  *
+  *   WHERE 0 · WHERE x%2 · NOT 1 · CASE WHEN 1 THEN … ·
+  *   if(number, a, b) · t1 JOIN t2 ON k1 - k2
+  *
+  * The dialect's function builders already coerce inside if()/and()/
+  * or() calls they build themselves; this rule covers the shapes that
+  * reach the analyzer through plain SQL parsing instead (corpus tests
+  * 00164_not_chain, 00272/00420 `WHERE 0`, 00326/00328 CASE WHEN).
+  * Boolean-typed conditions pass through untouched, so the rule is a
+  * no-op on standard SQL.
+  */
+object ChBooleanCoercion extends Rule[LogicalPlan] {
+
+  private def numeric(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case _: NumericType => true
+      case NullType => true // CH: NULL condition filters everything out
+      case _ => false
+    })
+
+  private def toBool(e: Expression): Expression =
+    if (numeric(e)) UInt8ToBool(e) else e
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case f @ Filter(cond, _) if numeric(cond) =>
+        f.copy(condition = UInt8ToBool(cond))
+      case j @ Join(_, _, _, Some(cond), _) if numeric(cond) =>
+        j.copy(condition = Some(UInt8ToBool(cond)))
+      case p =>
+        p.transformExpressionsUp {
+          case Not(e) if numeric(e) => Not(UInt8ToBool(e))
+          case i @ If(pred, _, _) if numeric(pred) =>
+            i.copy(predicate = UInt8ToBool(pred))
+          case cw @ CaseWhen(branches, _) if branches.exists(b => numeric(b._1)) =>
+            cw.copy(branches = branches.map { case (c, v) => (toBool(c), v) })
+          case And(l, r) if numeric(l) || numeric(r) => And(toBool(l), toBool(r))
+          case Or(l, r) if numeric(l) || numeric(r) => Or(toBool(l), toBool(r))
+        }
+    }
+}

@@ -74,10 +74,39 @@ object Formats {
     if (d.isNaN) "nan"
     else if (d.isPosInfinity) "inf"
     else if (d.isNegInfinity) "-inf"
-    else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
-    else if (math.abs(d) >= 1e-4 && math.abs(d) < 1e15)
-      new java.math.BigDecimal(d.toString).toPlainString
-    else d.toString
+    else renderShortest(math.abs(d).toString, d < 0 || 1 / d < 0)
+  }
+
+  /** The reference prints floats via double-conversion ToShortest
+    * (writeFloatText): plain decimal while the leading digit's
+    * exponent is in [-6, 21), else `d.ddde±X` with a lowercase bare
+    * exponent. `repr` is the JVM's shortest round-trip form of the
+    * absolute value. */
+  private def renderShortest(repr: String, neg: Boolean): String = {
+    val (mant, exp10) = repr.indexOf('E') match {
+      case -1 => (repr, 0)
+      case i => (repr.substring(0, i), repr.substring(i + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    var digits = mant.substring(0, dot) + mant.substring(dot + 1)
+    var pointExp = dot + exp10 // digits before the point, plain form
+    val lead = digits.takeWhile(_ == '0').length
+    digits = digits.drop(lead)
+    pointExp -= lead
+    digits = digits.reverse.dropWhile(_ == '0').reverse
+    if (digits.isEmpty) return if (neg) "-0" else "0"
+    val e = pointExp - 1
+    val body =
+      if (e >= -6 && e < 21) {
+        if (pointExp >= digits.length) digits + "0" * (pointExp - digits.length)
+        else if (pointExp > 0)
+          digits.substring(0, pointExp) + "." + digits.substring(pointExp)
+        else "0." + "0" * (-pointExp) + digits
+      } else {
+        val m = if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
+        s"${m}e$e"
+      }
+    if (neg) "-" + body else body
   }
 
   def renderValue(v: Any, inArray: Boolean): String = {
@@ -99,12 +128,10 @@ object Formats {
       case f: Float if f.isNaN => "nan"
       case f: Float if f.isPosInfinity => "inf"
       case f: Float if f.isNegInfinity => "-inf"
-      case f: Float if f.isWhole && math.abs(f) < 1e7 => f.toLong.toString
-      case f: Float if math.abs(f) >= 1e-4f && math.abs(f) < 1e7f =>
-        // via the float's own shortest repr — a double round-trip
-        // would print the binary approximation tail
-        new java.math.BigDecimal(f.toString).toPlainString
-      case f: Float => f.toString
+      case f: Float =>
+        // the FLOAT's own shortest repr — a double round-trip would
+        // print the binary approximation tail
+        renderShortest(math.abs(f).toString, f < 0 || 1 / f < 0)
       case d: java.sql.Date =>
         if (inArray) s"'$d'" else d.toString
       case t: java.sql.Timestamp =>

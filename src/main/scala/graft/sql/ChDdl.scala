@@ -36,6 +36,11 @@ object ChDdl {
   private def viewName(raw: String): String =
     raw.trim.replace("`", "").replace(".", "_")
 
+  /** col() that survives dotted column names (flattened Nested). */
+  private def qcol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(
+      if (n.contains(".")) s"`$n`" else n)
+
   /** Execute one statement; SELECTs return a frame, DDL returns None. */
   def execute(spark: SparkSession, stmtRaw: String): Option[DataFrame] = {
     val stmt = stmtRaw.trim.stripSuffix(";").trim
@@ -59,7 +64,84 @@ object ChDdl {
     else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
     else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }
     else Some(ChSql(spark,
-      rewriteRefs(rewriteFinal(spark, rewriteTableFunctions(spark, stmt)))))
+      rewriteRefs(rewriteFinal(spark,
+        rewriteNested(rewriteTableFunctions(spark, stmt))))))
+  }
+
+  // ------------------------------------------------------------------
+  // Nested columns (DataTypeNested / NestedUtils.h flatten)
+  // ------------------------------------------------------------------
+
+  /** The catalog stores `Nested(x T, y U)` as flattened parallel
+    * arrays `nest.x`, `nest.y` (see ChTypes.schemaWithDefaults). This
+    * pass makes the dialect's dotted references resolvable:
+    *
+    *  - `ARRAY JOIN nest [AS n]` expands to every `nest.*` column in
+    *    lockstep; references `nest.x` (or `n.x` under the alias)
+    *    after it mean the ELEMENT. With an alias, bare `nest.x` still
+    *    means the whole array (00014_a semantics).
+    *  - `ARRAY JOIN nest.x` explodes just that column; un-joined
+    *    siblings stay arrays.
+    *  - any remaining dotted reference to a flattened column gets
+    *    backticked so Spark reads it as one identifier.
+    */
+  private def rewriteNested(sql: String): String = {
+    val fromRe = "(?i)\\bFROM\\s+`?([\\w.]+)`?".r
+    val entry = fromRe.findAllMatchIn(sql).flatMap { m =>
+      val raw = m.group(1)
+      tables.get(raw).orElse(currentDb.flatMap(db => tables.get(s"$db.$raw")))
+    }.find(_.df.schema.fieldNames.exists(_.contains(".")))
+    entry match {
+      case None => sql
+      case Some(e) =>
+        val dotted = e.df.schema.fieldNames.filter(_.contains(".")).toSeq
+        val groups: Map[String, Seq[String]] =
+          dotted.groupBy(_.takeWhile(_ != '.')).view.mapValues(_.toSeq).toMap
+        var q = sql
+        // scalar-reference substitutions accumulated from ARRAY JOIN items
+        val scalarSubs = scala.collection.mutable.LinkedHashMap[String, String]()
+        def elemName(col: String) = "__aj_" + col.replace(".", "_")
+        val ajRe = ("(?is)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.*?)" +
+          "(?=\\s+(?:WHERE|GROUP\\s+BY|ORDER\\s+BY|LIMIT|HAVING|SETTINGS|FORMAT)\\b|\\s*$)").r
+        q = ajRe.replaceAllIn(q, m => {
+          val left = Option(m.group(1)).getOrElse("")
+          val items = ChSql.splitTopLevel(m.group(2)).map(_.trim)
+          val rewritten = items.flatMap { it =>
+            val aliasM = "(?is)^(.*?)\\s+AS\\s+`?(\\w+)`?$".r.findFirstMatchIn(it)
+            val (expr, alias) = aliasM match {
+              case Some(am) => (am.group(1).trim, Some(am.group(2)))
+              case None => (it, None)
+            }
+            if (groups.contains(expr)) {
+              // whole nested group, lockstep
+              val pfx = alias.getOrElse(expr)
+              groups(expr).map { col =>
+                val leaf = col.drop(expr.length + 1)
+                scalarSubs(s"$pfx.$leaf") = elemName(col)
+                s"`$col` AS ${elemName(col)}"
+              }
+            } else if (dotted.contains(expr) && alias.isEmpty) {
+              scalarSubs(expr) = elemName(expr)
+              Seq(s"`$expr` AS ${elemName(expr)}")
+            } else Seq(it)
+          }
+          java.util.regex.Matcher.quoteReplacement(
+            s"${left}ARRAY JOIN ${rewritten.mkString(", ")}")
+        })
+        // exploded element references
+        scalarSubs.foreach { case (ref, elem) =>
+          val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(ref) +
+            "(?![\\w.`(])").r
+          q = ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, elem))
+        }
+        // remaining dotted column refs → backticked identifiers
+        dotted.foreach { col =>
+          val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(col) +
+            "(?![\\w.`(])").r
+          q = ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, s"`$col`"))
+        }
+        q
+    }
   }
 
   // ------------------------------------------------------------------
@@ -363,7 +445,7 @@ object ChDdl {
               import org.apache.spark.sql.functions.col
               df.toDF(schema.fieldNames.toIndexedSeq: _*)
                 .select(schema.fields.map(f =>
-                  col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+                  qcol(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
             case None => df
           }
         case (None, None) =>
@@ -486,7 +568,7 @@ object ChDdl {
             val sel = ChSql(spark, rewriteRefs(rest))
             sel.toDF(target.fieldNames.toIndexedSeq: _*)
               .select(target.fields.map(f =>
-                col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+                qcol(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
           }
         // omitted columns take their declared DEFAULT expression
         // (evaluated over the incoming row) or the type's default
@@ -500,7 +582,7 @@ object ChDdl {
                 org.apache.spark.sql.functions.expr(e).cast(f.dataType))
             case None => df.withColumn(f.name, defaultLit(f.dataType))
           }
-        }.select(entry.df.schema.fieldNames.map(col).toIndexedSeq: _*)
+        }.select(entry.df.schema.fieldNames.map(qcol).toIndexedSeq: _*)
         entry.df = entry.df.unionByName(incoming)
         entry.df.createOrReplaceTempView(entry.view)
       case _ => throw new IllegalArgumentException(s"unsupported INSERT: $stmt")

@@ -67,6 +67,12 @@ object ChSql {
       java.util.regex.Matcher.quoteReplacement(s)
     })
     q = q.replaceAll("(?i)\\bsystem\\.one\\b", "(SELECT 0 AS dummy)")
+    // CH float literals inf / nan (FieldVisitors / Float64 parsing);
+    // double() not CAST(... AS DOUBLE): the literal-alias inliner
+    // would read the latter's `'Infinity' AS DOUBLE` as an alias
+    q = mapOutsideQuotes(q)(seg => seg
+      .replaceAll("(?i)(?<![\\w.'])inf(?![\\w'(])", "double('Infinity')")
+      .replaceAll("(?i)(?<![\\w.'])nan(?![\\w'(])", "double('NaN')"))
     // join strictness: ANY ≈ plain join (exact when RHS key-unique)
     q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
     // PREWHERE is an execution hint — a filter, which Catalyst pushes
@@ -76,6 +82,8 @@ object ChSql {
     // CH allows aliasing ANY expression in place (`lower('x' AS s)`);
     // inline the constant-alias form Spark can't parse
     q = inlineLiteralAliases(q)
+    // CH in-function expression aliases (`abs(e AS x)` … uses x later)
+    q = inlineExprAliases(q)
     // CH select-list aliases SHADOW source columns for later items
     // (`number * 2 AS number, number + 1` uses the doubled value);
     // Spark resolves the real column first — inline the shadowing
@@ -104,9 +112,9 @@ object ChSql {
     // its expression — shared offsets, exactly the Nested semantics
     q = rewriteMultiArrayJoin(q)
     // ARRAY JOIN clause → LATERAL VIEW explode
-    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW OUTER explode($1) __aj AS $2")
-    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $2")
     q = rewriteBareArrayJoin(q)
     // FROM-less queries referencing `dummy` implicitly read system.one
@@ -124,7 +132,15 @@ object ChSql {
         q = q.substring(0, at) + " FROM (SELECT 0 AS dummy)" + q.substring(at)
       }
     }
-    bracketLiteralsToArray(q)
+    q = bracketLiteralsToArray(q)
+    // `(SELECT 'str' …)` — Spark's parser reads `SELECT 'str'` as a
+    // typed literal of type SELECT; concat() is a string identity
+    // that breaks the ambiguity
+    q = q.replaceAll("(?i)\\(\\s*SELECT\\s+('(?:[^'\\\\]|\\\\.)*')",
+      "(SELECT concat($1)")
+    // CH tuple element access `t.2` / `(…).2` (1-based)
+    q = tupleElementAccess(q)
+    q
   }
 
   /** Paren depth at each character position (quote-aware). */
@@ -180,9 +196,17 @@ object ChSql {
       case Some(p) =>
         !q.substring(p + 1).stripLeading.toUpperCase.startsWith("SELECT")
     }
+    // the literal must be a WHOLE argument — `number - 10 AS x`
+    // aliases the arithmetic expression, not the 10 (that form is
+    // inlineExprAliases' job)
+    def wholeArg(start: Int): Boolean = {
+      var p = start - 1
+      while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+      p < 0 || q.charAt(p) == '(' || q.charAt(p) == ','
+    }
     val matches = re.findAllMatchIn(q).toList
       .filter(m => d(m.start) > 0 && !chTypeNames.contains(m.group(2)) &&
-        inFunctionCall(m.start))
+        inFunctionCall(m.start) && wholeArg(m.start))
     if (matches.isEmpty) return q
     // drop the ` AS alias` part of each match (right to left)
     var out = q
@@ -196,6 +220,67 @@ object ChSql {
       out = mapOutsideQuotes(out)(seg => pat.replaceAllIn(seg, repl))
     }
     out
+  }
+
+  /** CH aliases ANY subexpression in place and the alias is visible
+    * query-wide (`abs(number - 10 AS x) = (x < 0 ? -x : x)` — x is
+    * `number - 10`). [[inlineLiteralAliases]] handles the literal
+    * case; this pass handles full expressions inside FUNCTION-call
+    * parens: strip ` AS x`, then substitute `(expr)` for later bare
+    * `x` references. Subquery select lists (parens starting with
+    * SELECT) are real output columns and stay untouched. */
+  private def inlineExprAliases(q0: String): String = {
+    var q = q0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val d = depths(q)
+      val re = "(?i)\\s+AS\\s+`?([A-Za-z_]\\w*)`?(?![\\w(])".r
+      val cand = re.findAllMatchIn(q).find { m =>
+        d(m.start) > 0 && !chTypeNames.contains(m.group(1)) && {
+          // enclosing paren must be a function call, not a subquery
+          var stack = List.empty[Int]
+          var inQ = false
+          var i = 0
+          while (i < m.start) {
+            val c = q.charAt(i)
+            if (c == '\'') inQ = !inQ
+            else if (!inQ && c == '(') stack = i :: stack
+            else if (!inQ && c == ')') stack = stack.drop(1)
+            i += 1
+          }
+          // any paren EXCEPT a subquery: `(e AS x)` aliases e in CH
+          stack.headOption.exists { p =>
+            q.charAt(p) == '(' &&
+              !q.substring(p + 1).stripLeading.toUpperCase.startsWith("SELECT")
+          }
+        }
+      }
+      cand.foreach { m =>
+        val alias = m.group(1)
+        val dep = d(m.start)
+        // expression start: enclosing '(' or same-depth ',' to the left
+        var p = m.start - 1
+        while (p >= 0 && !((q.charAt(p) == '(' || q.charAt(p) == ',') && d(p) == dep))
+          p -= 1
+        val expr = q.substring(p + 1, m.start).trim
+        if (expr.nonEmpty && !expr.equalsIgnoreCase(alias)) {
+          val before = q.substring(0, m.start) + q.substring(m.end)
+          val pat = ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(alias) +
+            "(?![\\w(`'])").r
+          val repl = java.util.regex.Matcher.quoteReplacement(s"($expr)")
+          // substitute only AFTER the definition site
+          val head = before.substring(0, m.start)
+          val tail = mapOutsideQuotes(before.substring(m.start))(seg =>
+            pat.replaceAllIn(seg, repl))
+          q = head + tail
+          changed = true
+        }
+      }
+    }
+    q
   }
 
   /** Bare `[LEFT] ARRAY JOIN col`: the reference REPLACES `col` with
@@ -648,6 +733,64 @@ object ChSql {
     * 0-based). String literals untouched. A bracket is indexing only
     * when the preceding token is a non-keyword identifier, `)` or a
     * prior index result. */
+  /** CH tuple element access: `tuple.N` / `(expr).N` / `arr[i].N`,
+    * 1-based (ExpressionListParsers tuple-element operator). Wraps
+    * the base in `tupleelement(base, N)` — a registered builder that
+    * picks the struct field by ordinal, so it works on both `_N`- and
+    * `colN`-named structs. A digit before the dot means a decimal
+    * literal and is left alone. */
+  private[sql] def tupleElementAccess(q: String): String = {
+    val out = new StringBuilder
+    var inString = false
+    var i = 0
+    def baseStart: Int = {
+      var j = out.length - 1
+      while (j >= 0 && out(j).isWhitespace) j -= 1
+      if (j < 0) return 0
+      if (out(j) == ')') {
+        var depth = 0
+        while (j >= 0) {
+          if (out(j) == ')') depth += 1
+          else if (out(j) == '(') {
+            depth -= 1
+            if (depth == 0) {
+              j -= 1
+              while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_')) j -= 1
+              return j + 1
+            }
+          }
+          j -= 1
+        }
+        0
+      } else {
+        while (j >= 0 && (out(j).isLetterOrDigit || out(j) == '_' || out(j) == '`')) j -= 1
+        j + 1
+      }
+    }
+    while (i < q.length) {
+      val c = q(i)
+      if (inString) { out += c; if (c == '\'') inString = false }
+      else if (c == '\'') { inString = true; out += c }
+      else if (c == '.' && i + 1 < q.length && q(i + 1).isDigit && out.nonEmpty &&
+        (out.last == ')' || out.last == '`' || out.last == '_' || out.last.isLetter)) {
+        var j = i + 1
+        while (j < q.length && q(j).isDigit) j += 1
+        // a following letter (e.g. `.1e3`) means not an index; a
+        // following '.' is a CHAINED access (`t.1.2`) and stays one
+        if (j < q.length && q(j).isLetter) {
+          out += c
+        } else {
+          val n = q.substring(i + 1, j)
+          out.insert(baseStart, "tupleelement(")
+          out ++= s", $n)"
+          i = j - 1
+        }
+      } else out += c
+      i += 1
+    }
+    out.toString
+  }
+
   private[sql] def bracketLiteralsToArray(q: String): String = {
     val out = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]() // true = literal bracket
@@ -774,10 +917,123 @@ object ChSql {
     Bridge.expression(f(es.map(Bridge.column)))
   }
 
+  /** `arraySort([lam,] arr)` / `arrayReverseSort` — CH sorts by the
+    * lambda's key (FunctionsArray.h arraySort): emulated as
+    * transform→struct(key, value)→sort_array→extract, which Catalyst
+    * keeps codegen'd; ties break by value where the reference's
+    * stable sort keeps input order (divergence documented; no corpus
+    * test has equal keys with distinct values). */
+  private def arraySortFn(asc: Boolean): Seq[Expression] => Expression = {
+    case Seq(arr) => new SortArray(arr, Literal(asc))
+    case Seq(lam: LambdaFunction, arr) =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      val kv = LambdaFunction(
+        CreateNamedStruct(Seq(
+          Literal("k"), lam.function,
+          Literal("v"), lam.arguments.head)),
+        lam.arguments)
+      val sorted = new SortArray(ArrayTransform(arr, kv), Literal(asc))
+      val s = UnresolvedNamedLambdaVariable(Seq("__sorted"))
+      ArrayTransform(sorted,
+        LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+    case Seq(lam: LambdaFunction, a1, a2) if lam.arguments.size == 2 =>
+      // lockstep form: sort a1 by the key the 2-arg lambda computes
+      // over (a1[i], a2[i]) pairs
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      val kv = LambdaFunction(
+        CreateNamedStruct(Seq(
+          Literal("k"), lam.function,
+          Literal("v"), lam.arguments.head)),
+        lam.arguments)
+      val sorted = new SortArray(ZipWith(a1, a2, kv), Literal(asc))
+      val s = UnresolvedNamedLambdaVariable(Seq("__sorted"))
+      ArrayTransform(sorted,
+        LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+    case other => throw new IllegalArgumentException(
+      s"arraySort([lambda,] array...) expected, got $other")
+  }
+
   private val baseFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "materialize" -> { case Seq(e) => e },
+    // tuple element by 1-based ordinal (tupleElementAccess rewrite +
+    // the reference's tupleElement function)
+    "tupleelement" -> { case Seq(t, n) =>
+      val ord = n match {
+        case Literal(i: Int, _) => i
+        case Literal(l: Long, _) => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"tupleElement ordinal must be a literal, got $other")
+      }
+      GetStructField(t, ord - 1)
+    },
     "intDiv" -> { case Seq(a, b) => new IntegralDivide(a, b) },
-    "toString" -> { case Seq(e) => graft.functions.ChToStringExpr(e) },
+    // string replace family (FunctionsStringSearch.h replaceAll/One):
+    // replaceAll is literal replace; the *One forms stop after the
+    // first occurrence
+    "replaceAll" -> { case Seq(s, f, t) => StringReplace(s, f, t) },
+    "replaceOne" -> viaColumn { case Seq(s, f, t) =>
+      graft.functions.ch.replaceOne(s, f, t) },
+    "replaceRegexpOne" -> viaColumn { case Seq(s, f, t) =>
+      graft.functions.ch.replaceRegexpOne(s, f, t) },
+    // arraySum widens to the 64-bit type of the element family
+    "arraySum" -> { case Seq(arr) => graft.functions.ChArraySum(arr) },
+    "arrayMin" -> viaColumn { case Seq(arr) =>
+      org.apache.spark.sql.functions.array_min(arr) },
+    "arrayMax" -> viaColumn { case Seq(arr) =>
+      org.apache.spark.sql.functions.array_max(arr) },
+    "arraySort" -> arraySortFn(asc = true),
+    "arrayReverseSort" -> arraySortFn(asc = false),
+    // scalar bit ops (FunctionsArithmetic.h bitAnd/bitOr/…)
+    "bitAnd" -> { case Seq(a, b) => BitwiseAnd(Cast(a, LongType), Cast(b, LongType)) },
+    "bitOr" -> { case Seq(a, b) => BitwiseOr(Cast(a, LongType), Cast(b, LongType)) },
+    "bitXor" -> { case Seq(a, b) => BitwiseXor(Cast(a, LongType), Cast(b, LongType)) },
+    "bitNot" -> { case Seq(a) => BitwiseNot(Cast(a, LongType)) },
+    "bitShiftLeft" -> { case Seq(a, n) => ShiftLeft(Cast(a, LongType), Cast(n, IntegerType)) },
+    "bitShiftRight" -> { case Seq(a, n) => ShiftRight(Cast(a, LongType), Cast(n, IntegerType)) },
+    // C-math family (FunctionsMath.h): gamma/erf via commons-math3,
+    // log* with -inf-at-zero semantics (Spark builtins yield NULL)
+    "tgamma" -> viaColumn { case Seq(x) => graft.functions.ch.tgamma(x) },
+    "lgamma" -> viaColumn { case Seq(x) => graft.functions.ch.lgamma(x) },
+    "erf" -> viaColumn { case Seq(x) => graft.functions.ch.erf(x) },
+    "erfc" -> viaColumn { case Seq(x) => graft.functions.ch.erfc(x) },
+    // keep Spark's 2-arg log(base, x) working (session-global registry)
+    "log" -> {
+      case Seq(x) => viaColumn { case Seq(c) => graft.functions.ch.logC(c) }(Seq(x))
+      case Seq(b, x) => Logarithm(b, x)
+    },
+    "ln" -> viaColumn { case Seq(x) => graft.functions.ch.logC(x) },
+    "log2" -> viaColumn { case Seq(x) => graft.functions.ch.log2C(x) },
+    "log10" -> viaColumn { case Seq(x) => graft.functions.ch.log10C(x) },
+    // argMin/argMax (AggregateFunctionsArgMinMax.h) — value at the
+    // row extremizing the second argument
+    "argMin" -> viaColumn { case Seq(v, o) =>
+      org.apache.spark.sql.functions.min_by(v, o) },
+    "argMax" -> viaColumn { case Seq(v, o) =>
+      org.apache.spark.sql.functions.max_by(v, o) },
+    "groupUniqArrayIf" -> viaColumn { case Seq(x, c) =>
+      org.apache.spark.sql.functions.collect_set(
+        org.apache.spark.sql.functions.when(c, x)) },
+    "extractURLParameterNames" -> viaColumn { case Seq(u) =>
+      import org.apache.spark.sql.functions._
+      transform(
+        filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"), x => x =!= ""),
+        p => regexp_extract(p, "^([^=]*)", 1)) },
+    "toString" -> { case Seq(e) =>
+      // UInt64-producing children (the hash kernels) render as
+      // UNSIGNED decimal, like the reference's UInt64 columns —
+      // Spark's LongType can't carry the signedness itself
+      val unsigned = e match {
+        case k: graft.functions.KernelExpr =>
+          Set("inthash64", "cityhash64", "farmhash64", "metrohash64",
+            "urlhash")(k.kernel)
+        case _: graft.functions.SipHash64Expr => true
+        case _ => false
+      }
+      if (unsigned)
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[graft.functions.StringKernels.type], StringType,
+          "uint64ToString", Seq(e), Seq(LongType), returnNullable = false)
+      else graft.functions.ChToStringExpr(e) },
     // CH lower/upper are ASCII-only (lowerUTF8/upperUTF8 do Unicode)
     "lower" -> { case Seq(e) => StringTranslate(e,
       Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), Literal("abcdefghijklmnopqrstuvwxyz")) },
@@ -829,6 +1085,8 @@ object ChSql {
     "replaceAll" -> { case Seq(s, f, t) => StringReplace(s, f, t) },
     "replaceRegexpAll" -> { case Seq(s, f, t) => RegExpReplace(s, f, t) },
     "lengthUTF8" -> { case Seq(e) => Length(e) },
+    // CH length() covers String AND Array/Map
+    "length" -> { case Seq(e) => graft.functions.ChLength(e) },
     "lowerUTF8" -> { case Seq(e) => Lower(e) },
     "upperUTF8" -> { case Seq(e) => Upper(e) },
     "substringUTF8" -> { case Seq(s, p, l) => Substring(s, p, l) },

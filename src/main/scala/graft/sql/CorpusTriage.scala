@@ -18,14 +18,14 @@ object CorpusTriage {
 
   // features we knowingly don't support in the translator yet
   private val skipMarkers = Seq(
-    "ATTACH", "zookeeper", "remote(", "FORMAT JSON",
+    "ATTACH", "zookeeper", "FORMAT JSON",
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
     "toTypeName",
     "quantile", "uniq", "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand",
     "replicate", "arrayEnumerateUniq",
     "groupArray", "sumArray", "point", "dict", "region", "OLAP",
-    "SHOW", "DESC", "CHECK TABLE", "Nested(", "MATERIALIZED VIEW")
+    "SHOW", "DESC", "CHECK TABLE", "MATERIALIZED VIEW")
 
   def main(args: Array[String]): Unit = {
     val filter = args.headOption.getOrElse("")
@@ -33,6 +33,7 @@ object CorpusTriage {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -68,7 +68,7 @@ object ChTypes {
     * returned as text for the INSERT pipeline to evaluate). */
   def schemaWithDefaults(columns: String): (StructType, Seq[(String, String)]) = {
     val defaults = Seq.newBuilder[(String, String)]
-    val fields = splitTop(columns).map { c =>
+    val fields = splitTop(columns).flatMap { c =>
       val sp = c.trim.split("\\s+", 2)
       require(sp.length == 2, s"column needs 'name Type': $c")
       val (typeText, defaultExpr) =
@@ -79,8 +79,21 @@ object ChTypes {
         }
       require(typeText.nonEmpty, s"typeless DEFAULT column unsupported: $c")
       defaultExpr.foreach(e => defaults += (sp(0) -> e))
-      val p = parse(typeText)
-      StructField(sp(0), p.dataType, p.nullable)
+      if (typeText.startsWith("Nested(")) {
+        // the reference stores Nested(a T, b U) as flattened parallel
+        // arrays `name.a Array(T)`, `name.b Array(U)` sharing offsets
+        // (DataTypeNested / NestedUtils.h flatten)
+        splitTop(inner(typeText, "Nested")).map { f =>
+          val fs = f.trim.split("\\s+", 2)
+          require(fs.length == 2, s"Nested field needs 'name Type': $f")
+          val p = parse(fs(1))
+          StructField(s"${sp(0)}.${fs(0)}",
+            ArrayType(p.dataType, containsNull = p.nullable), nullable = false)
+        }
+      } else {
+        val p = parse(typeText)
+        Seq(StructField(sp(0), p.dataType, p.nullable))
+      }
     }
     (StructType(fields), defaults.result())
   }

@@ -45,6 +45,15 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00013_8_select_from_table_with_arrays",
     "00013_9_select_from_table_with_arrays",
     "00013_a_select_from_table_with_arrays",
+    "00014_1_create_table_with_nested",
+    "00014_4_select_from_table_with_nested",
+    "00014_5_select_from_table_with_nested",
+    "00014_6_select_from_table_with_nested",
+    "00014_7_select_from_table_with_nested",
+    "00014_9_select_from_table_with_nested",
+    "00014_a_select_from_table_with_nested",
+    "00014_b_select_from_table_with_nested",
+    "00014_c_select_from_table_with_nested",
     "00015_totals_having_constants",
     "00016_totals_having_constants",
     "00018_distinct_in_subquery",
@@ -71,6 +80,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00055_join_two_numbers",
     "00056_join_number_string",
     "00057_join_aliases",
+    "00059_shard_global_in",
     "00060_date_lut",
     "00066_group_by_in",
     "00068_empty_tiny_log",
@@ -83,6 +93,8 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00084_summing_merge_tree",
     "00086_concat_nary_const_with_nonconst_segfault",
     "00087_distinct_of_empty_arrays",
+    "00087_math_functions",
+    "00096_aggregation_min_if",
     "00098_1_union_all",
     "00098_2_union_all",
     "00098_3_union_all",
@@ -102,17 +114,18 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00098_l_union_all",
     "00099_join_many_blocks_segfault",
     "00102_insert_into_temporary_table",
-    "00122_join_with_subquery_with_subquery",
     "00103_ipv4_num_to_string_class_c",
     "00106_totals_after_having",
     "00114_float_type_result_of_division",
     "00117_parsing_arrays",
     "00118_storage_join",
     "00119_storage_join",
+    "00122_join_with_subquery_with_subquery",
     "00126_buffer",
     "00127_group_by_concat",
     "00131_set_hashed",
     "00136_duplicate_order_by_elems",
+    "00137_in_constants",
     "00140_parse_unix_timestamp_as_datetime",
     "00140_prewhere_column_order",
     "00142_parse_timestamp_as_datetime",
@@ -121,9 +134,11 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00149_function_url_hash",
     "00151_tuple_with_array",
     "00153_transform",
+    "00154_shard_distributed_with_distinct",
     "00156_array_map_to_constant",
     "00157_aliases_and_lambda_formal_parameters",
     "00159_whitespace_in_columns_list",
+    "00164_not_chain",
     "00165_transform_non_const_default",
     "00169_join_constant_keys",
     "00170_lower_upper_utf8",
@@ -144,14 +159,21 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00235_create_temporary_table_as",
     "00238_removal_of_temporary_columns",
     "00239_type_conversion_in_in",
+    "00240_replace_substring_loop",
     "00250_tuple_comparison",
     "00251_has_types",
     "00255_array_concat_string",
     "00258_materializing_tuples",
+    "00260_like_and_curly_braces",
+    "00267_tuple_array_access_operators_priority",
     "00268_aliases_without_as_keyword",
+    "00272_union_all_and_in_subquery",
     "00278_insert_already_sorted",
     "00280_hex_escape_sequence",
+    "00286_format_long_negative_float",
+    "00287_column_const_with_nan",
     "00288_empty_stripelog",
+    "00292_parser_tuple_element",
     "00299_stripe_log_multiple_inserts",
     "00312_position_case_insensitive_utf8",
     "00316_rounding_functions_and_empty_block",
@@ -160,7 +182,9 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00331_final_and_prewhere",
     "00333_parser_number_bug",
     "00338_replicate_array_of_strings",
+    "00343_array_element_generic",
     "00345_index_signed_unsigned_comparison",
+    "00348_tuples",
     "00349_visible_width",
     "00351_select_distinct_arrays_tuples",
     "00352_external_sorting_and_constants",
@@ -172,12 +196,14 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00373_group_by_tuple",
     "00381_first_significant_subdomain",
     "00389_concat_operator",
+    "00390_array_sort",
     "00404_null_literal",
     "00412_logical_expressions_optimizer",
     "00413_distinct",
     "00436_fixed_string_16_comparisons",
     "00438_bit_rotate",
     "00440_nulls_merge_tree",
+    "00442_filter_by_nullable",
     "00446_drop_column",
     "00448_to_string_cut_to_zero",
     "00451_left_array_join_and_constants")
