@@ -488,3 +488,15 @@ case class ChArraySum(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ChArraySum =
     copy(child = newChild)
 }
+
+/** CH toTypeName — the type of the argument under its reference
+  * spelling, resolved at analysis (IFunction::getReturnType). */
+case class ToTypeName(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      graft.types.ChTypes.toChName(child.dataType, child.nullable), StringType)
+  override def prettyName: String = "totypename"
+  override protected def withNewChildInternal(newChild: Expression): ToTypeName =
+    copy(child = newChild)
+}

@@ -50,7 +50,7 @@ object Formats {
     require(raw.columns.length == schema.length,
       s"VALUES arity ${raw.columns.length} != schema arity ${schema.length}")
     raw.select(raw.columns.zip(schema.fields).map { case (c, f) =>
-      col(c).cast(f.dataType).as(f.name)
+      col(c).cast(graft.types.ChTypes.deepNullable(f.dataType)).as(f.name)
     }.toIndexedSeq: _*)
   }
 

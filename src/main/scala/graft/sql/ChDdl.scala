@@ -58,6 +58,7 @@ object ChDdl {
     }
     else if (up.startsWith("CREATE TABLE") ||
       up.startsWith("CREATE TEMPORARY TABLE")) { createTable(spark, stmt); None }
+    else if (up.startsWith("CREATE VIEW")) { createView(spark, stmt); None }
     else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
     else if (up.startsWith("INSERT INTO")) { insert(spark, stmt); None }
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
@@ -66,6 +67,24 @@ object ChDdl {
     else Some(ChSql(spark,
       rewriteRefs(rewriteFinal(spark,
         rewriteNested(rewriteTableFunctions(spark, stmt))))))
+  }
+
+  /** CREATE VIEW name AS SELECT … (InterpreterCreateQuery attach=view):
+    * the entry's frame IS the lazy query, so every read re-evaluates —
+    * the reference's non-materialized View behaves the same. */
+  private def createView(spark: SparkSession, stmt: String): Unit = {
+    val re = "(?is)^CREATE\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s+AS\\s+(.*)$".r
+    stmt match {
+      case re(rawName, select) =>
+        val name = rawName.replace("`", "")
+        val df = ChSql(spark, rewriteRefs(rewriteFinal(spark,
+          rewriteNested(rewriteTableFunctions(spark, select)))))
+        val entry = Entry(name, viewName(name), df,
+          MergeTreeTable.Spec(Seq.empty, None, Plain))
+        tables.put(name, entry)
+        df.createOrReplaceTempView(entry.view)
+      case _ => throw new IllegalArgumentException(s"unsupported CREATE VIEW: $stmt")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -408,8 +427,24 @@ object ChDdl {
       var rest = rest0.trim
       // AS SELECT tail
       val asSel = "(?is)\\bAS\\s+(SELECT\\b.*)$".r.findFirstMatchIn(rest)
-      val select = asSel.map(_.group(1))
+      var select = asSel.map(_.group(1))
       asSel.foreach(m => rest = rest.substring(0, m.start).trim)
+      // `AS other.table` — copy the source's structure
+      // (InterpreterCreateQuery as_table_name path)
+      val asTable = "(?is)^AS\\s+([\\w.]+)\\s*(.*)$".r.findFirstMatchIn(rest)
+      asTable.foreach { m =>
+        val src = m.group(1)
+        rest = m.group(2).trim
+        select = Some(
+          if (src.equalsIgnoreCase("system.numbers"))
+            "SELECT id AS number FROM range(1) WHERE false"
+          else {
+            val e = tables.getOrElse(src, tables.getOrElse(
+              currentDb.map(db => s"$db.$src").getOrElse(src),
+              throw new IllegalArgumentException(s"AS source not found: $src")))
+            s"SELECT * FROM ${e.view} WHERE false"
+          })
+      }
       // balanced (cols) prefix
       val cols: Option[String] =
         if (rest.startsWith("(")) {
@@ -445,7 +480,7 @@ object ChDdl {
               import org.apache.spark.sql.functions.col
               df.toDF(schema.fieldNames.toIndexedSeq: _*)
                 .select(schema.fields.map(f =>
-                  qcol(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+                  qcol(f.name).cast(ChTypes.deepNullable(f.dataType)).as(f.name)).toIndexedSeq: _*)
             case None => df
           }
         case (None, None) =>
@@ -568,7 +603,7 @@ object ChDdl {
             val sel = ChSql(spark, rewriteRefs(rest))
             sel.toDF(target.fieldNames.toIndexedSeq: _*)
               .select(target.fields.map(f =>
-                qcol(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+                qcol(f.name).cast(ChTypes.deepNullable(f.dataType)).as(f.name)).toIndexedSeq: _*)
           }
         // omitted columns take their declared DEFAULT expression
         // (evaluated over the incoming row) or the type's default

@@ -34,6 +34,10 @@ object ChSql {
     // CH has no positional GROUP BY/ORDER BY: integers are constants
     spark.conf.set("spark.sql.groupByOrdinal", "false")
     spark.conf.set("spark.sql.orderByOrdinal", "false")
+    // CH arithmetic wraps on overflow and casts saturate — the
+    // pre-ANSI semantics (the engine's own query registry builds
+    // ANSI-safe plans; the dialect needs the reference's behavior)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.sql(translate(chQuery))
   }
 
@@ -162,7 +166,15 @@ object ChSql {
 
   private val chTypeNames = Set(
     "UInt8", "UInt16", "UInt32", "UInt64", "Int8", "Int16", "Int32", "Int64",
-    "Float32", "Float64", "String", "Date", "DateTime", "Array", "FixedString", "Nullable")
+    "Float32", "Float64", "String", "Date", "DateTime", "Array", "FixedString", "Nullable",
+    // Spark spellings — `CAST(x AS TINYINT)` is not an alias either
+    // (uppercased before lookup)
+    "TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "LONG", "FLOAT", "REAL",
+    "DOUBLE", "BOOLEAN", "BINARY", "TIMESTAMP", "DECIMAL", "MAP", "STRUCT",
+    "BYTE", "SHORT", "VARCHAR", "CHAR")
+
+  private def isTypeName(s: String): Boolean =
+    chTypeNames.contains(s) || chTypeNames.contains(s.toUpperCase)
 
   /** CH permits aliasing any subexpression in place (`f('x' AS s)`,
     * later referring to `s`). Spark can't parse the inner AS; for the
@@ -205,7 +217,7 @@ object ChSql {
       p < 0 || q.charAt(p) == '(' || q.charAt(p) == ','
     }
     val matches = re.findAllMatchIn(q).toList
-      .filter(m => d(m.start) > 0 && !chTypeNames.contains(m.group(2)) &&
+      .filter(m => d(m.start) > 0 && !isTypeName(m.group(2)) &&
         inFunctionCall(m.start) && wholeArg(m.start))
     if (matches.isEmpty) return q
     // drop the ` AS alias` part of each match (right to left)
@@ -239,7 +251,7 @@ object ChSql {
       val d = depths(q)
       val re = "(?i)\\s+AS\\s+`?([A-Za-z_]\\w*)`?(?![\\w(])".r
       val cand = re.findAllMatchIn(q).find { m =>
-        d(m.start) > 0 && !chTypeNames.contains(m.group(1)) && {
+        d(m.start) > 0 && !isTypeName(m.group(1)) && {
           // enclosing paren must be a function call, not a subquery
           var stack = List.empty[Int]
           var inQ = false
@@ -568,7 +580,7 @@ object ChSql {
     // left operand, peeling trailing join-type keywords
     var leftSeg = q.substring(fromM.end, joinM.start)
     val jtWords = new StringBuilder
-    val kw = "(?is)\\s+(LEFT|RIGHT|INNER|FULL|OUTER|CROSS)\\s*$".r
+    val kw = "(?is)\\s+(LEFT|RIGHT|INNER|FULL|OUTER|CROSS|ANY|ALL|GLOBAL|ASOF)\\s*$".r
     var km = kw.findFirstMatchIn(leftSeg)
     while (km.isDefined) {
       jtWords.insert(0, km.get.group(1) + " ")
@@ -955,6 +967,25 @@ object ChSql {
 
   private val baseFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "materialize" -> { case Seq(e) => e },
+    "anyHeavy" -> { case Seq(e) => graft.functions.AnyHeavy(e) },
+    "toTypeName" -> { case Seq(e) => graft.functions.ToTypeName(e) },
+    // groupArray keeps encounter order in the reference; collect_list
+    // matches on the single-partition corpus shapes (documented)
+    "groupArray" -> viaColumn { case Seq(e) =>
+      org.apache.spark.sql.functions.collect_list(e) },
+    "groupUniqArray" -> viaColumn { case Seq(e) =>
+      org.apache.spark.sql.functions.collect_set(e) },
+    // -Array combinator of sum: total over all elements of all rows
+    "sumArray" -> { case Seq(arr) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+        graft.functions.ChArraySum(arr)) },
+    // occurrence index of each element at its position
+    // (FunctionsArray.h arrayEnumerateUniq) — quadratic per row, fine
+    // for row-local arrays
+    "arrayEnumerateUniq" -> viaColumn { case Seq(a) =>
+      import org.apache.spark.sql.functions._
+      transform(sequence(lit(1), size(a)),
+        i => size(filter(slice(a, lit(1), i), w => w === element_at(a, i)))) },
     // tuple element by 1-based ordinal (tupleElementAccess rewrite +
     // the reference's tupleElement function)
     "tupleelement" -> { case Seq(t, n) =>

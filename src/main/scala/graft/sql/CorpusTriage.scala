@@ -20,11 +20,10 @@ object CorpusTriage {
   private val skipMarkers = Seq(
     "ATTACH", "zookeeper", "FORMAT JSON",
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
-    "toTypeName",
     "quantile", "uniq", "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand",
-    "replicate", "arrayEnumerateUniq",
-    "groupArray", "sumArray", "point", "dict", "region", "OLAP",
+    "replicate",
+    "point", "dict", "region", "OLAP",
     "SHOW", "DESC", "CHECK TABLE", "MATERIALIZED VIEW")
 
   def main(args: Array[String]): Unit = {

@@ -98,6 +98,18 @@ object ChTypes {
     (StructType(fields), defaults.result())
   }
 
+  /** Deep-nullable variant of a type (DataType.asNullable is
+    * private[spark]); legacy-mode casts may produce nulls, so INSERT
+    * casts target this relaxation of the declared type. */
+  def deepNullable(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(deepNullable(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(deepNullable(k), deepNullable(v), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case other => other
+  }
+
   /** Spark type → the ClickHouse name we'd surface (inverse map). */
   def toChName(dt: DataType, nullable: Boolean = false): String = {
     val base = dt match {

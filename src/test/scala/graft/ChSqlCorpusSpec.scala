@@ -31,6 +31,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00001_select_1",
     "00002_system_numbers",
     "00003_reinterpret_as_string",
+    "00004_shard_format_ast_and_remote_table",
     "00007_array",
     "00008_array_join",
     "00009_array_join_subquery",
@@ -62,13 +63,17 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00023_agg_select_agg_subquery",
     "00024_unused_array_join_in_subquery",
     "00025_implicitly_used_subquery_column",
+    "00026_shard_something_distributed",
     "00027_distinct_and_order_by",
+    "00028_shard_big_agg_aj_distributed",
+    "00029_shard_big_non_agg_aj_distributed",
     "00032_fixed_string_to_string",
     "00033_fixed_string_to_string",
     "00034_fixed_string_to_number",
     "00035_function_array_return_type",
     "00036_array_element",
     "00041_aggregation_remap",
+    "00041_big_array_join",
     "00042_set",
     "00043_summing_empty_part",
     "00049_any_left_join",
@@ -82,11 +87,13 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00057_join_aliases",
     "00059_shard_global_in",
     "00060_date_lut",
+    "00064_negate_bug",
     "00066_group_by_in",
     "00068_empty_tiny_log",
     "00071_insert_fewer_columns",
     "00072_in_types",
     "00073_merge_sorting_empty_array_joined",
+    "00075_shard_formatting_negate_of_negative_literal",
     "00077_set_keys_fit_128_bits_many_blocks",
     "00078_string_concat",
     "00082_append_trailing_char_if_absent",
@@ -116,11 +123,15 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00102_insert_into_temporary_table",
     "00103_ipv4_num_to_string_class_c",
     "00106_totals_after_having",
+    "00108_shard_totals_after_having",
+    "00112_shard_totals_after_having",
     "00114_float_type_result_of_division",
     "00117_parsing_arrays",
     "00118_storage_join",
     "00119_storage_join",
     "00122_join_with_subquery_with_subquery",
+    "00123_shard_unmerged_result_when_max_distributed_connections_is_one",
+    "00125_array_element_of_array_of_tuple",
     "00126_buffer",
     "00127_group_by_concat",
     "00131_set_hashed",
@@ -138,6 +149,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00156_array_map_to_constant",
     "00157_aliases_and_lambda_formal_parameters",
     "00159_whitespace_in_columns_list",
+    "00162_shard_global_join",
     "00164_not_chain",
     "00165_transform_non_const_default",
     "00169_join_constant_keys",
@@ -149,9 +161,11 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00187_like_regexp_prefix",
     "00194_identity",
     "00196_float32_formatting",
+    "00200_shard_distinct_order_by_limit_distributed",
     "00202_cross_join",
     "00203_full_join",
     "00204_extract_url_parameter",
+    "00213_multiple_global_in",
     "00218_like_regexp_newline",
     "00219_full_right_join_column_order",
     "00231_format_vertical_raw",
@@ -165,22 +179,27 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00255_array_concat_string",
     "00258_materializing_tuples",
     "00260_like_and_curly_braces",
+    "00266_shard_global_subquery_and_aliases",
     "00267_tuple_array_access_operators_priority",
     "00268_aliases_without_as_keyword",
     "00272_union_all_and_in_subquery",
+    "00274_shard_group_array",
     "00278_insert_already_sorted",
     "00280_hex_escape_sequence",
     "00286_format_long_negative_float",
     "00287_column_const_with_nan",
     "00288_empty_stripelog",
     "00292_parser_tuple_element",
+    "00293_shard_max_subquery_depth",
     "00299_stripe_log_multiple_inserts",
     "00312_position_case_insensitive_utf8",
     "00316_rounding_functions_and_empty_block",
     "00318_pk_tuple_order",
     "00320_between",
+    "00330_view_subqueries",
     "00331_final_and_prewhere",
     "00333_parser_number_bug",
+    "00337_shard_any_heavy",
     "00338_replicate_array_of_strings",
     "00343_array_element_generic",
     "00345_index_signed_unsigned_comparison",
