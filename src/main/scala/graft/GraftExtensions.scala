@@ -28,6 +28,13 @@ object GraftFunctions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  /** DateTime first arg of the sequence aggregates → epoch seconds
+    * (legacy cast: timestamp→long is the CH DateTime numeric value). */
+  private def seqTs(ts: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      ts, org.apache.spark.sql.types.LongType, Some("UTC"),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+
   private val base: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("siphash64"), info("siphash64"), SipHash64Expr.builder),
     (FunctionIdentifier("uniq_upto"), info("uniq_upto"), {
@@ -121,6 +128,29 @@ object GraftFunctions {
       case Seq(e) => CharWeightedFingerprintExpr(e)
       case other => throw new IllegalArgumentException(
         s"char_weighted_fingerprint(text) expected, got $other")
+    }),
+    // sequenceMatch('pat')(ts, cond…) — full pattern DSL including
+    // (?t<=N) time conditions (AggregateFunctionSequenceMatch.h)
+    (FunctionIdentifier("sequence_match"), info("sequence_match"), {
+      case pat +: ts +: conds if pat.foldable && conds.nonEmpty =>
+        graft.functions.SequenceMatchAgg(
+          pat.eval(null).toString, seqTs(ts), conds)
+      case other => throw new IllegalArgumentException(
+        s"sequence_match('pattern', ts, cond1, …) expected, got $other")
+    }),
+    (FunctionIdentifier("sequence_count"), info("sequence_count"), {
+      case pat +: ts +: conds if pat.foldable && conds.nonEmpty =>
+        graft.functions.SequenceCountAgg(
+          pat.eval(null).toString, seqTs(ts), conds)
+      case other => throw new IllegalArgumentException(
+        s"sequence_count('pattern', ts, cond1, …) expected, got $other")
+    }),
+    // ORDER BY x COLLATE 'loc' → sort on a memcmp-able collation key
+    (FunctionIdentifier("ch_collation_key"), info("ch_collation_key"), {
+      case Seq(e, Literal(loc: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        graft.functions.ChCollationKey(e, loc.toString)
+      case other => throw new IllegalArgumentException(
+        s"ch_collation_key(expr, 'locale' literal) expected, got $other")
     }))
 
   // hash family (FunctionsHashing.h) + coding family

@@ -4,13 +4,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's system tables (dbms/src/Storages/System — numbers,
   * one, tables, columns, databases, functions, settings, metrics,
-  * processes, build_options) as registered views over the Spark
-  * catalog and status APIs. Introspection queries a reference user
-  * runs (`SELECT * FROM system.tables`) work after
+  * events, parts, merges, replicas, asynchronous_metrics, processes,
+  * build_options) as registered views over the Spark catalog, status
+  * APIs, and graft-side registries. Introspection queries a reference
+  * user runs (`SELECT * FROM system.tables`) work after
   * `SystemTables.register(spark)` with a `system_` prefix (temp views
   * cannot be schema-qualified).
   */
 object SystemTables {
+
+  /** system.events counters (StorageSystemEvents.cpp over
+    * ProfileEvents): cumulative since-process-start counts bumped by
+    * the query/insert/merge paths. */
+  object Events {
+    private val counters =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def inc(name: String, by: Long = 1L): Unit =
+      counters.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
+        .addAndGet(by)
+    def snapshot: Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      counters.asScala.map { case (k, v) => (k, v.get()) }.toSeq.sortBy(_._1)
+    }
+  }
+
+  /** system.merges (StorageSystemMerges.cpp over MergeList): merges
+    * currently executing, plus a bounded history of completed ones so
+    * the table is observable after the fact in a batch engine. */
+  object Merges {
+    final case class Merge(table: String, startedMs: Long,
+        var elapsedMs: Long = -1L) { def active: Boolean = elapsedMs < 0 }
+    private val list = new java.util.concurrent.ConcurrentLinkedDeque[Merge]()
+    def begin(table: String, nowMs: Long): Merge = {
+      val m = Merge(table, nowMs)
+      list.addLast(m); while (list.size > 64) list.removeFirst()
+      m
+    }
+    def end(m: Merge, nowMs: Long): Unit = m.elapsedMs = nowMs - m.startedMs
+    def snapshot: Seq[(String, Boolean, Long)] = {
+      import scala.jdk.CollectionConverters._
+      list.asScala.map(m => (m.table, m.active, math.max(0L, m.elapsedMs))).toSeq
+    }
+  }
+
+  /** Path-backed MergeTree tables whose on-disk parts system.parts
+    * reports (StorageSystemParts.cpp). [[graft.storage.MergeTreeTable]]
+    * writes register here; tests may add entries directly. */
+  object PartsCatalog {
+    private val paths = scala.collection.concurrent.TrieMap[String, String]()
+    def put(table: String, path: String): Unit = paths.put(table, path)
+    def all: Seq[(String, String)] = paths.toSeq.sortBy(_._1)
+    def clear(): Unit = paths.clear()
+  }
 
   def register(spark: SparkSession): Unit = {
     import spark.implicits._
@@ -55,6 +100,83 @@ object SystemTables {
       ("java_version", System.getProperty("java.version")))
       .toDF("name", "value")
       .createOrReplaceTempView("system_build_options")
+
+    // ---- metrics: instantaneous gauges (StorageSystemMetrics.cpp
+    // over CurrentMetrics — Query/Merge in flight, memory) ----
+    val rt = Runtime.getRuntime
+    Seq(
+      ("Query", tracker.getActiveJobIds().length.toLong),
+      ("Merge", Merges.snapshot.count(_._2).toLong),
+      ("MemoryTracking", rt.totalMemory() - rt.freeMemory()),
+      ("BackgroundPoolTask",
+        tracker.getActiveStageIds().length.toLong))
+      .toDF("metric", "value")
+      .createOrReplaceTempView("system_metrics")
+
+    // ---- events: cumulative counters since start ----
+    val ev = Events.snapshot
+    (if (ev.isEmpty) Seq(("Query", 0L)) else ev)
+      .toDF("event", "value")
+      .createOrReplaceTempView("system_events")
+
+    // ---- merges: in-flight + recent compactions ----
+    Merges.snapshot
+      .toDF("table", "is_active", "elapsed_ms")
+      .createOrReplaceTempView("system_merges")
+
+    // ---- parts: one row per on-disk parquet file of each registered
+    // MergeTree path; partition dir name = the partition id ----
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = PartsCatalog.all.flatMap { case (table, dir) =>
+      val base = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(base)) Seq.empty
+      else {
+        val it = fs.listFiles(base, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath
+          if (p.getName.endsWith(".parquet")) {
+            val rel = p.toString.stripPrefix(base.toString).stripPrefix("/")
+            val partition = rel.split('/').dropRight(1).mkString("/") match {
+              case "" => "all"; case s => s
+            }
+            buf += ((table, partition, p.getName, st.getLen, st.getModificationTime))
+          }
+        }
+        buf.toSeq
+      }
+    }
+    parts.toDF("table", "partition", "name", "bytes_on_disk", "modification_time")
+      .createOrReplaceTempView("system_parts")
+
+    // ---- replicas: this engine has no replication layer (Spark's
+    // storage supplies durability); the table exists with the
+    // reference's key columns and is empty ----
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("database", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("table", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("is_leader", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("is_readonly", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("absolute_delay", org.apache.spark.sql.types.LongType))))
+      .createOrReplaceTempView("system_replicas")
+
+    // ---- asynchronous_metrics: background-sampled host/JVM gauges
+    // (AsynchronousMetrics.cpp) ----
+    val mx = java.lang.management.ManagementFactory.getMemoryMXBean
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
+    Seq(
+      ("jemalloc.resident", mx.getHeapMemoryUsage.getUsed.toDouble),
+      ("MemoryHeapCommitted", mx.getHeapMemoryUsage.getCommitted.toDouble),
+      ("NumberOfLogicalProcessorCores", os.getAvailableProcessors.toDouble),
+      ("LoadAverage1", os.getSystemLoadAverage),
+      ("UptimeSeconds", up / 1000.0))
+      .toDF("metric", "value")
+      .createOrReplaceTempView("system_asynchronous_metrics")
   }
 }
 

@@ -190,6 +190,41 @@ object ArrayQueries {
       |        string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
       |      FROM events GROUP BY user_id)""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q94 native sequenceMatch with a (?t<=N) time condition
+  // (AggregateFunctionSequenceMatch.h:137-499) — per-user event lists
+  // aggregate through the TypedImperativeAggregate (partial/final,
+  // one shuffle; state bounded by per-user activity). Timestamps are
+  // made strictly unique (µs + event_id) so the sorted sequence is a
+  // total order and the SQL-pair oracle is exact.
+  // ---------------------------------------------------------------
+  def q94(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("mts",
+        expr("unix_timestamp(ts) * 1000000L + event_id"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "sequence_match('(?1)(?t<=3600000000)(?2)', mts, event_type = 'signup', event_type = 'purchase')")
+        .as("m"))
+      .agg(
+        sum(col("m")).cast("long").as("n_users_matched"),
+        count(lit(1)).as("n_users"))
+
+  private val q94Sql =
+    """SELECT
+      |  CAST(count(DISTINCT CASE WHEN matched THEN user_id END) AS BIGINT) AS n_users_matched,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (
+      |  SELECT u.user_id,
+      |         EXISTS (
+      |           SELECT 1 FROM events e1, events e2
+      |           WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id
+      |             AND e1.event_type = 'signup' AND e2.event_type = 'purchase'
+      |             AND (epoch(e2.ts) * 1000000 + e2.event_id) > (epoch(e1.ts) * 1000000 + e1.event_id)
+      |             AND (epoch(e2.ts) * 1000000 + e2.event_id) - (epoch(e1.ts) * 1000000 + e1.event_id) <= 3600000000
+      |         ) AS matched
+      |  FROM (SELECT DISTINCT user_id FROM events) u)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_array_join_explode", q58, Some(q58Sql)),
     QueryDef("q59_left_array_join", q59, Some(q59Sql)),
@@ -198,5 +233,6 @@ object ArrayQueries {
     QueryDef("q62_higher_order_fns", q62, Some(q62Sql)),
     QueryDef("q63_array_fns", q63, Some(q63Sql)),
     QueryDef("q64_numbers_table", q64, Some(q64Sql)),
-    QueryDef("q65_sequence_match", q65, Some(q65Sql)))
+    QueryDef("q65_sequence_match", q65, Some(q65Sql)),
+    QueryDef("q94_sequence_match_time", q94, Some(q94Sql)))
 }

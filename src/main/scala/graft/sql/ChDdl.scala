@@ -45,6 +45,10 @@ object ChDdl {
   def execute(spark: SparkSession, stmtRaw: String): Option[DataFrame] = {
     val stmt = stmtRaw.trim.stripSuffix(";").trim
     val up = stmt.toUpperCase
+    if (up.startsWith("SELECT") || up.startsWith("WITH"))
+      graft.core.SystemTables.Events.inc("Query")
+    else if (up.startsWith("INSERT"))
+      graft.core.SystemTables.Events.inc("InsertQuery")
     if (up.startsWith("SET ")) {
       if ("(?i)join_use_nulls\\s*=\\s*1".r.findFirstIn(stmt).isDefined)
         joinUseNulls = true

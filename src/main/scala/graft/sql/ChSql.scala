@@ -99,6 +99,18 @@ object ChSql {
     // GLOBAL IN/JOIN ship the set to every shard = broadcast, which
     // Spark plans on its own
     q = q.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", " $1IN")
+    // ORDER BY x COLLATE 'loc' → sort on a locale collation key
+    // (InterpreterSelectQuery.cpp:1032-1049); key is memcmp-sortable
+    // so the sort stays Spark's ordinary distributed sort
+    q = q.replaceAll(
+      "(?i)([\\w.`]+|\\([^()]*\\))\\s+COLLATE\\s+'([^']+)'",
+      "ch_collation_key($1, '$2')")
+    // parameterized-aggregate call syntax f('p')(args) →
+    // f_impl('p', args) for the sequence DSL aggregates
+    q = q.replaceAll("(?i)\\bsequenceMatch\\s*\\(\\s*('[^']*')\\s*\\)\\s*\\(",
+      "sequence_match($1, ")
+    q = q.replaceAll("(?i)\\bsequenceCount\\s*\\(\\s*('[^']*')\\s*\\)\\s*\\(",
+      "sequence_count($1, ")
     // bare USING list → parenthesized
     q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
       "USING ($1)")
@@ -669,7 +681,11 @@ object ChSql {
   }
 
   private def rewriteMultiArrayJoin(q: String): String = {
-    val re = "(?is)\\bARRAY\\s+JOIN\\s+(.+?\\s+AS\\s+\\w+\\s*(?:,\\s*.+?\\s+AS\\s+\\w+\\s*)+)$".r
+    // the clause runs to end-of-query or to the next top-level clause
+    // keyword (WHERE/GROUP/ORDER/…) — `ARRAY JOIN a AS x, f(a) AS n
+    // ORDER BY x` must not swallow the ORDER BY
+    val re = ("(?is)\\bARRAY\\s+JOIN\\s+(.+?\\s+AS\\s+\\w+\\s*(?:,\\s*.+?\\s+AS\\s+\\w+\\s*)+)" +
+      "(?=(?:WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS)\\b|$)").r
     re.findFirstMatchIn(q) match {
       case None => q
       case Some(m) =>
@@ -679,6 +695,7 @@ object ChSql {
         }
         val (e1, a1) = items.head
         var body = q.substring(0, m.start)
+        var rest = q.substring(m.end)
         items.tail.foreach { case (ek, ak) =>
           // quote the alias pattern AND the expression replacement ($
           // or \ in ek would corrupt the rewrite); never touch string
@@ -687,8 +704,9 @@ object ChSql {
           val repl = java.util.regex.Matcher.quoteReplacement(
             s"charrayelement($ek, __ajpos + 1)")
           body = mapOutsideQuotes(body)(seg => pat.replaceAllIn(seg, repl))
+          rest = mapOutsideQuotes(rest)(seg => pat.replaceAllIn(seg, repl))
         }
-        body + s" LATERAL VIEW posexplode($e1) __aj AS __ajpos, $a1"
+        body + s" LATERAL VIEW posexplode($e1) __aj AS __ajpos, $a1 " + rest
     }
   }
 

@@ -55,6 +55,9 @@ object MergeTreeTable {
     }
     val w = sorted.write.mode(mode)
     spec.partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
+    graft.core.SystemTables.PartsCatalog.put(
+      path.split('/').last.stripSuffix(".parquet"), path)
+    graft.core.SystemTables.Events.inc("InsertedParts")
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -69,6 +72,8 @@ object MergeTreeTable {
     * explicit). Rewrites to a temp dir first so a failed compaction
     * never destroys the table. */
   def optimize(spark: SparkSession, path: String, spec: Spec): Unit = {
+    val m = graft.core.SystemTables.Merges.begin(
+      path.split('/').last, System.currentTimeMillis())
     val tmp = path + "__optimizing"
     write(fold(read(spark, path), spec), tmp, spec, SaveMode.Overwrite)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -76,6 +81,9 @@ object MergeTreeTable {
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    graft.core.SystemTables.Merges.end(m, System.currentTimeMillis())
+    graft.core.SystemTables.Events.inc("Merge")
+    graft.core.SystemTables.PartsCatalog.put(path.split('/').last, path)
   }
 
   /** The merge fold for each engine (SummingSortedBlockInputStream,

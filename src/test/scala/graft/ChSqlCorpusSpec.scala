@@ -122,6 +122,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00099_join_many_blocks_segfault",
     "00102_insert_into_temporary_table",
     "00103_ipv4_num_to_string_class_c",
+    "00105_shard_collations",
     "00106_totals_after_having",
     "00108_shard_totals_after_having",
     "00112_shard_totals_after_having",
@@ -168,6 +169,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00213_multiple_global_in",
     "00218_like_regexp_newline",
     "00219_full_right_join_column_order",
+    "00222_sequence_aggregate_function_family",
     "00231_format_vertical_raw",
     "00234_disjunctive_equality_chains_optimization",
     "00235_create_temporary_table_as",

@@ -156,6 +156,56 @@ class CustomFunctionSpec extends SparkSpec {
     assert(r.getInt(2) === 1)
   }
 
+  test("sequenceMatch pattern DSL with time conditions") {
+    import graft.functions.SequencePattern
+    def run(pat: String, events: Seq[(Long, Long)], conds: Int = 2): Boolean = {
+      val a = SequencePattern.parse(pat, conds)
+      val sorted = events.sortBy(identity)
+      SequencePattern.matchFrom(a,
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray, 0)._1
+    }
+    // cond bit 0 = event 1, bit 1 = event 2
+    val e = Seq((0L, 1L), (100L, 2L), (5000L, 2L))
+    assert(run("(?1)(?2)", e)) // 1 then 2 somewhere later
+    assert(run("(?1)(?t<=100)(?2)", e)) // within 100 s: ts 0 → 100
+    assert(!run("(?1)(?t<50)(?2)", e)) // no pair closer than 50
+    assert(run("(?1)(?t>=5000)(?2)", e)) // ts 0 → 5000
+    assert(run("(?1)(?t>4000)(?2)", e))
+    assert(!run("(?2)(?1)", e)) // wrong order
+    assert(run("(?1).*(?2)", e))
+    assert(run("(?1).(?2)", e)) // any single event between? adjacency
+    assert(!run("(?1)(?t<=10)(?2)", e))
+    // a 2-only sequence never matches (?1)
+    assert(!run("(?1)(?2)", Seq((0L, 2L), (10L, 2L))))
+    // sequenceCount: non-overlapping scan
+    val a = SequencePattern.parse("(?1)(?2)", 2)
+    val many = Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L))
+    val (ts, ms) = (many.map(_._1).toArray, many.map(_._2).toArray)
+    var cnt = 0; var it = 0; var go = true
+    while (go && it < ts.length) {
+      val (ok, next) = SequencePattern.matchFrom(a, ts, ms, it)
+      if (ok) cnt += 1 else go = false
+      it = next
+    }
+    assert(cnt === 2)
+  }
+
+  test("sequence_match SQL aggregate end-to-end with time condition") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, 10L, "signup"), (1L, 50L, "purchase"),   // within 100 s
+      (2L, 10L, "signup"), (2L, 5000L, "purchase"), // too late
+      (3L, 10L, "purchase"), (3L, 20L, "signup")    // wrong order
+    ).toDF("u", "t", "e").repartition(3)
+    val got = df.groupBy("u").agg(
+      expr("sequence_match('(?1)(?t<=100)(?2)', t, e = 'signup', e = 'purchase')").as("m"),
+      expr("sequence_count('(?1)(?2)', t, e = 'signup', e = 'purchase')").as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(1L) === ((1, 1L)))
+    assert(got(2L) === ((0, 1L))) // no time cap on the count form
+    assert(got(3L) === ((0, 0L)))
+  }
+
   test("siphash64 null propagates") {
     GraftFunctions.register(spark)
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")

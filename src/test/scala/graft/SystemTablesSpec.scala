@@ -30,6 +30,53 @@ class SystemTablesSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM system_build_options").count() === 3)
   }
 
+  test("system parts / merges / events / metrics / replicas / async metrics") {
+    import graft.storage.MergeTreeTable
+    import MergeTreeTable.Spec
+    val dir = java.nio.file.Files.createTempDirectory("sysparts").toString
+    val path = s"$dir/visits"
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-05", 10L), (2L, "2024-02-10", 20L))
+      .toDF("id", "d", "v")
+      .withColumn("month", org.apache.spark.sql.functions.expr("substring(d,1,7)"))
+    val spec = Spec(sortKey = Seq("id"), partitionCol = Some("month"))
+    MergeTreeTable.write(df, path, spec)
+    MergeTreeTable.optimize(spark, path, spec)
+    SystemTables.register(spark)
+
+    // parts: one row per parquet file, partition dir surfaced
+    val parts = spark.sql(
+      "SELECT partition FROM system_parts WHERE table = 'visits'")
+      .collect().map(_.getString(0)).toSet
+    assert(parts.exists(_.contains("month=2024-01")))
+    assert(spark.sql(
+      "SELECT * FROM system_parts WHERE bytes_on_disk <= 0").count() === 0)
+
+    // merges: the optimize above is recorded, completed
+    val merges = spark.sql(
+      "SELECT * FROM system_merges WHERE table = 'visits' AND NOT is_active")
+    assert(merges.count() >= 1)
+
+    // events: the merge bumped its counter
+    val ev = spark.sql("SELECT value FROM system_events WHERE event = 'Merge'")
+      .collect()
+    assert(ev.nonEmpty && ev(0).getLong(0) >= 1)
+
+    // metrics / asynchronous_metrics: gauges exist and are sane
+    assert(spark.sql(
+      "SELECT value FROM system_metrics WHERE metric = 'MemoryTracking'")
+      .collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT value FROM system_asynchronous_metrics WHERE metric = 'NumberOfLogicalProcessorCores'")
+      .collect()(0).getDouble(0) >= 1.0)
+
+    // replicas: present, reference-shaped, empty (no replication layer)
+    val rep = spark.table("system_replicas")
+    assert(rep.columns.toSeq ===
+      Seq("database", "table", "is_leader", "is_readonly", "absolute_delay"))
+    assert(rep.count() === 0)
+  }
+
   test("admin verbs: show tables / describe / processlist") {
     Tables.registerAll(spark, sfDir)
     assert(Admin.showTables(spark).count() > 0)
