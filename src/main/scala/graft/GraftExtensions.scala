@@ -161,6 +161,7 @@ object GraftFunctions {
     Seq("cityhash64", "inthash32", "inthash64", "halfmd5", "urlhash",
       "farmhash64", "metrohash64", "siphash128",
       "unhex_ch", "bitmask_to_array", "bitmask_to_list",
+      "extract_url_parameter_names", "url_path_hierarchy",
       "ipv6_num_to_string", "ipv6_string_to_num", "ipv4_to_ipv6",
       "uuid_num_to_string", "uuid_string_to_num", "to_string_cut_to_zero")
       .map(k => (FunctionIdentifier(k), info(k), graft.functions.KernelExpr.builder(k)))

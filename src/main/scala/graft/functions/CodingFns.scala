@@ -268,6 +268,71 @@ object CodingFns {
     out.result()
   }
 
+  /** extractURLParameterNames(url) — name tokens of the query string
+    * (FunctionsURL.h:637-713 ExtractURLParameterNamesImpl): after the
+    * first `?`/`#`, each run up to `=`/`&`/`#` is a name; `?` inside
+    * restarts the scan; a trailing run with no delimiter after it is
+    * not emitted (the reference's strpbrk-returns-null path). */
+  def extractUrlParameterNames(url: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val n = url.length
+    def pbrk(from: Int, set: String): Int = {
+      var i = from
+      while (i < n && set.indexOf(url.charAt(i)) < 0) i += 1
+      if (i >= n) -1 else i
+    }
+    var pos = pbrk(0, "?#")
+    var done = pos == -1
+    while (!done) {
+      pos += 1
+      var matched = false
+      while (!matched && !done) {
+        val tb = pos
+        val p = pbrk(pos, "=&#?")
+        if (p == -1) done = true
+        else if (url.charAt(p) == '?') pos = p + 1
+        else { out += url.substring(tb, p); pos = p; matched = true }
+      }
+      if (!done) {
+        pos = pbrk(pos, "&#")
+        if (pos == -1) done = true
+      }
+    }
+    out.result()
+  }
+
+  /** URLPathHierarchy(url) — growing path prefixes starting after the
+    * domain (FunctionsURL.h:811-900 URLPathHierarchyImpl): requires
+    * `proto://`; token k spans from the slash after the domain through
+    * the k-th path/query segment (trailing delimiter kept). */
+  def urlPathHierarchy(url: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val n = url.length
+    var pos = 0
+    while (pos < n && {
+      val c = url.charAt(pos)
+      (c > 'a' && c < 'z') || (c > '0' && c < '9')
+    }) pos += 1
+    if (pos == 0 || pos >= n || url.charAt(pos) != ':' ||
+      pos + 2 >= n || url.charAt(pos + 1) != '/' || url.charAt(pos + 2) != '/' ||
+      pos + 3 >= n) return Array.empty
+    pos += 3
+    while (pos < n && "/?#".indexOf(url.charAt(pos)) < 0) pos += 1
+    val start = pos
+    if (pos != n) pos += 1
+    var done = false
+    while (!done) {
+      while (pos < n && "/?#".indexOf(url.charAt(pos)) >= 0) pos += 1
+      if (pos >= n) done = true
+      else {
+        while (pos < n && "/?#".indexOf(url.charAt(pos)) < 0) pos += 1
+        if (pos != n) pos += 1
+        out += url.substring(start, pos)
+      }
+    }
+    out.result()
+  }
+
   /** firstSignificantSubdomain — the exact reference algorithm
     * (FunctionsURL.h ExtractFirstSignificantSubdomain): host after
     * `scheme://` with a leading `www.` and one trailing dot stripped;

@@ -264,7 +264,13 @@ object KernelExpr {
       a => u8(CodingFns.firstSignificantSubdomain(str(a)))),
     "url_hierarchy" -> Spec(StringType, ArrayType(StringType, containsNull = false),
       c => s"graft.functions.KernelExpr.stringsArray(graft.functions.CodingFns.urlHierarchy($c.toString()))",
-      a => stringsArray(CodingFns.urlHierarchy(str(a)))))
+      a => stringsArray(CodingFns.urlHierarchy(str(a)))),
+    "extract_url_parameter_names" -> Spec(StringType, ArrayType(StringType, containsNull = false),
+      c => s"graft.functions.KernelExpr.stringsArray(graft.functions.CodingFns.extractUrlParameterNames($c.toString()))",
+      a => stringsArray(CodingFns.extractUrlParameterNames(str(a)))),
+    "url_path_hierarchy" -> Spec(StringType, ArrayType(StringType, containsNull = false),
+      c => s"graft.functions.KernelExpr.stringsArray(graft.functions.CodingFns.urlPathHierarchy($c.toString()))",
+      a => stringsArray(CodingFns.urlPathHierarchy(str(a)))))
 
   /** ArrayData bridge for codegen'd string-array kernels. */
   def stringsArray(xs: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData =

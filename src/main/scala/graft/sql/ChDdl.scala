@@ -33,6 +33,11 @@ object ChDdl {
     * client per file, so SET never leaks across files). */
   def resetSettings(): Unit = { joinUseNulls = false }
 
+  /** hasColumnInTable support: does `db.table` declare `col` (flattened
+    * Nested leaves count, the Nested prefix itself does not). */
+  def hasColumn(qualified: String, col: String): Boolean =
+    tables.get(qualified).exists(_.df.columns.contains(col))
+
   private def viewName(raw: String): String =
     raw.trim.replace("`", "").replace(".", "_")
 
@@ -599,8 +604,11 @@ object ChDdl {
         }
         val partial =
           if (rest.trim.toUpperCase.startsWith("VALUES")) {
+            // CH permits space-separated tuples: VALUES (…) (…)
             val body = ChSql.bracketLiteralsToArray(
-              rest.trim.replaceAll("(?is)^VALUES\\s*", ""))
+              ChSql.mapOutsideQuotes(
+                rest.trim.replaceAll("(?is)^VALUES\\s*", ""))(
+                _.replaceAll("\\)\\s*\\(", "), (")))
             Formats.parseValues(spark, body, target)
           } else {
             // INSERT INTO t SELECT …: align by position, cast to schema

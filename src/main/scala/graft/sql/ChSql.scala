@@ -52,6 +52,8 @@ object ChSql {
     // SETTINGS k=v[, …] is an execution hint
     q = q.replaceAll("(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*\\S+(\\s*,\\s*\\w+\\s*=\\s*\\S+)*", "")
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // backtick-quoted system refs normalize first
+    q = q.replaceAll("(?i)`system`\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
     // system tables → generators (bounded; LocalLimit stops the scan)
     q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
       "(SELECT id AS number FROM range(100000000))")
@@ -99,6 +101,11 @@ object ChSql {
     // GLOBAL IN/JOIN ship the set to every shard = broadcast, which
     // Spark plans on its own
     q = q.replaceAll("(?i)\\bGLOBAL\\s+(NOT\\s+)?IN\\b", " $1IN")
+    // CH float literals are Float64, never Decimal (the dialect has no
+    // decimal type): suffix D so Spark parses `1.0` as double, not
+    // decimal(2,1). Exponent forms are already double in Spark.
+    q = mapOutsideQuotes(q)(seg =>
+      seg.replaceAll("(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])", "$1D"))
     // ORDER BY x COLLATE 'loc' → sort on a locale collation key
     // (InterpreterSelectQuery.cpp:1032-1049); key is memcmp-sortable
     // so the sort stays Spark's ordinary distributed sort
@@ -111,6 +118,27 @@ object ChSql {
       "sequence_match($1, ")
     q = q.replaceAll("(?i)\\bsequenceCount\\s*\\(\\s*('[^']*')\\s*\\)\\s*\\(",
       "sequence_count($1, ")
+    // generic parameterized-aggregate syntax fn(params)(args) →
+    // fn(args, params) — the quantile/topK/groupArray families
+    // (AggregateFunctionFactory parameter dispatch)
+    q = flattenParamCalls(q)
+    // CAST type surface: Nullable(T) unwraps (Spark columns are
+    // nullable); CH scalar type names map to Spark spellings in the
+    // `AS type` seat (exact case — aliases are never CH-cased names)
+    q = mapOutsideQuotes(q)(seg => {
+      var s = seg.replaceAll("\\bNullable\\s*\\(\\s*(\\w+(?:\\([^()]*\\))?)\\s*\\)", "$1")
+      s = "\\bAS\\s+(UInt8|UInt16|UInt32|UInt64|Int8|Int16|Int32|Int64|Float32|Float64|DateTime)\\b".r
+        .replaceAllIn(s, m => "AS " + (m.group(1) match {
+          case "UInt8" | "UInt16" | "Int32" => "INT"
+          case "UInt32" | "UInt64" | "Int64" => "BIGINT"
+          case "Int8" => "TINYINT"
+          case "Int16" => "SMALLINT"
+          case "Float32" => "FLOAT"
+          case "Float64" => "DOUBLE"
+          case "DateTime" => "TIMESTAMP"
+        }))
+      s
+    })
     // bare USING list → parenthesized
     q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
       "USING ($1)")
@@ -134,20 +162,8 @@ object ChSql {
       "LATERAL VIEW explode($1) __aj AS $2")
     q = rewriteBareArrayJoin(q)
     // FROM-less queries referencing `dummy` implicitly read system.one
-    if ("(?i)(?<![\\w.`])dummy(?![\\w.`])".r.findFirstIn(q).isDefined) {
-      val d = depths(q)
-      val up = q.toUpperCase
-      val hasFrom = Iterator.from(0).map(i => up.indexOf(" FROM ", i))
-        .takeWhile(_ >= 0).exists(i => d(i) == 0)
-      if (!hasFrom) {
-        val at = Seq(" GROUP ", " ORDER ", " LIMIT ", " HAVING ", " UNION ")
-          .flatMap { kw =>
-            Iterator.from(0).map(i => up.indexOf(kw, i))
-              .takeWhile(_ >= 0).find(i => d(i) == 0)
-          }.minOption.getOrElse(q.length)
-        q = q.substring(0, at) + " FROM (SELECT 0 AS dummy)" + q.substring(at)
-      }
-    }
+    // — at every nesting level and in every UNION branch
+    q = addDummyFrom(q)
     q = bracketLiteralsToArray(q)
     // `(SELECT 'str' …)` — Spark's parser reads `SELECT 'str'` as a
     // typed literal of type SELECT; concat() is a string identity
@@ -157,6 +173,73 @@ object ChSql {
     // CH tuple element access `t.2` / `(…).2` (1-based)
     q = tupleElementAccess(q)
     q
+  }
+
+  /** FROM-less SELECTs that reference `dummy` read system.one — the
+    * reference resolves the implicit table at every nesting level
+    * (InterpreterSelectQuery getDefault). Recurses into parenthesized
+    * subqueries and handles each top-level UNION branch. */
+  private def addDummyFrom(q: String): String = {
+    // recurse into paren groups first
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') { inQ = !inQ; sb += c; i += 1 }
+      else if (!inQ && c == '(') {
+        var depth = 1; var j = i + 1; var q2 = false
+        while (j < q.length && depth > 0) {
+          val cj = q.charAt(j)
+          if (cj == '\'') q2 = !q2
+          else if (!q2 && cj == '(') depth += 1
+          else if (!q2 && cj == ')') depth -= 1
+          j += 1
+        }
+        sb += '('
+        sb ++= addDummyFrom(q.substring(i + 1, j - 1))
+        sb += ')'
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    val cur = sb.toString
+    // split this level on UNION [ALL|DISTINCT] and fix each branch
+    val d = depths(cur)
+    val up = cur.toUpperCase
+    val unionAt = Iterator.from(0).map(i => up.indexOf(" UNION ", i))
+      .takeWhile(_ >= 0).filter(i => d(i) == 0).toSeq
+    if (unionAt.nonEmpty) {
+      // keep the UNION keywords; fix the SELECT part of each branch
+      var out = cur
+      // process right-to-left so indices stay valid
+      val starts = 0 +: unionAt
+      val ends = unionAt :+ cur.length
+      starts.zip(ends).reverse.foreach { case (s0, e0) =>
+        val seg0 = out.substring(s0, e0)
+        // strip the leading "UNION ALL"/"UNION DISTINCT" keyword
+        val m = "(?is)^(\\s*UNION\\s+(?:ALL|DISTINCT)\\s+)".r.findFirstMatchIn(seg0)
+        val off = m.map(_.end).getOrElse(0)
+        val fixed = fixSelectSegment(seg0.substring(off))
+        out = out.substring(0, s0) + seg0.substring(0, off) + fixed + out.substring(e0)
+      }
+      out
+    } else fixSelectSegment(cur)
+  }
+
+  private def fixSelectSegment(seg: String): String = {
+    if (!seg.trim.toUpperCase.startsWith("SELECT")) return seg
+    if ("(?i)(?<![\\w.`])dummy(?![\\w.`])".r.findFirstIn(seg).isEmpty) return seg
+    val d = depths(seg)
+    val up = seg.toUpperCase
+    val hasFrom = Iterator.from(0).map(i => up.indexOf(" FROM ", i))
+      .takeWhile(_ >= 0).exists(i => d(i) == 0)
+    if (hasFrom) return seg
+    val at = Seq(" GROUP ", " ORDER ", " LIMIT ", " HAVING ", " SETTINGS ")
+      .flatMap { kw =>
+        Iterator.from(0).map(i => up.indexOf(kw, i))
+          .takeWhile(_ >= 0).find(i => d(i) == 0)
+      }.minOption.getOrElse(seg.length)
+    seg.substring(0, at) + " FROM (SELECT 0 AS dummy)" + seg.substring(at)
   }
 
   /** Paren depth at each character position (quote-aware). */
@@ -710,6 +793,42 @@ object ChSql {
     }
   }
 
+  /** CH parameterized-aggregate call `fn(p1,…)(a1,…)` → `fn(a1,…,
+    * p1,…)` — parameters appended as trailing (foldable) arguments so
+    * a plain function builder can dispatch on them. Applies to the
+    * families that take parameters in the reference
+    * (AggregateFunctionFactory.cpp parameter parsing); parameters are
+    * literal lists, never nested calls. */
+  private val paramCallRe =
+    ("(?i)\\b(quantiles?[A-Za-z]*|medians?[A-Za-z]*|groupArray|groupUniqArray|" +
+      "topK|uniqUpTo)\\s*\\(([^()]*)\\)\\s*\\(").r
+
+  private def flattenParamCalls(q: String): String = {
+    var s = q
+    var go = true
+    while (go) {
+      paramCallRe.findFirstMatchIn(s) match {
+        case None => go = false
+        case Some(m) =>
+          val argsStart = m.end
+          var depth = 1; var i = argsStart; var inQ = false
+          while (i < s.length && depth > 0) {
+            val c = s.charAt(i)
+            if (c == '\'') inQ = !inQ
+            else if (!inQ && c == '(') depth += 1
+            else if (!inQ && c == ')') depth -= 1
+            i += 1
+          }
+          val args = s.substring(argsStart, i - 1)
+          val params = m.group(2).trim
+          val sep = if (args.trim.isEmpty || params.isEmpty) "" else ", "
+          s = s.substring(0, m.start) + m.group(1) + "(" + args + sep + params + ")" +
+            s.substring(i)
+      }
+    }
+    s
+  }
+
   /** Split on top-level commas (nesting- and quote-aware). */
   private[sql] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -988,11 +1107,18 @@ object ChSql {
     "anyHeavy" -> { case Seq(e) => graft.functions.AnyHeavy(e) },
     "toTypeName" -> { case Seq(e) => graft.functions.ToTypeName(e) },
     // groupArray keeps encounter order in the reference; collect_list
-    // matches on the single-partition corpus shapes (documented)
-    "groupArray" -> viaColumn { case Seq(e) =>
-      org.apache.spark.sql.functions.collect_list(e) },
-    "groupUniqArray" -> viaColumn { case Seq(e) =>
-      org.apache.spark.sql.functions.collect_set(e) },
+    // matches on the single-partition corpus shapes (documented).
+    // groupArray(N)(x) arrives flattened as groupArray(x, N).
+    "groupArray" -> viaColumn {
+      case Seq(e) => org.apache.spark.sql.functions.collect_list(e)
+      case Seq(e, n) => org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.collect_list(e),
+        org.apache.spark.sql.functions.lit(1), n) },
+    "groupUniqArray" -> viaColumn {
+      case Seq(e) => org.apache.spark.sql.functions.collect_set(e)
+      case Seq(e, n) => org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.collect_set(e),
+        org.apache.spark.sql.functions.lit(1), n) },
     // -Array combinator of sum: total over all elements of all rows
     "sumArray" -> { case Seq(arr) =>
       org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
@@ -1015,7 +1141,16 @@ object ChSql {
       }
       GetStructField(t, ord - 1)
     },
-    "intDiv" -> { case Seq(a, b) => new IntegralDivide(a, b) },
+    // exact Int64 semantics via IntegralDivide; float-literal operands
+    // (Float64 after the D-suffix rewrite) re-enter as decimal so the
+    // integral division still resolves — CH intDiv(1, 0.3) = 3
+    "intDiv" -> { case Seq(a, b) =>
+      def dec(e: Expression): Expression = e match {
+        case Literal(d: Double, DoubleType) =>
+          Literal(org.apache.spark.sql.types.Decimal(BigDecimal(d)))
+        case other => other
+      }
+      new IntegralDivide(dec(a), dec(b)) },
     // string replace family (FunctionsStringSearch.h replaceAll/One):
     // replaceAll is literal replace; the *One forms stop after the
     // first occurrence
@@ -1062,11 +1197,19 @@ object ChSql {
     "groupUniqArrayIf" -> viaColumn { case Seq(x, c) =>
       org.apache.spark.sql.functions.collect_set(
         org.apache.spark.sql.functions.when(c, x)) },
-    "extractURLParameterNames" -> viaColumn { case Seq(u) =>
-      import org.apache.spark.sql.functions._
-      transform(
-        filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"), x => x =!= ""),
-        p => regexp_extract(p, "^([^=]*)", 1)) },
+    "extractURLParameterNames" -> { case Seq(u) =>
+      graft.functions.KernelExpr(u, "extract_url_parameter_names") },
+    "URLPathHierarchy" -> { case Seq(u) =>
+      graft.functions.KernelExpr(u, "url_path_hierarchy") },
+    // indexHint(cond) — pure index-analysis hint, the result column is
+    // the constant 1 (FunctionsMiscellaneous.cpp FunctionIndexHint)
+    "indexHint" -> { case _ => Literal(1) },
+    // hasColumnInTable('db','table','col') — catalog probe, resolved
+    // to a constant at translate time (FunctionsMiscellaneous.cpp)
+    "hasColumnInTable" -> { case Seq(d, t, c)
+        if Seq(d, t, c).forall(_.foldable) =>
+      Literal(if (ChDdl.hasColumn(
+        s"${d.eval(null)}.${t.eval(null)}", c.eval(null).toString)) 1 else 0) },
     "toString" -> { case Seq(e) =>
       // UInt64-producing children (the hash kernels) render as
       // UNSIGNED decimal, like the reference's UInt64 columns —
@@ -1430,8 +1573,208 @@ object ChSql {
         org.apache.spark.sql.functions.avg(
           org.apache.spark.sql.functions.when(c, x)) })
 
+  // ---- aggregate-combinator surface ------------------------------
+  // (AggregateFunctionFactory combinator dispatch: -State/-Merge/
+  // -Array/-If suffixes, parameterized quantile family). The uniq
+  // names count exactly: the reference's uniq/uniqHLL12 are exact
+  // below their sketch thresholds, which covers every corpus shape;
+  // at scale uniqExact semantics are the safe superset. A uniq STATE
+  // is represented as the exact distinct-value array (the
+  // uniqExactState layout), so State/Merge compose through ordinary
+  // array functions and AggregatingMergeTree storage.
+
+  private def evalD(e: Expression): Double =
+    Cast(e, DoubleType).eval(null) match {
+      case d: Double => d
+      case other => other.toString.toDouble
+    }
+
+  /** CH quantileExact element rule (AggregateFunctionQuantileExact:
+    * n = level < 1 ? level*size : size-1, then nth element). */
+  private def chQuantileExactCol(x: org.apache.spark.sql.Column, level: Double)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val arr = sort_array(collect_list(x))
+    val n = size(arr)
+    element_at(arr,
+      least(floor(lit(level) * n.cast("double")).cast("int"), n - 1) + 1)
+  }
+
+  private def distinctSetMerge(s: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    array_distinct(flatten(collect_list(s)))
+  }
+
+  private val combinatorFns: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val exactCount: Seq[Column] => Column =
+      es => count_distinct(es.head, es.tail: _*)
+    Seq(
+      "uniq" -> viaColumn(exactCount),
+      "uniqExact" -> viaColumn(exactCount),
+      "uniqHLL12" -> viaColumn(exactCount),
+      "uniqCombined" -> viaColumn(exactCount),
+      "uniqState" -> viaColumn { case Seq(e) => collect_set(e) },
+      "uniqExactState" -> viaColumn { case Seq(e) => collect_set(e) },
+      "uniqMerge" -> viaColumn { case Seq(s) =>
+        size(distinctSetMerge(s)).cast("long") },
+      "uniqExactMerge" -> viaColumn { case Seq(s) =>
+        size(distinctSetMerge(s)).cast("long") },
+      "uniqMergeState" -> viaColumn { case Seq(s) => distinctSetMerge(s) },
+      "groupUniqArrayMerge" -> viaColumn { case Seq(s) => distinctSetMerge(s) },
+      "groupArrayMerge" -> viaColumn { case Seq(s) => flatten(collect_list(s)) },
+      // -Array combinators: the aggregate runs over array elements
+      "uniqArray" -> viaColumn { case Seq(a) =>
+        size(distinctSetMerge(a)).cast("long") },
+      "sumArray" -> viaColumn { case Seq(a) =>
+        sum(aggregate(a, lit(0L), (acc, e) => acc + e)) },
+      "sumArrayIf" -> viaColumn { case Seq(a, c) =>
+        coalesce(sum(when(c, aggregate(a, lit(0L), (acc, e) => acc + e))), lit(0L)) },
+      "minArray" -> viaColumn { case Seq(a) => min(array_min(a)) },
+      "maxArray" -> viaColumn { case Seq(a) => max(array_max(a)) },
+      "avgArray" -> viaColumn { case Seq(a) =>
+        sum(aggregate(a, lit(0.0), (acc, e) => acc + e)) /
+          sum(size(a)).cast("double") },
+      "countArray" -> viaColumn { case Seq(a) => sum(size(a)).cast("long") },
+      "argMinArray" -> viaColumn { case Seq(x, a) =>
+        min_by(element_at(x, array_position(a, array_min(a)).cast("int")),
+          array_min(a)) },
+      "argMaxArray" -> viaColumn { case Seq(x, a) =>
+        max_by(element_at(x, array_position(a, array_max(a)).cast("int")),
+          array_max(a)) },
+      // anyLast = last non-null in data order; the corpus runs
+      // single-threaded inserts so max_by over a monotonic id matches
+      "anyLastIf" -> viaColumn { case Seq(x, c) => last(when(c, x), true) },
+      "anyIf" -> viaColumn { case Seq(x, c) => first(when(c, x), true) })
+  }
+
+  /** Interpolated quantile over an array column (the scalar
+    * arrayReduce path): rank = level*(n-1), linear interpolation —
+    * the ReservoirSampler::quantileInterpolated rule. Empty → NaN. */
+  private def arrQuantileCol(a: org.apache.spark.sql.Column, l: Double)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val s = sort_array(a)
+    val n = size(s)
+    val h = lit(l) * (n - 1).cast("double")
+    val lo = floor(h).cast("int")
+    val loV = element_at(s, lo + 1).cast("double")
+    val hiV = element_at(s, least(lo + 1, n - 1) + 1).cast("double")
+    when(n === 0, lit(Double.NaN))
+      .otherwise(loV + (h - lo.cast("double")) * (hiV - loV))
+  }
+
+  private val arrayReduceFns: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    Seq(
+      "decodeURLComponent" -> { case Seq(u) =>
+        graft.functions.KernelExpr(u, "decode_url_component") },
+      // cutURLParameter(url, 'name') — drop name=value plus its
+      // separator (FunctionsURL.h CutURLParameterImpl)
+      "cutURLParameter" -> { case Seq(u, Literal(name, StringType)) =>
+        val qn = java.util.regex.Pattern.quote(name.toString)
+        viaColumn { case Seq(uc) =>
+          regexp_replace(
+            regexp_replace(uc, "([?&])" + qn + "=[^&#]*&", "$1"),
+            "[?&]" + qn + "=[^&#]*", "")
+        }(Seq(u)) },
+      // arrayReduce('agg', arr…) — run an aggregate over array
+      // elements as a scalar fn (FunctionArrayReduce.cpp). The agg
+      // name may carry parameters ('uniqUpTo(5)') or an -If suffix.
+      "arrayReduce" -> { case Literal(nameU8, StringType) +: arrays if arrays.nonEmpty =>
+        val spec = nameU8.toString.trim
+        val m = "(\\w+?)(If)?(?:\\((.*)\\))?$".r.findFirstMatchIn(spec).getOrElse(
+          throw new IllegalArgumentException(s"arrayReduce: bad aggregate '$spec'"))
+        val base = m.group(1)
+        val hasIf = m.group(2) != null
+        val params = Option(m.group(3))
+          .map(_.split(",").map(_.trim.toDouble).toSeq).getOrElse(Seq.empty)
+        viaColumn { cols0 =>
+          // -If: last array is the 0/1 condition — keep elements with
+          // non-zero cond in every value array
+          val cols =
+            if (!hasIf) cols0
+            else cols0.dropRight(1).map { v =>
+              transform(
+                filter(zip_with(v, cols0.last, (x, c) => struct(x.as("v"), c.as("c"))),
+                  s => s.getField("c") =!= 0),
+                s => s.getField("v"))
+            }
+          def tuples: Column = cols match {
+            case Seq(a) => a
+            case Seq(a, b) => zip_with(a, b, (x, y) => struct(x, y))
+            case more => more.reduce((a, b) => zip_with(a, b, (x, y) => struct(x, y)))
+          }
+          base match {
+            case "uniq" | "uniqExact" | "uniqHLL12" | "uniqCombined" =>
+              size(array_distinct(tuples)).cast("long")
+            case "uniqUpTo" =>
+              least(size(array_distinct(tuples)).cast("long"),
+                lit(params.head.toLong + 1))
+            case "sum" => aggregate(cols.head, lit(0L), (acc, e) => acc + e)
+            case "min" => array_min(cols.head)
+            case "max" => array_max(cols.head)
+            case "count" => size(cols.head).cast("long")
+            case "avg" =>
+              aggregate(cols.head, lit(0.0), (acc, e) => acc + e) /
+                size(cols.head).cast("double")
+            case "any" => element_at(cols.head, 1)
+            case "anyLast" => element_at(cols.head, -1)
+            case "median" => arrQuantileCol(cols.head, 0.5)
+            case "quantile" =>
+              arrQuantileCol(cols.head, params.headOption.getOrElse(0.5))
+            case "quantiles" =>
+              array(params.map(l => arrQuantileCol(cols.head, l)): _*)
+            case other => throw new IllegalArgumentException(
+              s"arrayReduce: unsupported aggregate '$other'")
+          }
+        }(arrays) })
+  }
+
+  private val quantileFns: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.functions._
+    def interp(x: org.apache.spark.sql.Column, l: Double) =
+      call_function("percentile", x, lit(l))
+    Seq(
+      "quantile" -> viaColumn {
+        case Seq(x) => interp(x, 0.5)
+        case Seq(x, l) => call_function("percentile", x, l) },
+      "median" -> viaColumn { case Seq(x) => interp(x, 0.5) },
+      "quantiles" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        viaColumn { case Seq(xc) =>
+          array(levels.map(l => interp(xc, evalD(l))): _*) }(Seq(x)) },
+      "quantileExact" -> { case Seq(x, l) if l.foldable =>
+        viaColumn { case Seq(xc) => chQuantileExactCol(xc, evalD(l)) }(Seq(x)) },
+      "medianExact" -> { case Seq(x) =>
+        viaColumn { case Seq(xc) => chQuantileExactCol(xc, 0.5) }(Seq(x)) },
+      "quantilesExact" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        viaColumn { case Seq(xc) =>
+          array(levels.map(l => chQuantileExactCol(xc, evalD(l))): _*) }(Seq(x)) },
+      "quantileTiming" -> { case Seq(x, l) if l.foldable =>
+        graft.functions.QuantileTiming(x, evalD(l)) },
+      "medianTiming" -> { case Seq(x) => graft.functions.QuantileTiming(x, 0.5) },
+      "quantilesTiming" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          levels.map(l => graft.functions.QuantileTiming(x, evalD(l)))) },
+      "quantileTimingWeighted" -> { case Seq(x, w, l) if l.foldable =>
+        graft.functions.QuantileTimingWeighted(x, w, evalD(l)) },
+      "quantileExactWeighted" -> { case Seq(x, w, l) if l.foldable =>
+        graft.functions.QuantileExactWeighted(x, w, evalD(l)) },
+      "quantileDeterministic" -> { case Seq(x, d, l) if l.foldable =>
+        graft.functions.QuantileDeterministic(x, d, evalD(l)) },
+      "quantilesDeterministic" -> { case Seq(x, d) =>
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          Seq(graft.functions.QuantileDeterministic(x, d, 0.5)))
+      case x +: d +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          levels.map(l => graft.functions.QuantileDeterministic(x, d, evalD(l)))) })
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] =
-    baseFns ++ emptyArrayFns ++ ifCombinatorFns
+    baseFns ++ emptyArrayFns ++ ifCombinatorFns ++ combinatorFns ++
+      quantileFns ++ arrayReduceFns
 
   def registerChFunctions(spark: SparkSession): Unit = {
     graft.GraftFunctions.register(spark)

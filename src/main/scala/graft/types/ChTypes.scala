@@ -54,7 +54,17 @@ object ChTypes {
       case None if t.startsWith("Enum8(") || t.startsWith("Enum16(") =>
         Parsed(StringType, nullable = false) // name-valued; dictionary on write
       case None if t.startsWith("AggregateFunction(") =>
-        Parsed(BinaryType, nullable = false) // serialized state (see aggregates)
+        // set-state aggregates store the exact distinct/collected
+        // value array (uniqExactState layout, composable with the
+        // dialect's uniqState/uniqMerge builders); other states stay
+        // opaque serialized bytes
+        val parts = splitTop(inner(t, "AggregateFunction"))
+        val agg = parts.head.trim.toLowerCase
+        if (Set("uniq", "uniqexact", "uniqhll12", "uniqcombined",
+          "grouparray", "groupuniqarray").contains(agg) && parts.length == 2) {
+          val e = parse(parts(1))
+          Parsed(ArrayType(e.dataType, containsNull = e.nullable), nullable = false)
+        } else Parsed(BinaryType, nullable = false)
       case None =>
         throw new IllegalArgumentException(s"unsupported ClickHouse type: $ch")
     }

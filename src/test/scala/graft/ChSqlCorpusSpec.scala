@@ -46,6 +46,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00013_8_select_from_table_with_arrays",
     "00013_9_select_from_table_with_arrays",
     "00013_a_select_from_table_with_arrays",
+    "00013_b_select_from_table_with_arrays",
     "00014_1_create_table_with_nested",
     "00014_4_select_from_table_with_nested",
     "00014_5_select_from_table_with_nested",
@@ -59,6 +60,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00016_totals_having_constants",
     "00018_distinct_in_subquery",
     "00020_sorting_arrays",
+    "00021_sorting_arrays",
     "00022_func_higher_order_and_constants",
     "00023_agg_select_agg_subquery",
     "00024_unused_array_join_in_subquery",
@@ -76,6 +78,8 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00041_big_array_join",
     "00042_set",
     "00043_summing_empty_part",
+    "00044_sorting_by_string_descending",
+    "00045_sorting_by_fixed_string_descending",
     "00049_any_left_join",
     "00050_any_left_join",
     "00051_any_inner_join",
@@ -88,6 +92,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00059_shard_global_in",
     "00060_date_lut",
     "00064_negate_bug",
+    "00065_shard_float_literals_formatting",
     "00066_group_by_in",
     "00068_empty_tiny_log",
     "00071_insert_fewer_columns",
@@ -135,6 +140,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00125_array_element_of_array_of_tuple",
     "00126_buffer",
     "00127_group_by_concat",
+    "00128_group_by_number_and_fixed_string",
     "00131_set_hashed",
     "00136_duplicate_order_by_elems",
     "00137_in_constants",
@@ -160,6 +166,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00176_if_string_arrays",
     "00185_array_literals",
     "00187_like_regexp_prefix",
+    "00188_constants_as_arguments_of_aggregate_functions",
     "00194_identity",
     "00196_float32_formatting",
     "00200_shard_distinct_order_by_limit_distributed",
@@ -188,9 +195,11 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00274_shard_group_array",
     "00278_insert_already_sorted",
     "00280_hex_escape_sequence",
+    "00284_external_aggregation",
     "00286_format_long_negative_float",
     "00287_column_const_with_nan",
     "00288_empty_stripelog",
+    "00291_array_reduce",
     "00292_parser_tuple_element",
     "00293_shard_max_subquery_depth",
     "00299_stripe_log_multiple_inserts",
@@ -207,21 +216,26 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00345_index_signed_unsigned_comparison",
     "00348_tuples",
     "00349_visible_width",
+    "00350_count_distinct",
     "00351_select_distinct_arrays_tuples",
     "00352_external_sorting_and_constants",
     "00353_join_by_tuple",
     "00355_array_of_non_const_convertible_types",
+    "00356_analyze_aggregations_and_union_all",
     "00362_great_circle_distance",
     "00364_java_style_denormals",
     "00369_int_div_of_float",
     "00373_group_by_tuple",
     "00381_first_significant_subdomain",
+    "00386_has_column_in_table",
     "00389_concat_operator",
     "00390_array_sort",
     "00404_null_literal",
     "00412_logical_expressions_optimizer",
     "00413_distinct",
+    "00426_nulls_sorting",
     "00436_fixed_string_16_comparisons",
+    "00437_nulls_first_last",
     "00438_bit_rotate",
     "00440_nulls_merge_tree",
     "00442_filter_by_nullable",
