@@ -191,18 +191,12 @@ case class QuantileTiming(
   override def children: Seq[Expression] = child :: Nil
   override def prettyName: String = "quantile_timing"
 
-  private def bucket(v: Long): Long =
-    if (v < 0) 0L
-    else if (v < 1024) v
-    else if (v >= 30000) 30000L
-    else 1024L + ((v - 1024L) / 16L) * 16L
-
   override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
     new java.util.HashMap[Long, Long]()
 
   override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
     val v = child.eval(input)
-    if (v != null) buf.merge(bucket(v.asInstanceOf[Long]), 1L, (a, b) => a + b)
+    if (v != null) buf.merge(QuantileTiming.bucket(v.asInstanceOf[Long]), 1L, (a, b) => a + b)
     buf
   }
 
@@ -212,21 +206,8 @@ case class QuantileTiming(
     a
   }
 
-  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
-    if (buf.isEmpty) return null
-    var total = 0L
-    buf.values().forEach(c => total += c)
-    val pos = math.max(1L, math.ceil(level * total).toLong)
-    val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
-    var acc = 0L
-    var i = 0
-    while (i < keys.length) {
-      acc += buf.get(keys(i))
-      if (acc >= pos) return keys(i)
-      i += 1
-    }
-    keys.last
-  }
+  override def eval(buf: java.util.HashMap[Long, Long]): Any =
+    QuantileTiming.evalLevel(buf, level)
 
   override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 16 * buf.size())
@@ -249,6 +230,95 @@ case class QuantileTiming(
   override def withNewInputAggBufferOffset(offset: Int): QuantileTiming =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileTiming =
+    copy(child = newChildren.head)
+}
+
+object QuantileTiming {
+  def bucket(v: Long): Long =
+    if (v < 0) 0L
+    else if (v < 1024) v
+    else if (v >= 30000) 30000L
+    else 1024L + ((v - 1024L) / 16L) * 16L
+
+  def evalLevel(buf: java.util.HashMap[Long, Long], level: Double): Any = {
+    if (buf.isEmpty) return null
+    var total = 0L
+    buf.values().forEach(c => total += c)
+    val pos = math.max(1L, math.ceil(level * total).toLong)
+    val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
+    var acc = 0L
+    var i = 0
+    while (i < keys.length) {
+      acc += buf.get(keys(i))
+      if (acc >= pos) return keys(i)
+      i += 1
+    }
+    keys.last
+  }
+}
+
+/** `quantilesTiming(l1,…)(ms)` — the plural form: ONE histogram
+  * buffer, every level read out of it at eval (the reference's
+  * quantilesTiming reads its single state N times too —
+  * AggregateFunctionsQuantileTiming.h insertResultInto loop). One
+  * buffer instead of N parallel aggregates is also the right shape
+  * at scale: state size is independent of the level count.
+  */
+case class QuantilesTiming(
+    child: Expression,
+    levels: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "quantiles_timing"
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(QuantileTiming.bucket(v.asInstanceOf[Long]), 1L, (a, b) => a + b)
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Long], b: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); a.merge(e.getKey, e.getValue, (x, y) => x + y) }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      levels.map(l => QuantileTiming.evalLevel(buf, l)).toArray[Any])
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size())
+    bb.putInt(buf.size())
+    buf.forEach((k, v) => { bb.putLong(k); bb.putLong(v) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val sz = bb.getInt
+    val m = new java.util.HashMap[Long, Long](sz * 2)
+    var i = 0
+    while (i < sz) { m.put(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): QuantilesTiming =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantilesTiming =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantilesTiming =
     copy(child = newChildren.head)
 }
 

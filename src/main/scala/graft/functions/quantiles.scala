@@ -92,6 +92,88 @@ case class QuantileExactWeighted(
     copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
 }
 
+/** Plural `quantilesExactWeighted(l1,…)(x, w)` — one weight map,
+  * every level read from it at eval. */
+case class QuantilesExactWeighted(
+    valueExpr: Expression,
+    weightExpr: Expression,
+    levels: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Double, Long]]
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(DoubleType, LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = valueExpr :: weightExpr :: Nil
+  override def prettyName: String = "quantiles_exact_weighted"
+
+  override def createAggregationBuffer(): java.util.HashMap[Double, Long] =
+    new java.util.HashMap[Double, Long]()
+
+  override def update(buf: java.util.HashMap[Double, Long], input: InternalRow): java.util.HashMap[Double, Long] = {
+    val v = valueExpr.eval(input)
+    val w = weightExpr.eval(input)
+    if (v != null && w != null)
+      buf.merge(v.asInstanceOf[Double], w.asInstanceOf[Long], (a, b) => a + b)
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Double, Long], b: java.util.HashMap[Double, Long]): java.util.HashMap[Double, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); a.merge(e.getKey, e.getValue, (x, y) => x + y) }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Double, Long]): Any = {
+    val keys = buf.keySet().toArray(new Array[java.lang.Double](0)).map(_.doubleValue()).sorted
+    var total = 0L
+    buf.values().forEach(c => total += c)
+    val out = levels.map { level =>
+      if (buf.isEmpty) null
+      else {
+        val threshold = math.max(1L, math.ceil(level * total).toLong)
+        var acc = 0L
+        var i = 0
+        var res: Any = keys.last
+        var done = false
+        while (i < keys.length && !done) {
+          acc += buf.get(keys(i))
+          if (acc >= threshold) { res = keys(i); done = true }
+          i += 1
+        }
+        res
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
+  override def serialize(buf: java.util.HashMap[Double, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size())
+    bb.putInt(buf.size())
+    buf.forEach((k, v) => { bb.putDouble(k); bb.putLong(v) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Double, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val sz = bb.getInt
+    val m = new java.util.HashMap[Double, Long](sz * 2)
+    var i = 0
+    while (i < sz) { m.put(bb.getDouble, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): QuantilesExactWeighted =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantilesExactWeighted =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantilesExactWeighted =
+    copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
+}
+
 /** `quantileTimingWeighted(level)(ms, w)` — the timing histogram
   * sketch with per-row weights (reference:
   * AggregateFunctionsQuantileTiming.h weighted variant): identical
@@ -230,6 +312,53 @@ case class QuantileDeterministic(
   override def withNewInputAggBufferOffset(offset: Int): QuantileDeterministic =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileDeterministic =
+    copy(valueExpr = newChildren(0), detExpr = newChildren(1))
+}
+
+/** `quantilesDeterministic(l1,…)(x, det)` — plural form over ONE
+  * deterministic reservoir, each level interpolated from the same
+  * sample at eval (the reference reads one state N times too). */
+case class QuantilesDeterministic(
+    valueExpr: Expression,
+    detExpr: Expression,
+    levels: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileDeterministic.Reservoir]
+    with ImplicitCastInputTypes {
+  import QuantileDeterministic._
+
+  override def inputTypes = Seq(DoubleType, LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = valueExpr :: detExpr :: Nil
+  override def prettyName: String = "quantiles_deterministic"
+
+  override def createAggregationBuffer(): Reservoir = new Reservoir
+
+  override def update(buf: Reservoir, input: InternalRow): Reservoir = {
+    val v = valueExpr.eval(input)
+    val d = detExpr.eval(input)
+    if (v != null && d != null)
+      buf.insert(v.asInstanceOf[Double], d.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Reservoir, b: Reservoir): Reservoir = { a.mergeFrom(b); a }
+
+  override def eval(buf: Reservoir): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      levels.map(l => buf.quantileInterpolated(l)).toArray[Any])
+
+  override def serialize(buf: Reservoir): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Reservoir = Reservoir.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): QuantilesDeterministic =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantilesDeterministic =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantilesDeterministic =
     copy(valueExpr = newChildren(0), detExpr = newChildren(1))
 }
 

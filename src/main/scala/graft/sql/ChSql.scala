@@ -52,8 +52,9 @@ object ChSql {
     // SETTINGS k=v[, …] is an execution hint
     q = q.replaceAll("(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*\\S+(\\s*,\\s*\\w+\\s*=\\s*\\S+)*", "")
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
-    // backtick-quoted system refs normalize first
+    // backtick-quoted / whitespace-padded system refs normalize first
     q = q.replaceAll("(?i)`system`\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
+    q = q.replaceAll("(?i)\\bsystem\\s*\\.\\s*(one|numbers|numbers_mt)\\b", "system.$1")
     // system tables → generators (bounded; LocalLimit stops the scan)
     q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
       "(SELECT id AS number FROM range(100000000))")
@@ -164,6 +165,13 @@ object ChSql {
     // FROM-less queries referencing `dummy` implicitly read system.one
     // — at every nesting level and in every UNION branch
     q = addDummyFrom(q)
+    // arrayJoin(x) nested inside expressions: Spark generators can't
+    // nest, so hoist each call to a LATERAL VIEW explode and use the
+    // generated column (multiple calls multiply, like the reference)
+    q = hoistArrayJoinCalls(q)
+    // CH SELECT-list aliases are visible in WHERE of the same level
+    // (ExpressionAnalyzer alias scope); Spark's are not — substitute
+    q = inlineAliasInWhere(q)
     q = bracketLiteralsToArray(q)
     // `(SELECT 'str' …)` — Spark's parser reads `SELECT 'str'` as a
     // typed literal of type SELECT; concat() is a string identity
@@ -202,44 +210,181 @@ object ChSql {
         i = j
       } else { sb += c; i += 1 }
     }
-    val cur = sb.toString
-    // split this level on UNION [ALL|DISTINCT] and fix each branch
-    val d = depths(cur)
-    val up = cur.toUpperCase
-    val unionAt = Iterator.from(0).map(i => up.indexOf(" UNION ", i))
-      .takeWhile(_ >= 0).filter(i => d(i) == 0).toSeq
-    if (unionAt.nonEmpty) {
-      // keep the UNION keywords; fix the SELECT part of each branch
-      var out = cur
-      // process right-to-left so indices stay valid
-      val starts = 0 +: unionAt
-      val ends = unionAt :+ cur.length
-      starts.zip(ends).reverse.foreach { case (s0, e0) =>
-        val seg0 = out.substring(s0, e0)
-        // strip the leading "UNION ALL"/"UNION DISTINCT" keyword
-        val m = "(?is)^(\\s*UNION\\s+(?:ALL|DISTINCT)\\s+)".r.findFirstMatchIn(seg0)
-        val off = m.map(_.end).getOrElse(0)
-        val fixed = fixSelectSegment(seg0.substring(off))
-        out = out.substring(0, s0) + seg0.substring(0, off) + fixed + out.substring(e0)
-      }
-      out
-    } else fixSelectSegment(cur)
+    mapUnionBranches(sb.toString)(fixSelectSegment)
   }
 
   private def fixSelectSegment(seg: String): String = {
     if (!seg.trim.toUpperCase.startsWith("SELECT")) return seg
     if ("(?i)(?<![\\w.`])dummy(?![\\w.`])".r.findFirstIn(seg).isEmpty) return seg
     val d = depths(seg)
-    val up = seg.toUpperCase
-    val hasFrom = Iterator.from(0).map(i => up.indexOf(" FROM ", i))
-      .takeWhile(_ >= 0).exists(i => d(i) == 0)
-    if (hasFrom) return seg
-    val at = Seq(" GROUP ", " ORDER ", " LIMIT ", " HAVING ", " SETTINGS ")
-      .flatMap { kw =>
-        Iterator.from(0).map(i => up.indexOf(kw, i))
-          .takeWhile(_ >= 0).find(i => d(i) == 0)
-      }.minOption.getOrElse(seg.length)
-    seg.substring(0, at) + " FROM (SELECT 0 AS dummy)" + seg.substring(at)
+    if (topMatches(seg, d, "FROM").nonEmpty) return seg
+    val at = topMatches(seg, d, "WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS")
+      .minOption.getOrElse(seg.length)
+    seg.substring(0, at) + " FROM (SELECT 0 AS dummy) " + seg.substring(at)
+  }
+
+  /** Apply `f` to the text at every paren-nesting level (quote-aware,
+    * innermost first). */
+  private def recurseParens(q: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') { inQ = !inQ; sb += c; i += 1 }
+      else if (!inQ && c == '(') {
+        var depth = 1; var j = i + 1; var q2 = false
+        while (j < q.length && depth > 0) {
+          val cj = q.charAt(j)
+          if (cj == '\'') q2 = !q2
+          else if (!q2 && cj == '(') depth += 1
+          else if (!q2 && cj == ')') depth -= 1
+          j += 1
+        }
+        sb += '('
+        sb ++= recurseParens(q.substring(i + 1, j - 1))(f)
+        sb += ')'
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    f(sb.toString)
+  }
+
+  /** `arrayJoin(x)` is a generator: Spark allows `explode` only as a
+    * top-level select item, the reference allows it anywhere in the
+    * row expression (FunctionArrayJoin + ExpressionAnalyzer special
+    * case). Hoist every call at each SELECT level to a LATERAL VIEW
+    * explode and substitute the generated column. */
+  private val ajCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Positions of a keyword regex at paren depth 0 (quote-blind at
+    * the match site; callers pass word-boundary patterns). */
+  private def topMatches(s: String, d: Array[Int], pat: String): Seq[Int] =
+    ("(?i)\\b(?:" + pat + ")\\b").r.findAllMatchIn(s).map(_.start)
+      .filter(i => d(i) == 0).toSeq
+
+  /** Apply `f` to each top-level UNION branch of a level. */
+  private def mapUnionBranches(level0: String)(f: String => String): String = {
+    val d = depths(level0)
+    val unionAt = topMatches(level0, d, "UNION")
+    if (unionAt.isEmpty) f(level0)
+    else {
+      val starts = 0 +: unionAt
+      val ends = unionAt :+ level0.length
+      starts.zip(ends).map { case (s0, e0) =>
+        val seg = level0.substring(s0, e0)
+        val m = "(?is)^(\\s*UNION\\s+(?:ALL|DISTINCT)\\s+)".r.findFirstMatchIn(seg)
+        val off = m.map(_.end).getOrElse(0)
+        seg.substring(0, off) + f(seg.substring(off))
+      }.mkString
+    }
+  }
+
+  private def hoistArrayJoinCalls(q: String): String =
+    recurseParens(q)(level0 => mapUnionBranches(level0)(hoistArrayJoinLevel))
+
+  private def hoistArrayJoinLevel(level: String): String = {
+    if (!level.trim.toUpperCase.startsWith("SELECT")) level
+    else {
+      val re = "(?i)\\barrayJoin\\s*\\(".r
+      var cur = level
+      val laterals = Seq.newBuilder[String]
+      var found = true
+      var n = 0
+      while (found && n < 16) {
+        val m = re.findAllMatchIn(cur).toSeq.headOption
+        m match {
+          case None => found = false
+          case Some(mm) =>
+            var depth = 1; var j = mm.end; var inQ = false
+            while (j < cur.length && depth > 0) {
+              val c = cur.charAt(j)
+              if (c == '\'') inQ = !inQ
+              else if (!inQ && c == '(') depth += 1
+              else if (!inQ && c == ')') depth -= 1
+              j += 1
+            }
+            val arg = cur.substring(mm.end, j - 1)
+            val id = ajCounter.incrementAndGet()
+            laterals += s"LATERAL VIEW explode($arg) __ajc$id AS __ajv$id"
+            cur = cur.substring(0, mm.start) + s"__ajv$id" + cur.substring(j)
+            n += 1
+        }
+      }
+      val lat = laterals.result()
+      if (lat.isEmpty) level
+      else {
+        val up = cur.toUpperCase
+        val d = depths(cur)
+        // CH aliases resolve order-independently inside the select
+        // list: `range(k) AS y, arrayJoin(..) AS k` needs k → __ajvN
+        // in sibling items (Spark lateral aliases are left-to-right)
+        val fromAt0 = topMatches(cur, d, "FROM").headOption
+        val selEnd = fromAt0.getOrElse(cur.length)
+        val selStart = up.indexOf("SELECT") + 6
+        var selList = cur.substring(selStart, selEnd)
+        "(?i)\\b(__ajv\\d+)\\s+AS\\s+(\\w+)".r.findAllMatchIn(selList).toSeq
+          .foreach { m =>
+            val (v, alias) = (m.group(1), m.group(2))
+            // mask the defining occurrence so only sibling refs rewrite
+            val mask = s"$v AS \u0001"
+            selList = selList.replace(m.group(0), mask)
+            val pat = ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(alias) +
+              "(?![\\w.`'])").r
+            selList = mapOutsideQuotes(selList)(seg =>
+              pat.replaceAllIn(seg, java.util.regex.Matcher.quoteReplacement(v)))
+            selList = selList.replace(mask, m.group(0))
+          }
+        val cur2 = cur.substring(0, selStart) + selList + cur.substring(selEnd)
+        val d2 = depths(cur2)
+        val hasFrom = topMatches(cur2, d2, "FROM").nonEmpty
+        val insertAt = topMatches(cur2, d2, "WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS")
+          .minOption.getOrElse(cur2.length)
+        val fromPart = if (hasFrom) "" else " FROM (SELECT 0 AS __ajdummy)"
+        cur2.substring(0, insertAt) + fromPart + " " + lat.mkString(" ") + " " +
+          cur2.substring(insertAt)
+      }
+    }
+  }
+
+  /** CH scopes SELECT-list aliases into WHERE of the same query level
+    * (the reference's ExpressionAnalyzer does alias substitution
+    * before analysis); Spark resolves WHERE against the FROM relation
+    * only. Substitute `alias` → `(expr)` inside the WHERE clause at
+    * each level. */
+  private def inlineAliasInWhere(q: String): String =
+    recurseParens(q)(level0 => mapUnionBranches(level0)(inlineAliasInWhereLevel))
+
+  private def inlineAliasInWhereLevel(level: String): String = {
+    val up = level.toUpperCase
+    val d = depths(level)
+    if (!up.trim.startsWith("SELECT")) level
+    else {
+      val selStart = up.indexOf("SELECT") + 6
+      val fromAt = topMatches(level, d, "FROM").headOption
+      val whereAt = topMatches(level, d, "WHERE").headOption
+      (fromAt, whereAt) match {
+        case (Some(f), Some(w)) if f < w =>
+          val aliases = splitTopLevel(level.substring(selStart, f)).flatMap { item =>
+            "(?is)^(.*\\S)\\s+AS\\s+(\\w+)$".r.findFirstMatchIn(item.trim)
+              .filter(m => m.group(1).trim != m.group(2))
+              .map(m => (m.group(1).trim, m.group(2)))
+          }
+          if (aliases.isEmpty) level
+          else {
+            val wEnd = topMatches(level, d, "GROUP|ORDER|LIMIT|HAVING|SETTINGS")
+              .filter(_ > w).minOption.getOrElse(level.length)
+            var clause = level.substring(w, wEnd)
+            aliases.foreach { case (expr, alias) =>
+              val pat = ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(alias) + "(?![\\w.`'])").r
+              val repl = java.util.regex.Matcher.quoteReplacement(s"($expr)")
+              clause = mapOutsideQuotes(clause)(seg => pat.replaceAllIn(seg, repl))
+            }
+            level.substring(0, w) + clause + level.substring(wEnd)
+          }
+        case _ => level
+      }
+    }
   }
 
   /** Paren depth at each character position (quote-aware). */
@@ -1756,20 +1901,38 @@ object ChSql {
         graft.functions.QuantileTiming(x, evalD(l)) },
       "medianTiming" -> { case Seq(x) => graft.functions.QuantileTiming(x, 0.5) },
       "quantilesTiming" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
-        org.apache.spark.sql.catalyst.expressions.CreateArray(
-          levels.map(l => graft.functions.QuantileTiming(x, evalD(l)))) },
+        graft.functions.QuantilesTiming(x, levels.map(evalD)) },
       "quantileTimingWeighted" -> { case Seq(x, w, l) if l.foldable =>
         graft.functions.QuantileTimingWeighted(x, w, evalD(l)) },
       "quantileExactWeighted" -> { case Seq(x, w, l) if l.foldable =>
         graft.functions.QuantileExactWeighted(x, w, evalD(l)) },
+      "medianExactWeighted" -> { case Seq(x, w) =>
+        graft.functions.QuantileExactWeighted(x, w, 0.5) },
+      "quantilesExactWeighted" -> { case x +: w +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        graft.functions.QuantilesExactWeighted(x, w, levels.map(evalD)) },
+      "medianTimingWeighted" -> { case Seq(x, w) =>
+        graft.functions.QuantileTimingWeighted(x, w, 0.5) },
+      "medianDeterministic" -> { case Seq(x, d) =>
+        graft.functions.QuantileDeterministic(x, d, 0.5) },
+      // uniqUpTo(N)(x…) arrives flattened; multiple exprs hash as a
+      // tuple (AggregateFunctionUniqUpTo.h)
+      "uniqUpTo" -> { case args :+ n if n.foldable && args.nonEmpty =>
+        val child = if (args.length == 1) args.head
+          else org.apache.spark.sql.catalyst.expressions.CreateStruct(args)
+        graft.functions.UniqUpTo(child, evalD(n).toInt) },
+      // arrayUniq(arr…) — distinct elements (lockstep tuples for
+      // multiple arrays), a scalar fn (FunctionsArray.h arrayUniq)
+      "arrayUniq" -> viaColumn { cols =>
+        import org.apache.spark.sql.functions._
+        val tuples = cols match {
+          case Seq(a) => a
+          case more => more.reduce((a, b) => zip_with(a, b, (x, y) => struct(x, y)))
+        }
+        size(array_distinct(tuples)).cast("long") },
       "quantileDeterministic" -> { case Seq(x, d, l) if l.foldable =>
         graft.functions.QuantileDeterministic(x, d, evalD(l)) },
-      "quantilesDeterministic" -> { case Seq(x, d) =>
-        org.apache.spark.sql.catalyst.expressions.CreateArray(
-          Seq(graft.functions.QuantileDeterministic(x, d, 0.5)))
-      case x +: d +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
-        org.apache.spark.sql.catalyst.expressions.CreateArray(
-          levels.map(l => graft.functions.QuantileDeterministic(x, d, evalD(l)))) })
+      "quantilesDeterministic" -> { case x +: d +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        graft.functions.QuantilesDeterministic(x, d, levels.map(evalD)) })
   }
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] =

@@ -63,6 +63,15 @@ object MergeTreeTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read exposing the reference's `_part` virtual column
+    * (MergeTreeDataSelectExecutor virtual columns; `_table` is the
+    * Merge-engine analog in MergeTreeQueries): the source part name
+    * derives from the parquet split path — no extra I/O, constant per
+    * file, usable in WHERE for part pruning after a filter. */
+  def readWithPart(spark: SparkSession, path: String): DataFrame =
+    read(spark, path).withColumn("_part",
+      regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
+
   /** FINAL read — the engine's folded view computed at read time
     * (CollapsingFinalBlockInputStream.cpp; SELECT ... FINAL). */
   def readFinal(spark: SparkSession, path: String, spec: Spec): DataFrame =

@@ -87,13 +87,19 @@ object ChTypes {
           case Some(m) => (m.group(1).trim, Some(m.group(3).trim))
           case None => (sp(1).trim, None)
         }
-      require(typeText.nonEmpty, s"typeless DEFAULT column unsupported: $c")
+      // `k default 0` (no declared type) infers the type from the
+      // default literal, the reference's implicit-type column rule
+      // (ColumnsDescription: type of evaluated default expression)
+      val typeText2 =
+        if (typeText.nonEmpty) typeText
+        else inferTypeFromDefault(defaultExpr.getOrElse(
+          throw new IllegalArgumentException(s"column needs a type or DEFAULT: $c")))
       defaultExpr.foreach(e => defaults += (sp(0) -> e))
-      if (typeText.startsWith("Nested(")) {
+      if (typeText2.startsWith("Nested(")) {
         // the reference stores Nested(a T, b U) as flattened parallel
         // arrays `name.a Array(T)`, `name.b Array(U)` sharing offsets
         // (DataTypeNested / NestedUtils.h flatten)
-        splitTop(inner(typeText, "Nested")).map { f =>
+        splitTop(inner(typeText2, "Nested")).map { f =>
           val fs = f.trim.split("\\s+", 2)
           require(fs.length == 2, s"Nested field needs 'name Type': $f")
           val p = parse(fs(1))
@@ -101,7 +107,7 @@ object ChTypes {
             ArrayType(p.dataType, containsNull = p.nullable), nullable = false)
         }
       } else {
-        val p = parse(typeText)
+        val p = parse(typeText2)
         Seq(StructField(sp(0), p.dataType, p.nullable))
       }
     }
@@ -143,6 +149,36 @@ object ChTypes {
     if (nullable && !dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[StructType])
       s"Nullable($base)"
     else base
+  }
+
+  /** CH literal typing for implicit-type DEFAULT columns
+    * (FieldVisitors: smallest unsigned/signed integer type that
+    * holds the value; floats are Float64; strings String; a
+    * ['a','b'] literal is Array(String)). */
+  private def inferTypeFromDefault(expr: String): String = {
+    val e = expr.trim
+    if (e.matches("-?\\d+")) {
+      val v = BigInt(e)
+      if (v >= 0) {
+        if (v < 256) "UInt8"
+        else if (v < 65536) "UInt16"
+        else if (v < (BigInt(1) << 32)) "UInt32" else "UInt64"
+      } else {
+        if (v >= -128) "Int8"
+        else if (v >= -32768) "Int16"
+        else if (v >= Int.MinValue) "Int32" else "Int64"
+      }
+    }
+    else if (e.matches("-?\\d+\\.\\d*(?:[eE][+-]?\\d+)?")) "Float64"
+    else if (e.startsWith("'")) "String"
+    else if (e.startsWith("[")) {
+      val items = e.stripPrefix("[").stripSuffix("]").trim
+      if (items.startsWith("'")) "Array(String)" else "Array(UInt8)"
+    }
+    else if (e.matches("(?i)toDate\\(.*")) "Date"
+    else if (e.matches("(?i)toDateTime\\(.*")) "DateTime"
+    else "String" // unknown expression: CH would evaluate; String is
+                  // the safest renderable fallback for the corpus
   }
 
   private def inner(t: String, head: String): String =

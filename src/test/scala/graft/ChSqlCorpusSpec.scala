@@ -59,6 +59,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00015_totals_having_constants",
     "00016_totals_having_constants",
     "00018_distinct_in_subquery",
+    "00019_shard_quantiles_totals_distributed",
     "00020_sorting_arrays",
     "00021_sorting_arrays",
     "00022_func_higher_order_and_constants",
@@ -80,6 +81,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00043_summing_empty_part",
     "00044_sorting_by_string_descending",
     "00045_sorting_by_fixed_string_descending",
+    "00046_stored_aggregates_simple",
     "00049_any_left_join",
     "00050_any_left_join",
     "00051_any_inner_join",
@@ -91,6 +93,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00057_join_aliases",
     "00059_shard_global_in",
     "00060_date_lut",
+    "00063_check_query",
     "00064_negate_bug",
     "00065_shard_float_literals_formatting",
     "00066_group_by_in",
@@ -106,6 +109,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00086_concat_nary_const_with_nonconst_segfault",
     "00087_distinct_of_empty_arrays",
     "00087_math_functions",
+    "00088_distinct_of_arrays_of_strings",
     "00096_aggregation_min_if",
     "00098_1_union_all",
     "00098_2_union_all",
@@ -123,7 +127,9 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00098_f_union_all",
     "00098_g_union_all",
     "00098_h_union_all",
+    "00098_j_union_all",
     "00098_l_union_all",
+    "00098_shard_i_union_all",
     "00099_join_many_blocks_segfault",
     "00102_insert_into_temporary_table",
     "00103_ipv4_num_to_string_class_c",
@@ -137,6 +143,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00119_storage_join",
     "00122_join_with_subquery_with_subquery",
     "00123_shard_unmerged_result_when_max_distributed_connections_is_one",
+    "00124_shard_distributed_with_many_replicas",
     "00125_array_element_of_array_of_tuple",
     "00126_buffer",
     "00127_group_by_concat",
@@ -168,8 +175,10 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00187_like_regexp_prefix",
     "00188_constants_as_arguments_of_aggregate_functions",
     "00194_identity",
+    "00195_shard_union_all_and_global_in",
     "00196_float32_formatting",
     "00200_shard_distinct_order_by_limit_distributed",
+    "00201_array_uniq",
     "00202_cross_join",
     "00203_full_join",
     "00204_extract_url_parameter",
@@ -177,6 +186,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00218_like_regexp_newline",
     "00219_full_right_join_column_order",
     "00222_sequence_aggregate_function_family",
+    "00228_shard_quantiles_deterministic_merge_overflow",
     "00231_format_vertical_raw",
     "00234_disjunctive_equality_chains_optimization",
     "00235_create_temporary_table_as",
@@ -185,6 +195,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00240_replace_substring_loop",
     "00250_tuple_comparison",
     "00251_has_types",
+    "00252_shard_global_in_aggregate_function",
     "00255_array_concat_string",
     "00258_materializing_tuples",
     "00260_like_and_curly_braces",
@@ -193,7 +204,9 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00268_aliases_without_as_keyword",
     "00272_union_all_and_in_subquery",
     "00274_shard_group_array",
+    "00277_array_filter",
     "00278_insert_already_sorted",
+    "00279_quantiles_permuted_args",
     "00280_hex_escape_sequence",
     "00284_external_aggregation",
     "00286_format_long_negative_float",
@@ -207,6 +220,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00316_rounding_functions_and_empty_block",
     "00318_pk_tuple_order",
     "00320_between",
+    "00323_quantiles_timing_bug",
     "00330_view_subqueries",
     "00331_final_and_prewhere",
     "00333_parser_number_bug",
@@ -222,17 +236,21 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00353_join_by_tuple",
     "00355_array_of_non_const_convertible_types",
     "00356_analyze_aggregations_and_union_all",
+    "00359_convert_or_zero_functions",
     "00362_great_circle_distance",
     "00364_java_style_denormals",
     "00369_int_div_of_float",
+    "00371_union_all",
     "00373_group_by_tuple",
     "00381_first_significant_subdomain",
     "00386_has_column_in_table",
     "00389_concat_operator",
     "00390_array_sort",
+    "00399_group_uniq_array_date_datetime",
     "00404_null_literal",
     "00412_logical_expressions_optimizer",
     "00413_distinct",
+    "00425_count_nullable",
     "00426_nulls_sorting",
     "00436_fixed_string_16_comparisons",
     "00437_nulls_first_last",

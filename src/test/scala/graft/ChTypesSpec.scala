@@ -43,7 +43,12 @@ class ChTypesSpec extends AnyFunSuite {
   test("FixedString / Enum / AggregateFunction degrade as documented") {
     assert(ChTypes.parse("FixedString(16)").dataType === StringType)
     assert(ChTypes.parse("Enum8('a' = 1, 'b' = 2)").dataType === StringType)
-    assert(ChTypes.parse("AggregateFunction(uniq, UInt64)").dataType === BinaryType)
+    // set-state aggregates store the exact distinct-value array
+    assert(ChTypes.parse("AggregateFunction(uniq, UInt64)").dataType ===
+      ArrayType(DecimalType(20, 0), containsNull = false))
+    // other states stay opaque serialized bytes
+    assert(ChTypes.parse("AggregateFunction(quantileTiming, UInt64)").dataType ===
+      BinaryType)
   }
 
   test("full column-list schema") {

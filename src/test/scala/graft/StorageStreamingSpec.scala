@@ -34,6 +34,21 @@ class StorageStreamingSpec extends SparkSpec {
     assert(MergeTreeTable.read(spark, path).filter(col("yyyymm") === 202401).count() === 2)
   }
 
+  test("_part virtual column names the source part file") {
+    import java.nio.file.Files
+    import graft.storage.MergeTreeTable
+    val dir = Files.createTempDirectory("vpart").toString + "/t"
+    val spec = MergeTreeTable.Spec(sortKey = Seq("id"))
+    import spark.implicits._
+    MergeTreeTable.write(Seq((1L, "a")).toDF("id", "v"), dir, spec)
+    MergeTreeTable.write(Seq((2L, "b")).toDF("id", "v"), dir, spec)
+    val got = MergeTreeTable.readWithPart(spark, dir)
+      .select("id", "_part").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 2)
+    assert(got.values.forall(_.startsWith("part-")))
+    assert(got(1L) !== got(2L)) // two appends = two parts
+  }
+
   test("Summing engine folds equal keys and drops merged-to-zero groups") {
     val path = tmpDir("mt-sum")
     val spec = Spec(Seq("k"), engine = Summing(Seq("v")))
