@@ -260,6 +260,70 @@ case class QuantileTimingWeighted(
     copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
 }
 
+/** Plural `quantilesTimingWeighted(l1,…)(ms, w)` — one weighted
+  * timing histogram, each level read from it at eval. */
+case class QuantilesTimingWeighted(
+    valueExpr: Expression,
+    weightExpr: Expression,
+    levels: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = valueExpr :: weightExpr :: Nil
+  override def prettyName: String = "quantiles_timing_weighted"
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = valueExpr.eval(input)
+    val w = weightExpr.eval(input)
+    if (v != null && w != null)
+      buf.merge(QuantileTiming.bucket(v.asInstanceOf[Long]),
+        w.asInstanceOf[Long], (a, b) => a + b)
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Long], b: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); a.merge(e.getKey, e.getValue, (x, y) => x + y) }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      levels.map(l => QuantileTiming.evalLevel(buf, l)).toArray[Any])
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size())
+    bb.putInt(buf.size())
+    buf.forEach((k, v) => { bb.putLong(k); bb.putLong(v) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val sz = bb.getInt
+    val m = new java.util.HashMap[Long, Long](sz * 2)
+    var i = 0
+    while (i < sz) { m.put(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): QuantilesTimingWeighted =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): QuantilesTimingWeighted =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantilesTimingWeighted =
+    copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
+}
+
 /** `quantileDeterministic(level)(x, determinator)` — sampling
   * quantile whose sample membership is a deterministic function of
   * the determinator column, not an RNG (reference:

@@ -290,11 +290,13 @@ object ChDdl {
   private def rewriteTableFunctions(spark: SparkSession, sql: String): String = {
     var q = sql
     val remoteRe =
-      ("(?i)\\bremote\\s*\\(\\s*'([^']*)'\\s*,\\s*`?(\\w+)`?" +
-        "(?:\\s*\\.\\s*`?(\\w+)`?|\\s*,\\s*`?(\\w+)`?)\\s*\\)").r
+      ("(?i)\\bremote\\s*\\(\\s*'([^']*)'\\s*,\\s*['`]?(\\w+)['`]?" +
+        "(?:\\s*\\.\\s*['`]?(\\w+)['`]?|\\s*,\\s*['`]?(\\w+)['`]?)?\\s*\\)").r
     q = replaceQuoteAware(q, remoteRe)(m => {
-      val db = m.group(2)
-      val table = Option(m.group(3)).getOrElse(m.group(4))
+      val (db, table) = Option(m.group(3)).orElse(Option(m.group(4))) match {
+        case Some(t) => (m.group(2), t)
+        case None => (currentDb.getOrElse("default"), m.group(2))
+      }
       val frag = tableFragment(db, table)
       val n = shardCount(m.group(1)) max 1
       java.util.regex.Matcher.quoteReplacement(

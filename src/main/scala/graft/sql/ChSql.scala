@@ -38,7 +38,15 @@ object ChSql {
     // pre-ANSI semantics (the engine's own query registry builds
     // ANSI-safe plans; the dialect needs the reference's behavior)
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.sql(translate(chQuery))
+    val df = spark.sql(translate(chQuery))
+    // CH float division is IEEE (1/0 = inf, 0/0 = nan); Spark's
+    // Divide nulls a zero divisor. Swap analyzed double divides.
+    val fixed = df.queryExecution.analyzed.transformAllExpressions {
+      case d: org.apache.spark.sql.catalyst.expressions.Divide
+          if d.dataType == DoubleType =>
+        graft.functions.ChFloatDivide(d.left, d.right)
+    }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, fixed)
   }
 
   // ------------------------------------------------------------------
@@ -60,6 +68,8 @@ object ChSql {
       "(SELECT id AS number FROM range(100000000))")
     // CH `LIMIT offset, n` → SQL `LIMIT n OFFSET offset`
     q = q.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
+    // LIMIT n BY cols → per-key row_number cap (LimitByBlockInputStream)
+    q = rewriteLimitBy(q)
     // 0x… integer literals (Spark has no hex literal syntax)
     q = mapOutsideQuotes(q)(seg =>
       "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg,
@@ -256,6 +266,35 @@ object ChSql {
     * case). Hoist every call at each SELECT level to a LATERAL VIEW
     * explode and substitute the generated column. */
   private val ajCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** `LIMIT n BY c1, …` keeps the first n rows per distinct BY key in
+    * result order (reference LimitByBlockInputStream): a per-key
+    * row_number cap over the query's ORDER BY, with a trailing plain
+    * LIMIT applied after. One window shuffle on the BY key — the same
+    * plan [[graft.operators.LimitBy]] builds for the DataFrame API. */
+  private def rewriteLimitBy(q: String): String = {
+    val d = depths(q)
+    "(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\s+".r.findAllMatchIn(q)
+      .find(mm => d(mm.start) == 0) match {
+      case None => q
+      case Some(mm) =>
+        val n = mm.group(1)
+        val afterBy = mm.end
+        val limAt = "(?i)\\bLIMIT\\b".r.findAllMatchIn(q).map(_.start)
+          .find(i => i >= afterBy && d(i) == 0)
+        val byList = q.substring(afterBy, limAt.getOrElse(q.length)).trim
+        val tailLimit = limAt.map(i => " " + q.substring(i)).getOrElse("")
+        val pre = q.substring(0, mm.start).trim
+        val ordAt = topMatches(pre, depths(pre), "ORDER").lastOption
+        val ordExpr = ordAt.map(i =>
+          pre.substring(i).replaceAll("(?is)^ORDER\\s+BY\\s+", "").trim)
+        val ord = ordExpr.getOrElse(byList)
+        val outerOrder = ordExpr.map(o => s" ORDER BY $o").getOrElse("")
+        s"SELECT * EXCEPT(__lb) FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY $byList ORDER BY $ord) AS __lb FROM ($pre)) " +
+          s"WHERE __lb <= $n$outerOrder$tailLimit"
+    }
+  }
 
   /** Positions of a keyword regex at paren depth 0 (quote-blind at
     * the match site; callers pass word-boundary patterns). */
@@ -1692,7 +1731,8 @@ object ChSql {
       "emptyArrayInt8" -> ByteType, "emptyArrayInt16" -> ShortType,
       "emptyArrayInt32" -> IntegerType, "emptyArrayInt64" -> LongType,
       "emptyArrayFloat32" -> FloatType, "emptyArrayFloat64" -> DoubleType,
-      "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType).map {
+      "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType,
+      "emptyArrayDateTime" -> TimestampType).map {
       case (n, dt) => n -> { (_: Seq[Expression]) =>
         Literal.create(Seq.empty[Any], ArrayType(dt, containsNull = false)): Expression }
     }
@@ -1791,7 +1831,35 @@ object ChSql {
       // anyLast = last non-null in data order; the corpus runs
       // single-threaded inserts so max_by over a monotonic id matches
       "anyLastIf" -> viaColumn { case Seq(x, c) => last(when(c, x), true) },
-      "anyIf" -> viaColumn { case Seq(x, c) => first(when(c, x), true) })
+      "anyIf" -> viaColumn { case Seq(x, c) => first(when(c, x), true) },
+      // -State spellings of the array-state aggregates
+      "groupUniqArrayState" -> viaColumn { case Seq(e) => collect_set(e) },
+      "groupArrayState" -> viaColumn { case Seq(e) => collect_list(e) },
+      // -ForEach combinator: element-wise aggregate across array rows
+      // (AggregateFunctionForEach.h); ragged arrays extend with the
+      // shorter side's identity — zip_with pads with null
+      "sumForEach" -> viaColumn(forEachCombinator((p, q) =>
+        coalesce(p, lit(0)) + coalesce(q, lit(0)))),
+      "minForEach" -> viaColumn(forEachCombinator(least(_, _))),
+      "maxForEach" -> viaColumn(forEachCombinator(greatest(_, _))),
+      "countForEach" -> viaColumn { case Seq(a) =>
+        forEachCombinator((p, q) => coalesce(p, lit(0L)) + coalesce(q, lit(0L)))(
+          Seq(transform(a, _ => lit(1L)))) })
+  }
+
+  /** Fold collected arrays element-wise: init = first array, merge =
+    * zip_with(acc, next, f) (null-extended on length mismatch). */
+  private def forEachCombinator(
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    { case Seq(a) =>
+      val lst = collect_list(a)
+      aggregate(
+        slice(lst, lit(2), greatest(size(lst) - 1, lit(0))),
+        element_at(lst, 1),
+        (acc, x) => zip_with(acc, x, (p, q) => coalesce(f(p, q), p, q)))
+    }
   }
 
   /** Interpolated quantile over an array column (the scalar
@@ -1816,6 +1884,10 @@ object ChSql {
     Seq(
       "decodeURLComponent" -> { case Seq(u) =>
         graft.functions.KernelExpr(u, "decode_url_component") },
+      // pathFull = path + query string (FunctionsURL.h PathFullImpl)
+      "pathFull" -> viaColumn { case Seq(u) =>
+        import org.apache.spark.sql.functions._
+        regexp_replace(u, "^[A-Za-z0-9]+://[^/?#]*", "") },
       // cutURLParameter(url, 'name') — drop name=value plus its
       // separator (FunctionsURL.h CutURLParameterImpl)
       "cutURLParameter" -> { case Seq(u, Literal(name, StringType)) =>
@@ -1904,6 +1976,8 @@ object ChSql {
         graft.functions.QuantilesTiming(x, levels.map(evalD)) },
       "quantileTimingWeighted" -> { case Seq(x, w, l) if l.foldable =>
         graft.functions.QuantileTimingWeighted(x, w, evalD(l)) },
+      "quantilesTimingWeighted" -> { case x +: w +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        graft.functions.QuantilesTimingWeighted(x, w, levels.map(evalD)) },
       "quantileExactWeighted" -> { case Seq(x, w, l) if l.foldable =>
         graft.functions.QuantileExactWeighted(x, w, evalD(l)) },
       "medianExactWeighted" -> { case Seq(x, w) =>

@@ -242,12 +242,16 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00369_int_div_of_float",
     "00371_union_all",
     "00373_group_by_tuple",
+    "00375_shard_group_uniq_array_of_string",
+    "00376_shard_group_uniq_array_of_int_array",
+    "00377_shard_group_uniq_array_of_string_array",
     "00381_first_significant_subdomain",
     "00386_has_column_in_table",
     "00389_concat_operator",
     "00390_array_sort",
     "00399_group_uniq_array_date_datetime",
     "00404_null_literal",
+    "00409_shard_limit_by",
     "00412_logical_expressions_optimizer",
     "00413_distinct",
     "00425_count_nullable",
