@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     // CH's UInt8-as-boolean semantics in WHERE/ON/CASE/NOT seats
     ext.injectResolutionRule(_ => graft.plans.ChBooleanCoercion)
+    // CH integer date/datetime arithmetic (date + Int64, datetime ± n)
+    ext.injectResolutionRule(_ => graft.plans.ChImplicitCasts)
   }
 }
 
@@ -157,9 +159,26 @@ object GraftFunctions {
   // (FunctionsCoding.h) — single-arg kernels; the CH camelCase names
   // (cityHash64, intHash32, halfMD5, URLHash) resolve to these via
   // the registry's case-insensitivity
+  // cityHash64/farmHash64/metroHash64 are variadic over arbitrary
+  // types (FunctionNeighbourhoodHash64): single string keeps the
+  // codegen'd kernel; anything else goes to ChMultiHash64
+  private val neighbourhoodFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("cityhash64" -> "city", "farmhash64" -> "farm", "metrohash64" -> "metro")
+      .map { case (k, impl) =>
+        (FunctionIdentifier(k), info(k), { (args: Seq[Expression]) =>
+          args match {
+            case Seq(e) if !e.resolved ||
+                e.dataType == org.apache.spark.sql.types.StringType ||
+                e.dataType == org.apache.spark.sql.types.BinaryType =>
+              graft.functions.KernelExpr(e, k)
+            case _ => graft.functions.ChMultiHash64(args, impl)
+          }
+        }: Seq[Expression] => Expression)
+      }
+
   private val kernelFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq("cityhash64", "inthash32", "inthash64", "halfmd5", "urlhash",
-      "farmhash64", "metrohash64", "siphash128",
+    Seq("inthash32", "inthash64", "halfmd5", "urlhash",
+      "siphash128",
       "unhex_ch", "bitmask_to_array", "bitmask_to_list",
       "extract_url_parameter_names", "url_path_hierarchy",
       "ipv6_num_to_string", "ipv6_string_to_num", "ipv4_to_ipv6",
@@ -218,7 +237,7 @@ object GraftFunctions {
   }
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    base ++ kernelFns ++ reinterpretFns ++ regionFns
+    base ++ kernelFns ++ neighbourhoodFns ++ reinterpretFns ++ regionFns
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =

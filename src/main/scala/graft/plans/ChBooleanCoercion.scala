@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, Expression, If, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayExists, ArrayFilter, ArrayForAll, CaseWhen, Expression, If, LambdaFunction, Not, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{NullType, NumericType}
@@ -52,6 +52,14 @@ object ChBooleanCoercion extends Rule[LogicalPlan] {
             cw.copy(branches = branches.map { case (c, v) => (toBool(c), v) })
           case And(l, r) if numeric(l) || numeric(r) => And(toBool(l), toBool(r))
           case Or(l, r) if numeric(l) || numeric(r) => Or(toBool(l), toBool(r))
+          // predicate lambdas of the higher-order filters
+          // (arrayFilter(x -> 0, …), corpus 00067/00182)
+          case af @ ArrayFilter(arg, LambdaFunction(f, vs, h)) if numeric(f) =>
+            af.copy(function = LambdaFunction(UInt8ToBool(f), vs, h))
+          case ae @ ArrayExists(arg, LambdaFunction(f, vs, h), _) if numeric(f) =>
+            ae.copy(function = LambdaFunction(UInt8ToBool(f), vs, h))
+          case aa @ ArrayForAll(arg, LambdaFunction(f, vs, h)) if numeric(f) =>
+            aa.copy(function = LambdaFunction(UInt8ToBool(f), vs, h))
         }
     }
 }

@@ -133,9 +133,12 @@ object Formats {
         // print the binary approximation tail
         renderShortest(math.abs(f).toString, f < 0 || 1 / f < 0)
       case d: java.sql.Date =>
-        if (inArray) s"'$d'" else d.toString
+        // day 0 is the reference's zero Date, rendered 0000-00-00
+        val s = if (d.toLocalDate.toEpochDay == 0L) "0000-00-00" else d.toString
+        if (inArray) s"'$s'" else s
       case t: java.sql.Timestamp =>
-        val s = t.toString.stripSuffix(".0")
+        val s0 = t.toString.stripSuffix(".0")
+        val s = if (s0 == "1970-01-01 00:00:00") "0000-00-00 00:00:00" else s0
         if (inArray) s"'$s'" else s
       case b: java.math.BigDecimal =>
         // decimal literals keep their scale in toString ('-1.0');

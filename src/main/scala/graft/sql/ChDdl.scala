@@ -22,6 +22,21 @@ object ChDdl {
 
   private val tables = scala.collection.concurrent.TrieMap[String, Entry]()
 
+  /** View definitions in CH-SQL text: substituted inline at query
+    * rewrite so every read re-evaluates against the CURRENT source
+    * data (InterpreterSelectQuery view expansion; a Memory-table
+    * insert after CREATE VIEW must be visible — corpus 00101). */
+  private val viewDefs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Bare names also resolve against the current / default db (the
+    * reference's database scoping; corpus 00101). */
+  private def lookupTable(name: String): Entry =
+    tables.get(name)
+      .orElse(tables.get(s"${currentDb.getOrElse("default")}.$name"))
+      .orElse(if (name.startsWith("default."))
+        tables.get(name.stripPrefix("default.")) else None)
+      .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
+
   /** `USE db` state: bare table names resolve as `db.name`. */
   @volatile private var currentDb: Option[String] = None
 
@@ -55,12 +70,19 @@ object ChDdl {
     else if (up.startsWith("INSERT"))
       graft.core.SystemTables.Events.inc("InsertQuery")
     if (up.startsWith("SET ")) {
-      if ("(?i)join_use_nulls\\s*=\\s*1".r.findFirstIn(stmt).isDefined)
-        joinUseNulls = true
+      "(?i)join_use_nulls\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => joinUseNulls = m.group(1) != "0")
       None
     }
-    else if (stmt.isEmpty ||
-      up.startsWith("CREATE DATABASE") || up.startsWith("DROP DATABASE")) None
+    else if (stmt.isEmpty || up.startsWith("CREATE DATABASE")) None
+    else if (up.startsWith("DROP DATABASE")) {
+      "(?i)`?(\\w+)`?\\s*$".r.findFirstMatchIn(stmt).foreach { m =>
+        val prefix = m.group(1) + "."
+        tables.keys.filter(_.startsWith(prefix)).toSeq
+          .foreach(k => tables.remove(k))
+      }
+      None
+    }
     else if (up.startsWith("USE ")) {
       currentDb = Some(stmt.substring(4).replace("`", "").trim)
       None
@@ -68,6 +90,22 @@ object ChDdl {
     else if (up.startsWith("CREATE TABLE") ||
       up.startsWith("CREATE TEMPORARY TABLE")) { createTable(spark, stmt); None }
     else if (up.startsWith("CREATE VIEW")) { createView(spark, stmt); None }
+    else if (up.startsWith("CREATE MATERIALIZED VIEW")) {
+      // dialect MV ≈ lazy view over the source query: each read
+      // re-evaluates, which matches the reference's per-block
+      // materialization for the corpus's single-insert shapes
+      // (00101). The engine's real insert-triggered MV lives in
+      // streaming/MaterializedView.scala.
+      val re = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "([\\w.`]+)\\s*(?:\\([^)]*\\))?\\s*(?:ENGINE\\s*=\\s*\\w+(?:\\([^)]*\\))?)?\\s*" +
+        "(?:POPULATE\\s+)?AS\\s+(.*)$").r
+      stmt match {
+        case re(name, select) =>
+          createView(spark, s"CREATE VIEW $name AS $select"); None
+        case _ => throw new IllegalArgumentException(
+          s"unsupported CREATE MATERIALIZED VIEW: $stmt")
+      }
+    }
     else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
     else if (up.startsWith("INSERT INTO")) {
       // the reference client ends VALUES data at a newline before the
@@ -94,6 +132,22 @@ object ChDdl {
         s"unknown table: $name")
       Some(spark.sql("SELECT 1 AS result"))
     }
+    else if (up.startsWith("SHOW TABLES")) {
+      // SHOW TABLES [FROM db] over the engine's table registry
+      // (InterpreterShowTablesQuery; corpus 00080)
+      val db = "(?i)FROM\\s+`?(\\w+)`?".r.findFirstMatchIn(stmt).map(_.group(1))
+        .orElse(currentDb)
+      val names = tables.keys.toSeq.collect {
+        case n if db.isDefined && n.startsWith(db.get + ".") =>
+          n.substring(db.get.length + 1)
+        case n if db.isEmpty && !n.contains(".") => n
+      }.sorted
+      if (names.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(names.toDF("name"))
+      }
+    }
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
     else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }
@@ -115,6 +169,7 @@ object ChDdl {
         val entry = Entry(name, viewName(name), df,
           MergeTreeTable.Spec(Seq.empty, None, Plain))
         tables.put(name, entry)
+        viewDefs.put(name, select)
         df.createOrReplaceTempView(entry.view)
       case _ => throw new IllegalArgumentException(s"unsupported CREATE VIEW: $stmt")
     }
@@ -364,7 +419,22 @@ object ChDdl {
       .findFirstIn(trimmed).isDefined
     // Vertical(Raw): one `col: value` block per row
     val vertical = "(?i)FORMAT\\s+Vertical(Raw)?\\s*$".r.findFirstMatchIn(trimmed)
-    execute(spark, stmtRaw).flatMap { df =>
+    // The totals side-channel row is NOT subject to LIMIT
+    // (TotalsHavingBlockInputStream sits before the limit in the
+    // reference pipeline, the limit applies to main rows only): hoist
+    // a trailing top-level LIMIT off a WITH TOTALS query and apply it
+    // to the main partition after the split (corpus 00113).
+    val totalsLimitRe =
+      "(?is)\\bLIMIT\\s+(\\d+)\\s*((?:FORMAT\\s+\\w+)?)\\s*$".r
+    val (stmt, mainLimit) =
+      if (!hasTotals) (stmtRaw, None)
+      else totalsLimitRe.findFirstMatchIn(trimmed) match {
+        case Some(m) if !trimmed.substring(0, m.start).toUpperCase.endsWith("BY ") =>
+          (trimmed.substring(0, m.start) + " " + m.group(2),
+            Some(m.group(1).toInt))
+        case _ => (stmtRaw, None)
+      }
+    execute(spark, stmt).flatMap { df =>
       if (vertical.isDefined) {
         val raw = vertical.get.group(1) != null
         val rows = df.limit(1000000).collect()
@@ -407,7 +477,8 @@ object ChDdl {
             val v = r.get(i)
             if (v == null && totals) renderDefault(fields(i).dataType) else v
           }.toSeq
-        val (tot, main) = rows.partition(_.getAs[Number](gid).longValue != 0L)
+        val (tot, main0) = rows.partition(_.getAs[Number](gid).longValue != 0L)
+        val main = mainLimit.fold(main0)(main0.take)
         (main.map(r => Formats.renderRow(values(r, totals = false))) ++
           Seq("") ++
           tot.map(r => Formats.renderRow(values(r, totals = true)))).mkString("\n")
@@ -430,7 +501,25 @@ object ChDdl {
     * anchored so a prefix-sharing name (test.foo vs test.foobar) never
     * mistranslates, and string literals are left untouched. */
   private def rewriteRefs(sql: String): String = {
-    val qualified = tables.values.foldLeft(sql) { (q, e) =>
+    // views substitute their SELECT text inline (repeat for nesting)
+    var withViews = sql
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 3) {
+      changed = false
+      rounds += 1
+      viewDefs.foreach { case (name, select) =>
+        val names = if (name.contains(".")) Seq(name) else Seq(name)
+        names.foreach { n =>
+          val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(n) + "(?![\\w.`])").r
+          val next = ChSql.mapOutsideQuotes(withViews)(seg =>
+            pat.replaceAllIn(seg,
+              java.util.regex.Matcher.quoteReplacement(s"( $select )")))
+          if (next != withViews) { withViews = next; changed = true }
+        }
+      }
+    }
+    val qualified = tables.values.foldLeft(withViews) { (q, e) =>
       if (!e.name.contains(".")) q
       else {
         val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(e.name) + "(?![\\w.`])").r
@@ -599,6 +688,7 @@ object ChDdl {
     val name = stmt.replaceAll("(?i)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?", "")
       .replace("`", "").trim
     tables.remove(name).foreach(e => spark.catalog.dropTempView(e.view))
+    viewDefs.remove(name)
   }
 
   /** CH default value for omitted columns (this version has no NULLs). */
@@ -620,8 +710,7 @@ object ChDdl {
     stmt match {
       case m(rawName, colListOrNull, rest) =>
         val name = rawName.replace("`", "")
-        val entry = tables.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown table: $name"))
+        val entry = lookupTable(name)
         val target = Option(colListOrNull) match {
           case Some(cl) if cl.trim.nonEmpty =>
             org.apache.spark.sql.types.StructType(
@@ -673,8 +762,7 @@ object ChDdl {
     stmt match {
       case re(rawName, actionsStr) =>
         val name = rawName.replace("`", "")
-        val entry = tables.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown table: $name"))
+        val entry = lookupTable(name)
         ChSql.splitTopLevel(actionsStr).foreach { action =>
           val a = action.trim
           val up = a.toUpperCase
@@ -759,8 +847,7 @@ object ChDdl {
 
   private def optimizeTable(spark: SparkSession, stmt: String): Unit = {
     val name = stmt.replaceAll("(?i)^OPTIMIZE\\s+TABLE\\s+", "").replace("`", "").trim
-    val entry = tables.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown table: $name"))
+    val entry = lookupTable(name)
     // Materialize the fold (so repeated OPTIMIZEs don't stack plans)
     // as a distributed sorted parquet snapshot — the same rewrite
     // MergeTreeTable.optimize performs on path-backed tables. Nothing
@@ -778,6 +865,7 @@ object ChDdl {
   def reset(spark: SparkSession): Unit = {
     tables.values.foreach(e => spark.catalog.dropTempView(e.view))
     tables.clear()
+    viewDefs.clear()
     currentDb = None
   }
 }

@@ -63,9 +63,12 @@ object ChSql {
     // backtick-quoted / whitespace-padded system refs normalize first
     q = q.replaceAll("(?i)`system`\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
     q = q.replaceAll("(?i)\\bsystem\\s*\\.\\s*(one|numbers|numbers_mt)\\b", "system.$1")
-    // system tables → generators (bounded; LocalLimit stops the scan)
+    // system tables → generators (bounded; LocalLimit stops the scan).
+    // Explicit slice count: RangeExec with numSlices=None reads the
+    // session's default parallelism lazily, which NPEs when the plan
+    // is (de)serialized without an active session (AQE map stages).
     q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
-      "(SELECT id AS number FROM range(100000000))")
+      "(SELECT id AS number FROM range(0, 100000000, 1, 16))")
     // CH `LIMIT offset, n` → SQL `LIMIT n OFFSET offset`
     q = q.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
     // LIMIT n BY cols → per-key row_number cap (LimitByBlockInputStream)
@@ -74,6 +77,18 @@ object ChSql {
     q = mapOutsideQuotes(q)(seg =>
       "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg,
         m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString))
+    // `IN (SELECT (tuple))` — Spark's parser reads `SELECT (` as a
+    // call to a routine named SELECT; spell the tuple projection as
+    // tuple(...) so the subquery alternative wins (corpus 00132)
+    q = mapOutsideQuotes(q)(seg =>
+      seg.replaceAll("(?i)\\b(IN\\s*\\(\\s*SELECT)\\s+\\(", "$1 tuple("))
+    // CH `x IN f(...)` — scalar RHS is a one-element set; SQL needs
+    // parens (tuple(...) excluded: that's already a list)
+    q = mapOutsideQuotes(q)(seg =>
+      ("(?i)\\b(IN\\s+)(?!tuple\\b)([A-Za-z_][A-Za-z0-9_]*\\(" +
+        "(?:[^()]|\\([^()]*\\))*\\))").r.replaceAllIn(seg,
+        m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + "(" + m.group(2) + ")")))
     // \xNN byte escapes in string literals (consecutive runs decode
     // as UTF-8; Spark's parser has no \x escape)
     q = "((?:\\\\x[0-9A-Fa-f]{2})+)".r.replaceAllIn(q, m => {
@@ -733,6 +748,11 @@ object ChSql {
             }
             else if (d(j) == d0 && q.charAt(j) == ',') {
               start = j + 1; stop = true
+            }
+            else if (d(j) == d0 && q.charAt(j) == '>' && j > 0 &&
+              q.charAt(j - 1) == '-') {
+              // lambda arrow: `x -> cond ? a : b` — cond starts after it
+              start = j + 1; stop = true
             } else j -= 1
           }
           if (!stop && d0 > 0 && start < q.length &&
@@ -1032,9 +1052,11 @@ object ChSql {
 
   /** Split a multi-statement test file into executable SELECTs,
     * dropping SET statements and empty fragments. */
+  // SET statements stay in the list: ChDdl.execute applies the ones
+  // the engine models (join_use_nulls) and ignores the rest
   def statements(file: String): Seq[String] =
     stripComments(file).split(";").map(_.trim)
-      .filter(s => s.nonEmpty && !s.toUpperCase.startsWith("SET "))
+      .filter(_.nonEmpty)
       .toSeq
 
   private def stripComments(s: String): String = {
@@ -1198,7 +1220,43 @@ object ChSql {
   /** CH numeric conversions WRAP on overflow (reinterpret-style
     * truncation, e.g. toInt32(3584912846) < 0) — LEGACY cast, not the
     * ANSI error. */
+  /** `x -> x != 0` for the no-lambda higher-order forms; the variable
+    * binds during HOF resolution. */
+  private def nonZeroLambda(arr: Expression): Expression = {
+    val v = org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("__x"))
+    org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+      graft.functions.UInt8ToBool(v), Seq(v))
+  }
+
+  /** Spark's function resolver requires the ROOT of a call whose
+    * arguments include a lambda to be a HigherOrderFunction
+    * (ResolveFunctions NON_HIGHER_ORDER_FUNCTION check). For CH forms
+    * whose natural translation wraps the HOF in a scalar (e.g.
+    * `arrayCount` = size∘filter), smuggle the finished expression in
+    * through ArrayAggregate's zero seat: a fold over an empty array
+    * returns its zero untouched. */
+  private def hofRoot(result: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val acc = UnresolvedNamedLambdaVariable(Seq("__acc"))
+    val ign = UnresolvedNamedLambdaVariable(Seq("__ign"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__fin"))
+    ArrayAggregate(
+      Literal.create(Seq.empty[Int], ArrayType(IntegerType, containsNull = false)),
+      result,
+      LambdaFunction(acc, Seq(acc, ign)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
   private def cast(dt: DataType): Seq[Expression] => Expression = {
+    // toUInt16(Date) is the raw day count, toUInt32(DateTime) the
+    // epoch second (DataTypeDate=UInt16 / DataTypeDateTime=UInt32
+    // are plain integers in the reference) — Spark can't cast
+    // date→int directly, so read the day number via datediff
+    case Seq(e) if e.resolved && e.dataType == DateType &&
+        (dt == IntegerType || dt == LongType || dt == ShortType) =>
+      new Cast(org.apache.spark.sql.catalyst.expressions.DateDiff(
+        e, Literal.create(0, DateType)), dt, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
     case Seq(e) => new Cast(e, dt, None,
       org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
     case other => throw new IllegalArgumentException(s"expected 1 arg, got $other")
@@ -1288,6 +1346,10 @@ object ChSql {
 
   private val baseFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "materialize" -> { case Seq(e) => e },
+    // coalesce() with no arguments is NULL in the reference
+    // (FunctionsMiscellaneous coalesce; corpus 00435)
+    "coalesce" -> { case Seq() => Literal.create(null, NullType)
+      case args => org.apache.spark.sql.catalyst.expressions.Coalesce(args) },
     "anyHeavy" -> { case Seq(e) => graft.functions.AnyHeavy(e) },
     "toTypeName" -> { case Seq(e) => graft.functions.ToTypeName(e) },
     // groupArray keeps encounter order in the reference; collect_list
@@ -1310,8 +1372,14 @@ object ChSql {
     // occurrence index of each element at its position
     // (FunctionsArray.h arrayEnumerateUniq) — quadratic per row, fine
     // for row-local arrays
-    "arrayEnumerateUniq" -> viaColumn { case Seq(a) =>
+    "arrayEnumerateUniq" -> viaColumn { cols =>
       import org.apache.spark.sql.functions._
+      // several arrays enumerate their element TUPLES in lockstep
+      // (FunctionsArray.h arrayEnumerateUniq variadic; corpus 00040)
+      val a = cols match {
+        case Seq(one) => one
+        case more => more.reduce((x, y) => zip_with(x, y, (p, q) => struct(p, q)))
+      }
       transform(sequence(lit(1), size(a)),
         i => size(filter(slice(a, lit(1), i), w => w === element_at(a, i)))) },
     // tuple element by 1-based ordinal (tupleElementAccess rewrite +
@@ -1344,7 +1412,9 @@ object ChSql {
     "replaceRegexpOne" -> viaColumn { case Seq(s, f, t) =>
       graft.functions.ch.replaceRegexpOne(s, f, t) },
     // arraySum widens to the 64-bit type of the element family
-    "arraySum" -> { case Seq(arr) => graft.functions.ChArraySum(arr) },
+    "arraySum" -> { case Seq(arr) => graft.functions.ChArraySum(arr)
+      case Seq(lam, arr) =>
+        hofRoot(graft.functions.ChArraySum(new ArrayTransform(arr, lam))) },
     "arrayMin" -> viaColumn { case Seq(arr) =>
       org.apache.spark.sql.functions.array_min(arr) },
     "arrayMax" -> viaColumn { case Seq(arr) =>
@@ -1358,6 +1428,18 @@ object ChSql {
     "bitNot" -> { case Seq(a) => BitwiseNot(Cast(a, LongType)) },
     "bitShiftLeft" -> { case Seq(a, n) => ShiftLeft(Cast(a, LongType), Cast(n, IntegerType)) },
     "bitShiftRight" -> { case Seq(a, n) => ShiftRight(Cast(a, LongType), Cast(n, IntegerType)) },
+    // bitTest(x, i) = (x >> i) & 1; -All/-Any fold over bit indexes
+    // (FunctionsArithmetic.h bitTest family; corpus 00216)
+    "bitTest" -> { case Seq(a, i) =>
+      BitwiseAnd(ShiftRight(Cast(a, LongType), Cast(i, IntegerType)), Literal(1L)) },
+    "bitTestAll" -> { case a +: bits if bits.nonEmpty =>
+      bits.map(i => EqualTo(BitwiseAnd(ShiftRight(Cast(a, LongType),
+          Cast(i, IntegerType)), Literal(1L)), Literal(1L)): Expression)
+        .reduceLeft[Expression]((l, r) => And(l, r)) },
+    "bitTestAny" -> { case a +: bits if bits.nonEmpty =>
+      bits.map(i => EqualTo(BitwiseAnd(ShiftRight(Cast(a, LongType),
+          Cast(i, IntegerType)), Literal(1L)), Literal(1L)): Expression)
+        .reduceLeft[Expression]((l, r) => Or(l, r)) },
     // C-math family (FunctionsMath.h): gamma/erf via commons-math3,
     // log* with -inf-at-zero semantics (Spark builtins yield NULL)
     "tgamma" -> viaColumn { case Seq(x) => graft.functions.ch.tgamma(x) },
@@ -1409,7 +1491,16 @@ object ChSql {
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           classOf[graft.functions.StringKernels.type], StringType,
           "uint64ToString", Seq(e), Seq(LongType), returnNullable = false)
-      else graft.functions.ChToStringExpr(e) },
+      else e match {
+        // toString(FixedString) cuts the zero padding
+        // (FunctionsConversion FixedString→String; corpus 00032)
+        case org.apache.spark.sql.catalyst.expressions.StringRPad(
+            _, _, Literal(pad, StringType))
+            if pad != null && pad.toString == "\u0000" =>
+          org.apache.spark.sql.catalyst.expressions.StringTrimRight(
+            e, Some(Literal("\u0000")))
+        case _ => graft.functions.ChToStringExpr(e)
+      } },
     // CH lower/upper are ASCII-only (lowerUTF8/upperUTF8 do Unicode)
     "lower" -> { case Seq(e) => StringTranslate(e,
       Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), Literal("abcdefghijklmnopqrstuvwxyz")) },
@@ -1428,16 +1519,42 @@ object ChSql {
     // would throw at constant-folding time even on an unreached branch.
     "toFloat64" -> { case Seq(e) => floatConv(e, DoubleType) },
     "toFloat32" -> { case Seq(e) => floatConv(e, FloatType) },
-    "toDate" -> cast(DateType),
-    // FixedString: length-preserving cases only (no padding emulation)
-    "toFixedString" -> { case Seq(s, _) => s },
+    // toDate(integer) = epoch-day number (DataTypeDate is UInt16)
+    "toDate" -> { case Seq(e) if e.resolved && (e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false }) =>
+      org.apache.spark.sql.catalyst.expressions.DateAdd(
+        Literal.create(0, DateType), new Cast(e, IntegerType, None,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+      case args => cast(DateType)(args) },
+    // FixedString(n): shorter strings zero-pad to n bytes
+    // (DataTypeFixedString serialization; corpus 00439)
+    "toFixedString" -> { case Seq(s, n) =>
+      org.apache.spark.sql.catalyst.expressions.StringRPad(s, n, Literal("\u0000")) },
     // reference argument order: position(haystack, needle)
     "position" -> { case Seq(h, n) => new StringLocate(n, h) },
-    // higher-order family: lambda first in the reference
-    "arrayExists" -> { case Seq(lam, arr) => new ArrayExists(arr, lam) },
+    // higher-order family: lambda first in the reference; the
+    // no-lambda forms test elements for non-zero (FunctionsHigherOrder.h)
+    "arrayExists" -> { case Seq(lam, arr) => new ArrayExists(arr, lam)
+      case Seq(arr) => new ArrayExists(arr, nonZeroLambda(arr)) },
     "arrayMap" -> { case Seq(lam, arr) => new ArrayTransform(arr, lam) },
     "arrayFilter" -> { case Seq(lam, arr) => new ArrayFilter(arr, lam) },
-    "arrayAll" -> { case Seq(lam, arr) => new ArrayForAll(arr, lam) },
+    "arrayAll" -> { case Seq(lam, arr) => new ArrayForAll(arr, lam)
+      case Seq(arr) => new ArrayForAll(arr, nonZeroLambda(arr)) },
+    "arrayCount" -> { case Seq(lam, arr) =>
+      hofRoot(new Size(new ArrayFilter(arr, lam)))
+      case Seq(arr) => new Size(new ArrayFilter(arr, nonZeroLambda(arr))) },
+    // first match, or the element type's default when none
+    // (ArrayFirstImpl; ChArrayElement supplies the default)
+    "arrayFirst" -> { case Seq(lam, arr) =>
+      hofRoot(graft.functions.ChArrayElement(new ArrayFilter(arr, lam), Literal(1))) },
+    "arrayFirstIndex" -> { case Seq(lam: org.apache.spark.sql.catalyst.expressions.LambdaFunction, arr) =>
+      // 1-based index of the first match, 0 when none: position of
+      // `true` in the element-wise predicate image
+      hofRoot(org.apache.spark.sql.catalyst.expressions.ArrayPosition(
+        new ArrayTransform(arr, lam.copy(
+          function = graft.functions.UInt8ToBool(lam.function))),
+        Literal(true))) },
     "arrayJoin" -> { case Seq(arr) => Explode(arr) },
     "arrayElement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
     "charrayelement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
@@ -1449,8 +1566,13 @@ object ChSql {
       when(c.cast("string").rlike("^[0-9]+$"),
         c.cast("string").cast("long").cast("timestamp"))
         .otherwise(c.cast("timestamp")) },
-    "toNullable" -> { case Seq(e) => e },
-    "assumeNotNull" -> { case Seq(e) => e },
+    // toNullable wraps the TYPE even when the value can't be null
+    // (DataTypeNullable); KnownNullable keeps that visible to
+    // toTypeName (corpus 00433/00434)
+    "toNullable" -> { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.KnownNullable(e) },
+    "assumeNotNull" -> { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(e) },
     "identity" -> { case Seq(e) => e },
     "ignore" -> { case es => Literal(0) },
     "tuple" -> { es => CreateStruct(es) },
@@ -1704,6 +1826,12 @@ object ChSql {
           case _ => true
         }
         if (truthy) a else b
+      case Seq(c, a, b) if c.resolved && c.nullable =>
+        // Nullable condition: if(NULL, a, b) is NULL in the reference
+        // (FunctionsConditional over Nullable; corpus 00431)
+        CaseWhen(Seq(
+          (IsNull(c), Literal.create(null, NullType)),
+          (graft.functions.UInt8ToBool(c), a)), Some(b))
       case Seq(c, a, b) => If(graft.functions.UInt8ToBool(c), a, b) },
     "and" -> { es => es.map(e => graft.functions.UInt8ToBool(e): Expression)
       .reduceLeft[Expression]((a, b) => And(a, b)) },
@@ -1844,7 +1972,27 @@ object ChSql {
       "maxForEach" -> viaColumn(forEachCombinator(greatest(_, _))),
       "countForEach" -> viaColumn { case Seq(a) =>
         forEachCombinator((p, q) => coalesce(p, lit(0L)) + coalesce(q, lit(0L)))(
-          Seq(transform(a, _ => lit(1L)))) })
+          Seq(transform(a, _ => lit(1L)))) },
+      "groupArrayForEach" -> viaColumn { case Seq(a) => groupArrayForEachCol(a) },
+      "uniqForEach" -> viaColumn { case Seq(a) =>
+        transform(groupArrayForEachCol(a),
+          v => size(array_distinct(v)).cast("long")) })
+  }
+
+  /** Element-wise groupArray: position i of the result collects the
+    * i-th element of every input array (AggregateFunctionForEach.h
+    * with groupArray nested; ragged inputs contribute only to the
+    * positions they have). */
+  private def groupArrayForEachCol(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val lst = collect_list(a)
+    aggregate(
+      slice(lst, lit(2), greatest(size(lst) - 1, lit(0))),
+      transform(element_at(lst, 1), e => array(e)),
+      (acc, x) => zip_with(acc, x, (p, q) =>
+        when(q.isNull, p).otherwise(
+          when(p.isNull, array(q)).otherwise(
+            concat(p, array(q))))))
   }
 
   /** Fold collected arrays element-wise: init = first array, merge =
@@ -1966,6 +2114,17 @@ object ChSql {
         viaColumn { case Seq(xc) => chQuantileExactCol(xc, evalD(l)) }(Seq(x)) },
       "medianExact" -> { case Seq(x) =>
         viaColumn { case Seq(xc) => chQuantileExactCol(xc, 0.5) }(Seq(x)) },
+      // element-wise exact quantiles over array rows: per position,
+      // sort that position's values and index by the exact rule
+      "quantilesExactForEach" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        viaColumn { case Seq(xc) =>
+          import org.apache.spark.sql.functions._
+          transform(groupArrayForEachCol(xc), v => {
+            val s = sort_array(v)
+            val n = size(s)
+            array(levels.map(l => element_at(s,
+              least(floor(lit(evalD(l)) * n.cast("double")).cast("int"), n - 1) + 1)): _*)
+          }) }(Seq(x)) },
       "quantilesExact" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
         viaColumn { case Seq(xc) =>
           array(levels.map(l => chQuantileExactCol(xc, evalD(l))): _*) }(Seq(x)) },

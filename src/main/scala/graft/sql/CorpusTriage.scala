@@ -25,6 +25,8 @@ object CorpusTriage {
     "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand",
     "replicate",
+    // group-by overflow truncation picks rows by internal hash order
+    "max_rows_to_group_by",
     "point", "dict", "region", "OLAP")
 
   def main(args: Array[String]): Unit = {
@@ -57,11 +59,23 @@ object CorpusTriage {
               .mkString("\n")
           }(scala.concurrent.ExecutionContext.global)
           val got = scala.concurrent.Await.result(fut,
-            scala.concurrent.duration.Duration(60, "s"))
+            scala.concurrent.duration.Duration(240, "s"))
           if (got == expected) { println(s"PASS $name"); pass += 1 }
           else if (got.linesIterator.toSeq.sorted == expected.linesIterator.toSeq.sorted) {
             println(s"PASS-UNORDERED $name"); pass += 1
-          } else { println(s"DIFF $name"); fail += 1 }
+          } else {
+            println(s"DIFF $name")
+            if (args.length > 1) { // verbose: first differing lines
+              val g = got.linesIterator.toSeq; val e = expected.linesIterator.toSeq
+              val i = g.zipAll(e, "<EOF>", "<EOF>").indexWhere(p => p._1 != p._2)
+              println(s"  at line ${i + 1} (got ${g.length} lines, want ${e.length}):")
+              (i until math.min(i + 3, math.max(g.length, e.length))).foreach { j =>
+                println(s"  got:  ${g.lift(j).getOrElse("<EOF>").take(160)}")
+                println(s"  want: ${e.lift(j).getOrElse("<EOF>").take(160)}")
+              }
+            }
+            fail += 1
+          }
         } catch {
           case e: Throwable =>
             println(s"ERR  $name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(100)}")

@@ -26,6 +26,12 @@ object TranslateDebug {
         case e: Throwable =>
           println(s"--- ERR: ${e.getClass.getName}")
           println(Option(e.getMessage).getOrElse("").linesIterator.take(12).mkString("\n"))
+          var c: Throwable = e
+          while (c.getCause != null) c = c.getCause
+          if (c ne e) {
+            println(s"--- ROOT: $c")
+            c.getStackTrace.take(8).foreach(f => println(s"    $f"))
+          }
       }
     }
     spark.stop()

@@ -146,7 +146,8 @@ object ChTypes {
         s"Tuple(${s.fields.map(f => toChName(f.dataType, f.nullable)).mkString(", ")})"
       case other => other.simpleString
     }
-    if (nullable && !dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[StructType])
+    if (nullable && !dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[StructType] &&
+        dt != NullType) // plain NULL is type Null, never Nullable(Null)
       s"Nullable($base)"
     else base
   }
