@@ -14,7 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * under ANSI for index 0, so this is a genuine custom Expression
   * (CodegenFallback: only used by the dialect layer, not hot paths).
   */
-case class ChArrayElement(left: Expression, right: Expression)
+case class ChArrayElement(left: Expression, right: Expression,
+    nullableDefault: Boolean = false)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType =
@@ -58,7 +59,9 @@ case class ChArrayElement(left: Expression, right: Expression)
     case DateType => Some(0)            // 1970-01-01 (internal: days)
     case _: TimestampType => Some(0L)   // epoch (internal: µs)
     case st: StructType =>
-      val fs = st.fields.map(f => defaultFor(f.dataType))
+      // Nullable tuple fields default to NULL inside the default tuple
+      val fs = st.fields.map(f =>
+        if (f.nullable) Some(null) else defaultFor(f.dataType))
       if (fs.forall(_.isDefined))
         Some(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
           fs.map(_.get).toIndexedSeq))
@@ -70,7 +73,13 @@ case class ChArrayElement(left: Expression, right: Expression)
     case _ => None
   }
 
-  private lazy val defaultValue: Any = defaultFor(elemType).orNull
+  // With nullableDefault (emptyArrayToSingle over Nullable elements),
+  // the pad is NULL; plain arr[i] keeps the type default — Spark's
+  // containsNull flag can't carry CH nullability because the insert
+  // pipeline deep-nulls every container (corpus 00036 vs 00452)
+  private lazy val defaultValue: Any =
+    if (nullableDefault && left.dataType.asInstanceOf[ArrayType].containsNull) null
+    else defaultFor(elemType).orNull
 
   override def nullSafeEval(arrAny: Any, idxAny: Any): Any = {
     val arr = arrAny.asInstanceOf[ArrayData]

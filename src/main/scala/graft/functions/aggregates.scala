@@ -240,18 +240,36 @@ object QuantileTiming {
     else if (v >= 30000) 30000L
     else 1024L + ((v - 1024L) / 16L) * 16L
 
+  /** Medium states hold raw sorted values and index them with
+    * n = floor(level·count) (QuantileTimingMedium::get); only states
+    * past the medium→large threshold switch to the histogram's
+    * pos = ceil(level·count) accumulate rule (QuantileTimingLarge::get,
+    * AggregateFunctionQuantileTiming.h:406). Values < 1024 keep exact
+    * keys in the bucket map, so the medium rule reproduces exactly on
+    * the corpus ranges. */
+  private val MediumMax = 5672L // sizeof(QuantileTimingLarge)/sizeof(UInt16)/2
+
   def evalLevel(buf: java.util.HashMap[Long, Long], level: Double): Any = {
     if (buf.isEmpty) return null
     var total = 0L
     buf.values().forEach(c => total += c)
-    val pos = math.max(1L, math.ceil(level * total).toLong)
     val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
     var acc = 0L
     var i = 0
-    while (i < keys.length) {
-      acc += buf.get(keys(i))
-      if (acc >= pos) return keys(i)
-      i += 1
+    if (total < MediumMax) {
+      val n = if (level < 1) (level * total).toLong else total - 1
+      while (i < keys.length) {
+        acc += buf.get(keys(i))
+        if (acc > n) return keys(i)
+        i += 1
+      }
+    } else {
+      val pos = math.ceil(level * total).toLong
+      while (i < keys.length) {
+        acc += buf.get(keys(i))
+        if (acc >= pos) return keys(i)
+        i += 1
+      }
     }
     keys.last
   }

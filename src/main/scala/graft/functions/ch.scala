@@ -38,7 +38,8 @@ object ch {
   def toYYYYMM(d: Column): Column = (year(d) * 100 + month(d)).cast("int")
 
   /** toStartOfMonth / toMonday / toStartOfHour / toStartOfMinute. */
-  def toStartOfMonth(d: Column): Column = date_trunc("month", d)
+  // returns Date (DataTypeDate) in the reference, whatever the input
+  def toStartOfMonth(d: Column): Column = trunc(d, "month")
   def toMonday(d: Column): Column = date_trunc("week", d)
   def toStartOfHour(d: Column): Column = date_trunc("hour", d)
   def toStartOfMinute(d: Column): Column = date_trunc("minute", d)

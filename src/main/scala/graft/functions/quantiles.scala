@@ -56,7 +56,10 @@ case class QuantileExactWeighted(
     if (buf.isEmpty) return null
     var total = 0L
     buf.values().forEach(c => total += c)
-    val threshold = math.max(1L, math.ceil(level * total).toLong)
+    // threshold = ceil(level·Σw), accumulated ≥ threshold — level 0
+    // returns the first value even under zero weight
+    // (AggregateFunctionQuantileExactWeighted.h:137-146)
+    val threshold = math.ceil(level * total).toLong
     val keys = buf.keySet().toArray(new Array[java.lang.Double](0)).map(_.doubleValue()).sorted
     var acc = 0L
     var i = 0
@@ -134,7 +137,7 @@ case class QuantilesExactWeighted(
     val out = levels.map { level =>
       if (buf.isEmpty) null
       else {
-        val threshold = math.max(1L, math.ceil(level * total).toLong)
+        val threshold = math.ceil(level * total).toLong
         var acc = 0L
         var i = 0
         var res: Any = keys.last
@@ -192,7 +195,8 @@ case class QuantileTimingWeighted(
   require(level >= 0.0 && level <= 1.0, s"quantile level out of range: $level")
 
   override def inputTypes = Seq(LongType, LongType)
-  override def dataType: DataType = LongType
+  // Float32 like the reference (getFloat): zero total weight is NaN
+  override def dataType: DataType = FloatType
   override def nullable: Boolean = true
   override def children: Seq[Expression] = valueExpr :: weightExpr :: Nil
   override def prettyName: String = "quantile_timing_weighted"
@@ -209,7 +213,9 @@ case class QuantileTimingWeighted(
   override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
     val v = valueExpr.eval(input)
     val w = weightExpr.eval(input)
-    if (v != null && w != null)
+    // zero-weight slots never materialize: the reference histogram's
+    // iterator visits nonzero counters only (corpus 00275)
+    if (v != null && w != null && w.asInstanceOf[Long] != 0L)
       buf.merge(bucket(v.asInstanceOf[Long]), w.asInstanceOf[Long], (a, b) => a + b)
     buf
   }
@@ -221,19 +227,13 @@ case class QuantileTimingWeighted(
   }
 
   override def eval(buf: java.util.HashMap[Long, Long]): Any = {
-    if (buf.isEmpty) return null
     var total = 0L
     buf.values().forEach(c => total += c)
-    val pos = math.max(1L, math.ceil(level * total).toLong)
-    val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
-    var acc = 0L
-    var i = 0
-    while (i < keys.length) {
-      acc += buf.get(keys(i))
-      if (acc >= pos) return keys(i)
-      i += 1
+    if (total == 0L) return Float.NaN
+    QuantileTiming.evalLevel(buf, level) match {
+      case l: Long => l.toFloat
+      case _ => Float.NaN
     }
-    keys.last
   }
 
   override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
@@ -273,7 +273,7 @@ case class QuantilesTimingWeighted(
 
   override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+    org.apache.spark.sql.types.ArrayType(FloatType, containsNull = true)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = valueExpr :: weightExpr :: Nil
   override def prettyName: String = "quantiles_timing_weighted"
@@ -284,7 +284,7 @@ case class QuantilesTimingWeighted(
   override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
     val v = valueExpr.eval(input)
     val w = weightExpr.eval(input)
-    if (v != null && w != null)
+    if (v != null && w != null && w.asInstanceOf[Long] != 0L)
       buf.merge(QuantileTiming.bucket(v.asInstanceOf[Long]),
         w.asInstanceOf[Long], (a, b) => a + b)
     buf
@@ -296,9 +296,17 @@ case class QuantilesTimingWeighted(
     a
   }
 
-  override def eval(buf: java.util.HashMap[Long, Long]): Any =
+  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+    var total = 0L
+    buf.values().forEach(c => total += c)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      levels.map(l => QuantileTiming.evalLevel(buf, l)).toArray[Any])
+      levels.map(l =>
+        if (total == 0L) Float.NaN
+        else QuantileTiming.evalLevel(buf, l) match {
+          case v: Long => v.toFloat
+          case _ => Float.NaN
+        }).toArray[Any])
+  }
 
   override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 16 * buf.size())

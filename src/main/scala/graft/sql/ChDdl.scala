@@ -460,7 +460,7 @@ object ChDdl {
         // this reference version fills non-joined columns with type
         // DEFAULTS (0/'') unless join_use_nulls is set
         val fillJoin = !joinUseNulls &&
-          "(?i)\\bJOIN\\b".r.findFirstIn(stmtRaw).isDefined
+          "(?i)(?<!ARRAY )\\bJOIN\\b".r.findFirstIn(stmtRaw).isDefined
         def fill(r: Row): Seq[Any] =
           if (!fillJoin) r.toSeq
           else df.schema.fields.indices.map { i =>
@@ -691,6 +691,20 @@ object ChDdl {
     viewDefs.remove(name)
   }
 
+  /** Cast into a CH-typed column. UInt64 lives in DECIMAL(20,0): a
+    * negative 64-bit value reinterprets as its unsigned image (the
+    * reference wraps, never signs — corpus 00253 cityHash64 defaults). */
+  private def castCh(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = dt match {
+    case d: org.apache.spark.sql.types.DecimalType
+        if d.precision == 20 && d.scale == 0 =>
+      import org.apache.spark.sql.functions._
+      val casted = c.cast(d)
+      when(casted < 0, (casted + lit(BigDecimal(2).pow(64))).cast(d))
+        .otherwise(casted)
+    case other => c.cast(other)
+  }
+
   /** CH default value for omitted columns (this version has no NULLs). */
   private def defaultLit(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -741,7 +755,7 @@ object ChDdl {
             case Some(e) =>
               ChSql.registerChFunctions(spark)
               df.withColumn(f.name,
-                org.apache.spark.sql.functions.expr(e).cast(f.dataType))
+                castCh(org.apache.spark.sql.functions.expr(e), f.dataType))
             case None => df.withColumn(f.name, defaultLit(f.dataType))
           }
         }.select(entry.df.schema.fieldNames.map(qcol).toIndexedSeq: _*)
@@ -772,9 +786,19 @@ object ChDdl {
               case Array(d, af) => (d.trim, Some(af.trim.replace("`", "")))
               case Array(d) => (d.trim, None)
             }
-            val field = ChTypes.schema(colDef).fields.head
+            // a DEFAULT expression evaluates over the existing rows
+            // (the reference computes it on read for old parts;
+            // corpus 00229 `ADD COLUMN hash_x DEFAULT intHash64(x)`)
+            val (addSchema, addDefs) = ChTypes.schemaWithDefaults(colDef)
+            val field = addSchema.fields.head
             if (!entry.df.columns.contains(field.name)) {
-              val withCol = entry.df.withColumn(field.name, defaultLit(field.dataType))
+              val value = addDefs.find(_._1 == field.name).map(_._2) match {
+                case Some(e) =>
+                  ChSql.registerChFunctions(spark)
+                  castCh(org.apache.spark.sql.functions.expr(e), field.dataType)
+                case None => defaultLit(field.dataType)
+              }
+              val withCol = entry.df.withColumn(field.name, value)
               val cols = entry.df.columns.toSeq
               val ordered = after match {
                 case Some(af) =>

@@ -73,6 +73,10 @@ object ChSql {
     q = q.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
     // LIMIT n BY cols → per-key row_number cap (LimitByBlockInputStream)
     q = rewriteLimitBy(q)
+    // a UNION ALL branch's trailing LIMIT binds to THAT branch in the
+    // reference (each branch is an independent SELECT); SQL reads it
+    // as a limit over the union — parenthesize the branch (00098_c)
+    q = rewriteUnionBranchLimit(q)
     // 0x… integer literals (Spark has no hex literal syntax)
     q = mapOutsideQuotes(q)(seg =>
       "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg,
@@ -83,12 +87,24 @@ object ChSql {
     q = mapOutsideQuotes(q)(seg =>
       seg.replaceAll("(?i)\\b(IN\\s*\\(\\s*SELECT)\\s+\\(", "$1 tuple("))
     // CH `x IN f(...)` — scalar RHS is a one-element set; SQL needs
-    // parens (tuple(...) excluded: that's already a list)
-    q = mapOutsideQuotes(q)(seg =>
-      ("(?i)\\b(IN\\s+)(?!tuple\\b)([A-Za-z_][A-Za-z0-9_]*\\(" +
-        "(?:[^()]|\\([^()]*\\))*\\))").r.replaceAllIn(seg,
-        m => java.util.regex.Matcher.quoteReplacement(
-          m.group(1) + "(" + m.group(2) + ")")))
+    // parens (tuple(...) excluded: that's already a list). Runs on
+    // the full text (not quote segments) — the call's parens must
+    // stay together even when its arguments are string literals.
+    q = ("(?i)\\b(IN\\s+)(?!tuple\\b)([A-Za-z_][A-Za-z0-9_]*\\(" +
+      "(?:[^()]|\\([^()]*\\))*\\))").r.replaceAllIn(q,
+      m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + "(" + m.group(2) + ")"))
+    // round/ceil/floor/coalesce resolve to the CH-semantics builders
+    // (registered under ch-prefixed names so the shared session
+    // registry keeps Spark's own built-ins intact for the engine)
+    q = mapOutsideQuotes(q)(seg => seg
+      .replaceAll("(?i)\\bround\\s*\\(", "chround(")
+      .replaceAll("(?i)\\bceil(?:ing)?\\s*\\(", "chceil(")
+      .replaceAll("(?i)\\bfloor\\s*\\(", "chfloor(")
+      .replaceAll("(?i)\\bcoalesce\\s*\\(", "chcoalesce("))
+    // C escapes Spark's parser lacks: \a (bell), \v (vtab), \? — the
+    // reference's unescapeForFileName set (corpus 00342)
+    q = q.replace("\\a", "\u0007").replace("\\v", "\u000b").replace("\\f", "").replace("\\?", "?")
     // \xNN byte escapes in string literals (consecutive runs decode
     // as UTF-8; Spark's parser has no \x escape)
     q = "((?:\\\\x[0-9A-Fa-f]{2})+)".r.replaceAllIn(q, m => {
@@ -182,9 +198,12 @@ object ChSql {
     // its expression — shared offsets, exactly the Nested semantics
     q = rewriteMultiArrayJoin(q)
     // ARRAY JOIN clause → LATERAL VIEW explode
-    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
-      "LATERAL VIEW OUTER explode($1) __aj AS $2")
-    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+    // LEFT ARRAY JOIN ≡ ARRAY JOIN of emptyArrayToSingle: an empty
+    // array contributes one row holding the element type's default
+    // (NULL when the elements are Nullable — corpus 00452)
+    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+      "LATERAL VIEW explode(emptyArrayToSingle($1)) __aj AS $2")
+    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $2")
     q = rewriteBareArrayJoin(q)
     // FROM-less queries referencing `dummy` implicitly read system.one
@@ -309,6 +328,39 @@ object ChSql {
           s"(PARTITION BY $byList ORDER BY $ord) AS __lb FROM ($pre)) " +
           s"WHERE __lb <= $n$outerOrder$tailLimit"
     }
+  }
+
+  /** `( … UNION ALL SELECT … LIMIT n )` — wrap the final branch in
+    * parens so the LIMIT stays branch-local like the reference's
+    * per-SELECT parse. Only the innermost-paren case needs handling:
+    * a top-level UNION's trailing LIMIT already binds to the whole
+    * statement in both dialects. */
+  private def rewriteUnionBranchLimit(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val d = depths(q)
+      val unions = "(?i)\\bUNION\\s+ALL\\s+".r.findAllMatchIn(q).toSeq
+      unions.find { m =>
+        val dep = d(m.start)
+        if (dep == 0) false
+        else {
+          // branch extends to the close of the enclosing paren
+          var k = m.end
+          while (k < q.length && d(k) >= dep) k += 1
+          val branch = q.substring(m.end, k)
+          val bd = depths(branch)
+          val lim = "(?i)\\bLIMIT\\s+\\d+\\s*$".r.findFirstMatchIn(branch.stripTrailing())
+          lim.exists(l => bd(l.start) == 0) && {
+            q = q.substring(0, m.end) + "(" + branch.trim + ") " + q.substring(k)
+            changed = true
+            true
+          }
+        }
+      }
+    }
+    q
   }
 
   /** Positions of a keyword regex at paren depth 0 (quote-blind at
@@ -1220,6 +1272,52 @@ object ChSql {
   /** CH numeric conversions WRAP on overflow (reinterpret-style
     * truncation, e.g. toInt32(3584912846) < 0) — LEGACY cast, not the
     * ANSI error. */
+  /** round/ceil/floor with CH semantics: bankers' rounding for
+    * round(), Int-folded scale, and integer truncation under a
+    * negative scale (FunctionsRound.h). */
+  private def chRound(kind: String): Seq[Expression] => Expression = { args =>
+    val (x, s) = args match {
+      case Seq(x0) => (x0, 0)
+      case Seq(x0, s0) if s0.foldable => (x0, evalD(s0).toInt)
+      case other => throw new IllegalArgumentException(
+        s"$kind(x[, scale literal]) expected, got $other")
+    }
+    val digits10 = if (x.resolved) x.dataType match {
+      case ByteType => Some(2)
+      case ShortType => Some(4)
+      case IntegerType => Some(9)
+      case LongType => Some(18)
+      case _ => None
+    } else None
+    if (s < 0 && digits10.isDefined) {
+      // integer NegativeScale path (FunctionsRound.h
+      // IntegerRoundingComputation): work on |x|, then re-sign;
+      // ceil adds the divisor unconditionally (the reference's
+      // exact arithmetic, golden-pinned by 00161). Past the type's
+      // digit count the result is the fixed zero (NullScale).
+      if (-s > digits10.get) Cast(Literal(0L), x.dataType)
+      else {
+        val p = Literal(math.pow(10, -s).toLong)
+        val xL = Cast(x, LongType)
+        val neg = LessThan(xL, Literal(0L))
+        val ax = If(neg, UnaryMinus(xL), xL)
+        val rem = Remainder(ax, p)
+        val base = Subtract(ax, rem)
+        val res0 = kind match {
+          case "round" =>
+            If(LessThan(Multiply(rem, Literal(2L)), p), base, Add(base, p))
+          case "ceil" => Add(base, p)
+          case "floor" => base
+        }
+        If(neg, UnaryMinus(res0), res0)
+      }
+    } else kind match {
+      case "round" => org.apache.spark.sql.catalyst.expressions.BRound(x, Literal(s))
+      case "ceil" => org.apache.spark.sql.catalyst.expressions.RoundCeil(x, Literal(s))
+      case "floor" => org.apache.spark.sql.catalyst.expressions.RoundFloor(x, Literal(s))
+    }
+  }
+
   /** `x -> x != 0` for the no-lambda higher-order forms; the variable
     * binds during HOF resolution. */
   private def nonZeroLambda(arr: Expression): Expression = {
@@ -1346,9 +1444,19 @@ object ChSql {
 
   private val baseFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "materialize" -> { case Seq(e) => e },
+    // CH round() is round-half-to-even — the C nearbyint under the
+    // default FP mode; ceil/floor take a scale too, and a NEGATIVE
+    // scale on an integer input truncates toward zero for all three
+    // (FunctionsRound.h integer path; corpus 00161/00273). Registered
+    // under ch-prefixed names (translate rewrites the call sites) so
+    // the session registry never shadows Spark's own round/ceil/floor
+    // for the engine's query registry.
+    "chround" -> chRound("round"),
+    "chceil" -> chRound("ceil"),
+    "chfloor" -> chRound("floor"),
     // coalesce() with no arguments is NULL in the reference
     // (FunctionsMiscellaneous coalesce; corpus 00435)
-    "coalesce" -> { case Seq() => Literal.create(null, NullType)
+    "chcoalesce" -> { case Seq() => Literal.create(null, NullType)
       case args => org.apache.spark.sql.catalyst.expressions.Coalesce(args) },
     "anyHeavy" -> { case Seq(e) => graft.functions.AnyHeavy(e) },
     "toTypeName" -> { case Seq(e) => graft.functions.ToTypeName(e) },
@@ -1732,7 +1840,8 @@ object ChSql {
       RegExpExtractAll(s, re, Literal(if (groups > 0) 1 else 0)) },
     "emptyArrayToSingle" -> { case Seq(a) =>
       If(LessThanOrEqual(new Size(a), Literal(0)),
-        CreateArray(Seq(graft.functions.ChArrayElement(a, Literal(1)))), a) },
+        CreateArray(Seq(graft.functions.ChArrayElement(a, Literal(1),
+          nullableDefault = true))), a) },
     "appendTrailingCharIfAbsent" -> { case Seq(s, Literal(c, StringType)) =>
       org.apache.spark.sql.graftbridge.Bridge.expression(
         graft.functions.ch.appendTrailingCharIfAbsent(
@@ -1960,9 +2069,29 @@ object ChSql {
       // single-threaded inserts so max_by over a monotonic id matches
       "anyLastIf" -> viaColumn { case Seq(x, c) => last(when(c, x), true) },
       "anyIf" -> viaColumn { case Seq(x, c) => first(when(c, x), true) },
-      // -State spellings of the array-state aggregates
+      // -State spellings: the partial-aggregate VALUE is the state in
+      // the Spark model (sum's state is the sum, uniq's the distinct
+      // set) — finalizeAggregation is then the identity and -Merge a
+      // re-aggregate (corpus 00166)
       "groupUniqArrayState" -> viaColumn { case Seq(e) => collect_set(e) },
       "groupArrayState" -> viaColumn { case Seq(e) => collect_list(e) },
+      "sumState" -> viaColumn { case Seq(e) => sum(e) },
+      "minState" -> viaColumn { case Seq(e) => min(e) },
+      "maxState" -> viaColumn { case Seq(e) => max(e) },
+      // runningAccumulate folds states in result order
+      // (FunctionsMiscellaneous runningAccumulate): numeric states
+      // sum, set states union (corpus 00166/00410)
+      "runningAccumulate" -> { case Seq(e) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(org.apache.spark.sql.functions.lit(0))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val c = org.apache.spark.sql.graftbridge.Bridge.column(e)
+        val acc =
+          if (e.resolved && e.dataType.isInstanceOf[ArrayType])
+            array_distinct(flatten(collect_list(c).over(w)))
+          else sum(c).over(w)
+        org.apache.spark.sql.graftbridge.Bridge.expression(acc) },
       // -ForEach combinator: element-wise aggregate across array rows
       // (AggregateFunctionForEach.h); ragged arrays extend with the
       // shorter side's identity — zip_with pads with null
@@ -2087,6 +2216,8 @@ object ChSql {
                 size(cols.head).cast("double")
             case "any" => element_at(cols.head, 1)
             case "anyLast" => element_at(cols.head, -1)
+            case "groupArray" => cols.head
+            case "groupUniqArray" => array_distinct(cols.head)
             case "median" => arrQuantileCol(cols.head, 0.5)
             case "quantile" =>
               arrQuantileCol(cols.head, params.headOption.getOrElse(0.5))

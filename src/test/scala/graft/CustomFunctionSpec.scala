@@ -70,8 +70,10 @@ class CustomFunctionSpec extends SparkSpec {
       vals.toDF("v").repartition(4)
         .agg(expr(s"quantile_timing(v, CAST($level AS DOUBLE)) AS q"))
         .collect()(0).getLong(0)
-    assert(qt(1L to 100L, 0.5) === 50L)           // exact region
-    assert(qt(1L to 100L, 0.9) === 90L)
+    // medium regime (count below the medium→large threshold): the
+    // n = floor(level·count) sorted index, as QuantileTimingMedium
+    assert(qt(1L to 100L, 0.5) === 51L)           // sorted[50] of 1..100
+    assert(qt(1L to 100L, 0.9) === 91L)
     assert(qt(Seq(2005L), 0.5) === 2000L)          // 16ms bin lower bound
     assert(qt(Seq(50000L, 60000L), 0.5) === 30000L) // clamp
     assert(qt(Seq(-5L, -1L, 3L), 0.5) === 0L)      // negatives count as 0
@@ -109,7 +111,8 @@ class CustomFunctionSpec extends SparkSpec {
     val df = Seq((10L, 1L), (20L, 9L)).toDF("ms", "w").repartition(2)
     val r = df.agg(expr("quantile_timing_weighted(ms, w, CAST(0.5 AS DOUBLE)) AS p50"))
       .collect()(0)
-    assert(r.getLong(0) === 20L)
+    // Float32 result like the reference's getFloat
+    assert(r.getFloat(0) === 20f)
   }
 
   test("quantile_deterministic: exact below reservoir capacity, stable and sane above") {
