@@ -88,17 +88,25 @@ object ch {
 
   // --- URL family (reference: Functions/FunctionsURL.h) ---
 
-  def protocol(url: Column): Column = parse_url(url, lit("PROTOCOL"))
-  def domain(url: Column): Column = parse_url(url, lit("HOST"))
+  // no-match yields '' like the reference's empty substring, not NULL
+  def protocol(url: Column): Column =
+    coalesce(parse_url(url, lit("PROTOCOL")), lit(""))
+  def domain(url: Column): Column =
+    coalesce(parse_url(url, lit("HOST")), lit(""))
   def domainWithoutWWW(url: Column): Column =
     regexp_replace(domain(url), "^www\\.", "")
-  def path(url: Column): Column = parse_url(url, lit("PATH"))
-  def queryString(url: Column): Column = parse_url(url, lit("QUERY"))
-  def fragment(url: Column): Column = parse_url(url, lit("REF"))
+  def path(url: Column): Column =
+    coalesce(parse_url(url, lit("PATH")), lit(""))
+  def queryString(url: Column): Column =
+    coalesce(parse_url(url, lit("QUERY")), lit(""))
+  def fragment(url: Column): Column =
+    coalesce(parse_url(url, lit("REF")), lit(""))
   def extractURLParameter(url: Column, name: String): Column =
     parse_url(url, lit("QUERY"), lit(name))
+  // numeric hosts (IPs) have no TLD — the label must not be all-digit
+  // (FunctionsURL.h ExtractTopLevelDomain)
   def topLevelDomain(url: Column): Column =
-    regexp_extract(domain(url), "\\.([^.]+)$", 1)
+    regexp_extract(domain(url), "\\.((?![0-9]+\\.?$)[^.:]+)\\.?$", 1)
   def cutWWW(url: Column): Column = regexp_replace(url, "^(https?://)www\\.", "$1")
   def cutQueryString(url: Column): Column = regexp_replace(url, "\\?.*$", "")
 

@@ -18,7 +18,7 @@ import graft.types.ChTypes
 object ChDdl {
 
   final case class Entry(name: String, view: String, var df: DataFrame, spec: Spec,
-      defaults: Seq[(String, String)] = Seq.empty)
+      var defaults: Seq[(String, String)] = Seq.empty)
 
   private val tables = scala.collection.concurrent.TrieMap[String, Entry]()
 
@@ -611,10 +611,27 @@ object ChDdl {
           throw new IllegalArgumentException(s"CREATE TABLE without columns: $stmt")
       }
       val spec = engineSpec(engine, engineArgs, initial.schema)
-      val entry = Entry(name, viewName(name), initial, spec,
+      // ENGINE = Merge(db, 'regex') reads the union of the matching
+      // tables (StorageMerge; corpus 00270/00401) — the declared
+      // column list only fixes the projection
+      val backing = if (engine == "Merge") {
+        val ps = engineArgs.map(splitArgs).getOrElse(Seq.empty)
+        require(ps.length == 2, s"Merge(db, 'regex') expected: $stmt")
+        val db = ps.head.replace("`", "").trim
+        // CH string-literal unescape: '\\d' in DDL text is regex \d
+        val re = ps(1).trim.stripPrefix("'").stripSuffix("'")
+          .replace("\\\\", "\\").r
+        val matching = dbTables(db)
+          .filter { case (bare, _) => re.findFirstIn(bare).isDefined }
+          .sortBy(_._1)
+        require(matching.nonEmpty, s"Merge($db, ...): no tables match")
+        val cols = initial.schema.fieldNames.toIndexedSeq
+        matching.map(_._2.df.select(cols.map(qcol): _*)).reduce(_ unionByName _)
+      } else initial
+      val entry = Entry(name, viewName(name), backing, spec,
         parsedCols.map(_._2).getOrElse(Seq.empty))
       tables.put(name, entry)
-      initial.createOrReplaceTempView(entry.view)
+      backing.createOrReplaceTempView(entry.view)
     case _ =>
       throw new IllegalArgumentException(s"unsupported CREATE TABLE: $stmt")
   }
@@ -798,6 +815,9 @@ object ChDdl {
                   castCh(org.apache.spark.sql.functions.expr(e), field.dataType)
                 case None => defaultLit(field.dataType)
               }
+              // later inserts evaluate the same DEFAULT (corpus 00363)
+              entry.defaults = entry.defaults ++
+                addDefs.filter(_._1 == field.name)
               val withCol = entry.df.withColumn(field.name, value)
               val cols = entry.df.columns.toSeq
               val ordered = after match {

@@ -62,6 +62,8 @@ object ChSql {
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
     // backtick-quoted / whitespace-padded system refs normalize first
     q = q.replaceAll("(?i)`system`\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
+    q = q.replaceAll("(?i)\\bsystem\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
+    q = q.replaceAll("(?i)`system`\\s*\\.\\s*(one|numbers|numbers_mt)\\b", "system.$1")
     q = q.replaceAll("(?i)\\bsystem\\s*\\.\\s*(one|numbers|numbers_mt)\\b", "system.$1")
     // system tables → generators (bounded; LocalLimit stops the scan).
     // Explicit slice count: RangeExec with numSlices=None reads the
@@ -1901,11 +1903,21 @@ object ChSql {
       graft.functions.KernelExpr(e, "first_significant_subdomain") },
     "extractURLParameter" -> { case Seq(u, Literal(name, StringType)) =>
       RegExpExtract(u,
-        Literal("[?&]" + java.util.regex.Pattern.quote(name.toString) + "=([^&#]*)"),
+        Literal("[?&#]" + java.util.regex.Pattern.quote(name.toString) + "=([^&#]*)"),
         Literal(1)) },
+    // everything after the first '?' or '#', split on & and # —
+    // fragment parameters count too (FunctionsURL.h
+    // ExtractURLParametersImpl scans past the fragment; corpus 00296)
     "extractURLParameters" -> viaColumn { case Seq(u) =>
       import org.apache.spark.sql.functions._
-      filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"), x => x =!= "") },
+      // after the first [?#]; a trailing token without '=' is never
+      // emitted (the scanner needs a terminator), and a '?' inside a
+      // token restarts it (FunctionsURL.h ExtractURLParametersImpl)
+      val s0 = regexp_extract(u, "[?#](.*)", 1)
+      val s1 = regexp_replace(s0, "(^|[&#])[^=&#]*$", "$1")
+      transform(
+        filter(split(s1, "[&#]"), x => x =!= ""),
+        p => regexp_replace(p, "^[^=]*\\?", "")) },
     "visibleWidth" -> { case Seq(e) => graft.functions.VisibleWidthExpr(e) },
     // -State/-Merge scaffolding for the simple cases the corpus hits
     "countState" -> { es =>
@@ -2170,8 +2182,11 @@ object ChSql {
       "cutURLParameter" -> { case Seq(u, Literal(name, StringType)) =>
         val qn = java.util.regex.Pattern.quote(name.toString)
         viaColumn { case Seq(uc) =>
+          // fragment parameters cut too, but '#' itself stays
           regexp_replace(
-            regexp_replace(uc, "([?&])" + qn + "=[^&#]*&", "$1"),
+            regexp_replace(
+              regexp_replace(uc, "([?&#])" + qn + "=[^&#]*&", "$1"),
+              "(#)" + qn + "=[^&#]*", "$1"),
             "[?&]" + qn + "=[^&#]*", "")
         }(Seq(u)) },
       // arrayReduce('agg', arr…) — run an aggregate over array
