@@ -156,7 +156,9 @@ object ExtensionQueries {
       .agg(
         expr("quantile_exact_weighted(CAST(l_quantity AS DOUBLE), w, CAST(0.5 AS DOUBLE))").as("p50_w"),
         expr("quantile_exact_weighted(CAST(l_quantity AS DOUBLE), w, CAST(0.9 AS DOUBLE))").as("p90_w"),
-        expr("quantile_timing_weighted(cs, w, CAST(0.5 AS DOUBLE))").as("p50_tw"),
+        // Float32 return is reference-faithful; the gate casts to long so
+        // the hash compare aligns with the oracle's BIGINT bucket.
+        expr("quantile_timing_weighted(cs, w, CAST(0.5 AS DOUBLE))").cast("long").as("p50_tw"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
