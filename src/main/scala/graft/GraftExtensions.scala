@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.ChBooleanCoercion)
     // CH integer date/datetime arithmetic (date + Int64, datetime ± n)
     ext.injectResolutionRule(_ => graft.plans.ChImplicitCasts)
+    // Enum name↔value semantics over metadata-tagged numeric columns
+    ext.injectResolutionRule(_ => graft.plans.ChEnumCoercion)
   }
 }
 

@@ -46,8 +46,14 @@ case class ChMultiHash64(children: Seq[Expression], impl: String)
   private def step(acc: java.lang.Long, h: Long): Long =
     if (acc == null) h else combine(acc, h)
 
+  /** NULL elements inside arrays/structs hash as a fixed sentinel
+    * (top-level NULL arguments still make the whole result NULL, see
+    * eval): Spark's insert pipeline marks every array containsNull,
+    * so a genuinely-null element must not NPE the kernel. */
+  private val NullElemHash = 0x9ae16a3b2f90404fL
+
   /** First-position hash of one value (executeAny&lt;true&gt;). */
-  private def leafHash(dt: DataType, v: Any): Long = dt match {
+  private def leafHash(dt: DataType, v: Any): Long = if (v == null) NullElemHash else dt match {
     case ArrayType(et, _) =>
       val arr = v.asInstanceOf[ArrayData]
       var h = HashFns.intHash64(arr.numElements().toLong)
@@ -63,7 +69,8 @@ case class ChMultiHash64(children: Seq[Expression], impl: String)
       st.fields.zipWithIndex.foreach { case (f, i) =>
         acc = step(acc, leafHash(f.dataType, row.get(i, f.dataType)))
       }
-      acc
+      // a zero-field tuple hashes like the empty argument list
+      if (acc == null) 0xe28dbde7fe22e41cL else acc.longValue()
     case StringType => strHash(v.asInstanceOf[UTF8String].getBytes)
     case BinaryType => strHash(v.asInstanceOf[Array[Byte]])
     case ByteType => HashFns.intHash64(v.asInstanceOf[Byte].toLong)
@@ -90,7 +97,7 @@ case class ChMultiHash64(children: Seq[Expression], impl: String)
   /** Accumulate one argument (executeForArgument): tuples flatten,
     * arrays fold length + elements into the running accumulator. */
   private def accumulate(acc0: java.lang.Long, dt: DataType, v: Any): java.lang.Long =
-    dt match {
+    if (v == null) step(acc0, NullElemHash) else dt match {
       case st: StructType =>
         val row = v.asInstanceOf[InternalRow]
         var acc = acc0

@@ -169,8 +169,13 @@ object HashFns {
   /** intHash32(x) — Thomas Wang 64→32 mix with the reference's salt
     * (FunctionsHashing.h:155; Common/HashTable/Hash.h:144). Returned
     * as Long in [0, 2^32) (UInt32 has no unsigned JVM primitive). */
-  def intHash32(key0: Long): Long = {
-    var key = key0 ^ 0x75d9543de018bf45L
+  def intHash32(key0: Long): Long =
+    intHash32Salted(key0, 0x75d9543de018bf45L)
+
+  /** The salt-templated form (Common/HashTable/Hash.h intHash32<salt>);
+    * QuantileTiming's bucket jitter uses salt 0. */
+  def intHash32Salted(key0: Long, salt: Long): Long = {
+    var key = key0 ^ salt
     key = (~key) + (key << 18)
     key = key ^ java.lang.Long.rotateRight(key, 31)
     key = key * 21

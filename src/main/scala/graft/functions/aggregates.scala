@@ -167,13 +167,16 @@ case class UniqUpToMerge(
 
 /** `quantileTiming(level)(ms)` — the reference's timing-quantile
   * sketch (AggregateFunctions/AggregateFunctionsQuantileTiming.h
-  * semantics): millisecond values are exact below 1024, binned at
-  * 16 ms resolution up to 30 000, and clamped above — so state is a
-  * bounded histogram (≤ ~2 840 buckets) with exact merge, giving
-  * deterministic quantiles independent of partitioning (unlike
-  * sampling-based quantile sketches). Negative inputs count as 0.
-  * Result = the smallest bucket whose cumulative count reaches
-  * ceil(level × total); bucket values are their lower bounds.
+  * semantics, all three state regimes): raw values are kept exactly
+  * while count < 5672 (tiny/medium states, floor-index rule); past
+  * that the state is the large histogram — exact below 1024, 16 ms
+  * buckets up to 30 000 reported with the intHash32 jitter, clamped
+  * above — with the ceil(level × total) accumulate rule. Merge sums
+  * histograms, so results are deterministic independent of
+  * partitioning (unlike sampling-based sketches), and the map
+  * rebuckets once it outgrows the medium regime, so executor memory
+  * stays bounded (≤ ~2 840 slots) at any scale. Negative inputs
+  * count as 0.
   */
 case class QuantileTiming(
     child: Expression,
@@ -196,7 +199,7 @@ case class QuantileTiming(
 
   override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
     val v = child.eval(input)
-    if (v != null) buf.merge(QuantileTiming.bucket(v.asInstanceOf[Long]), 1L, (a, b) => a + b)
+    if (v != null) QuantileTiming.insert(buf, v.asInstanceOf[Long], 1L)
     buf
   }
 
@@ -234,20 +237,49 @@ case class QuantileTiming(
 }
 
 object QuantileTiming {
-  def bucket(v: Long): Long =
-    if (v < 0) 0L
-    else if (v < 1024) v
-    else if (v >= 30000) 30000L
-    else 1024L + ((v - 1024L) / 16L) * 16L
+  // AggregateFunctionQuantileTiming.h constants
+  private val SmallThreshold = 1024L
+  private val BigThreshold = 30000L
+  private val BigPrecision = 16L
+  /** Medium→large promotion point: sizeof(QuantileTimingLarge) /
+    * sizeof(UInt16) / 2 (mediumIsWorthToConvertToLarge). */
+  private val MediumMax = 5672L
 
-  /** Medium states hold raw sorted values and index them with
-    * n = floor(level·count) (QuantileTimingMedium::get); only states
-    * past the medium→large threshold switch to the histogram's
-    * pos = ceil(level·count) accumulate rule (QuantileTimingLarge::get,
-    * AggregateFunctionQuantileTiming.h:406). Values < 1024 keep exact
-    * keys in the bucket map, so the medium rule reproduces exactly on
-    * the corpus ranges. */
-  private val MediumMax = 5672L // sizeof(QuantileTimingLarge)/sizeof(UInt16)/2
+  /** Insert-side clamp (tiny/medium insert: x > BIG_THRESHOLD → 30000;
+    * negative timings index slot 0). Raw values are KEPT until the
+    * large regime — QuantileTimingMedium stores the element vector, so
+    * tiny/medium evals are exact on raw values. */
+  def clamp(v: Long): Long =
+    if (v < 0) 0L else math.min(v, BigThreshold)
+
+  def bucket(v: Long): Long =
+    if (v < SmallThreshold) v
+    else if (v >= BigThreshold) BigThreshold
+    else SmallThreshold + ((v - SmallThreshold) / BigPrecision) * BigPrecision
+
+  /** A raw-value map larger than this rebuckets in place — at that
+    * point count ≥ distinct > MediumMax, so the state is already in
+    * the large regime and only bucket resolution is observable. Keeps
+    * executor memory bounded like the reference's 2835-slot histogram
+    * regardless of the timing-value domain. */
+  private val MaxRawKeys = MediumMax.toInt
+
+  def insert(buf: java.util.HashMap[Long, Long], v: Long, w: Long): Unit = {
+    buf.merge(clamp(v), w, (a, b) => a + b)
+    if (buf.size > MaxRawKeys) {
+      val re = new java.util.HashMap[Long, Long](4096)
+      buf.forEach((k, c) => re.merge(bucket(k), c, (a, b) => a + b))
+      buf.clear()
+      buf.putAll(re)
+    }
+  }
+
+  /** QuantileTimingLarge::indexInBigToValue — bucket base plus a
+    * deterministic intHash32<0> jitter "so that it is not noticeable
+    * that all the values are even". */
+  private def indexInBigToValue(i: Long): Long =
+    i * BigPrecision + SmallThreshold +
+      (HashFns.intHash32Salted(i, 0L) % BigPrecision - BigPrecision / 2)
 
   def evalLevel(buf: java.util.HashMap[Long, Long], level: Double): Any = {
     if (buf.isEmpty) return null
@@ -257,21 +289,39 @@ object QuantileTiming {
     var acc = 0L
     var i = 0
     if (total < MediumMax) {
+      // tiny/medium: exact sorted-element indexing, n = floor(level·count)
+      // (QuantileTimingTiny/Medium::get; level==1 → last element)
       val n = if (level < 1) (level * total).toLong else total - 1
       while (i < keys.length) {
         acc += buf.get(keys(i))
         if (acc > n) return keys(i)
         i += 1
       }
+      keys.last
     } else {
+      // large: histogram walk, pos = ceil(level·count); small slots are
+      // exact, big buckets report their jittered representative, and
+      // clamped 30000s count toward total but hold no slot — a level
+      // landing past every slot reports BIG_THRESHOLD
+      // (QuantileTimingLarge::get/getMany)
       val pos = math.ceil(level * total).toLong
-      while (i < keys.length) {
-        acc += buf.get(keys(i))
-        if (acc >= pos) return keys(i)
-        i += 1
+      val hist = new java.util.TreeMap[Long, Long]()
+      buf.forEach { (k, c) =>
+        if (k < BigThreshold)
+          hist.merge(bucket(k), c, (a, b) => a + b)
       }
+      val it = hist.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        acc += e.getValue
+        if (acc >= pos) {
+          val k = e.getKey
+          return if (k < SmallThreshold) k
+          else indexInBigToValue((k - SmallThreshold) / BigPrecision)
+        }
+      }
+      BigThreshold
     }
-    keys.last
   }
 }
 
@@ -302,7 +352,7 @@ case class QuantilesTiming(
 
   override def update(buf: java.util.HashMap[Long, Long], input: InternalRow): java.util.HashMap[Long, Long] = {
     val v = child.eval(input)
-    if (v != null) buf.merge(QuantileTiming.bucket(v.asInstanceOf[Long]), 1L, (a, b) => a + b)
+    if (v != null) QuantileTiming.insert(buf, v.asInstanceOf[Long], 1L)
     buf
   }
 

@@ -1,11 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, ArrayExists, ArrayFilter, ArrayForAll, CaseWhen, Expression, If, LambdaFunction, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayExists, ArrayFilter, ArrayForAll, BinaryArithmetic, BinaryComparison, CaseWhen, Expression, If, LambdaFunction, Not, Or, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{NullType, NumericType}
+import org.apache.spark.sql.types.{BooleanType, NullType, NumericType}
 
-import graft.functions.UInt8ToBool
+import graft.functions.{BoolToUInt8, UInt8ToBool}
 
 /** The reference dialect has no boolean type: conditions are UInt8
   * and any non-zero number is true (ExpressionAnalyzer / the
@@ -37,6 +37,9 @@ object ChBooleanCoercion extends Rule[LogicalPlan] {
   private def toBool(e: Expression): Expression =
     if (numeric(e)) UInt8ToBool(e) else e
 
+  private def bool(e: Expression): Boolean =
+    e.resolved && e.dataType == BooleanType
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case f @ Filter(cond, _) if numeric(cond) =>
@@ -52,6 +55,27 @@ object ChBooleanCoercion extends Rule[LogicalPlan] {
             cw.copy(branches = branches.map { case (c, v) => (toBool(c), v) })
           case And(l, r) if numeric(l) || numeric(r) => And(toBool(l), toBool(r))
           case Or(l, r) if numeric(l) || numeric(r) => Or(toBool(l), toBool(r))
+          // the REVERSE seat: a UInt8 comparison result used as a
+          // number (`(x = '0') > 0`, `-(x != y)` — FunctionsComparison
+          // results are UInt8 in the reference; corpus 00386)
+          case b: BinaryComparison if bool(b.left) && numeric(b.right) =>
+            b.withNewChildren(Seq(BoolToUInt8(b.left), b.right))
+          case b: BinaryComparison if numeric(b.left) && bool(b.right) =>
+            b.withNewChildren(Seq(b.left, BoolToUInt8(b.right)))
+          case a: BinaryArithmetic if bool(a.left) || bool(a.right) =>
+            a.withNewChildren(Seq(
+              if (bool(a.left)) BoolToUInt8(a.left) else a.left,
+              if (bool(a.right)) BoolToUInt8(a.right) else a.right))
+          case m @ UnaryMinus(c, _) if bool(c) =>
+            m.withNewChildren(Seq(BoolToUInt8(c)))
+          case m: org.apache.spark.sql.catalyst.expressions.BinaryMathExpression
+              if bool(m.left) || bool(m.right) =>
+            m.withNewChildren(Seq(
+              if (bool(m.left)) BoolToUInt8(m.left) else m.left,
+              if (bool(m.right)) BoolToUInt8(m.right) else m.right))
+          case m: org.apache.spark.sql.catalyst.expressions.UnaryMathExpression
+              if bool(m.child) =>
+            m.withNewChildren(Seq(BoolToUInt8(m.child)))
           // predicate lambdas of the higher-order filters
           // (arrayFilter(x -> 0, …), corpus 00067/00182)
           case af @ ArrayFilter(arg, LambdaFunction(f, vs, h)) if numeric(f) =>

@@ -51,7 +51,10 @@ object Formats {
       s"VALUES arity ${raw.columns.length} != schema arity ${schema.length}")
     raw.select(raw.columns.zip(schema.fields).map { case (c, f) =>
       val target = graft.types.ChTypes.deepNullable(f.dataType)
-      val v = (f.dataType, raw.schema(c).dataType) match {
+      val v = if (graft.types.ChEnum.of(f).isDefined)
+        // enum names (or numbers) → stored numeric values
+        graft.types.ChEnum.encodeCol(col(c), f).cast(target)
+      else (f.dataType, raw.schema(c).dataType) match {
         // a STRING of digits into DateTime is a unix timestamp
         // (ReadHelpers readDateTimeText fallback; corpus 00141)
         case (_: org.apache.spark.sql.types.TimestampType,
@@ -63,6 +66,92 @@ object Formats {
       }
       v.as(f.name)
     }.toIndexedSeq: _*)
+  }
+
+  /** FORMAT JSON / JSONCompact — byte-exact rendering of the
+    * reference's JSONRowOutputStream.cpp / JSONCompactRowOutputStream
+    * .cpp: tab-indented layout, CH type names in `meta`, 64-bit
+    * integers quoted (force_quoting_64bit_integers default), invalid
+    * UTF-8 replaced with U+FFFD (WriteBufferValidUTF8 — the JVM's
+    * UTF-8 decode already did this upstream). `rows_before_limit_at_
+    * least` prints only when a LIMIT applied somewhere in the stream.
+    */
+  def renderJson(names: Seq[String], chTypes: Seq[String],
+      rows: Seq[Seq[Any]], totals: Option[Seq[Any]],
+      rowsBeforeLimit: Option[Long], compact: Boolean): String = {
+    def jsonStr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+    def jsonVal(v: Any, chType: String): String = v match {
+      case null => "null"
+      case b: Boolean => if (b) "1" else "0"
+      case s: String => jsonStr(s)
+      case d: java.sql.Date => jsonStr(d.toString)
+      case t: java.sql.Timestamp => jsonStr(t.toString.stripSuffix(".0"))
+      case a: scala.collection.Seq[_] =>
+        val elemT = if (chType.startsWith("Array(") && chType.endsWith(")"))
+          chType.substring(6, chType.length - 1) else chType
+        a.map(jsonVal(_, elemT)).mkString("[", ",", "]")
+      case n =>
+        val s = renderValue(n, inArray = false)
+        // serializeTextJSON quotes 64-bit integer types
+        if (chType == "UInt64" || chType == "Int64") "\"" + s + "\"" else s
+    }
+    val sb = new StringBuilder
+    sb.append("{\n\t\"meta\":\n\t[\n")
+    names.indices.foreach { i =>
+      sb.append("\t\t{\n")
+        .append("\t\t\t\"name\": ").append(jsonStr(names(i))).append(",\n")
+        .append("\t\t\t\"type\": ").append(jsonStr(chTypes(i))).append("\n")
+        .append("\t\t}")
+      if (i + 1 < names.length) sb.append(',')
+      sb.append('\n')
+    }
+    sb.append("\t],\n\n\t\"data\":\n\t[\n")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) sb.append(",\n")
+      if (compact)
+        sb.append("\t\t[")
+          .append(r.indices.map(j => jsonVal(r(j), chTypes(j))).mkString(", "))
+          .append("]")
+      else
+        sb.append("\t\t{\n")
+          .append(r.indices.map(j =>
+            "\t\t\t" + jsonStr(names(j)) + ": " + jsonVal(r(j), chTypes(j)))
+            .mkString(",\n"))
+          .append("\n\t\t}")
+    }
+    sb.append("\n\t]")
+    totals.foreach { t =>
+      sb.append(",\n\n")
+      if (compact)
+        sb.append("\t\"totals\": [")
+          .append(t.indices.map(j => jsonVal(t(j), chTypes(j))).mkString(","))
+          .append("]")
+      else
+        sb.append("\t\"totals\":\n\t{\n")
+          .append(t.indices.map(j =>
+            "\t\t" + jsonStr(names(j)) + ": " + jsonVal(t(j), chTypes(j)))
+            .mkString(",\n"))
+          .append("\n\t}")
+    }
+    sb.append(",\n\n\t\"rows\": ").append(rows.length)
+    rowsBeforeLimit.foreach(n =>
+      sb.append(",\n\n\t\"rows_before_limit_at_least\": ").append(n))
+    sb.append("\n}")
+    sb.toString
   }
 
   /** TabSeparated — the reference's default test-output format

@@ -18,7 +18,12 @@ import graft.types.ChTypes
 object ChDdl {
 
   final case class Entry(name: String, view: String, var df: DataFrame, spec: Spec,
-      var defaults: Seq[(String, String)] = Seq.empty)
+      var defaults: Seq[(String, String)] = Seq.empty,
+      // DESCRIBE surface: declared CH type text and default kind per
+      // column (what the schema alone can't reproduce — UInt8 vs
+      // Int32, Enum entry lists)
+      var colTypes: Map[String, String] = Map.empty,
+      var defaultKinds: Map[String, String] = Map.empty)
 
   private val tables = scala.collection.concurrent.TrieMap[String, Entry]()
 
@@ -112,15 +117,42 @@ object ChDdl {
       // next statement even without ';' (clickhouse-test multiquery);
       // only a VALUES body can end implicitly — INSERT SELECT spans
       // lines freely
+      // split points are searched on the quote MASK: a VALUES string
+      // literal containing a newline + SELECT/CREATE/… at line start
+      // is data, not a statement boundary
+      val stmtMask = ChSql.maskQuotes(stmt)
       val tail = "(?m)^\\s*(CHECK|SELECT|DROP|CREATE|ALTER|OPTIMIZE|RENAME|INSERT)\\b".r
-        .findAllMatchIn(stmt).map(_.start).find(at => at > 0 &&
-          "(?is)\\bVALUES\\b".r.findFirstMatchIn(stmt.substring(0, at)).isDefined)
+        .findAllMatchIn(stmtMask).map(_.start).find(at => at > 0 &&
+          "(?is)\\bVALUES\\b".r.findFirstMatchIn(stmtMask.substring(0, at)).isDefined)
       tail match {
         case Some(at) =>
           insert(spark, stmt.substring(0, at).trim)
           execute(spark, stmt.substring(at))
         case None => insert(spark, stmt); None
       }
+    }
+    else if (up.startsWith("DESCRIBE") || up.startsWith("DESC ")) {
+      // DESCRIBE TABLE: name, type, default_kind, default_expr
+      // (InterpreterDescribeQuery). The reference prints string
+      // defaults of non-String columns coerced: CAST('…' AS Type).
+      val name = stmt.replaceAll("(?i)^DESC(?:RIBE)?\\s+(?:TABLE\\s+)?", "")
+        .replace("`", "").trim
+      val entry = lookupTable(name)
+      val exprs = entry.defaults.toMap
+      val rows: Seq[Row] = entry.df.schema.fields.toSeq.map { f =>
+        val t = entry.colTypes.getOrElse(f.name, ChTypes.toChName(f))
+        val kind = entry.defaultKinds.getOrElse(f.name,
+          if (exprs.contains(f.name)) "DEFAULT" else "")
+        val ex = exprs.get(f.name).map { e =>
+          if (e.startsWith("'") && t != "String") s"CAST($e AS $t)" else e
+        }.getOrElse("")
+        Row(f.name, t, kind, ex)
+      }
+      import scala.jdk.CollectionConverters._
+      Some(spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+        Seq("name", "type", "default_kind", "default_expr").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType)))))
     }
     else if (up.startsWith("CHECK TABLE")) {
       // integrity probe (InterpreterCheckQuery): parquet-backed data
@@ -151,9 +183,14 @@ object ChDdl {
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
     else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }
-    else Some(ChSql(spark,
-      rewriteRefs(rewriteFinal(spark,
-        rewriteNested(rewriteTableFunctions(spark, stmt))))))
+    else {
+      // `ORDER BY _part` sorts by insertion batch — storage order,
+      // which a distributed engine doesn't define (the corpus compare
+      // is order-agnostic for exactly this reason); catalog tables
+      // carry no part ids, so drop the clause rather than fail
+      val noPart = stmt.replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part\\s*$", "")
+      Some(ChSql(spark, rewriteAll(spark, noPart)))
+    }
   }
 
   /** CREATE VIEW name AS SELECT … (InterpreterCreateQuery attach=view):
@@ -387,6 +424,45 @@ object ChDdl {
     q
   }
 
+  /** The full CH-text → Spark-text rewrite chain every SELECT goes
+    * through (table functions, FINAL, Nested flattening, catalog
+    * refs). */
+  /** Merge-engine tables: name → (db, member regex, projected cols).
+    * Members resolve lazily per read, never at CREATE. */
+  private val mergeSpecs =
+    scala.collection.concurrent.TrieMap[String, (String, String, Seq[String])]()
+
+  private def mergeUnion(db: String, re: String, cols: Seq[String]): DataFrame = {
+    val rx = re.r
+    val matching = dbTables(db)
+      .filter { case (bare, _) => rx.findFirstIn(bare).isDefined }
+      .filterNot { case (bare, _) => mergeSpecs.contains(bare) ||
+        mergeSpecs.contains(s"$db.$bare") } // a Merge never reads itself
+      .sortBy(_._1)
+    require(matching.nonEmpty, s"Merge($db, '$re'): no tables match")
+    matching.map(_._2.df.select(cols.map(qcol): _*)).reduce(_ unionByName _)
+  }
+
+  /** Rebind every Merge table to its members' CURRENT DataFrames —
+    * called per query so inserts into members (and later-created
+    * members) are visible, like the reference's StorageMerge which
+    * enumerates the database at read time. Plan-building only, no
+    * execution. */
+  private def refreshMergeTables(spark: SparkSession): Unit =
+    mergeSpecs.foreach { case (name, (db, re, cols)) =>
+      tables.get(name).foreach { e =>
+        val fresh = mergeUnion(db, re, cols)
+        e.df = fresh
+        fresh.createOrReplaceTempView(e.view)
+      }
+    }
+
+  private def rewriteAll(spark: SparkSession, sql: String): String = {
+    refreshMergeTables(spark)
+    rewriteRefs(rewriteFinal(spark,
+      rewriteNested(rewriteTableFunctions(spark, sql))))
+  }
+
   /** `FROM t FINAL` — merge-at-read: register a folded view of the
     * table and point the query at it (CollapsingFinalBlockInputStream
     * semantics; the fold comes from the table's engine Spec). */
@@ -417,6 +493,9 @@ object ChDdl {
     val trimmed = stmtRaw.trim.stripSuffix(";").trim
     val blockTsv = "(?i)FORMAT\\s+BlockTabSeparated\\s*$".r
       .findFirstIn(trimmed).isDefined
+    // FORMAT JSON / JSONCompact render the reference's exact JSON shape
+    val jsonFmt = "(?i)FORMAT\\s+(JSONCompact|JSON)\\s*$".r
+      .findFirstMatchIn(trimmed).map(_.group(1))
     // Vertical(Raw): one `col: value` block per row
     val vertical = "(?i)FORMAT\\s+Vertical(Raw)?\\s*$".r.findFirstMatchIn(trimmed)
     // The totals side-channel row is NOT subject to LIMIT
@@ -434,8 +513,35 @@ object ChDdl {
             Some(m.group(1).toInt))
         case _ => (stmtRaw, None)
       }
-    execute(spark, stmt).flatMap { df =>
-      if (vertical.isDefined) {
+    execute(spark, stmt).map(decodeEnums).flatMap { df =>
+      if (jsonFmt.isDefined) {
+        val compact = jsonFmt.get.equalsIgnoreCase("JSONCompact")
+        val noFmt = trimmed.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*$", "")
+        val gid = df.columns.indexOf("__gid")
+        val outFields = df.schema.fields.zipWithIndex
+          .filter(_._2 != gid).map(_._1).toSeq
+        val items = ChSql.selectItems(noFmt)
+        val (names, exprs) =
+          if (items.length == outFields.length)
+            (items.map(_._1), items.map(_._2))
+          else (outFields.map(_.name), outFields.map(_.name))
+        val chTypes = exprs.zip(outFields).map { case (e, f) => chJsonType(e, f) }
+        val rowsAll = df.collect()
+        val (totRows, main0) =
+          if (gid >= 0) rowsAll.partition(_.getAs[Number](gid).longValue != 0L)
+          else (Array.empty[Row], rowsAll)
+        val mainRows = mainLimit.fold(main0)(main0.take)
+        def vals(r: Row, totals: Boolean): Seq[Any] =
+          df.schema.fields.indices.filter(_ != gid).map { i =>
+            val v = r.get(i)
+            if (v == null && totals) renderDefaultF(df.schema.fields(i)) else v
+          }.toSeq
+        Some(Formats.renderJson(names, chTypes,
+          mainRows.map(r => vals(r, totals = false)).toSeq,
+          totRows.headOption.map(r => vals(r, totals = true)),
+          rowsBeforeLimit(spark, noFmt), compact))
+      }
+      else if (vertical.isDefined) {
         val raw = vertical.get.group(1) != null
         val rows = df.limit(1000000).collect()
         if (rows.isEmpty) None
@@ -464,7 +570,7 @@ object ChDdl {
         def fill(r: Row): Seq[Any] =
           if (!fillJoin) r.toSeq
           else df.schema.fields.indices.map { i =>
-            if (r.isNullAt(i)) renderDefault(df.schema.fields(i).dataType) else r.get(i)
+            if (r.isNullAt(i)) renderDefaultF(df.schema.fields(i)) else r.get(i)
           }
         if (rows.isEmpty) None
         else Some(rows.map(r => Formats.renderRow(fill(r))).mkString("\n"))
@@ -475,7 +581,7 @@ object ChDdl {
         def values(r: Row, totals: Boolean): Seq[Any] =
           fields.indices.filter(_ != gid).map { i =>
             val v = r.get(i)
-            if (v == null && totals) renderDefault(fields(i).dataType) else v
+            if (v == null && totals) renderDefaultF(fields(i)) else v
           }.toSeq
         val (tot, main0) = rows.partition(_.getAs[Number](gid).longValue != 0L)
         val main = mainLimit.fold(main0)(main0.take)
@@ -485,6 +591,136 @@ object ChDdl {
       }
     }
   }
+
+  /** Render the stored numeric form of every enum-tagged output
+    * column as its NAME (DataTypeEnum serializeText) — the metadata
+    * survives the decode so the totals/join default paths still see
+    * the enum. */
+  /** CH type name for a JSON `meta` entry. The schema alone can't
+    * recover unsignedness, so the CH SOURCE EXPRESSION disambiguates
+    * the cases the corpus exercises (count() is UInt64, comparisons/
+    * ignore are UInt8, range/small-literal arrays are UInt8 — the
+    * reference's smallest-type literal rule); everything else falls
+    * back to the schema map. */
+  private def chJsonType(expr: String,
+      f: org.apache.spark.sql.types.StructField): String = {
+    val e = expr.trim
+    if ("(?i)^count\\s*\\(".r.findFirstIn(e).isDefined) "UInt64"
+    else if ("(?i)^uniq".r.findFirstIn(e).isDefined) "UInt64"
+    else if ("(?i)^ignore\\s*\\(".r.findFirstIn(e).isDefined) "UInt8"
+    else if ("(?i)^arrayJoin\\s*\\(\\s*range\\s*\\(".r.findFirstIn(e).isDefined)
+      "UInt8"
+    else if ("(?i)^arrayJoin\\s*\\(\\s*\\[[\\d\\s,]*\\]\\s*\\)$".r
+        .findFirstIn(e).isDefined) "UInt8"
+    else graft.types.ChEnum.of(f).map(_.typeName)
+      .getOrElse(ChTypes.toChName(f))
+  }
+
+  /** `rows_before_limit_at_least`: rows that flowed INTO the stream's
+    * LimitBlockInputStream. With a top-level LIMIT, that is the main
+    * (non-totals) row count of the query WITHOUT it; with only an
+    * inner limit (00017's `FROM (… LIMIT 1000)`), the subquery's own
+    * row count. None when no LIMIT exists (the field is omitted). */
+  private def rowsBeforeLimit(spark: SparkSession, stmt: String): Option[Long] = {
+    if ("(?i)\\bLIMIT\\s+\\d".r.findFirstIn(stmt).isEmpty) None
+    else {
+      val top = ChSql.maskTop(stmt)
+      "(?i)\\bLIMIT\\s+\\d+(?:\\s*,\\s*\\d+)?\\s*$".r.findFirstMatchIn(top) match {
+        case Some(m) =>
+          execute(spark, stmt.substring(0, m.start)).map { d =>
+            if (d.columns.contains("__gid"))
+              d.filter(org.apache.spark.sql.functions.col("__gid") === 0).count()
+            else d.count()
+          }
+        case None =>
+          // inner limit: count the FROM (subquery) stream. maskTop
+          // blanks parens, so locate FROM in the mask and the paren
+          // in the original text.
+          "(?i)\\bFROM\\b".r.findFirstMatchIn(top).flatMap { fm =>
+            val ws = stmt.drop(fm.end).takeWhile(_.isWhitespace).length
+            val open = fm.end + ws
+            if (open >= stmt.length || stmt.charAt(open) != '(') None
+            else {
+              var depth = 0
+              var close = -1
+              var i = open
+              while (i < stmt.length && close < 0) {
+                val c = stmt.charAt(i)
+                if (c == '(') depth += 1
+                else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+                i += 1
+              }
+              if (close < 0) None
+              else execute(spark, stmt.substring(open + 1, close)).map(_.count())
+            }
+          }
+      }
+    }
+  }
+
+  /** Is this output expression a UInt64-typed hash (FunctionsHashing
+    * results are UInt64 in the reference — they must render UNSIGNED,
+    * while Spark's LongType prints signed)? */
+  private def isUInt64Expr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case k: graft.functions.KernelExpr =>
+        Set("inthash64", "cityhash64", "farmhash64", "metrohash64",
+          "urlhash", "halfmd5")(k.kernel)
+      case _: graft.functions.SipHash64Expr => true
+      case _: graft.functions.ChMultiHash64 => true
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => isUInt64Expr(a.child)
+      case _ => false
+    }
+
+  /** ExprIds of top-level output columns produced by UInt64 hashes
+    * (descends through Sort/Limit/Filter wrappers). */
+  private def uint64Outputs(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[Long] =
+    plan match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+            if isUInt64Expr(a.child) => a.exprId.id
+        }.toSet
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.collect {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if isUInt64Expr(al.child) => al.exprId.id
+        }.toSet
+      case n if n.children.length == 1 => uint64Outputs(n.children.head)
+      case _ => Set.empty
+    }
+
+  private def decodeEnums(df: DataFrame): DataFrame = {
+    val u64 = uint64Outputs(df.queryExecution.analyzed)
+    val hasEnum = df.schema.fields.exists(f => graft.types.ChEnum.of(f).isDefined)
+    if (u64.isEmpty && !hasEnum) df
+    else {
+      // select by OUTPUT ATTRIBUTE (not name): duplicate output names
+      // (`SELECT toInt8(e), toInt16(e)` both auto-name `e`) must not
+      // turn into ambiguous references
+      import org.apache.spark.sql.functions._
+      val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+      val attrs = df.queryExecution.analyzed.output
+      df.select(attrs.zip(df.schema.fields).map { case (attr, f) =>
+        val c = org.apache.spark.sql.graftbridge.Bridge.column(attr)
+        if (graft.types.ChEnum.of(f).isDefined)
+          graft.types.ChEnum.decodeCol(c, f).as(f.name, f.metadata)
+        else if (u64(attr.exprId.id) &&
+            f.dataType == org.apache.spark.sql.types.LongType)
+          when(c < 0, (c.cast(dec) + lit(BigDecimal(2).pow(64)).cast(dec)).cast(dec))
+            .otherwise(c.cast(dec)).as(f.name)
+        else c
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** Field-aware default: an enum renders its smallest-value NAME. */
+  private def renderDefaultF(f: org.apache.spark.sql.types.StructField): Any =
+    graft.types.ChEnum.of(f) match {
+      case Some(d) => d.defaultName
+      case None => renderDefault(f.dataType)
+    }
 
   /** Type default for rendering (this reference version has no NULLs:
     * totals key columns and non-joined columns print defaults). */
@@ -593,12 +829,15 @@ object ChDdl {
         case other => throw new IllegalArgumentException(
           s"unsupported CREATE TABLE tail: $other")
       }
-      val parsedCols = cols.map(ChTypes.schemaWithDefaults)
+      val colDefs = cols.map(ChTypes.columnDefs)
+      val parsedCols = colDefs.map(ds =>
+        (org.apache.spark.sql.types.StructType(ds.map(_.field)),
+          ds.flatMap(d => d.defaultExpr.map(e => d.field.name -> e))))
       val initial = (parsedCols, select) match {
         case (Some((schema, _)), None) =>
           spark.createDataFrame(new java.util.ArrayList[Row](), schema)
         case (colsOpt, Some(sel)) =>
-          val df = ChSql(spark, rewriteRefs(sel))
+          val df = ChSql(spark, rewriteAll(spark, sel))
           colsOpt match {
             case Some((schema, _)) =>
               import org.apache.spark.sql.functions.col
@@ -613,23 +852,27 @@ object ChDdl {
       val spec = engineSpec(engine, engineArgs, initial.schema)
       // ENGINE = Merge(db, 'regex') reads the union of the matching
       // tables (StorageMerge; corpus 00270/00401) — the declared
-      // column list only fixes the projection
+      // column list only fixes the projection. The member set and
+      // their CURRENT data resolve lazily at every read (see
+      // refreshMergeTables): like the reference's live StorageMerge,
+      // rows inserted into a member after CREATE — and member tables
+      // created later that match the regex — are visible.
       val backing = if (engine == "Merge") {
         val ps = engineArgs.map(splitArgs).getOrElse(Seq.empty)
         require(ps.length == 2, s"Merge(db, 'regex') expected: $stmt")
         val db = ps.head.replace("`", "").trim
         // CH string-literal unescape: '\\d' in DDL text is regex \d
         val re = ps(1).trim.stripPrefix("'").stripSuffix("'")
-          .replace("\\\\", "\\").r
-        val matching = dbTables(db)
-          .filter { case (bare, _) => re.findFirstIn(bare).isDefined }
-          .sortBy(_._1)
-        require(matching.nonEmpty, s"Merge($db, ...): no tables match")
-        val cols = initial.schema.fieldNames.toIndexedSeq
-        matching.map(_._2.df.select(cols.map(qcol): _*)).reduce(_ unionByName _)
+          .replace("\\\\", "\\")
+        mergeSpecs.put(name, (db, re, initial.schema.fieldNames.toIndexedSeq))
+        mergeUnion(db, re, initial.schema.fieldNames.toIndexedSeq)
       } else initial
       val entry = Entry(name, viewName(name), backing, spec,
-        parsedCols.map(_._2).getOrElse(Seq.empty))
+        parsedCols.map(_._2).getOrElse(Seq.empty),
+        colDefs.map(_.map(d => d.field.name -> d.typeText).toMap)
+          .getOrElse(Map.empty),
+        colDefs.map(_.flatMap(d => d.defaultKind.map(d.field.name -> _)).toMap)
+          .getOrElse(Map.empty))
       tables.put(name, entry)
       backing.createOrReplaceTempView(entry.view)
     case _ =>
@@ -649,9 +892,19 @@ object ChDdl {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq),
           parts.dropRight(1))
       else (None, parts)
-    def sortKey: Seq[String] = core.drop(1).dropRight(1)
-      .flatMap(p => p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim))
-      .filter(_.nonEmpty)
+    // key lists split depth-aware (an element may be a call like
+    // intHash32(id)); expression elements are the reference's sampling
+    // hash scatter — a physical layout hint, not an observable
+    // semantic (grouping, pruning and insert order all key on the
+    // plain columns) — so only identifier elements are kept
+    def keyElems(p: String): Seq[String] = {
+      val s = p.trim
+      val body =
+        if (s.startsWith("(") && s.endsWith(")")) s.substring(1, s.length - 1) else s
+      splitArgs(body).map(_.trim)
+        .filter(_.matches("[A-Za-z_][A-Za-z0-9_.]*"))
+    }
+    def sortKey: Seq[String] = core.drop(1).dropRight(1).flatMap(keyElems)
     engine match {
       case "SummingMergeTree" =>
         // the date column partitions parts; fold keeps it as part of
@@ -669,16 +922,12 @@ object ChDdl {
           if (core.nonEmpty && !core.last.forall(_.isDigit))
             (core.last, core.dropRight(1))
           else (core.headOption.getOrElse(""), core)
-        val key = coreNoVer.drop(1).dropRight(1)
-          .flatMap(p => p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim))
-          .filter(_.nonEmpty)
+        val key = coreNoVer.drop(1).dropRight(1).flatMap(keyElems)
         Spec(coreNoVer.headOption.toSeq ++ key, None,
           graft.storage.MergeTreeTable.Replacing(version))
       case "CollapsingMergeTree" =>
         // old syntax: (date, key, granularity, sign) — sign last
-        val key = core.drop(1).dropRight(2)
-          .flatMap(p => p.stripPrefix("(").stripSuffix(")").split(",").map(_.trim))
-          .filter(_.nonEmpty)
+        val key = core.drop(1).dropRight(2).flatMap(keyElems)
         Spec(core.headOption.toSeq ++ key, None,
           graft.storage.MergeTreeTable.Collapsing(core.last))
       case "MergeTree" =>
@@ -706,6 +955,7 @@ object ChDdl {
       .replace("`", "").trim
     tables.remove(name).foreach(e => spark.catalog.dropTempView(e.view))
     viewDefs.remove(name)
+    mergeSpecs.remove(name)
   }
 
   /** Cast into a CH-typed column. UInt64 lives in DECIMAL(20,0): a
@@ -722,6 +972,17 @@ object ChDdl {
     case other => c.cast(other)
   }
 
+  /** CH zero-date spellings parse as the epoch (ReadHelpers: day/
+    * second number 0) — Spark's Date parser rejects '0000-00-00'. */
+  private def fixZeroDate(e: String, dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.DateType =>
+        e.replace("'0000-00-00'", "'1970-01-01'")
+      case _: org.apache.spark.sql.types.TimestampType =>
+        e.replace("'0000-00-00 00:00:00'", "'1970-01-01 00:00:00'")
+      case _ => e
+    }
+
   /** CH default value for omitted columns (this version has no NULLs). */
   private def defaultLit(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -735,9 +996,36 @@ object ChDdl {
     }
   }
 
+  /** Field-aware default: an Enum column's default is its smallest
+    * value (DataTypeEnum: entries are value-sorted, front() is the
+    * default). */
+  private def defaultLit(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
+    graft.types.ChEnum.of(f) match {
+      case Some(d) if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        org.apache.spark.sql.functions.lit(d.defaultValue).cast(f.dataType)
+      case _ => defaultLit(f.dataType)
+    }
+
+  /** Per-element default for Nested lockstep fill (NestedUtils: an
+    * omitted Nested sibling materializes as a default-valued array of
+    * the SAME length as the inserted members — corpus 00392). */
+  private def elemDefaultLit(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val et = f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    graft.types.ChEnum.of(f) match {
+      case Some(d) => lit(d.defaultValue).cast(et)
+      case None => et match {
+        case org.apache.spark.sql.types.StringType => lit("")
+        case other => lit(0).cast(other)
+      }
+    }
+  }
+
   private def insert(spark: SparkSession, stmt: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val m = "(?is)^INSERT\\s+INTO\\s+([\\w.`]+)\\s*(?:\\(([\\w\\s,`]*)\\))?\\s*(.*)$".r
+    // the column list admits dotted names — flattened Nested leaves
+    // (`INSERT INTO t (x, n.e) VALUES …`, corpus 00392)
+    val m = "(?is)^INSERT\\s+INTO\\s+([\\w.`]+)\\s*(?:\\(([\\w\\s,.`]*)\\))?\\s*(.*)$".r
     stmt match {
       case m(rawName, colListOrNull, rest) =>
         val name = rawName.replace("`", "")
@@ -758,10 +1046,11 @@ object ChDdl {
             Formats.parseValues(spark, body, target)
           } else {
             // INSERT INTO t SELECT …: align by position, cast to schema
-            val sel = ChSql(spark, rewriteRefs(rest))
+            val sel = ChSql(spark, rewriteAll(spark, rest))
             sel.toDF(target.fieldNames.toIndexedSeq: _*)
               .select(target.fields.map(f =>
-                qcol(f.name).cast(ChTypes.deepNullable(f.dataType)).as(f.name)).toIndexedSeq: _*)
+                graft.types.ChEnum.encodeCol(qcol(f.name), f)
+                  .cast(ChTypes.deepNullable(f.dataType)).as(f.name)).toIndexedSeq: _*)
           }
         // omitted columns take their declared DEFAULT expression
         // (evaluated over the incoming row) or the type's default
@@ -772,11 +1061,36 @@ object ChDdl {
             case Some(e) =>
               ChSql.registerChFunctions(spark)
               df.withColumn(f.name,
-                castCh(org.apache.spark.sql.functions.expr(e), f.dataType))
-            case None => df.withColumn(f.name, defaultLit(f.dataType))
+                castCh(org.apache.spark.sql.functions.expr(
+                  fixZeroDate(e, f.dataType)), f.dataType))
+            case None =>
+              // an omitted Nested sibling fills lockstep with the
+              // inserted member arrays' offsets (corpus 00392)
+              val sibling =
+                if (!f.name.contains('.')) None
+                else {
+                  val prefix = f.name.takeWhile(_ != '.') + "."
+                  target.fieldNames.find(n => n != f.name && n.startsWith(prefix))
+                }
+              (sibling, f.dataType) match {
+                case (Some(sib), _: org.apache.spark.sql.types.ArrayType) =>
+                  df.withColumn(f.name, org.apache.spark.sql.functions.transform(
+                    qcol(sib), _ => elemDefaultLit(f)))
+                case _ => df.withColumn(f.name, defaultLit(f))
+              }
           }
         }.select(entry.df.schema.fieldNames.map(qcol).toIndexedSeq: _*)
-        entry.df = entry.df.unionByName(incoming)
+        // MergeTree engines write each insert as a part STABLY sorted
+        // by the primary key (MergeTreeDataWriter stableSortBlock) —
+        // groupArray/anyLast observe that order (corpus 00386). The
+        // dialect catalog holds corpus-scale batches, so one-partition
+        // TimSort (stable) is exact; the path-backed engine sorts in
+        // MergeTreeTable.write instead.
+        val sorted =
+          if (entry.spec.sortKey.isEmpty) incoming
+          else incoming.coalesce(1)
+            .sortWithinPartitions(entry.spec.sortKey.map(qcol).toIndexedSeq: _*)
+        entry.df = entry.df.unionByName(sorted)
         entry.df.createOrReplaceTempView(entry.view)
       case _ => throw new IllegalArgumentException(s"unsupported INSERT: $stmt")
     }
@@ -859,10 +1173,35 @@ object ChDdl {
             entry.df = entry.df.filter(
               year(col(dateCol)) * 100 + month(col(dateCol)) =!= yyyymm)
           } else if (up.startsWith("MODIFY COLUMN")) {
-            val field = ChTypes.schema(
-              a.replaceAll("(?i)^MODIFY\\s+COLUMN\\s+", "").trim).fields.head
-            // withColumn keeps the column's position
-            entry.df = entry.df.withColumn(field.name, col(field.name).cast(field.dataType))
+            val cd = ChTypes.columnDefs(
+              a.replaceAll("(?i)^MODIFY\\s+COLUMN\\s+", "").trim).head
+            val field = cd.field
+            val oldF = entry.df.schema(field.name)
+            // Enum conversions follow the reference's ALTER semantics
+            // (DataTypeEnum castColumn): ↔String converts through
+            // NAMES; ↔numeric (and enum→enum redefinition) keeps the
+            // stored VALUES.
+            def stringy(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+              case org.apache.spark.sql.types.StringType => true
+              case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, _) => true
+              case _ => false
+            }
+            import graft.types.ChEnum
+            val converted = (ChEnum.of(oldF), ChEnum.of(field)) match {
+              case (_, Some(_)) if stringy(oldF.dataType) =>
+                ChEnum.encodeCol(qcol(field.name), field)
+              case (Some(_), None) if stringy(field.dataType) =>
+                ChEnum.decodeCol(qcol(field.name), oldF)
+              case _ => qcol(field.name)
+            }
+            val castTo = converted.cast(ChTypes.deepNullable(field.dataType))
+            // select (not withColumn) so the new enum metadata lands
+            // on the field; position is preserved
+            entry.df = entry.df.select(entry.df.columns.map { n =>
+              if (n == field.name) castTo.as(field.name, field.metadata) else qcol(n)
+            }.toIndexedSeq: _*)
+            entry.colTypes += (field.name -> cd.typeText)
           } else throw new IllegalArgumentException(s"unsupported ALTER action: $a")
         }
         entry.df.createOrReplaceTempView(entry.view)
@@ -910,6 +1249,7 @@ object ChDdl {
     tables.values.foreach(e => spark.catalog.dropTempView(e.view))
     tables.clear()
     viewDefs.clear()
+    mergeSpecs.clear()
     currentDb = None
   }
 }

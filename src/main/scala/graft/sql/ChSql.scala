@@ -53,6 +53,115 @@ object ChSql {
   // structural translation
   // ------------------------------------------------------------------
 
+  /** Blank quoted text and every depth>0 character, keeping offsets —
+    * for top-level clause detection. */
+  private[sql] def maskTop(s: String): String = {
+    val out = s.toCharArray
+    var depth = 0
+    var inQ = false
+    var esc = false
+    s.indices.foreach { i =>
+      val c = s(i)
+      if (inQ) {
+        out(i) = ' '
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inQ = false
+      } else c match {
+        case '\'' => inQ = true; out(i) = ' '
+        case '(' => depth += 1; out(i) = ' '
+        case ')' => depth -= 1; out(i) = ' '
+        case _ => if (depth > 0) out(i) = ' '
+      }
+    }
+    new String(out)
+  }
+
+  /** Blank quoted text and `(SELECT …)` subquery bodies only — plain
+    * paren groups (arithmetic, function args) stay visible. */
+  private def maskSubqueries(s: String): String = {
+    val out = s.toCharArray
+    var inQ = false
+    var esc = false
+    var i = 0
+    // depth counts only open subquery parens
+    var subDepth = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) {
+        out(i) = ' '
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inQ = false
+      } else if (c == '\'') { inQ = true; out(i) = ' ' }
+      else if (c == '(') {
+        if (subDepth > 0) { subDepth += 1; out(i) = ' ' }
+        else {
+          val ahead = s.substring(i + 1).dropWhile(_.isWhitespace)
+          if (ahead.length >= 6 && ahead.substring(0, 6).equalsIgnoreCase("SELECT")) {
+            subDepth = 1
+            out(i) = ' '
+          }
+        }
+      } else if (c == ')') {
+        if (subDepth > 0) { subDepth -= 1; out(i) = ' ' }
+      } else if (subDepth > 0) out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Top-level SELECT-list items of a CH statement (raw text, split
+    * on depth-0 commas) with their output names — alias when an
+    * `AS x` is present, the expression text otherwise (the
+    * reference's ASTFunction::getColumnName). Empty when the
+    * statement isn't a plain SELECT. */
+  private[sql] def selectItems(q0: String): Seq[(String, String)] = {
+    val q = q0.trim.stripSuffix(";").trim
+    if (!q.take(6).equalsIgnoreCase("SELECT")) return Seq.empty
+    val top = maskTop(q)
+    val end = ("(?i)\\b(FROM|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|ARRAY|" +
+      "UNION|SETTINGS|FORMAT|WITH)\\b").r
+      .findFirstMatchIn(top).map(_.start).getOrElse(q.length)
+    var body = q.substring(6, end).trim
+    if (body.toUpperCase.startsWith("DISTINCT "))
+      body = body.substring("DISTINCT ".length)
+    splitTopLevel(body).map { item =>
+      val it = item.trim
+      "(?i)\\sAS\\s+`?([\\w.]+)`?\\s*$".r.findFirstMatchIn(maskTop(it)) match {
+        case Some(m) => (m.group(1), it.substring(0, m.start).trim)
+        case None => (it, it)
+      }
+    }
+  }
+
+  private val keylessAggRe =
+    ("(?i)\\b(count|sum|avg|min|max|anyLast|anyHeavy|any|uniq\\w*|groupArray|" +
+      "groupUniqArray|argMin|argMax|median\\w*|quantile\\w*|varSamp|varPop|" +
+      "stddevSamp|stddevPop|covarSamp|covarPop|corr|topK|sequenceMatch|" +
+      "sequenceCount|sumMap)(If|Array|ArrayIf|ForEach|State|Merge)?\\s*\\(").r
+
+  /** Keyless aggregates group by a constant so an EMPTY input yields
+    * an EMPTY result, like the reference's Aggregator (top-level
+    * SELECTs only; subqueries keep Spark semantics — a scalar
+    * subquery's empty aggregate is never observed row-wise). */
+  private[sql] def injectEmptyAggGroup(q: String): String = {
+    if (!q.take(6).equalsIgnoreCase("SELECT")) return q
+    val top = maskTop(q)
+    if ("(?i)GROUP\\s+BY|WITH\\s+TOTALS|\\bUNION\\b".r.findFirstIn(top).isDefined)
+      return q
+    val end = "(?i)\\b(FROM|WHERE|PREWHERE|HAVING|ORDER|LIMIT|ARRAY)\\b".r
+      .findFirstMatchIn(top).map(_.start).getOrElse(q.length)
+    if (keylessAggRe.findFirstIn(maskSubqueries(q.substring(6, end))).isEmpty)
+      return q
+    "(?i)\\b(HAVING|ORDER|LIMIT)\\b".r.findFirstMatchIn(top)
+      .filter(_.start >= end) match {
+      case Some(m) =>
+        q.substring(0, m.start) + "GROUP BY '__all' " + q.substring(m.start)
+      case None => q + " GROUP BY '__all'"
+    }
+  }
+
   def translate(ch: String): String = {
     var q = stripComments(ch).trim.stripSuffix(";").trim
     // FORMAT <name> at the end is presentation, not semantics
@@ -60,6 +169,14 @@ object ChSql {
     // SETTINGS k=v[, …] is an execution hint
     q = q.replaceAll("(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*\\S+(\\s*,\\s*\\w+\\s*=\\s*\\S+)*", "")
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    // keyless aggregation over EMPTY input yields an EMPTY result in
+    // the reference (Aggregator::convertToBlocks: `if (data_variants
+    // .empty()) return blocks` — no stream ever reached the
+    // aggregator), while Spark's global aggregate always emits one
+    // row. Grouping by a constant reproduces the reference exactly:
+    // same single row when input is non-empty, zero rows when empty
+    // (corpus 00017).
+    q = injectEmptyAggGroup(q)
     // backtick-quoted / whitespace-padded system refs normalize first
     q = q.replaceAll("(?i)`system`\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
     q = q.replaceAll("(?i)\\bsystem\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
@@ -89,13 +206,25 @@ object ChSql {
     q = mapOutsideQuotes(q)(seg =>
       seg.replaceAll("(?i)\\b(IN\\s*\\(\\s*SELECT)\\s+\\(", "$1 tuple("))
     // CH `x IN f(...)` — scalar RHS is a one-element set; SQL needs
-    // parens (tuple(...) excluded: that's already a list). Runs on
-    // the full text (not quote segments) — the call's parens must
-    // stay together even when its arguments are string literals.
-    q = ("(?i)\\b(IN\\s+)(?!tuple\\b)([A-Za-z_][A-Za-z0-9_]*\\(" +
-      "(?:[^()]|\\([^()]*\\))*\\))").r.replaceAllIn(q,
-      m => java.util.regex.Matcher.quoteReplacement(
-        m.group(1) + "(" + m.group(2) + ")"))
+    // parens (tuple(...) excluded: that's already a list). Matches
+    // are found on the quote MASK (so literal data like 'a IN
+    // concat(b)' never rewrites) but the replacement spans the
+    // original text — the call's parens stay together even when its
+    // arguments are string literals.
+    locally {
+      val inCallRe = ("(?i)\\b(IN\\s+)(?!tuple\\b)([A-Za-z_][A-Za-z0-9_]*\\(" +
+        "(?:[^()]|\\([^()]*\\))*\\))").r
+      val qm = maskQuotes(q)
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      inCallRe.findAllMatchIn(qm).foreach { m =>
+        sb.append(q, last, m.start(2)).append("(")
+          .append(q, m.start(2), m.end(2)).append(")")
+        last = m.end(2)
+      }
+      sb.append(q, last, q.length)
+      q = sb.toString
+    }
     // round/ceil/floor/coalesce resolve to the CH-semantics builders
     // (registered under ch-prefixed names so the shared session
     // registry keeps Spark's own built-ins intact for the engine)
@@ -129,6 +258,9 @@ object ChSql {
     // to the scan anyway. `PREWHERE p WHERE q` (both clauses, valid
     // CH) merges to `WHERE (p) AND (q)`.
     q = mergePrewhere(q)
+    // duplicate output names in FROM/JOIN subqueries collapse to the
+    // first occurrence (corpus 00217/00225/00370)
+    q = dedupSubqueryColumns(q)
     // CH allows aliasing ANY expression in place (`lower('x' AS s)`);
     // inline the constant-alias form Spark can't parse
     q = inlineLiteralAliases(q)
@@ -162,10 +294,24 @@ object ChSql {
       "sequence_match($1, ")
     q = q.replaceAll("(?i)\\bsequenceCount\\s*\\(\\s*('[^']*')\\s*\\)\\s*\\(",
       "sequence_count($1, ")
+    // finalizeAggregation over an explicit -State call: the state IS
+    // the partial value in this model (see stateMergeFns), so
+    // finalizing fooState(args) is foo(args) and fooMergeState(s) is
+    // fooMerge(s); a bare state COLUMN keeps the identity builder
+    // (FunctionsMiscellaneous finalizeAggregation; corpus 00208/00271)
+    q = mapOutsideQuotes(q)(seg => seg
+      .replaceAll("(?i)\\b(finalizeAggregation\\s*\\(\\s*)([A-Za-z_]\\w*?)MergeState\\s*\\(", "$1$2Merge(")
+      .replaceAll("(?i)\\b(finalizeAggregation\\s*\\(\\s*)([A-Za-z_]\\w*?)State\\s*\\(", "$1$2("))
     // generic parameterized-aggregate syntax fn(params)(args) →
     // fn(args, params) — the quantile/topK/groupArray families
     // (AggregateFunctionFactory parameter dispatch)
     q = flattenParamCalls(q)
+    // CAST(x AS Enum8/16('a' = 1, …)) → the storage-width integer
+    // cast (DataTypeEnum storage; the entry list lives in table
+    // metadata, a bare cast only changes the numeric channel). Runs
+    // on raw text because the entry list contains quotes.
+    q = q.replaceAll("(?i)\\bAS\\s+Enum8\\s*\\(([^()]*)\\)", "AS TINYINT")
+    q = q.replaceAll("(?i)\\bAS\\s+Enum16\\s*\\(([^()]*)\\)", "AS SMALLINT")
     // CAST type surface: Nullable(T) unwraps (Spark columns are
     // nullable); CH scalar type names map to Spark spellings in the
     // `AS type` seat (exact case — aliases are never CH-cased names)
@@ -879,6 +1025,102 @@ object ChSql {
 
   /** Apply `f` to the parts of `sql` OUTSIDE single-quoted string
     * literals — structural rewrites must never touch data values. */
+  /** Duplicate output names inside FROM/JOIN subqueries collapse to
+    * the FIRST occurrence — the reference interprets a subquery as a
+    * table, whose NamesAndTypes are unique, and later same-name items
+    * (`SELECT 1 AS x, 2 AS y, x, y`, `2 AS b, 2 AS b`) resolve to the
+    * first (corpus 00217/00225/00370). The TOP-level list keeps its
+    * duplicates (they print twice), and IN-subqueries keep full arity
+    * (a tuple matches positionally), so only FROM/JOIN seats rewrite.
+    */
+  private[sql] def dedupSubqueryColumns(q: String): String = {
+    val clauseRe = ("(?i)\\b(FROM|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|" +
+      "ARRAY|UNION|SETTINGS|FORMAT|WITH)\\b").r
+    def itemName(it: String): String =
+      "(?i)\\sAS\\s+`?([\\w.]+)`?\\s*$".r.findFirstMatchIn(maskTop(it)) match {
+        case Some(m) => m.group(1)
+        case None => it.trim
+      }
+    def dedupeOwnList(sel0: String): String = {
+      val sel = sel0.trim
+      if (!sel.take(6).equalsIgnoreCase("SELECT")) return sel0
+      val top = maskTop(sel)
+      val end = clauseRe.findFirstMatchIn(top).map(_.start).getOrElse(sel.length)
+      var body = sel.substring(6, end)
+      val lead = new StringBuilder("SELECT")
+      val bodyTrim = body.trim
+      if (bodyTrim.toUpperCase.startsWith("DISTINCT ")) {
+        lead.append(" DISTINCT")
+        body = bodyTrim.substring("DISTINCT ".length)
+      }
+      val items = splitTopLevel(body)
+      val seen = scala.collection.mutable.HashSet[String]()
+      val kept = items.filter(it => seen.add(itemName(it)))
+      if (kept.length == items.length) sel0
+      else lead.append(" ").append(kept.mkString(", ")).append(" ")
+        .append(sel.substring(end)).toString
+    }
+    def recurse(text: String, dedupeTop: Boolean): String = {
+      val masked = maskQuotes(text)
+      val subRe = "(?i)\\b(FROM|JOIN)\\s*\\(".r
+      // rebuild right-to-left so earlier offsets stay valid
+      val spans = subRe.findAllMatchIn(masked).flatMap { m =>
+        val kw = m.group(1).toUpperCase
+        val before = masked.substring(0, m.start).reverse.dropWhile(_.isWhitespace)
+        val isArrayJoin = kw == "JOIN" &&
+          before.take(5).reverse.equalsIgnoreCase("ARRAY")
+        val open = m.end - 1
+        val ahead = masked.substring(open + 1).dropWhile(_.isWhitespace)
+        if (isArrayJoin || !ahead.take(6).equalsIgnoreCase("SELECT")) None
+        else {
+          var depth = 0
+          var close = -1
+          var i = open
+          while (close < 0 && i < masked.length) {
+            masked(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (close < 0) None else Some((open, close))
+        }
+      }.toSeq
+      // nested spans are handled by the recursion on their enclosing
+      // span — only top-level spans rewrite here (offsets stay valid
+      // replacing right-to-left over disjoint spans)
+      val topSpans = spans.filterNot { case (o, c) =>
+        spans.exists { case (o2, c2) => o2 < o && c <= c2 } }
+      var out = text
+      topSpans.sortBy(-_._1).foreach { case (open, close) =>
+        val inner = out.substring(open + 1, close)
+        out = out.substring(0, open + 1) + recurse(inner, dedupeTop = true) +
+          out.substring(close)
+      }
+      if (dedupeTop) dedupeOwnList(out) else out
+    }
+    recurse(q, dedupeTop = false)
+  }
+
+  /** Blank quoted text only — parens stay visible and offsets are
+    * kept, so regex matches on the mask index into the original. */
+  private[sql] def maskQuotes(s: String): String = {
+    val out = s.toCharArray
+    var inQ = false
+    var esc = false
+    s.indices.foreach { i =>
+      val c = s(i)
+      if (inQ) {
+        out(i) = ' '
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inQ = false
+      } else if (c == '\'') { inQ = true; out(i) = ' ' }
+    }
+    new String(out)
+  }
+
   private[sql] def mapOutsideQuotes(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
@@ -2081,6 +2323,10 @@ object ChSql {
       // single-threaded inserts so max_by over a monotonic id matches
       "anyLastIf" -> viaColumn { case Seq(x, c) => last(when(c, x), true) },
       "anyIf" -> viaColumn { case Seq(x, c) => first(when(c, x), true) },
+      // CH any/anyLast take ANY type (first/last in data order);
+      // Spark's built-in `any` is bool_or, so the dialect rebinds
+      "any" -> viaColumn { case Seq(x) => first(x) },
+      "anyLast" -> viaColumn { case Seq(x) => last(x) },
       // -State spellings: the partial-aggregate VALUE is the state in
       // the Spark model (sum's state is the sum, uniq's the distinct
       // set) — finalizeAggregation is then the identity and -Merge a
@@ -2163,8 +2409,12 @@ object ChSql {
     val lo = floor(h).cast("int")
     val loV = element_at(s, lo + 1).cast("double")
     val hiV = element_at(s, least(lo + 1, n - 1) + 1).cast("double")
+    // the reference's exact expression shape (ReservoirSampler
+    // quantileInterpolated: left*(right−index) + right*(index−left)) —
+    // algebraically equal to lerp but NOT bit-equal in IEEE doubles,
+    // and the corpus diffs full-precision float text
     when(n === 0, lit(Double.NaN))
-      .otherwise(loV + (h - lo.cast("double")) * (hiV - loV))
+      .otherwise(loV * ((lo + 1).cast("double") - h) + hiV * (h - lo.cast("double")))
   }
 
   private val arrayReduceFns: Seq[(String, Seq[Expression] => Expression)] = {
@@ -2314,9 +2564,90 @@ object ChSql {
         graft.functions.QuantilesDeterministic(x, d, levels.map(evalD)) })
   }
 
+  // ---- generic -State / -Merge / -MergeState dispatch ------------
+  // (AggregateFunctionFactory.cpp:163-279 combinator registration).
+  // A state in the Spark model is the partial-aggregate VALUE:
+  // distributive aggregates carry the value itself, the uniq family
+  // the distinct set, groupArray the collected list, avg its
+  // (sum, count) pair (AggregateFunctionAvg state layout), quantile
+  // reservoirs the collected values. Every spelling below is
+  // generated from one per-base model, so -State inserts compose with
+  // AggregatingMergeTree storage (ChTypes AggregateFunction parsing
+  // uses the same layouts) and -Merge is an ordinary re-aggregate —
+  // at scale both are plain partial→final hash aggregates.
+  private val stateMergeFns: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // value-state families: state == partial value; Merge re-applies
+    // the combining aggregate over stored values
+    val valueFamilies: Seq[(String, Column => Column, Column => Column)] = Seq(
+      ("sum", (x: Column) => sum(x), (s: Column) => sum(s)),
+      ("min", (x: Column) => min(x), (s: Column) => min(s)),
+      ("max", (x: Column) => max(x), (s: Column) => max(s)),
+      ("any", (x: Column) => first(x, ignoreNulls = true),
+        (s: Column) => first(s, ignoreNulls = true)),
+      ("anyLast", (x: Column) => last(x, ignoreNulls = true),
+        (s: Column) => last(s, ignoreNulls = true)))
+    val valueEntries = valueFamilies.flatMap { case (base, st, comb) =>
+      Seq(
+        base + "State" -> viaColumn { case Seq(x) => st(x) },
+        base + "IfState" -> viaColumn { case Seq(x, c) => st(when(c, x)) },
+        base + "Merge" -> viaColumn { case Seq(s) => comb(s) },
+        base + "IfMerge" -> viaColumn { case Seq(s) => comb(s) },
+        base + "MergeState" -> viaColumn { case Seq(s) => comb(s) })
+    }
+    val countEntries = Seq(
+      "countMerge" -> viaColumn { case Seq(s) => sum(s).cast("long") },
+      "countMergeState" -> viaColumn { case Seq(s) => sum(s).cast("long") },
+      "countIfState" -> viaColumn { case Seq(c) =>
+        count(when(c, lit(1))) },
+      "countIfMerge" -> viaColumn { case Seq(s) => sum(s).cast("long") })
+    val avgEntries = Seq(
+      "avgState" -> viaColumn { case Seq(x) =>
+        struct(sum(x).as("s"), count(x).as("c")) },
+      "avgIfState" -> viaColumn { case Seq(x, c) =>
+        struct(sum(when(c, x)).as("s"), count(when(c, x)).as("c")) },
+      "avgMerge" -> viaColumn { case Seq(s) =>
+        sum(s.getField("s")).cast("double") / sum(s.getField("c")).cast("double") },
+      "avgIfMerge" -> viaColumn { case Seq(s) =>
+        sum(s.getField("s")).cast("double") / sum(s.getField("c")).cast("double") },
+      "avgMergeState" -> viaColumn { case Seq(s) =>
+        struct(sum(s.getField("s")).as("s"), sum(s.getField("c")).as("c")) })
+    // quantile reservoir: state = collected values (below the 8192
+    // sample threshold the reference reservoir holds everything, the
+    // corpus regime); Merge = interpolated quantile over the union.
+    // Trailing foldable args are the flattened level parameters.
+    def listState: Seq[Expression] => Expression =
+      { case x +: _ => viaColumn { case Seq(xc) => collect_list(xc) }(Seq(x)) }
+    val quantEntries: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "quantileState" -> listState,
+      "quantilesState" -> listState,
+      "medianState" -> listState,
+      "quantileMerge" -> { case s +: rest =>
+        val l = rest.headOption.map(evalD).getOrElse(0.5)
+        viaColumn { case Seq(sc) =>
+          arrQuantileCol(flatten(collect_list(sc)), l) }(Seq(s)) },
+      "quantilesMerge" -> { case s +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+        viaColumn { case Seq(sc) =>
+          val flat = flatten(collect_list(sc))
+          array(levels.map(l => arrQuantileCol(flat, evalD(l))): _*) }(Seq(s)) },
+      "medianMerge" -> { case Seq(s) =>
+        viaColumn { case Seq(sc) =>
+          arrQuantileCol(flatten(collect_list(sc)), 0.5) }(Seq(s)) },
+      "quantileMergeState" -> { case s +: _ =>
+        viaColumn { case Seq(sc) => flatten(collect_list(sc)) }(Seq(s)) },
+      "quantilesMergeState" -> { case s +: _ =>
+        viaColumn { case Seq(sc) => flatten(collect_list(sc)) }(Seq(s)) },
+      "groupArrayMergeState" -> viaColumn { case Seq(s) =>
+        flatten(collect_list(s)) },
+      "groupUniqArrayMergeState" -> viaColumn { case Seq(s) =>
+        distinctSetMerge(s) })
+    valueEntries ++ countEntries ++ avgEntries ++ quantEntries
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] =
     baseFns ++ emptyArrayFns ++ ifCombinatorFns ++ combinatorFns ++
-      quantileFns ++ arrayReduceFns
+      quantileFns ++ arrayReduceFns ++ stateMergeFns
 
   def registerChFunctions(spark: SparkSession): Unit = {
     graft.GraftFunctions.register(spark)

@@ -31,11 +31,17 @@ object CorpusTriage {
 
   def main(args: Array[String]): Unit = {
     val filter = args.headOption.getOrElse("")
+    // bounded, sweepable shuffle workspace (a full sweep once left
+    // 55 GB of orphaned blockmgr dirs in /tmp)
+    val localDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-spark-local")
+    localDir.mkdirs()
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", localDir.getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

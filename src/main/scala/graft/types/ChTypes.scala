@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   */
 object ChTypes {
 
-  final case class Parsed(dataType: DataType, nullable: Boolean)
+  /** `enumDef` carries the Enum8/16 name↔value map when the type (or
+    * its array element, for Array(EnumN)/Nested leaves) is an enum —
+    * callers attach it to the StructField as [[ChEnum]] metadata. */
+  final case class Parsed(dataType: DataType, nullable: Boolean,
+      enumDef: Option[ChEnum.Def] = None)
 
   private val scalars: Map[String, DataType] = Map(
     "UInt8" -> IntegerType, "UInt16" -> IntegerType,
@@ -34,7 +38,8 @@ object ChTypes {
         parse(inner(t, "Nullable")).copy(nullable = true)
       case None if t.startsWith("Array(") && t.endsWith(")") =>
         val e = parse(inner(t, "Array"))
-        Parsed(ArrayType(e.dataType, containsNull = e.nullable), nullable = false)
+        Parsed(ArrayType(e.dataType, containsNull = e.nullable),
+          nullable = false, enumDef = e.enumDef)
       case None if t.startsWith("Tuple(") && t.endsWith(")") =>
         val fields = splitTop(inner(t, "Tuple")).zipWithIndex.map { case (f, i) =>
           val p = parse(f)
@@ -52,19 +57,49 @@ object ChTypes {
       case None if t.startsWith("FixedString(") =>
         Parsed(StringType, nullable = false) // length enforced on write
       case None if t.startsWith("Enum8(") || t.startsWith("Enum16(") =>
-        Parsed(StringType, nullable = false) // name-valued; dictionary on write
+        // stored numerically (the reference's Int8/Int16 layout);
+        // the name map travels as field metadata (DataTypeEnum.cpp)
+        val bits = if (t.startsWith("Enum8(")) 8 else 16
+        val d = ChEnum.parseDef(bits, inner(t, s"Enum$bits"))
+        Parsed(d.storageType, nullable = false, enumDef = Some(d))
       case None if t.startsWith("AggregateFunction(") =>
-        // set-state aggregates store the exact distinct/collected
-        // value array (uniqExactState layout, composable with the
-        // dialect's uniqState/uniqMerge builders); other states stay
+        // the state layout mirrors the dialect's -State builders
+        // (ChSql stateMergeFns): set/list states store the value
+        // array (uniqExactState layout), value states (sum/min/max/
+        // any) store the partial value itself, avg stores its
+        // (sum, count) pair (AggregateFunctionAvg state), quantile
+        // reservoirs store the collected values; anything else stays
         // opaque serialized bytes
         val parts = splitTop(inner(t, "AggregateFunction"))
-        val agg = parts.head.trim.toLowerCase
-        if (Set("uniq", "uniqexact", "uniqhll12", "uniqcombined",
-          "grouparray", "groupuniqarray").contains(agg) && parts.length == 2) {
-          val e = parse(parts(1))
-          Parsed(ArrayType(e.dataType, containsNull = e.nullable), nullable = false)
-        } else Parsed(BinaryType, nullable = false)
+        val aggFull = parts.head.trim
+        val agg = aggFull.takeWhile(_ != '(').trim.toLowerCase
+        def arg = parse(parts(1))
+        def widened(dt: DataType): DataType = dt match {
+          case _: FloatType | _: DoubleType => DoubleType
+          case _ => LongType
+        }
+        agg match {
+          case "uniq" | "uniqexact" | "uniqhll12" | "uniqcombined" |
+               "grouparray" | "groupuniqarray" if parts.length == 2 =>
+            Parsed(ArrayType(arg.dataType, containsNull = arg.nullable), nullable = false)
+          case q if (q.startsWith("quantile") || q.startsWith("median")) &&
+              parts.length == 2 =>
+            Parsed(ArrayType(arg.dataType, containsNull = arg.nullable), nullable = false)
+          case "sum" if parts.length == 2 =>
+            Parsed(widened(arg.dataType), nullable = false)
+          case "min" | "max" | "any" | "anylast" if parts.length == 2 =>
+            Parsed(arg.dataType, nullable = true)
+          case "anyif" | "anylastif" | "minif" | "maxif" if parts.length == 3 =>
+            Parsed(arg.dataType, nullable = true)
+          case "sumif" if parts.length == 3 =>
+            Parsed(widened(arg.dataType), nullable = true)
+          case "count" => Parsed(LongType, nullable = false)
+          case "avg" if parts.length == 2 =>
+            Parsed(StructType(Seq(
+              StructField("s", widened(arg.dataType), nullable = true),
+              StructField("c", LongType, nullable = false))), nullable = false)
+          case _ => Parsed(BinaryType, nullable = false)
+        }
       case None =>
         throw new IllegalArgumentException(s"unsupported ClickHouse type: $ch")
     }
@@ -73,45 +108,70 @@ object ChTypes {
   /** Parse a full `name Type, name Type` column list into a schema. */
   def schema(columns: String): StructType = schemaWithDefaults(columns)._1
 
+  /** One declared column after parsing: the Spark field (with enum
+    * metadata attached when the type is an EnumN), the CH type text it
+    * renders as (DESCRIBE surface), and the default clause if any. */
+  final case class ColDef(field: StructField, typeText: String,
+      defaultKind: Option[String], defaultExpr: Option[String])
+
   /** Column list where defs may carry `DEFAULT expr` / `MATERIALIZED
     * expr` / `ALIAS expr` (ColumnsDescription; the expression is
     * returned as text for the INSERT pipeline to evaluate). */
   def schemaWithDefaults(columns: String): (StructType, Seq[(String, String)]) = {
-    val defaults = Seq.newBuilder[(String, String)]
-    val fields = splitTop(columns).flatMap { c =>
-      val sp = c.trim.split("\\s+", 2)
-      require(sp.length == 2, s"column needs 'name Type': $c")
-      val (typeText, defaultExpr) =
-        "(?is)^(.*?)\\s*\\b(DEFAULT|MATERIALIZED|ALIAS)\\s+(.+)$".r
-          .findFirstMatchIn(sp(1)) match {
-          case Some(m) => (m.group(1).trim, Some(m.group(3).trim))
-          case None => (sp(1).trim, None)
-        }
-      // `k default 0` (no declared type) infers the type from the
-      // default literal, the reference's implicit-type column rule
-      // (ColumnsDescription: type of evaluated default expression)
-      val typeText2 =
-        if (typeText.nonEmpty) typeText
-        else inferTypeFromDefault(defaultExpr.getOrElse(
-          throw new IllegalArgumentException(s"column needs a type or DEFAULT: $c")))
-      defaultExpr.foreach(e => defaults += (sp(0) -> e))
-      if (typeText2.startsWith("Nested(")) {
-        // the reference stores Nested(a T, b U) as flattened parallel
-        // arrays `name.a Array(T)`, `name.b Array(U)` sharing offsets
-        // (DataTypeNested / NestedUtils.h flatten)
-        splitTop(inner(typeText2, "Nested")).map { f =>
-          val fs = f.trim.split("\\s+", 2)
-          require(fs.length == 2, s"Nested field needs 'name Type': $f")
-          val p = parse(fs(1))
-          StructField(s"${sp(0)}.${fs(0)}",
-            ArrayType(p.dataType, containsNull = p.nullable), nullable = false)
-        }
-      } else {
-        val p = parse(typeText2)
-        Seq(StructField(sp(0), p.dataType, p.nullable))
-      }
+    val defs = columnDefs(columns)
+    (StructType(defs.map(_.field)),
+      defs.flatMap(d => d.defaultExpr.map(e => d.field.name -> e)))
+  }
+
+  private def withEnumMeta(f: StructField, e: Option[ChEnum.Def]): StructField =
+    e.fold(f)(d => f.copy(metadata = ChEnum.tag(f.metadata, d)))
+
+  /** CH type text a parsed column renders as — enum defs print their
+    * (value-sorted) entry list, everything else round-trips the
+    * declared text via the inverse scalar map. */
+  private def renderTypeText(declared: String, p: Parsed): String =
+    p.enumDef match {
+      case Some(d) if !p.dataType.isInstanceOf[ArrayType] => d.typeName
+      case Some(d) => s"Array(${d.typeName})"
+      case None => declared
     }
-    (StructType(fields), defaults.result())
+
+  /** Full parse of a declared column list (DESCRIBE-grade detail). */
+  def columnDefs(columns: String): Seq[ColDef] = splitTop(columns).flatMap { c =>
+    val sp = c.trim.split("\\s+", 2)
+    require(sp.length == 2, s"column needs 'name Type': $c")
+    val (typeText, defaultKind, defaultExpr) =
+      "(?is)^(.*?)\\s*\\b(DEFAULT|MATERIALIZED|ALIAS)\\s+(.+)$".r
+        .findFirstMatchIn(sp(1)) match {
+        case Some(m) =>
+          (m.group(1).trim, Some(m.group(2).toUpperCase), Some(m.group(3).trim))
+        case None => (sp(1).trim, None, None)
+      }
+    // `k default 0` (no declared type) infers the type from the
+    // default literal, the reference's implicit-type column rule
+    // (ColumnsDescription: type of evaluated default expression)
+    val typeText2 =
+      if (typeText.nonEmpty) typeText
+      else inferTypeFromDefault(defaultExpr.getOrElse(
+        throw new IllegalArgumentException(s"column needs a type or DEFAULT: $c")))
+    if (typeText2.startsWith("Nested(")) {
+      // the reference stores Nested(a T, b U) as flattened parallel
+      // arrays `name.a Array(T)`, `name.b Array(U)` sharing offsets
+      // (DataTypeNested / NestedUtils.h flatten)
+      splitTop(inner(typeText2, "Nested")).map { f =>
+        val fs = f.trim.split("\\s+", 2)
+        require(fs.length == 2, s"Nested field needs 'name Type': $f")
+        val p = parse(fs(1))
+        val field = withEnumMeta(StructField(s"${sp(0)}.${fs(0)}",
+          ArrayType(p.dataType, containsNull = p.nullable), nullable = false),
+          p.enumDef)
+        ColDef(field, s"Array(${renderTypeText(fs(1).trim, p)})", None, None)
+      }
+    } else {
+      val p = parse(typeText2)
+      Seq(ColDef(withEnumMeta(StructField(sp(0), p.dataType, p.nullable), p.enumDef),
+        renderTypeText(typeText2, p), defaultKind, defaultExpr))
+    }
   }
 
   /** Deep-nullable variant of a type (DataType.asNullable is
@@ -124,6 +184,16 @@ object ChTypes {
     case StructType(fs) => StructType(fs.map(f =>
       f.copy(dataType = deepNullable(f.dataType), nullable = true)))
     case other => other
+  }
+
+  /** Field-level inverse map: enum-tagged fields surface their
+    * Enum8/16 entry list, everything else falls to the type map. */
+  def toChName(f: StructField): String = ChEnum.of(f) match {
+    case Some(d) => f.dataType match {
+      case _: ArrayType => s"Array(${d.typeName})"
+      case _ => d.typeName
+    }
+    case None => toChName(f.dataType, f.nullable)
   }
 
   /** Spark type → the ClickHouse name we'd surface (inverse map). */

@@ -40,15 +40,26 @@ class ChTypesSpec extends AnyFunSuite {
         StructField("name", StringType, false))), false))
   }
 
-  test("FixedString / Enum / AggregateFunction degrade as documented") {
+  test("FixedString / Enum / AggregateFunction layouts") {
     assert(ChTypes.parse("FixedString(16)").dataType === StringType)
-    assert(ChTypes.parse("Enum8('a' = 1, 'b' = 2)").dataType === StringType)
+    // Enum8/16 store the numeric value; the name map rides on metadata
+    val e = ChTypes.parse("Enum8('a' = 1, 'b' = 2)")
+    assert(e.dataType === ByteType)
+    assert(e.enumDef.exists(_.typeName === "Enum8('a' = 1, 'b' = 2)"))
     // set-state aggregates store the exact distinct-value array
     assert(ChTypes.parse("AggregateFunction(uniq, UInt64)").dataType ===
       ArrayType(DecimalType(20, 0), containsNull = false))
-    // other states stay opaque serialized bytes
-    assert(ChTypes.parse("AggregateFunction(quantileTiming, UInt64)").dataType ===
-      BinaryType)
+    // quantile reservoirs store the collected values
+    assert(ChTypes.parse("AggregateFunction(quantiles(0.5, 0.9), UInt64)").dataType ===
+      ArrayType(DecimalType(20, 0), containsNull = false))
+    // avg stores its (sum, count) pair
+    assert(ChTypes.parse("AggregateFunction(avg, UInt64)").dataType ===
+      StructType(Seq(StructField("s", LongType), StructField("c", LongType, nullable = false))))
+    // value states store the partial value itself
+    assert(ChTypes.parse("AggregateFunction(sum, UInt32)").dataType === LongType)
+    assert(ChTypes.parse("AggregateFunction(anyIf, String, UInt8)").dataType === StringType)
+    // anything else stays opaque serialized bytes
+    assert(ChTypes.parse("AggregateFunction(topK(5), String)").dataType === BinaryType)
   }
 
   test("full column-list schema") {

@@ -12,6 +12,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  /** Shuffle/spill files go to a bounded workspace that old runs'
+    * leftovers can be swept from (a prior full-corpus sweep once
+    * filled /tmp with 55 GB of orphaned blockmgr dirs and failed
+    * unrelated tests with ENOSPC). Cleaned eagerly at session build. */
+  private val localDir = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), "graft-spark-local")
+    if (d.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      Option(d.listFiles()).foreach(_.foreach(rm))
+    }
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -19,6 +36,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
