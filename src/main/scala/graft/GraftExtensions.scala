@@ -179,7 +179,10 @@ object GraftFunctions {
       }
 
   private val kernelFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq("inthash32", "inthash64", "halfmd5", "urlhash",
+    // urlhash lives in ChSql.fns only — its dialect builder adds the
+    // URLHash(url, level) hierarchy variant on top of the kernel, and
+    // a second registration here would fight it for the name
+    Seq("inthash32", "inthash64", "halfmd5",
       "siphash128",
       "unhex_ch", "bitmask_to_array", "bitmask_to_list",
       "extract_url_parameter_names", "url_path_hierarchy",
@@ -241,9 +244,15 @@ object GraftFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     base ++ kernelFns ++ neighbourhoodFns ++ reinterpretFns ++ regionFns
 
-  /** Idempotent registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent registration into an existing session — skip names
+    * already registered by us (a blind re-register logs a "replaced a
+    * previously registered function" warning per name per call). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     descriptors.foreach { case (ident, inf, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+      if (!reg.lookupFunction(ident)
+          .exists(_.getClassName == classOf[GraftExtensions].getName))
+        reg.registerFunction(ident, inf, builder)
     }
+  }
 }

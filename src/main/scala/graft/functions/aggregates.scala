@@ -242,8 +242,15 @@ object QuantileTiming {
   private val BigThreshold = 30000L
   private val BigPrecision = 16L
   /** Medium→large promotion point: sizeof(QuantileTimingLarge) /
-    * sizeof(UInt16) / 2 (mediumIsWorthToConvertToLarge). */
+    * sizeof(UInt16) / 2 (mediumIsWorthToConvertToLarge). The medium
+    * vector holds exactly this many elements before the NEXT insert
+    * converts, so counts ≤ MediumMax still eval under the raw
+    * floor-index rule. */
   private val MediumMax = 5672L
+
+  /** TINY_MAX_ELEMS — the weighted variant never uses medium
+    * (QuantileTiming::insertWeighted: tinyToLarge past this). */
+  private val TinyMax = 31L
 
   /** Insert-side clamp (tiny/medium insert: x > BIG_THRESHOLD → 30000;
     * negative timings index slot 0). Raw values are KEPT until the
@@ -281,14 +288,22 @@ object QuantileTiming {
     i * BigPrecision + SmallThreshold +
       (HashFns.intHash32Salted(i, 0L) % BigPrecision - BigPrecision / 2)
 
-  def evalLevel(buf: java.util.HashMap[Long, Long], level: Double): Any = {
+  /** Shared eval for the timing sketches. `weighted = true` follows
+    * the reference's weighted state machine — tiny (raw floor rule)
+    * only while total weight ≤ TINY_MAX_ELEMS, then straight to the
+    * large histogram ("for the weighted variant we do not use
+    * `medium`", AggregateFunctionQuantileTiming.h:611) — while the
+    * unweighted path keeps raw values through the medium regime
+    * (count ≤ 5672). */
+  def evalLevel(buf: java.util.HashMap[Long, Long], level: Double, weighted: Boolean = false): Any = {
     if (buf.isEmpty) return null
     var total = 0L
     buf.values().forEach(c => total += c)
     val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
     var acc = 0L
     var i = 0
-    if (total < MediumMax) {
+    val rawMax = if (weighted) TinyMax else MediumMax
+    if (total <= rawMax) {
       // tiny/medium: exact sorted-element indexing, n = floor(level·count)
       // (QuantileTimingTiny/Medium::get; level==1 → last element)
       val n = if (level < 1) (level * total).toLong else total - 1

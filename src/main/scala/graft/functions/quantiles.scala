@@ -177,11 +177,14 @@ case class QuantilesExactWeighted(
     copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
 }
 
-/** `quantileTimingWeighted(level)(ms, w)` — the timing histogram
-  * sketch with per-row weights (reference:
-  * AggregateFunctionsQuantileTiming.h weighted variant): identical
-  * bucketing to [[QuantileTiming]] (exact <1024 ms, 16 ms bins to
-  * 30 s, clamped above) but each row adds `w` to its bucket.
+/** `quantileTimingWeighted(level)(ms, w)` — the timing sketch with
+  * per-row weights (reference: AggregateFunctionsQuantileTiming.h
+  * `insertWeighted`). Raw clamped values are kept while total weight
+  * ≤ TINY_MAX_ELEMS (tiny regime, floor-index rule); past that the
+  * state is the large histogram — exact <1024 ms, 16 ms bins to
+  * 30 s with the intHash32 jitter, clamped above — under the
+  * ceil(level × Σw) rule. The weighted variant never uses the
+  * medium regime (`tinyToLarge` at AggregateFunctionQuantileTiming.h:611).
   */
 case class QuantileTimingWeighted(
     valueExpr: Expression,
@@ -201,12 +204,6 @@ case class QuantileTimingWeighted(
   override def children: Seq[Expression] = valueExpr :: weightExpr :: Nil
   override def prettyName: String = "quantile_timing_weighted"
 
-  private def bucket(v: Long): Long =
-    if (v < 0) 0L
-    else if (v < 1024) v
-    else if (v >= 30000) 30000L
-    else 1024L + ((v - 1024L) / 16L) * 16L
-
   override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
     new java.util.HashMap[Long, Long]()
 
@@ -216,7 +213,7 @@ case class QuantileTimingWeighted(
     // zero-weight slots never materialize: the reference histogram's
     // iterator visits nonzero counters only (corpus 00275)
     if (v != null && w != null && w.asInstanceOf[Long] != 0L)
-      buf.merge(bucket(v.asInstanceOf[Long]), w.asInstanceOf[Long], (a, b) => a + b)
+      QuantileTiming.insert(buf, v.asInstanceOf[Long], w.asInstanceOf[Long])
     buf
   }
 
@@ -230,7 +227,7 @@ case class QuantileTimingWeighted(
     var total = 0L
     buf.values().forEach(c => total += c)
     if (total == 0L) return Float.NaN
-    QuantileTiming.evalLevel(buf, level) match {
+    QuantileTiming.evalLevel(buf, level, weighted = true) match {
       case l: Long => l.toFloat
       case _ => Float.NaN
     }
@@ -285,8 +282,7 @@ case class QuantilesTimingWeighted(
     val v = valueExpr.eval(input)
     val w = weightExpr.eval(input)
     if (v != null && w != null && w.asInstanceOf[Long] != 0L)
-      buf.merge(QuantileTiming.bucket(v.asInstanceOf[Long]),
-        w.asInstanceOf[Long], (a, b) => a + b)
+      QuantileTiming.insert(buf, v.asInstanceOf[Long], w.asInstanceOf[Long])
     buf
   }
 
@@ -302,7 +298,7 @@ case class QuantilesTimingWeighted(
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       levels.map(l =>
         if (total == 0L) Float.NaN
-        else QuantileTiming.evalLevel(buf, l) match {
+        else QuantileTiming.evalLevel(buf, l, weighted = true) match {
           case v: Long => v.toFloat
           case _ => Float.NaN
         }).toArray[Any])

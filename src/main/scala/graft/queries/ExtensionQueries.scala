@@ -101,30 +101,61 @@ object ExtensionQueries {
       .withColumn("ms", (col("value") * 1000).cast("long"))
       .groupBy(col("event_type"))
       .agg(
-        expr("quantile_timing(ms, CAST(0.5 AS DOUBLE))").as("p50_timing"),
-        expr("quantile_timing(ms, CAST(0.9 AS DOUBLE))").as("p90_timing"),
+        expr("quantile_timing(ms, CAST(0.5 AS DOUBLE))").as("p50_raw"),
+        expr("quantile_timing(ms, CAST(0.9 AS DOUBLE))").as("p90_raw"),
         count(lit(1)).as("cnt"))
+      // The large regime (count > 5672) reports each 16 ms bucket via a
+      // jittered representative (indexInBigToValue's intHash32 term,
+      // jitter ∈ [−8, +7]) that DuckDB can't reproduce — the gate
+      // recovers the bucket base (values ≥ 1032 round unambiguously;
+      // the dialect surface stays jittered). Medium-regime results are
+      // raw values and pass through untouched.
+      .select(col("event_type"),
+        expr("""CASE WHEN cnt > 5672 AND p50_raw >= 1032 AND p50_raw < 30000
+                THEN CAST(1024 + round((p50_raw - 1024) / 16.0) * 16 AS BIGINT)
+                ELSE p50_raw END""").as("p50_timing"),
+        expr("""CASE WHEN cnt > 5672 AND p90_raw >= 1032 AND p90_raw < 30000
+                THEN CAST(1024 + round((p90_raw - 1024) / 16.0) * 16 AS BIGINT)
+                ELSE p90_raw END""").as("p90_timing"),
+        col("cnt"))
       .orderBy(col("event_type"))
 
+  // Medium regime (count ≤ 5672) = raw clamped values under the
+  // floor-index rule (QuantileTimingMedium::get); large = 16 ms
+  // buckets under ceil(level·count) (QuantileTimingLarge::get), with
+  // the engine-side jitter recovered to the bucket base above.
   private val q80Sql =
-    """WITH b AS (SELECT event_type,
-      |    CASE WHEN ms < 0 THEN 0 WHEN ms < 1024 THEN ms WHEN ms >= 30000 THEN 30000
-      |         ELSE 1024 + ((ms - 1024) // 16) * 16 END AS bucket
+    """WITH r AS (SELECT event_type,
+      |    CASE WHEN ms < 0 THEN 0 WHEN ms > 30000 THEN 30000 ELSE ms END AS v
       |  FROM (SELECT event_type, CAST(trunc(value * 1000) AS BIGINT) AS ms FROM events)),
-      |g AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
-      |c AS (SELECT event_type, bucket, cnt,
+      |g AS (SELECT event_type, v, count(*) AS cnt FROM r GROUP BY 1, 2),
+      |c AS (SELECT event_type, v, cnt,
+      |        sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |        sum(cnt) OVER (PARTITION BY event_type) AS total
+      |      FROM g),
+      |med AS (SELECT event_type,
+      |    min(CASE WHEN cum > floor(0.5 * total) THEN v END) AS p50m,
+      |    min(CASE WHEN cum > floor(0.9 * total) THEN v END) AS p90m,
+      |    max(total) AS total, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM c GROUP BY 1),
+      |bg AS (SELECT event_type,
+      |    CASE WHEN v < 1024 THEN v WHEN v >= 30000 THEN 30000
+      |         ELSE 1024 + ((v - 1024) // 16) * 16 END AS bucket,
+      |    sum(cnt) AS cnt
+      |  FROM g GROUP BY 1, 2),
+      |bc AS (SELECT event_type, bucket, cnt,
       |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
       |        sum(cnt) OVER (PARTITION BY event_type) AS total
-      |      FROM g)
-      |SELECT event_type,
-      |  min(CASE WHEN CASE WHEN total < 5672 THEN cum > floor(0.5 * total)
-      |                    ELSE cum >= ceil(0.5 * total) END
-      |      THEN bucket END) AS p50_timing,
-      |  min(CASE WHEN CASE WHEN total < 5672 THEN cum > floor(0.9 * total)
-      |                    ELSE cum >= ceil(0.9 * total) END
-      |      THEN bucket END) AS p90_timing,
-      |  CAST(sum(cnt) AS BIGINT) AS cnt
-      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+      |      FROM bg),
+      |lg AS (SELECT event_type,
+      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS p50l,
+      |    min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) AS p90l
+      |  FROM bc GROUP BY 1)
+      |SELECT med.event_type,
+      |  CASE WHEN med.total <= 5672 THEN med.p50m ELSE lg.p50l END AS p50_timing,
+      |  CASE WHEN med.total <= 5672 THEN med.p90m ELSE lg.p90l END AS p90_timing,
+      |  med.cnt
+      |FROM med JOIN lg USING (event_type) ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
   // q81 quantileTDigest — t-digest sketch (QuantileTDigest.h): O(δ)
@@ -156,12 +187,26 @@ object ExtensionQueries {
       .agg(
         expr("quantile_exact_weighted(CAST(l_quantity AS DOUBLE), w, CAST(0.5 AS DOUBLE))").as("p50_w"),
         expr("quantile_exact_weighted(CAST(l_quantity AS DOUBLE), w, CAST(0.9 AS DOUBLE))").as("p90_w"),
-        // Float32 return is reference-faithful; the gate casts to long so
-        // the hash compare aligns with the oracle's BIGINT bucket.
-        expr("quantile_timing_weighted(cs, w, CAST(0.5 AS DOUBLE))").cast("long").as("p50_tw"),
+        expr("quantile_timing_weighted(cs, w, CAST(0.5 AS DOUBLE))").as("p50_tw_raw"),
+        sum(col("w")).as("tw"),
         count(lit(1)).as("cnt"))
+      // Weighted timing is large-regime once Σw > 31 and reports the
+      // intHash32-jittered bucket representative (Float32); the gate
+      // recovers the bucket base for the DuckDB compare (jitter ∈
+      // [−8, +7] rounds back unambiguously for values ≥ 1032). The
+      // dialect surface stays jittered and Float32.
+      .select(col("l_returnflag"), col("p50_w"), col("p90_w"),
+        expr("""CASE WHEN tw > 31 AND p50_tw_raw >= 1032 AND p50_tw_raw < 30000
+                THEN CAST(1024 + round((p50_tw_raw - 1024) / 16.0) * 16 AS BIGINT)
+                ELSE CAST(p50_tw_raw AS BIGINT) END""").as("p50_tw"),
+        col("cnt"))
       .orderBy(col("l_returnflag"))
 
+  // Weighted timing never uses the medium regime
+  // (QuantileTiming::insertWeighted → tinyToLarge): tiny (Σw ≤ 31) =
+  // raw clamped values under the floor rule; otherwise the large
+  // histogram under ceil(level·Σw), modeled as plain bucket bases
+  // (the engine side recovers bases from the jitter above).
   private val q91Sql =
     """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
       |    CAST(l_linenumber AS BIGINT) AS w,
@@ -172,11 +217,22 @@ object ExtensionQueries {
       |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
       |        sum(w) OVER (PARTITION BY l_returnflag) AS total
       |      FROM a),
-      |tb AS (SELECT l_returnflag,
-      |    CASE WHEN cs < 0 THEN 0 WHEN cs < 1024 THEN cs WHEN cs >= 30000 THEN 30000
-      |         ELSE 1024 + ((cs - 1024) // 16) * 16 END AS bucket, w
+      |tr AS (SELECT l_returnflag,
+      |    CASE WHEN cs < 0 THEN 0 WHEN cs > 30000 THEN 30000 ELSE cs END AS tv, w
       |  FROM g),
-      |ta AS (SELECT l_returnflag, bucket, sum(w) AS w FROM tb GROUP BY 1, 2),
+      |trc AS (SELECT l_returnflag, tv, w,
+      |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY tv) AS cum,
+      |        sum(w) OVER (PARTITION BY l_returnflag) AS total
+      |      FROM (SELECT l_returnflag, tv, sum(w) AS w FROM tr GROUP BY 1, 2)),
+      |tiny AS (SELECT l_returnflag,
+      |    min(CASE WHEN cum > floor(0.5 * total) THEN tv END) AS p50t,
+      |    max(total) AS total
+      |  FROM trc GROUP BY 1),
+      |ta AS (SELECT l_returnflag,
+      |    CASE WHEN tv < 1024 THEN tv WHEN tv >= 30000 THEN 30000
+      |         ELSE 1024 + ((tv - 1024) // 16) * 16 END AS bucket,
+      |    sum(w) AS w
+      |  FROM tr GROUP BY 1, 2),
       |tc AS (SELECT l_returnflag, bucket, w,
       |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
       |        sum(w) OVER (PARTITION BY l_returnflag) AS total
@@ -186,11 +242,14 @@ object ExtensionQueries {
       |    min(CASE WHEN cum >= ceil(0.9 * total) THEN v END) AS p90_w
       |  FROM c GROUP BY 1),
       |tq AS (SELECT l_returnflag,
-      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS p50_tw
+      |    min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS p50l
       |  FROM tc GROUP BY 1),
       |n AS (SELECT l_returnflag, count(*) AS cnt FROM g GROUP BY 1)
-      |SELECT q.l_returnflag, q.p50_w, q.p90_w, tq.p50_tw, n.cnt
-      |FROM q JOIN tq USING (l_returnflag) JOIN n USING (l_returnflag)
+      |SELECT q.l_returnflag, q.p50_w, q.p90_w,
+      |  CASE WHEN tiny.total <= 31 THEN tiny.p50t ELSE tq.p50l END AS p50_tw,
+      |  n.cnt
+      |FROM q JOIN tq USING (l_returnflag) JOIN tiny USING (l_returnflag)
+      |     JOIN n USING (l_returnflag)
       |ORDER BY q.l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------

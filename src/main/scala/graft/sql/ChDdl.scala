@@ -48,10 +48,27 @@ object ChDdl {
   /** `SET join_use_nulls = 1` state: with 0 (the reference default)
     * non-joined columns render as type defaults, not NULL. */
   @volatile private var joinUseNulls: Boolean = false
+  // WITH TOTALS pipeline settings (TotalsHavingBlockInputStream):
+  // totals_mode picks which group rows feed the totals row; with
+  // max_rows_to_group_by + group_by_overflow_mode='any' the rows of
+  // dropped keys fold into an "overflow row" that before_having /
+  // after_having_inclusive (and auto, by ratio) include.
+  @volatile private var totalsMode: String = "before_having"
+  @volatile private var totalsAutoThreshold: Double = 0.5
+  @volatile private var maxRowsToGroupBy: Long = 0L
+  @volatile private var maxBlockSize: Long = 65536L
+  @volatile private var groupByOverflowMode: String = "throw"
 
   /** Per-test-file settings reset (the reference runner starts a new
     * client per file, so SET never leaks across files). */
-  def resetSettings(): Unit = { joinUseNulls = false }
+  def resetSettings(): Unit = {
+    joinUseNulls = false
+    totalsMode = "before_having"
+    totalsAutoThreshold = 0.5
+    maxRowsToGroupBy = 0L
+    maxBlockSize = 65536L
+    groupByOverflowMode = "throw"
+  }
 
   /** hasColumnInTable support: does `db.table` declare `col` (flattened
     * Nested leaves count, the Nested prefix itself does not). */
@@ -77,6 +94,16 @@ object ChDdl {
     if (up.startsWith("SET ")) {
       "(?i)join_use_nulls\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
         .foreach(m => joinUseNulls = m.group(1) != "0")
+      "(?i)totals_mode\\s*=\\s*'?(\\w+)'?".r.findFirstMatchIn(stmt)
+        .foreach(m => totalsMode = m.group(1).toLowerCase)
+      "(?i)totals_auto_threshold\\s*=\\s*([\\d.]+)".r.findFirstMatchIn(stmt)
+        .foreach(m => totalsAutoThreshold = m.group(1).toDouble)
+      "(?i)max_rows_to_group_by\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => maxRowsToGroupBy = m.group(1).toLong)
+      "(?i)max_block_size\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => maxBlockSize = m.group(1).toLong)
+      "(?i)group_by_overflow_mode\\s*=\\s*'?(\\w+)'?".r.findFirstMatchIn(stmt)
+        .foreach(m => groupByOverflowMode = m.group(1).toLowerCase)
       None
     }
     else if (stmt.isEmpty || up.startsWith("CREATE DATABASE")) None
@@ -1059,10 +1086,12 @@ object ChDdl {
           if (target.fieldNames.contains(f.name)) df
           else defaultsMap.get(f.name) match {
             case Some(e) =>
-              ChSql.registerChFunctions(spark)
-              df.withColumn(f.name,
-                castCh(org.apache.spark.sql.functions.expr(
-                  fixZeroDate(e, f.dataType)), f.dataType))
+              // DEFAULT expressions are dialect text (may use if/hex/…)
+              ChSql.withDialectFunctions(spark) {
+                df.withColumn(f.name,
+                  castCh(org.apache.spark.sql.functions.expr(
+                    fixZeroDate(e, f.dataType)), f.dataType))
+              }
             case None =>
               // an omitted Nested sibling fills lockstep with the
               // inserted member arrays' offsets (corpus 00392)
@@ -1125,14 +1154,17 @@ object ChDdl {
             if (!entry.df.columns.contains(field.name)) {
               val value = addDefs.find(_._1 == field.name).map(_._2) match {
                 case Some(e) =>
-                  ChSql.registerChFunctions(spark)
                   castCh(org.apache.spark.sql.functions.expr(e), field.dataType)
                 case None => defaultLit(field.dataType)
               }
               // later inserts evaluate the same DEFAULT (corpus 00363)
               entry.defaults = entry.defaults ++
                 addDefs.filter(_._1 == field.name)
-              val withCol = entry.df.withColumn(field.name, value)
+              // withColumn analyzes eagerly — resolve the dialect-text
+              // DEFAULT (may use if/hex/…) inside the scoped registry
+              val withCol = ChSql.withDialectFunctions(spark) {
+                entry.df.withColumn(field.name, value)
+              }
               val cols = entry.df.columns.toSeq
               val ordered = after match {
                 case Some(af) =>

@@ -30,7 +30,6 @@ import org.apache.spark.sql.types._
 object ChSql {
 
   def apply(spark: SparkSession, chQuery: String): DataFrame = {
-    registerChFunctions(spark)
     // CH has no positional GROUP BY/ORDER BY: integers are constants
     spark.conf.set("spark.sql.groupByOrdinal", "false")
     spark.conf.set("spark.sql.orderByOrdinal", "false")
@@ -38,15 +37,19 @@ object ChSql {
     // pre-ANSI semantics (the engine's own query registry builds
     // ANSI-safe plans; the dialect needs the reference's behavior)
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    val df = spark.sql(translate(chQuery))
-    // CH float division is IEEE (1/0 = inf, 0/0 = nan); Spark's
-    // Divide nulls a zero divisor. Swap analyzed double divides.
-    val fixed = df.queryExecution.analyzed.transformAllExpressions {
-      case d: org.apache.spark.sql.catalyst.expressions.Divide
-          if d.dataType == DoubleType =>
-        graft.functions.ChFloatDivide(d.left, d.right)
+    // spark.sql + Bridge.ofRows both analyze eagerly, so the dialect
+    // builders that shadow Spark built-ins live only inside this block
+    withDialectFunctions(spark) {
+      val df = spark.sql(translate(chQuery))
+      // CH float division is IEEE (1/0 = inf, 0/0 = nan); Spark's
+      // Divide nulls a zero divisor. Swap analyzed double divides.
+      val fixed = df.queryExecution.analyzed.transformAllExpressions {
+        case d: org.apache.spark.sql.catalyst.expressions.Divide
+            if d.dataType == DoubleType =>
+          graft.functions.ChFloatDivide(d.left, d.right)
+      }
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, fixed)
     }
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, fixed)
   }
 
   // ------------------------------------------------------------------
@@ -2645,17 +2648,67 @@ object ChSql {
     valueEntries ++ countEntries ++ avgEntries ++ quantEntries
   }
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] =
-    baseFns ++ emptyArrayFns ++ ifCombinatorFns ++ combinatorFns ++
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = {
+    val all = baseFns ++ emptyArrayFns ++ ifCombinatorFns ++ combinatorFns ++
       quantileFns ++ arrayReduceFns ++ stateMergeFns
+    // A few names appear in more than one sub-list (e.g. bitTest):
+    // registration order made the LAST one win; keep that contract
+    // explicitly now that registration is idempotent. The registry
+    // lowercases names, so dedupe case-insensitively.
+    val byName = scala.collection.mutable.LinkedHashMap[String, (String, Seq[Expression] => Expression)]()
+    all.foreach { case e @ (n, _) => byName(n.toLowerCase(java.util.Locale.ROOT)) = e }
+    byName.values.toSeq
+  }
 
+  /** Dialect names that shadow a Spark built-in (sum, if, transform,
+    * hex, …). These are NEVER left in the session registry: they are
+    * installed only inside [[withDialectFunctions]] and restored
+    * afterwards, so engine DataFrame/SQL queries in the same session
+    * keep resolving Spark natives. */
+  private lazy val (collidingFns, safeFns) =
+    fns.partition { case (name, _) =>
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .functionExists(FunctionIdentifier(name.toLowerCase(java.util.Locale.ROOT)))
+    }
+
+  /** Register the CH-named functions whose names don't collide with
+    * Spark built-ins. Idempotent per session (re-registration would
+    * spam "replaced a previously registered function" warnings). */
   def registerChFunctions(spark: SparkSession): Unit = {
     graft.GraftFunctions.register(spark)
-    fns.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo(getClass.getName, name),
-        builder)
+    val reg = spark.sessionState.functionRegistry
+    safeFns.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.lookupFunction(id).exists(_.getClassName == getClass.getName))
+        reg.registerFunction(id, new ExpressionInfo(getClass.getName, name), builder)
+    }
+  }
+
+  /** Run `body` (which must analyze its plans eagerly — spark.sql and
+    * Dataset construction both do) with the full dialect function
+    * surface installed, then put back whatever the session registry
+    * held for the colliding names. Re-entrant: a nested call restores
+    * to the outer call's view, the outer call restores the Spark
+    * built-ins. */
+  def withDialectFunctions[T](spark: SparkSession)(body: => T): T = {
+    registerChFunctions(spark)
+    val reg = spark.sessionState.functionRegistry
+    val saved = collidingFns.map { case (name, _) =>
+      val id = FunctionIdentifier(name)
+      (id, reg.lookupFunction(id), reg.lookupFunctionBuilder(id))
+    }
+    collidingFns.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      reg.dropFunction(id) // drop first: replace-in-place logs a warning
+      reg.registerFunction(id, new ExpressionInfo(getClass.getName, name), builder)
+    }
+    try body
+    finally saved.foreach { case (id, info, builder) =>
+      reg.dropFunction(id)
+      (info, builder) match {
+        case (Some(i), Some(b)) => reg.registerFunction(id, i, b)
+        case _ => ()
+      }
     }
   }
 }

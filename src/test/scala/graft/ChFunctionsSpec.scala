@@ -82,4 +82,20 @@ class ChFunctionsSpec extends SparkSpec {
       .select(length(ch.bar(col("x"), 0, 10, 10)).as("r"))
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 5, 10))
   }
+
+  test("dialect registry shadowing is contained to dialect execution") {
+    import graft.sql.ChSql
+    // inside a dialect query, colliding names resolve CH semantics
+    // (hex of an integer = zero-padded byte pairs)
+    val inside = ChSql(spark, "SELECT hex(257) AS h").collect()(0).getString(0)
+    assert(inside === "0101")
+    // afterwards the same session resolves Spark natives again
+    val after = spark.sql("SELECT hex(257) AS h").collect()(0).getString(0)
+    assert(after === "101")
+    // and a shadowed aggregate's registry entry is not ours
+    val info = spark.sessionState.functionRegistry
+      .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier("sum")).get
+    assert(!info.getClassName.startsWith("graft"),
+      s"sum left shadowed by ${info.getClassName}")
+  }
 }

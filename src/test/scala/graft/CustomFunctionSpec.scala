@@ -70,13 +70,18 @@ class CustomFunctionSpec extends SparkSpec {
       vals.toDF("v").repartition(4)
         .agg(expr(s"quantile_timing(v, CAST($level AS DOUBLE)) AS q"))
         .collect()(0).getLong(0)
-    // medium regime (count below the medium→large threshold): the
+    // medium regime (count ≤ 5672): raw values kept, the
     // n = floor(level·count) sorted index, as QuantileTimingMedium
     assert(qt(1L to 100L, 0.5) === 51L)           // sorted[50] of 1..100
     assert(qt(1L to 100L, 0.9) === 91L)
-    assert(qt(Seq(2005L), 0.5) === 2000L)          // 16ms bin lower bound
+    assert(qt(Seq(2005L), 0.5) === 2005L)          // tiny/medium keep raw values
     assert(qt(Seq(50000L, 60000L), 0.5) === 30000L) // clamp
     assert(qt(Seq(-5L, -1L, 3L), 0.5) === 0L)      // negatives count as 0
+    // large regime (count > 5672): 16 ms bucket reported via the
+    // jittered representative — indexInBigToValue(61) = 1024 + 61·16
+    // + (intHash32(61) % 16 − 8) = 2000 + 6 (AggregateFunction-
+    // QuantileTiming.h:261-265)
+    assert(qt(Seq.fill(6000)(2005L), 0.5) === 2006L)
   }
 
   test("quantile_tdigest: within 1% rank error of exact quantiles") {
@@ -107,12 +112,26 @@ class CustomFunctionSpec extends SparkSpec {
 
   test("quantile_timing_weighted: weight multiplies bucket counts") {
     GraftFunctions.register(spark)
-    // {10×1, 20×9}: p50 threshold=5 falls in the 20 bucket
+    // {10×1, 20×9}: Σw = 10 ≤ 31 → tiny regime, sorted[floor(0.5·10)] = 20
     val df = Seq((10L, 1L), (20L, 9L)).toDF("ms", "w").repartition(2)
     val r = df.agg(expr("quantile_timing_weighted(ms, w, CAST(0.5 AS DOUBLE)) AS p50"))
       .collect()(0)
     // Float32 result like the reference's getFloat
     assert(r.getFloat(0) === 20f)
+    // tiny keeps raw values: {2005×10} → 2005, not the bucket base
+    val tiny = Seq((2005L, 10L)).toDF("ms", "w")
+      .agg(expr("quantile_timing_weighted(ms, w, CAST(0.5 AS DOUBLE)) AS p50"))
+      .collect()(0)
+    assert(tiny.getFloat(0) === 2005f)
+    // Σw > 31 goes STRAIGHT to the large histogram — the weighted
+    // variant never uses medium (QuantileTiming::insertWeighted →
+    // tinyToLarge, AggregateFunctionQuantileTiming.h:611) — so the
+    // same value under weight 40 reports bucket 61's jittered
+    // representative 2000 + 6
+    val large = Seq((2005L, 40L)).toDF("ms", "w")
+      .agg(expr("quantile_timing_weighted(ms, w, CAST(0.5 AS DOUBLE)) AS p50"))
+      .collect()(0)
+    assert(large.getFloat(0) === 2006f)
   }
 
   test("quantile_deterministic: exact below reservoir capacity, stable and sane above") {
