@@ -27,10 +27,23 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-name per-query timings go to a file: the driver's stdout
+    // capture keeps only the last 2000 chars, which truncates a
+    // 94-query line mid-JSON. The stdout line uses the short qNN ids
+    // (unique prefixes of the full names) + 3-decimal seconds so it
+    // fits the window and parses.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detail = new java.io.File("bench_full.json").getAbsolutePath
+    val w = new java.io.PrintWriter(detail, "UTF-8")
+    try w.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""")
+    finally w.close()
+    val shortQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"$detail"}""")
     spark.stop()
   }
 }
