@@ -21,13 +21,18 @@ object Bench {
     // noop sink: forces full evaluation of every output column
     // (count() would let Catalyst prune unused projections and
     // under-measure map-heavy queries).
+    // A failed query records -1, NOT its (milliseconds-fast) time-to-throw:
+    // phantom 0.07s "timings" for broken queries deflated the r6 total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Full-name per-query timings go to a file: the driver's stdout
     // capture keeps only the last 2000 chars, which truncates a
     // 94-query line mid-JSON. The stdout line uses the short qNN ids
@@ -37,13 +42,14 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = new java.io.File("bench_full.json").getAbsolutePath
     val w = new java.io.PrintWriter(detail, "UTF-8")
+    val errArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     try w.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errArr,"sf":"$sfDir"}""")
     finally w.close()
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"$detail"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"errors":${failed.size},"sf":"$sfDir","detail":"$detail"}""")
     spark.stop()
   }
 }

@@ -19,19 +19,29 @@ object Tables {
 
   /** Read one table from an sf directory.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as a long (legacy nanosAsLong) and rebuild the
-    * timestamp at µs precision (the data is µs-granular, so lossless).
+    * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations (which Spark's reader rejects without the legacy
+    * nanosAsLong conf) and plain timestamp[us] in others. Keep the conf
+    * set so a nanos fixture loads as Long, then branch on the type the
+    * reader actually produced — rebuild from nanos when Long, cast to
+    * the session TimestampType otherwise — so both generations yield an
+    * identical µs-granular TimestampType column.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer division: `/` would promote to double, whose 256 ns ulp
-      // at 2024-epoch magnitudes shifts ~2% of timestamps by 1 µs
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        // integer division: `/` would promote to double, whose 256 ns ulp
+        // at 2024-epoch magnitudes shifts ~2% of timestamps by 1 µs
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => // TimestampNTZType: wall-clock fields are what the engine's
+        // DateTime semantics read, so reinterpret in the session zone (UTC)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    } else df
   }
 
   /** Register every table as a temp view (the `Database` analog). */

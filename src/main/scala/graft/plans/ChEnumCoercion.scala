@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BinaryComparison, CaseWhen, Cast, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BinaryComparison, CaseWhen, Cast, Concat, EqualTo, Expression, FormatString, In, Literal, RaiseError}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -63,12 +63,20 @@ object ChEnumCoercion extends Rule[LogicalPlan] {
     }
   }
 
-  /** value → name decode as a CASE chain (small maps; codegen'd). */
+  /** value → name decode as a CASE chain (small maps; codegen'd).
+    * An out-of-map value THROWS like the reference's serializer
+    * (DataTypeEnum::serializeText "Unexpected value ... in enum"),
+    * not a silent NULL. */
   private def decode(a: AttributeReference, d: ChEnum.Def): Expression =
     CaseWhen(d.values.zip(d.names).map { case (v, n) =>
       (EqualTo(a, valueLit(d, a.dataType, n)).asInstanceOf[Expression],
         Literal(n).asInstanceOf[Expression])
-    }, None)
+    }, Some(Cast(new RaiseError(
+      // format_string renders the numeral: ANY Cast-to-string here
+      // would re-match this very rule's decode case (enumSide peels
+      // casts) and loop the analyzer
+      FormatString(Literal(s"unexpected value in Enum${d.bits}: %s"), a)),
+      StringType)))
 
   private def enumChildOf(fn: Expression): Option[(AttributeReference, ChEnum.Def)] =
     fn match {

@@ -99,7 +99,12 @@ object Formats {
       case b: Boolean => if (b) "1" else "0"
       case s: String => jsonStr(s)
       case d: java.sql.Date => jsonStr(d.toString)
-      case t: java.sql.Timestamp => jsonStr(t.toString.stripSuffix(".0"))
+      // DateTime JSON is SECOND-precision ("yyyy-MM-dd HH:mm:ss" —
+      // DataTypeDateTime::serializeTextJSON); Timestamp.toString keeps
+      // fractional digits ("…:00.5") which the reference never emits
+      case t: java.sql.Timestamp => jsonStr(
+        new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+          .format(t))
       case a: scala.collection.Seq[_] =>
         val elemT = if (chType.startsWith("Array(") && chType.endsWith(")"))
           chType.substring(6, chType.length - 1) else chType

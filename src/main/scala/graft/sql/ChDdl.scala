@@ -35,6 +35,13 @@ object ChDdl {
 
   /** Bare names also resolve against the current / default db (the
     * reference's database scoping; corpus 00101). */
+  /** Resolve a possibly-bare table name against USE-db state. */
+  private def resolveName(name: String): String =
+    if (tables.contains(name) || detached.contains(name)) name
+    else currentDb.map(db => s"$db.$name")
+      .filter(n => tables.contains(n) || detached.contains(n))
+      .getOrElse(name)
+
   private def lookupTable(name: String): Entry =
     tables.get(name)
       .orElse(tables.get(s"${currentDb.getOrElse("default")}.$name"))
@@ -139,6 +146,33 @@ object ChDdl {
       }
     }
     else if (up.startsWith("DROP TABLE")) { dropTable(spark, stmt); None }
+    else if (up.startsWith("DETACH TABLE")) {
+      // the entry moves to the stash; ATTACH restores it with its
+      // data — the persistence surface StorageSet/StorageLog keep on
+      // disk (InterpreterDropQuery detach path)
+      val name = resolveName(stmt.replaceAll("(?i)^DETACH\\s+TABLE\\s+", "")
+        .replace("`", "").trim)
+      tables.remove(name).foreach { e =>
+        spark.catalog.dropTempView(e.view)
+        detached.put(name, e)
+      }
+      None
+    }
+    else if (up.startsWith("ATTACH TABLE")) {
+      val name0 = "(?i)^ATTACH\\s+TABLE\\s+([\\w.`]+)".r
+        .findFirstMatchIn(stmt).map(_.group(1).replace("`", ""))
+        .getOrElse(throw new IllegalArgumentException(s"unsupported ATTACH: $stmt"))
+      val name = Seq(name0, currentDb.map(db => s"$db.$name0").getOrElse(name0))
+        .find(detached.contains).getOrElse(name0)
+      detached.remove(name) match {
+        case Some(e) =>
+          tables.put(name, e)
+          e.df.createOrReplaceTempView(e.view)
+        case None => // no stashed state: behaves as CREATE
+          createTable(spark, stmt.replaceAll("(?i)^ATTACH\\s+", "CREATE "))
+      }
+      None
+    }
     else if (up.startsWith("INSERT INTO")) {
       // the reference client ends VALUES data at a newline before the
       // next statement even without ';' (clickhouse-test multiquery);
@@ -216,8 +250,94 @@ object ChDdl {
       // is order-agnostic for exactly this reason); catalog tables
       // carry no part ids, so drop the clause rather than fail
       val noPart = stmt.replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part\\s*$", "")
-      Some(ChSql(spark, rewriteAll(spark, noPart)))
+      joinTotals(spark, noPart).orElse {
+        val rewritten = rewriteAll(spark, noPart)
+        val th = TotalsHaving.Settings(totalsMode, totalsAutoThreshold,
+          maxRowsToGroupBy, maxBlockSize, groupByOverflowMode == "any")
+        if (TotalsHaving.applies(rewritten, th))
+          Some(TotalsHaving.run(spark, rewritten, th))
+        else Some(ChSql(spark, rewritten))
+      }
     }
+  }
+
+  /** `SELECT … FROM (subA) [ANY…] JOIN (subB) USING k` where a
+    * subquery carries WITH TOTALS — Join::joinTotals semantics
+    * (reference dbms/src/Interpreters/Join.cpp): the joined stream's
+    * totals row is the LEFT side's totals columns concatenated with
+    * the RIGHT side's totals non-key columns, a side without totals
+    * contributing default values; the totals rows do NOT equi-join
+    * against main rows (corpus 00150). Returns None when the statement
+    * isn't this shape, falling through to the normal path. */
+  private def joinTotals(spark: SparkSession,
+      stmtRaw: String): Option[DataFrame] = {
+    val q = stmtRaw.trim.stripSuffix(";").trim
+    if (!q.take(6).equalsIgnoreCase("SELECT")) return None
+    if ("(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(q).isEmpty) return None
+    val top = ChSql.maskTop(q)
+    // top-level totals (not in a subquery) is TotalsHaving/GROUPING
+    // SETS territory, not a join side-channel
+    if ("(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(top).isDefined) return None
+    val fromM = "(?i)\\bFROM\\b".r.findFirstMatchIn(top).getOrElse(return None)
+    def parenSpan(from: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i < q.length && q.charAt(i).isWhitespace) i += 1
+      if (i >= q.length || q.charAt(i) != '(') return None
+      var depth = 0; var j = i; var inQ = false
+      while (j < q.length) {
+        val c = q.charAt(j)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') { depth -= 1; if (depth == 0) return Some((i, j)) }
+        j += 1
+      }
+      None
+    }
+    val (ao, ac) = parenSpan(fromM.end).getOrElse(return None)
+    val joinM = "(?i)\\bJOIN\\b".r.findFirstMatchIn(top.substring(ac + 1))
+      .map(m => (m.start + ac + 1, m.end + ac + 1)).getOrElse(return None)
+    val joinWords = q.substring(ac + 1, joinM._1).trim
+    if (!joinWords.matches("(?i)\\s*(ANY|ALL|GLOBAL|LEFT|RIGHT|FULL|INNER|OUTER|\\s)*"))
+      return None
+    val (bo, bc) = parenSpan(joinM._2).getOrElse(return None)
+    val usingM = "(?i)\\bUSING\\b".r.findFirstMatchIn(top.substring(bc + 1))
+      .map(m => (m.start + bc + 1, m.end + bc + 1)).getOrElse(return None)
+    val tailStart = "(?i)\\b(ORDER\\s+BY|LIMIT|FORMAT|SETTINGS)\\b".r
+      .findFirstMatchIn(top.substring(usingM._2))
+      .map(_.start + usingM._2).getOrElse(q.length)
+    val usingKeys = q.substring(usingM._2, tailStart).split(",")
+      .map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+    val tail = q.substring(tailStart)
+    val sel = q.substring(6, fromM.start).trim
+    val subA = q.substring(ao + 1, ac)
+    val subB = q.substring(bo + 1, bc)
+    if ("(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(subA + " " + subB).isEmpty)
+      return None
+
+    import org.apache.spark.sql.functions.{col, lit}
+    def split(df: DataFrame): (DataFrame, Option[DataFrame]) =
+      if (df.columns.contains("__gid"))
+        (df.filter(col("__gid") === 0).drop("__gid"),
+          Some(df.filter(col("__gid") =!= 0).drop("__gid")))
+      else (df, None)
+    val (mainA, totA) = split(execute(spark, subA).get)
+    val (mainB, totB) = split(execute(spark, subB).get)
+    mainA.createOrReplaceTempView("__jt_a")
+    mainB.createOrReplaceTempView("__jt_b")
+    val mainOut = ChSql(spark,
+      s"SELECT $sel FROM __jt_a $joinWords JOIN __jt_b " +
+        s"USING ${usingKeys.mkString(", ")} $tail")
+    if (totA.isEmpty && totB.isEmpty) return Some(mainOut)
+    def nullRow(fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+      spark.sql("SELECT " + fields.map(f =>
+        s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", "))
+    val aRow = totA.map(_.limit(1)).getOrElse(nullRow(mainA.schema.fields.toSeq))
+    val bRow = totB.map(_.limit(1).drop(usingKeys: _*)).getOrElse(
+      nullRow(mainB.schema.fields.filterNot(f => usingKeys.contains(f.name)).toSeq))
+    aRow.crossJoin(bRow).createOrReplaceTempView("__jt_t")
+    val totOut = ChSql(spark, s"SELECT $sel FROM __jt_t")
+    Some(mainOut.withColumn("__gid", lit(0))
+      .unionByName(totOut.withColumn("__gid", lit(1))))
   }
 
   /** CREATE VIEW name AS SELECT … (InterpreterCreateQuery attach=view):
@@ -358,8 +478,11 @@ object ChDdl {
       .map(_.view).getOrElse {
       (db, table) match {
         case ("system", "one") => "(SELECT CAST(0 AS TINYINT) AS dummy)"
+        // 16 parallel slices; the LIMIT-bounded head-read rewrite
+        // lives in ChSql.boundNumbers (it doesn't apply to a bare
+        // remote() target, where the LIMIT sits outside the shard)
         case ("system", "numbers") | ("system", "numbers_mt") =>
-          "(SELECT id AS number FROM range(100000000))"
+          "(SELECT id AS number FROM range(0, 100000000, 1, 16))"
         case _ => throw new IllegalArgumentException(
           s"table function target not found: $db.$table")
       }
@@ -459,6 +582,13 @@ object ChDdl {
   private val mergeSpecs =
     scala.collection.concurrent.TrieMap[String, (String, String, Seq[String])]()
 
+  /** ENGINE = Set tables (StorageSet.cpp): rows accumulate as a
+    * DISTINCT set, the table is only readable as the right side of
+    * IN, and the set persists across DETACH/ATTACH (the reference
+    * writes it to disk; here the detached stash holds the frame). */
+  private val setTables = scala.collection.concurrent.TrieMap[String, Unit]()
+  private val detached = scala.collection.concurrent.TrieMap[String, Entry]()
+
   private def mergeUnion(db: String, re: String, cols: Seq[String]): DataFrame = {
     val rx = re.r
     val matching = dbTables(db)
@@ -475,20 +605,53 @@ object ChDdl {
     * members) are visible, like the reference's StorageMerge which
     * enumerates the database at read time. Plan-building only, no
     * execution. */
-  private def refreshMergeTables(spark: SparkSession): Unit =
+  /** Rebind only the Merge tables the statement actually READS — the
+    * reference's StorageMerge enumerates its database per read and
+    * errors only then (StorageMerge.cpp); refreshing every Merge
+    * table on every statement made one Merge table with an empty
+    * member set (members dropped) fail unrelated queries. */
+  private def refreshMergeTables(spark: SparkSession, sql: String): Unit =
     mergeSpecs.foreach { case (name, (db, re, cols)) =>
       tables.get(name).foreach { e =>
-        val fresh = mergeUnion(db, re, cols)
-        e.df = fresh
-        fresh.createOrReplaceTempView(e.view)
+        val referenced =
+          ("(?<![\\w.`])" + java.util.regex.Pattern.quote(e.name) + "\\b").r
+            .findFirstIn(sql).isDefined ||
+          (e.name.contains(".") &&
+            ("(?<![\\w.`])" +
+              java.util.regex.Pattern.quote(e.name.split("\\.").last) + "\\b").r
+              .findFirstIn(sql).isDefined)
+        if (referenced) {
+          val fresh = mergeUnion(db, re, cols)
+          e.df = fresh
+          fresh.createOrReplaceTempView(e.view)
+        }
       }
     }
 
   private def rewriteAll(spark: SparkSession, sql: String): String = {
-    refreshMergeTables(spark)
-    rewriteRefs(rewriteFinal(spark,
-      rewriteNested(rewriteTableFunctions(spark, sql))))
+    refreshMergeTables(spark, sql)
+    rewriteRefs(rewriteInSet(rewriteFinal(spark,
+      rewriteNested(rewriteTableFunctions(spark, sql)))))
   }
+
+  /** `x IN set_table` — StorageSet is only readable as the right side
+    * of IN (StorageSet.cpp); spell the table as its row subquery so
+    * the engine's semi-join planning applies (broadcast for small
+    * sets under AQE). */
+  private def rewriteInSet(sql: String): String =
+    setTables.keys.foldLeft(sql) { (q, name) =>
+      val names = Seq(name) ++ (if (name.contains("."))
+        currentDb.toSeq.filter(db => name.startsWith(db + "."))
+          .map(db => name.stripPrefix(db + ".")) else Nil)
+      names.foldLeft(q) { (q2, n) =>
+        val view = tables.get(name).map(_.view).getOrElse(viewName(name))
+        val pat = ("(?i)\\b((?:GLOBAL\\s+)?(?:NOT\\s+)?IN)\\s+" +
+          java.util.regex.Pattern.quote(n) + "(?![\\w.`(])").r
+        ChSql.mapOutsideQuotes(q2)(seg => pat.replaceAllIn(seg,
+          m => java.util.regex.Matcher.quoteReplacement(
+            s"${m.group(1)} (SELECT * FROM $view)")))
+      }
+    }
 
   /** `FROM t FINAL` — merge-at-read: register a folded view of the
     * table and point the query at it (CollapsingFinalBlockInputStream
@@ -605,10 +768,15 @@ object ChDdl {
         val gid = df.columns.indexOf("__gid")
         val fields = df.schema.fields
         val rows = df.collect()
+        // join default-fill applies to MAIN rows here too (the other
+        // branch's rule; corpus 00150 joins under WITH TOTALS)
+        val fillJoin = !joinUseNulls &&
+          "(?i)(?<!ARRAY )\\bJOIN\\b".r.findFirstIn(stmtRaw).isDefined
         def values(r: Row, totals: Boolean): Seq[Any] =
           fields.indices.filter(_ != gid).map { i =>
             val v = r.get(i)
-            if (v == null && totals) renderDefaultF(fields(i)) else v
+            if (v == null && (totals || fillJoin)) renderDefaultF(fields(i))
+            else v
           }.toSeq
         val (tot, main0) = rows.partition(_.getAs[Number](gid).longValue != 0L)
         val main = mainLimit.fold(main0)(main0.take)
@@ -877,6 +1045,7 @@ object ChDdl {
           throw new IllegalArgumentException(s"CREATE TABLE without columns: $stmt")
       }
       val spec = engineSpec(engine, engineArgs, initial.schema)
+      if (engine == "Set") setTables.put(name, ())
       // ENGINE = Merge(db, 'regex') reads the union of the matching
       // tables (StorageMerge; corpus 00270/00401) — the declared
       // column list only fixes the projection. The member set and
@@ -892,7 +1061,14 @@ object ChDdl {
         val re = ps(1).trim.stripPrefix("'").stripSuffix("'")
           .replace("\\\\", "\\")
         mergeSpecs.put(name, (db, re, initial.schema.fieldNames.toIndexedSeq))
-        mergeUnion(db, re, initial.schema.fieldNames.toIndexedSeq)
+        // CREATE succeeds even with no matching members — the
+        // reference errors only when the Merge table is actually read
+        // (refreshMergeTables re-resolves and throws then)
+        if (dbTables(db).exists { case (bare, _) =>
+          re.r.findFirstIn(bare).isDefined &&
+            !mergeSpecs.contains(bare) && !mergeSpecs.contains(s"$db.$bare") })
+          mergeUnion(db, re, initial.schema.fieldNames.toIndexedSeq)
+        else initial
       } else initial
       val entry = Entry(name, viewName(name), backing, spec,
         parsedCols.map(_._2).getOrElse(Seq.empty),
@@ -983,6 +1159,8 @@ object ChDdl {
     tables.remove(name).foreach(e => spark.catalog.dropTempView(e.view))
     viewDefs.remove(name)
     mergeSpecs.remove(name)
+    setTables.remove(name)
+    detached.remove(name)
   }
 
   /** Cast into a CH-typed column. UInt64 lives in DECIMAL(20,0): a
@@ -1120,6 +1298,8 @@ object ChDdl {
           else incoming.coalesce(1)
             .sortWithinPartitions(entry.spec.sortKey.map(qcol).toIndexedSeq: _*)
         entry.df = entry.df.unionByName(sorted)
+        // StorageSet::insertBlock folds each block into a unique set
+        if (setTables.contains(entry.name)) entry.df = entry.df.distinct()
         entry.df.createOrReplaceTempView(entry.view)
       case _ => throw new IllegalArgumentException(s"unsupported INSERT: $stmt")
     }
@@ -1247,8 +1427,11 @@ object ChDdl {
     ChSql.splitTopLevel(body).foreach { pair =>
       pair.split("(?i)\\s+TO\\s+") match {
         case Array(fromRaw, toRaw) =>
-          val from = fromRaw.replace("`", "").trim
-          val to = toRaw.replace("`", "").trim
+          val from = resolveName(fromRaw.replace("`", "").trim)
+          val to0 = toRaw.replace("`", "").trim
+          val to = if (to0.contains(".")) to0
+            else currentDb.map(db => s"$db.$to0").getOrElse(to0)
+          if (setTables.remove(from).isDefined) setTables.put(to, ())
           val e = tables.remove(from).getOrElse(
             throw new IllegalArgumentException(s"unknown table: $from"))
           spark.catalog.dropTempView(e.view)
@@ -1282,6 +1465,8 @@ object ChDdl {
     tables.clear()
     viewDefs.clear()
     mergeSpecs.clear()
+    setTables.clear()
+    detached.clear()
     currentDb = None
   }
 }

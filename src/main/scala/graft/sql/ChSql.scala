@@ -138,6 +138,34 @@ object ChSql {
     }
   }
 
+  /** Bound `FROM system.numbers LIMIT n` levels to an n-row range —
+    * see the call site. Applied per paren level and union branch;
+    * `LIMIT o, n` bounds to o+n. Conservative: any clause that could
+    * consume more than n source rows (WHERE, GROUP BY, ORDER BY,
+    * HAVING, DISTINCT, ARRAY JOIN, or a row-dropping arrayJoin in the
+    * select list) disables the rewrite for that level. */
+  private def boundNumbers(q: String): String =
+    recurseParens(q)(level0 => mapUnionBranches(level0)(boundNumbersLevel))
+
+  private def boundNumbersLevel(level: String): String = {
+    val t = level.trim
+    if (!t.take(6).equalsIgnoreCase("SELECT")) return level
+    val top = maskTop(t)
+    if (("(?i)\\b(WHERE|PREWHERE|GROUP|HAVING|ORDER|UNION|DISTINCT)\\b").r
+      .findFirstIn(top).isDefined) return level
+    if ("(?i)(\\bARRAY\\s+JOIN\\b|\\barrayJoin\\s*\\()".r
+      .findFirstIn(t).isDefined) return level
+    val m = ("(?is)\\bFROM\\s+system\\.numbers(?:_mt)?(\\s+LIMIT\\s+(\\d+)" +
+      "(?:\\s*,\\s*(\\d+))?)\\s*$").r.findFirstMatchIn(top).getOrElse(return level)
+    val bound =
+      if (m.group(3) != null) m.group(2).toLong + m.group(3).toLong
+      else m.group(2).toLong
+    val lead = level.substring(0, level.length - level.stripLeading().length)
+    lead + t.substring(0, m.start) +
+      s"FROM (SELECT id AS number FROM range(0, $bound, 1, 16))" +
+      t.substring(m.start(1))
+  }
+
   private val keylessAggRe =
     ("(?i)\\b(count|sum|avg|min|max|anyLast|anyHeavy|any|uniq\\w*|groupArray|" +
       "groupUniqArray|argMin|argMax|median\\w*|quantile\\w*|varSamp|varPop|" +
@@ -185,10 +213,23 @@ object ChSql {
     q = q.replaceAll("(?i)\\bsystem\\s*\\.\\s*`(one|numbers|numbers_mt)`", "system.$1")
     q = q.replaceAll("(?i)`system`\\s*\\.\\s*(one|numbers|numbers_mt)\\b", "system.$1")
     q = q.replaceAll("(?i)\\bsystem\\s*\\.\\s*(one|numbers|numbers_mt)\\b", "system.$1")
-    // system tables → generators (bounded; LocalLimit stops the scan).
-    // Explicit slice count: RangeExec with numSlices=None reads the
-    // session's default parallelism lazily, which NPEs when the plan
-    // is (de)serialized without an active session (AQE map stages).
+    // system tables → generators. Explicit slice count: RangeExec
+    // with numSlices=None reads the session's default parallelism
+    // lazily, which NPEs when the plan is (de)serialized without an
+    // active session (AQE map stages).
+    //
+    // Scale guard (StorageSystemNumbers.cpp reads only what LIMIT
+    // needs): when a level is exactly `SELECT … FROM system.numbers
+    // LIMIT n` — no WHERE/GROUP/ORDER/ARRAY JOIN, no row-dropping
+    // generator in the select list — the reference reads exactly n
+    // rows, so the generator itself is bounded to n. Without this, a
+    // mid-plan LIMIT under an outer filter plans as LocalLimit PER
+    // PARTITION and each of the 16 slices materializes rows at
+    // offsets up to ~94M (corpus 00179 shuffle-wrote >19 GB for a
+    // 10-row answer). Levels that don't match keep the wide bound
+    // with 16 parallel slices (a 100M-row DISTINCT should use every
+    // core; the corpus's largest real read is 10M).
+    q = boundNumbers(q)
     q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
       "(SELECT id AS number FROM range(0, 100000000, 1, 16))")
     // CH `LIMIT offset, n` → SQL `LIMIT n OFFSET offset`
@@ -255,8 +296,15 @@ object ChSql {
     q = mapOutsideQuotes(q)(seg => seg
       .replaceAll("(?i)(?<![\\w.'])inf(?![\\w'(])", "double('Infinity')")
       .replaceAll("(?i)(?<![\\w.'])nan(?![\\w'(])", "double('NaN')"))
-    // join strictness: ANY ≈ plain join (exact when RHS key-unique)
-    q = q.replaceAll("(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)\\s+JOIN", "$1 JOIN")
+    // join strictness: ANY ≈ plain join (exact when RHS key-unique).
+    // GLOBAL prefix = ship-to-every-shard, Spark's broadcast planning;
+    // the full CH prefix grammar is [GLOBAL] [ANY|ALL] [type] [OUTER]
+    q = q.replaceAll(
+      "(?i)\\bGLOBAL\\s+((?:ANY\\s+|ALL\\s+)?(?:LEFT\\s+|RIGHT\\s+|INNER\\s+" +
+        "|FULL\\s+|CROSS\\s+)?(?:OUTER\\s+)?JOIN)", "$1")
+    q = q.replaceAll(
+      "(?i)\\b(?:ANY|ALL)\\s+(LEFT|RIGHT|INNER|FULL)(\\s+OUTER)?\\s+JOIN",
+      "$1$2 JOIN")
     // PREWHERE is an execution hint — a filter, which Catalyst pushes
     // to the scan anyway. `PREWHERE p WHERE q` (both clauses, valid
     // CH) merges to `WHERE (p) AND (q)`.
@@ -266,6 +314,21 @@ object ChSql {
     q = dedupSubqueryColumns(q)
     // CH allows aliasing ANY expression in place (`lower('x' AS s)`);
     // inline the constant-alias form Spark can't parse
+    // CAST(x AS Enum8/16('a' = 1, …)) — DataTypeEnum.cpp cast
+    // semantics: a STRING operand resolves through the name→value map
+    // and the result renders as the NAME; a numeric operand changes
+    // only the storage channel. String/array literals fold at
+    // translate time (validated against the entry list — an unknown
+    // name throws, as the reference's cast does); non-literal
+    // operands keep the storage-width integer cast (the entry list
+    // lives in table metadata; 00324 hashes the numeric channel).
+    q = rewriteEnumCasts(q)
+    q = q.replaceAll("(?i)\\bAS\\s+Enum8\\s*\\(([^()]*)\\)", "AS TINYINT")
+    q = q.replaceAll("(?i)\\bAS\\s+Enum16\\s*\\(([^()]*)\\)", "AS SMALLINT")
+    q = q.replaceAll("(?i)\\bAS\\s+Array\\s*\\(\\s*Enum8\\s*\\(([^()]*)\\)\\s*\\)",
+      "AS ARRAY<TINYINT>")
+    q = q.replaceAll("(?i)\\bAS\\s+Array\\s*\\(\\s*Enum16\\s*\\(([^()]*)\\)\\s*\\)",
+      "AS ARRAY<SMALLINT>")
     q = inlineLiteralAliases(q)
     // CH in-function expression aliases (`abs(e AS x)` … uses x later)
     q = inlineExprAliases(q)
@@ -309,12 +372,6 @@ object ChSql {
     // fn(args, params) — the quantile/topK/groupArray families
     // (AggregateFunctionFactory parameter dispatch)
     q = flattenParamCalls(q)
-    // CAST(x AS Enum8/16('a' = 1, …)) → the storage-width integer
-    // cast (DataTypeEnum storage; the entry list lives in table
-    // metadata, a bare cast only changes the numeric channel). Runs
-    // on raw text because the entry list contains quotes.
-    q = q.replaceAll("(?i)\\bAS\\s+Enum8\\s*\\(([^()]*)\\)", "AS TINYINT")
-    q = q.replaceAll("(?i)\\bAS\\s+Enum16\\s*\\(([^()]*)\\)", "AS SMALLINT")
     // CAST type surface: Nullable(T) unwraps (Spark columns are
     // nullable); CH scalar type names map to Spark spellings in the
     // `AS type` seat (exact case — aliases are never CH-cased names)
@@ -367,6 +424,13 @@ object ChSql {
     // CH SELECT-list aliases are visible in WHERE of the same level
     // (ExpressionAnalyzer alias scope); Spark's are not — substitute
     q = inlineAliasInWhere(q)
+    // CH select-list aliases resolve order-INDEPENDENTLY (the
+    // reference's ExpressionAnalyzer substitutes the whole alias map
+    // before analysis; corpus 00216 puts `n = n_` ahead of the items
+    // defining n and n_). Spark's lateral column aliases resolve
+    // left-to-right only, so FORWARD references inline textually;
+    // backward references stay native (no text growth).
+    q = inlineForwardAliases(q)
     q = bracketLiteralsToArray(q)
     // `(SELECT 'str' …)` — Spark's parser reads `SELECT 'str'` as a
     // typed literal of type SELECT; concat() is a string identity
@@ -577,7 +641,14 @@ object ChSql {
         // list: `range(k) AS y, arrayJoin(..) AS k` needs k → __ajvN
         // in sibling items (Spark lateral aliases are left-to-right)
         val fromAt0 = topMatches(cur, d, "FROM").headOption
-        val selEnd = fromAt0.getOrElse(cur.length)
+        // FROM-less query: the sibling-alias substitution may run over
+        // WHERE/GROUP/HAVING (pre-aggregation scope) but must stop
+        // before ORDER BY — the sort resolves against the OUTPUT
+        // aliases, and a substituted `__ajvN` cannot resolve through a
+        // GROUPING SETS aggregate (00037's totals + ORDER BY + LIMIT)
+        val selEnd = fromAt0
+          .orElse(topMatches(cur, d, "ORDER").headOption)
+          .getOrElse(cur.length)
         val selStart = up.indexOf("SELECT") + 6
         var selList = cur.substring(selStart, selEnd)
         "(?i)\\b(__ajv\\d+)\\s+AS\\s+(\\w+)".r.findAllMatchIn(selList).toSeq
@@ -609,6 +680,69 @@ object ChSql {
     * before analysis); Spark resolves WHERE against the FROM relation
     * only. Substitute `alias` → `(expr)` inside the WHERE clause at
     * each level. */
+  /** Inline FORWARD sibling-alias references inside a select list —
+    * see the call site. Aliases whose expression contains arrayJoin
+    * are left to the arrayJoin hoist pass (inlining would duplicate
+    * the generator); iteration is bounded to break alias cycles. */
+  private def inlineForwardAliases(q: String): String =
+    recurseParens(q)(level0 => mapUnionBranches(level0)(inlineForwardLevel))
+
+  private def inlineForwardLevel(level: String): String = {
+    val t = level.trim
+    if (!t.take(6).equalsIgnoreCase("SELECT")) return level
+    var items = selectItems(t)
+    if (items.length < 2) return level
+    val top = maskTop(t)
+    val end = ("(?i)\\b(FROM|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|ARRAY|" +
+      "UNION|SETTINGS|FORMAT|WITH)\\b").r
+      .findFirstMatchIn(top).map(_.start).getOrElse(t.length)
+    if (t.substring(6, end).trim.toUpperCase.startsWith("DISTINCT "))
+      return level
+    def aliasRe(a: String) =
+      ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(a) + "(?![\\w.`'])").r
+    // items keep (outputName, currentExpr, hadAlias) — an unaliased
+    // item re-renders as its (possibly substituted) expression alone
+    var its = items.map { case (n, e) =>
+      (n, e, n.replaceAll("\\s+", "") != e.replaceAll("\\s+", "")) }
+    def substitutable(a: String, e: String, aliased: Boolean): Boolean =
+      aliased && !a.contains(".") &&
+        "(?i)\\barrayJoin\\s*\\(".r.findFirstIn(e).isEmpty
+    // a lambda formal parameter SHADOWS an outer alias of the same
+    // name inside its item (`arrayMap(x -> 1, [2]), 123 AS x` keeps
+    // the lambda's x — corpus 00157); skip such items wholesale
+    def shadowedByLambda(target: String, a: String): Boolean =
+      (java.util.regex.Pattern.quote(a) + "\\s*->").r
+        .findFirstIn(target).isDefined ||
+      ("\\(([^()]*)\\)\\s*->").r.findAllMatchIn(target)
+        .exists(m => m.group(1).split(",").map(_.trim).contains(a))
+    def hasForwardRef: Boolean =
+      its.zipWithIndex.exists { case ((_, expr, _), i) =>
+        its.zipWithIndex.exists { case ((a, e, al), j) =>
+          j > i && substitutable(a, e, al) && !shadowedByLambda(expr, a) &&
+            aliasRe(a).findFirstIn(maskQuotes(expr)).isDefined
+        }
+      }
+    if (!hasForwardRef) return level
+    var rounds = 0
+    while (hasForwardRef && rounds < 10) {
+      its = its.zipWithIndex.map { case ((name, expr, al0), i) =>
+        var e2 = expr
+        its.zipWithIndex.foreach { case ((a, e, al), j) =>
+          if (j > i && substitutable(a, e, al) && !shadowedByLambda(e2, a) &&
+            aliasRe(a).findFirstIn(maskQuotes(e2)).isDefined)
+            e2 = mapOutsideQuotes(e2)(seg => aliasRe(a).replaceAllIn(seg,
+              java.util.regex.Matcher.quoteReplacement(s"($e)")))
+        }
+        (name, e2, al0)
+      }
+      rounds += 1
+    }
+    val list = its.map { case (n, e, al) =>
+      if (al) s"$e AS $n" else e }.mkString(", ")
+    val lead = level.substring(0, level.length - level.stripLeading().length)
+    lead + "SELECT " + list + " " + t.substring(end)
+  }
+
   private def inlineAliasInWhere(q: String): String =
     recurseParens(q)(level0 => mapUnionBranches(level0)(inlineAliasInWhereLevel))
 
@@ -880,15 +1014,76 @@ object ChSql {
     })
   }
 
+  /** Fold `CAST('name' AS Enum8('a' = 1, …))` (and the Array form over
+    * a literal array) to the validated name literal — the reference's
+    * enum cast keyed by name (DataTypeEnum.cpp `castToValue`), whose
+    * result serializes as the name. Only LITERAL operands fold; see
+    * the call site for the non-literal channel. */
+  private def rewriteEnumCasts(q0: String): String = {
+    val lit = "'(?:[^'\\\\]|\\\\.)*'"
+    def check(bits: Int, nameLit: String, body: String): String = {
+      val d = graft.types.ChEnum.parseDef(bits, body)
+      val name = nameLit.substring(1, nameLit.length - 1)
+        .replace("\\'", "'").replace("\\\\", "\\")
+      require(d.hasName(name),
+        s"unknown Enum$bits name in CAST: '$name' (${d.typeName})")
+      nameLit
+    }
+    var q = q0
+    q = ("(?is)\\bCAST\\s*\\(\\s*(" + lit + ")\\s+AS\\s+Enum(8|16)\\s*" +
+      "\\(([^()]*)\\)\\s*\\)").r.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        check(m.group(2).toInt, m.group(1), m.group(3))))
+    q = ("(?is)\\bCAST\\s*\\(\\s*\\[\\s*(" + lit + "(?:\\s*,\\s*" + lit +
+      ")*)\\s*\\]\\s+AS\\s+Array\\s*\\(\\s*Enum(8|16)\\s*\\(([^()]*)\\)\\s*\\)\\s*\\)")
+      .r.replaceAllIn(q, m => {
+        val bits = m.group(2).toInt
+        val names = ("'(?:[^'\\\\]|\\\\.)*'").r.findAllIn(m.group(1)).toSeq
+          .map(n => check(bits, n, m.group(3)))
+        java.util.regex.Matcher.quoteReplacement(
+          names.mkString("array(", ", ", ")"))
+      })
+    q
+  }
+
   /** `GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS
     * ((k1, k2), ())`, appending a hidden `grouping_id() AS __gid`
     * column to the select list so the renderer can split the totals
     * row (TotalsHavingBlockInputStream's side-channel row, rendered
-    * after a blank line in TabSeparated). */
+    * after a blank line in TabSeparated).
+    *
+    * A WITH TOTALS inside a SUBQUERY rewrites within that subquery,
+    * then the outer query decides the totals row's fate the way the
+    * reference pipeline does (the totals block travels as a side
+    * channel): an aggregating outer query consumes only main rows
+    * (corpus 00152 `SELECT count() FROM (… WITH TOTALS)` = 1), while a
+    * plain projection passes the totals row through (`SELECT *` shows
+    * main, blank line, totals). */
   private def rewriteWithTotals(q: String): String = {
     val re = "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
     re.findFirstMatchIn(q) match {
       case None => q
+      case Some(m) if depths(q)(m.start) > 0 =>
+        // enclosing subquery parens of the match
+        val d = depths(q)
+        val d0 = d(m.start)
+        val open = (m.start to 0 by -1)
+          .find(j => q.charAt(j) == '(' && d(j) == d0).get
+        val close = (m.end until q.length)
+          .find(j => q.charAt(j) == ')' && d(j) == d0 - 1).get
+        val innerRw = rewriteWithTotals(q.substring(open + 1, close))
+        // does the OUTER level aggregate over this FROM? (masked text:
+        // subquery bodies blanked)
+        val outerMasked = maskTop(q)
+        val outerAggs = ("(?i)\\b(count|sum|min|max|avg|any|anyLast|uniq\\w*|" +
+          "argMin|argMax|quantile\\w*|median\\w*|group(Array|UniqArray)|corr|" +
+          "covar\\w*|var\\w+|stddev\\w*|topK|anyHeavy)\\s*\\(").r
+          .findFirstIn(outerMasked).isDefined ||
+          "(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(outerMasked).isDefined
+        val sub =
+          if (outerAggs) s"(SELECT * FROM ($innerRw) WHERE __gid = 0)"
+          else s"($innerRw)"
+        rewriteWithTotals(q.substring(0, open) + sub + q.substring(close + 1))
       case Some(m) =>
         val keys = m.group(1).trim
         val rewritten = q.substring(0, m.start) +
@@ -2126,6 +2321,38 @@ object ChSql {
         (c.cast("long") / 65536L).cast("long") % 256,
         (c.cast("long") / 256L).cast("long") % 256,
         lit("xxx")) },
+    // MAC text coding (SURVEY §2 coding family; public ClickHouse
+    // FunctionsCoding surface — this reference revision predates the
+    // MAC trio, semantics follow the IPv4 functions' malformed→0
+    // convention): UInt64 low 6 bytes ↔ "AA:BB:CC:DD:EE:FF"
+    "MACNumToString" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      val x = c.cast("long")
+      concat_ws(":", (5 to 0 by -1).map(i =>
+        lpad(hex(shiftright(x, i * 8) % 256), 2, "0")): _*) },
+    "MACStringToNum" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      when(c.rlike("^[0-9A-Fa-f]{2}(:[0-9A-Fa-f]{2}){5}$"),
+        conv(regexp_replace(c, ":", ""), 16, 10).cast("long"))
+        .otherwise(0L) },
+    "MACStringToOUI" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      when(c.rlike("^[0-9A-Fa-f]{2}(:[0-9A-Fa-f]{2}){5}$"),
+        conv(regexp_replace(substring(c, 1, 8), ":", ""), 16, 10).cast("long"))
+        .otherwise(0L) },
+    // pointInEllipses(x, y, x₀, y₀, a₀, b₀, …) — 1 when the point
+    // falls inside ANY ellipse: ((x-xᵢ)/aᵢ)² + ((y-yᵢ)/bᵢ)² ≤ 1
+    // (FunctionsGeo.h FunctionPointInEllipses::isPointInEllipses)
+    "pointInEllipses" -> { case args
+        if args.length >= 6 && (args.length - 2) % 4 == 0 =>
+      def d(e: Expression) = Cast(e, DoubleType)
+      val (x, y) = (d(args(0)), d(args(1)))
+      args.drop(2).grouped(4).map { case Seq(ex, ey, ea, eb) =>
+        val p1 = Divide(Subtract(x, d(ex)), d(ea))
+        val p2 = Divide(Subtract(y, d(ey)), d(eb))
+        LessThanOrEqual(Add(Multiply(p1, p1), Multiply(p2, p2)),
+          Literal(1.0)): Expression
+      }.reduce(Or(_, _)) },
     // deeper URL surface (FunctionsURL.h)
     "URLHierarchy" -> { case Seq(e) =>
       graft.functions.KernelExpr(e, "url_hierarchy") },

@@ -20,14 +20,12 @@ object CorpusTriage {
   // tests that are nondeterministic by construction (now()/rand) or
   // pin algorithm-specific sketch values (uniq* HLL registers)
   private val skipMarkers = Seq(
-    "ATTACH", "zookeeper",
+    "zookeeper",
     "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
     "extremes", "SAMPLE",
     "sleep", "now()", "today()", "yesterday()", "rand",
     "replicate",
-    // group-by overflow truncation picks rows by internal hash order
-    "max_rows_to_group_by",
-    "point", "dict", "region", "OLAP")
+    "dict", "region", "OLAP")
 
   def main(args: Array[String]): Unit = {
     val filter = args.headOption.getOrElse("")

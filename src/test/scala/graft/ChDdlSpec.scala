@@ -173,4 +173,43 @@ class ChDdlSpec extends SparkSpec {
     assert(got.getInt(0) === 0)
     assert(got.getString(1) === "")
   }
+
+  test("CAST to Enum by name folds to the validated name (DataTypeEnum cast)") {
+    // string-literal operand: name channel, renders as the name
+    assert(graft.sql.ChDdl.executeRendered(spark,
+      "SELECT CAST('a' AS Enum8('a' = 1, 'b' = 2))") === Some("a"))
+    // array-of-literals form (00367 shape)
+    assert(graft.sql.ChDdl.executeRendered(spark,
+      "SELECT CAST(['hello'] AS Array(Enum8('hello' = 1))) AS x")
+      === Some("['hello']"))
+    // numeric operand keeps the storage channel (00324 hashes it)
+    assert(graft.sql.ChDdl.executeRendered(spark,
+      "SELECT CAST(1 AS Enum8('a' = 1, 'b' = 2))") === Some("1"))
+    // unknown name throws, as the reference's cast does
+    intercept[IllegalArgumentException](graft.sql.ChDdl.executeRendered(spark,
+      "SELECT CAST('zzz' AS Enum8('a' = 1))"))
+  }
+
+  test("Merge table with dropped members fails only on its own read") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark, "CREATE TABLE mm_a (x Int32) ENGINE = Memory")
+    ChDdl.execute(spark, "INSERT INTO mm_a VALUES (1), (2)")
+    ChDdl.execute(spark, "CREATE TABLE mm_all (x Int32) ENGINE = Merge(default, '^mm_')")
+    assert(ChDdl.execute(spark, "SELECT count() AS c FROM mm_all").get
+      .collect()(0).getLong(0) === 2L)
+    ChDdl.execute(spark, "DROP TABLE mm_a")
+    // unrelated statements keep working (StorageMerge resolves
+    // membership only when the Merge table itself is read)
+    assert(ChDdl.execute(spark, "SELECT 1 AS one").get.collect()(0).getInt(0) === 1)
+    intercept[IllegalArgumentException](
+      ChDdl.execute(spark, "SELECT count() FROM mm_all"))
+    // a Merge table may be CREATED before any member exists
+    ChDdl.execute(spark, "CREATE TABLE me_all (x Int32) ENGINE = Merge(default, '^me_m')")
+    ChDdl.execute(spark, "CREATE TABLE me_m1 (x Int32) ENGINE = Memory")
+    ChDdl.execute(spark, "INSERT INTO me_m1 VALUES (7)")
+    assert(ChDdl.execute(spark, "SELECT x FROM me_all").get
+      .collect()(0).getInt(0) === 7)
+    Seq("mm_all", "me_all", "me_m1").foreach(t =>
+      ChDdl.execute(spark, s"DROP TABLE $t"))
+  }
 }

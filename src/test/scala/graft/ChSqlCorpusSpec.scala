@@ -22,6 +22,23 @@ import graft.sql.ChSql
   * this reference version default-fills non-joined columns where SQL
   * yields NULL; WITH TOTALS tests — totals are a side-channel row,
   * not part of the single result relation.
+  *
+  * DECISION (round 7, closes a 3-round carry): the CH unsigned
+  * type-name surface (`toTypeName` of expressions, the literal
+  * smallest-type rule `toTypeName(1)='UInt8'`, full-range UInt64
+  * ORDER BY — the 00110/00111/00175/00192-class pins) is a DOCUMENTED
+  * DIVERGENCE, not implemented. Spark has no unsigned integers
+  * (SURVEY §3: UIntN stores in the next wider signed type, UInt64 in
+  * Long with wraparound arithmetic); reproducing the reference's
+  * names for EXPRESSION results would mean shadowing CH's whole
+  * type-promotion lattice (DataTypesNumber.h plus the return-type rule of
+  * nearly every function header) through a marker expression on each node — all
+  * bookkeeping, no analytic value, and the markers would break the
+  * Catalyst pattern-matches that make plans codegen- and
+  * pushdown-friendly. TABLE columns keep their declared CH names via
+  * ChTypes metadata (DESCRIBE renders them; `toTypeName(col)` of a
+  * stored column is exact); only derived-expression names report the
+  * Spark-derived signed spelling.
   */
 class ChSqlCorpusSpec extends SparkSpec {
 
@@ -75,6 +92,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00034_fixed_string_to_number",
     "00035_function_array_return_type",
     "00036_array_element",
+    "00037_totals_limit",
     "00038_totals_limit",
     "00040_array_enumerate_uniq",
     "00041_aggregation_remap",
@@ -143,11 +161,15 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00102_insert_into_temporary_table",
     "00103_ipv4_num_to_string_class_c",
     "00105_shard_collations",
+    "00104_totals_having_mode",
     "00106_totals_after_having",
+    "00107_totals_after_having",
     "00108_shard_totals_after_having",
+    "00109_shard_totals_after_having",
     "00112_shard_totals_after_having",
     "00113_group_array",
     "00114_float_type_result_of_division",
+    "00116_storage_set",
     "00117_parsing_arrays",
     "00118_storage_join",
     "00119_storage_join",
@@ -172,7 +194,9 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00144_empty_regexp",
     "00145_empty_likes",
     "00149_function_url_hash",
+    "00150_with_totals_and_join",
     "00151_tuple_with_array",
+    "00152_totals_in_subquery",
     "00153_transform",
     "00154_shard_distributed_with_distinct",
     "00156_array_map_to_constant",
@@ -207,7 +231,10 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00207_left_array_join",
     "00208_agg_state_merge",
     "00213_multiple_global_in",
+    "00216_bit_test_function_family",
+    "00217_global_subquery_columns_with_same_name",
     "00218_like_regexp_newline",
+    "00225_join_duplicate_columns",
     "00219_full_right_join_column_order",
     "00222_sequence_aggregate_function_family",
     "00227_quantiles_timing_arbitrary_order",
@@ -283,6 +310,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00363_defaults",
     "00364_java_style_denormals",
     "00369_int_div_of_float",
+    "00370_duplicate_columns_in_subqueries",
     "00371_union_all",
     "00373_group_by_tuple",
     "00375_shard_group_uniq_array_of_string",
@@ -317,6 +345,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00446_drop_column",
     "00448_replicate_nullable_tuple_generic",
     "00448_to_string_cut_to_zero",
+    "00449_filter_array_nullable_tuple",
     "00450_higher_order_and_nullable",
     "00451_left_array_join_and_constants",
     "00452_left_array_join_and_nullable")

@@ -80,4 +80,5 @@ class ChTypesSpec extends AnyFunSuite {
   test("unknown type raises") {
     intercept[IllegalArgumentException](ChTypes.parse("Decimal(10,2)"))
   }
+
 }
