@@ -128,10 +128,12 @@ object ch {
     when(a < 1, 0).when(a < 18, 17).when(a < 25, 18).when(a < 35, 25)
       .when(a < 45, 35).when(a < 55, 45).otherwise(55)
 
-  /** roundDuration: 0,1,10,30,60,...,36000 (FunctionsRound.h).
+  /** roundDuration: 0,1,10,30,60,...,36000 (FunctionsRound.h
+    * RoundDurationImpl — the full ladder includes 1200 and 7200).
     * Ascending fold so the largest threshold is checked outermost. */
   def roundDuration(d: Column): Column = {
-    val steps = Seq(1, 10, 30, 60, 120, 180, 240, 300, 600, 1800, 3600, 18000, 36000)
+    val steps = Seq(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+      3600, 7200, 18000, 36000)
     steps.foldLeft(lit(0).cast("int")) { (acc, s) =>
       when(d >= s, s).otherwise(acc)
     }

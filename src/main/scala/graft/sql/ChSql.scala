@@ -1762,6 +1762,24 @@ object ChSql {
 
   /** `x -> x != 0` for the no-lambda higher-order forms; the variable
     * binds during HOF resolution. */
+  /** CH byte-based position: locate at code-point granularity, then
+    * report 1 + octet length of the preceding prefix (PositionImpl
+    * searches raw bytes; a valid-UTF-8 needle can only match on a
+    * character boundary, so the first char match IS the first byte
+    * match). 0 stays 0 (not found). */
+  private def bytePosition(h: Expression, n: Expression): Expression = {
+    val p = new StringLocate(n, h)
+    CaseWhen(Seq((EqualTo(p, Literal(0)): Expression, Literal(0): Expression)),
+      Some(Add(OctetLength(Substring(h, Literal(1), Subtract(p, Literal(1)))),
+        Literal(1))))
+  }
+
+  /** ASCII-only lowercase via translate — the case folding CH's
+    * non-UTF8 case-insensitive string search applies (bytes < 0x80). */
+  private def asciiLower(e: Expression): Expression =
+    StringTranslate(e, Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+      Literal("abcdefghijklmnopqrstuvwxyz"))
+
   private def nonZeroLambda(arr: Expression): Expression = {
     val v = org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("__x"))
     org.apache.spark.sql.catalyst.expressions.LambdaFunction(
@@ -2081,8 +2099,13 @@ object ChSql {
     // (DataTypeFixedString serialization; corpus 00439)
     "toFixedString" -> { case Seq(s, n) =>
       org.apache.spark.sql.catalyst.expressions.StringRPad(s, n, Literal("\u0000")) },
-    // reference argument order: position(haystack, needle)
-    "position" -> { case Seq(h, n) => new StringLocate(n, h) },
+    // reference argument order: position(haystack, needle).
+    // CH position counts BYTES (PositionImpl is a memmem over the
+    // raw bytes: position('абв','бв')=3); positionUTF8 counts code
+    // points. Spark's locate is code-point based, so convert the
+    // char index to a byte offset via the prefix's octet length
+    // (bytePosition below).
+    "position" -> { case Seq(h, n) => bytePosition(h, n) },
     // higher-order family: lambda first in the reference; the
     // no-lambda forms test elements for non-zero (FunctionsHigherOrder.h)
     "arrayExists" -> { case Seq(lam, arr) => new ArrayExists(arr, lam)
@@ -2187,8 +2210,11 @@ object ChSql {
     "toInt32OrZero" -> orZero(IntegerType),
     "toFloat64OrZero" -> orZero(DoubleType),
     "toFloat32OrZero" -> orZero(FloatType),
+    // ASCII-ONLY case folding (PositionCaseInsensitiveImpl lowercases
+    // bytes <0x80: Cyrillic 'Б' does not match 'б'); the UTF8 variant
+    // folds full Unicode
     "positionCaseInsensitive" -> { case Seq(h, n) =>
-      new StringLocate(Lower(n), Lower(h)) },
+      bytePosition(asciiLower(h), asciiLower(n)) },
     "positionCaseInsensitiveUTF8" -> { case Seq(h, n) =>
       new StringLocate(Lower(n), Lower(h)) },
     "isFinite" -> { case Seq(e) =>

@@ -39,6 +39,25 @@ import graft.sql.ChSql
   * ChTypes metadata (DESCRIBE renders them; `toTypeName(col)` of a
   * stored column is exact); only derived-expression names report the
   * Spark-derived signed spelling.
+  *
+  * Round-7 triage, further documented divergences (all verified
+  * against the statement-level outputs):
+  *  - 00328 (partially): `CASE col WHEN … THEN Int8 … ELSE Float32`
+  *    with MIXED int/float result branches renders all-zero rows in
+  *    the reference (its transform() kernel has no int×float
+  *    instantiation); we return the mathematically correct values.
+  *  - 00342: `\xAA` escapes producing invalid UTF-8 — Spark strings
+  *    are validated UTF-8 (invalid bytes become U+FFFD); the
+  *    reference's strings are raw bytes. Same class as FixedString
+  *    byte-padding grouping (00089).
+  *  - 00081/00161 (one row each): overflow/width checks keyed to the
+  *    CH literal width lattice (intDivOrZero(-128,-1) at Int8,
+  *    round(x, N) NullScale when N < -digits10(T)) — the unsigned /
+  *    literal-width decision above covers these.
+  *  - 00027: -Array argMin/argMax cross-ROW ties take the first row
+  *    in the reference's single-thread order; a distributed min_by
+  *    has no row order to break ties with (Spark rejects
+  *    nondeterministic expressions inside aggregates).
   */
 class ChSqlCorpusSpec extends SparkSpec {
 
@@ -75,6 +94,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00014_c_select_from_table_with_nested",
     "00015_totals_having_constants",
     "00016_totals_having_constants",
+    "00017_in_subquery_with_empty_result",
     "00018_distinct_in_subquery",
     "00019_shard_quantiles_totals_distributed",
     "00020_sorting_arrays",
@@ -241,6 +261,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00228_shard_quantiles_deterministic_merge_overflow",
     "00229_prewhere_column_missing",
     "00231_format_vertical_raw",
+    "00233_position_function_family",
     "00234_disjunctive_equality_chains_optimization",
     "00235_create_temporary_table_as",
     "00238_removal_of_temporary_columns",
@@ -277,13 +298,16 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00292_parser_tuple_element",
     "00293_shard_max_subquery_depth",
     "00294_enums",
+    "00295_global_in_one_shard_rows_before_limit",
     "00296_url_parameters",
     "00299_stripe_log_multiple_inserts",
+    "00308_write_buffer_valid_utf8",
     "00312_position_case_insensitive_utf8",
     "00316_rounding_functions_and_empty_block",
     "00317_in_tuples_and_out_of_range_values",
     "00318_pk_tuple_order",
     "00320_between",
+    "00321_pk_set",
     "00323_quantiles_timing_bug",
     "00324_hashing_enums",
     "00326_function_multi_if",
@@ -306,6 +330,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00356_analyze_aggregations_and_union_all",
     "00359_convert_or_zero_functions",
     "00360_to_date_from_string_with_datetime",
+    "00361_shared_array_offsets_and_squash_blocks",
     "00362_great_circle_distance",
     "00363_defaults",
     "00364_java_style_denormals",
@@ -317,6 +342,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00376_shard_group_uniq_array_of_int_array",
     "00377_shard_group_uniq_array_of_string_array",
     "00381_first_significant_subdomain",
+    "00383_utf8_validation",
     "00384_column_aggregate_function_insert_from",
     "00386_enum_in_pk",
     "00386_has_column_in_table",
@@ -332,8 +358,10 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00412_logical_expressions_optimizer",
     "00413_distinct",
     "00422_hash_function_constexpr",
+    "00423_storage_log_single_thread",
     "00425_count_nullable",
     "00426_nulls_sorting",
+    "00429_point_in_ellipses",
     "00431_if_nulls",
     "00436_fixed_string_16_comparisons",
     "00437_nulls_first_last",
@@ -343,6 +371,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00442_filter_by_nullable",
     "00444_join_use_nulls",
     "00446_drop_column",
+    "00447_foreach_modifier",
     "00448_replicate_nullable_tuple_generic",
     "00448_to_string_cut_to_zero",
     "00449_filter_array_nullable_tuple",
