@@ -40,7 +40,7 @@ object ch {
   /** toStartOfMonth / toMonday / toStartOfHour / toStartOfMinute. */
   // returns Date (DataTypeDate) in the reference, whatever the input
   def toStartOfMonth(d: Column): Column = trunc(d, "month")
-  def toMonday(d: Column): Column = date_trunc("week", d)
+  def toMonday(d: Column): Column = to_date(date_trunc("week", d))
   def toStartOfHour(d: Column): Column = date_trunc("hour", d)
   def toStartOfMinute(d: Column): Column = date_trunc("minute", d)
 
@@ -60,6 +60,20 @@ object ch {
   def toRelativeMinuteNum(ts: Column): Column = (toRelativeSecondNum(ts) / 60).cast(LongType)
   def toRelativeHourNum(ts: Column): Column = (toRelativeSecondNum(ts) / 3600).cast(LongType)
   def toRelativeDayNum(ts: Column): Column = (toRelativeSecondNum(ts) / 86400).cast(LongType)
+  /** toRelativeMonthNum = year*12 + month; WeekNum counts Mondays
+    * since epoch ((dayNum - (dow-1)) / 7); YearNum is the year
+    * itself (DateLUTImpl.h:114-135). */
+  def toRelativeYearNum(ts: Column): Column = year(ts.cast(TimestampType)).cast(LongType)
+  def toRelativeMonthNum(ts: Column): Column =
+    (year(ts.cast(TimestampType)) * 12 + month(ts.cast(TimestampType))).cast(LongType)
+  def toRelativeWeekNum(ts: Column): Column =
+    ((toRelativeDayNum(ts) - (chDayOfWeek(ts) - 1)) / 7).cast(LongType)
+  /** CH day-of-week: Monday=1 … Sunday=7 (Spark's Sunday=1). */
+  def chDayOfWeek(ts: Column): Column = (dayofweek(ts.cast(TimestampType)) + 5) % 7 + 1
+  /** toTime: time-of-day mapped onto 1970-01-02 (DateLUTImpl toTime —
+    * renders as `1970-01-02 HH:MM:SS`). */
+  def toTime(ts: Column): Column = to_timestamp(
+    concat(lit("1970-01-02 "), date_format(ts.cast(TimestampType), "HH:mm:ss")))
 
   // --- arithmetic (reference: Functions/FunctionsArithmetic.h) ---
 

@@ -161,9 +161,12 @@ object ChSql {
       if (m.group(3) != null) m.group(2).toLong + m.group(3).toLong
       else m.group(2).toLong
     val lead = level.substring(0, level.length - level.stripLeading().length)
+    // preserve trailing whitespace: union branches are re-joined with
+    // their separators, `LIMIT 1000` + `UNION` must not glue together
+    val trail = level.substring(level.stripTrailing().length)
     lead + t.substring(0, m.start) +
       s"FROM (SELECT id AS number FROM range(0, $bound, 1, 16))" +
-      t.substring(m.start(1))
+      t.substring(m.start(1)) + trail
   }
 
   private val keylessAggRe =
@@ -397,6 +400,11 @@ object ChSql {
     q = rewriteUsingJoin(q)
     // CH ternary operator `cond ? a : b` (parenthesized form)
     q = ternaryToIf(q)
+    // constant-condition if() folds to the live branch TEXTUALLY —
+    // the reference's interpreter never analyzes the dead branch, so
+    // `0 ? not_existing_column : 1` works (corpus 00393); Spark's
+    // analyzer would reject the unresolved reference
+    q = foldConstIf(q)
     // table-less `FROM ARRAY JOIN expr AS alias` → explode subquery
     q = q.replaceAll(
       "(?is)\\bFROM\\s+ARRAY\\s+JOIN\\s+(.+?)\\s+[Aa][Ss]\\s+(\\w+)\\s*$",
@@ -421,6 +429,13 @@ object ChSql {
     // nest, so hoist each call to a LATERAL VIEW explode and use the
     // generated column (multiple calls multiply, like the reference)
     q = hoistArrayJoinCalls(q)
+    // a FROM-less SELECT with WHERE reads the one-row system.one
+    // source in the reference (`SELECT 1 WHERE 0` is an empty
+    // relation, 00420's NULL scalar subqueries); Spark's parser
+    // rejects WHERE without FROM
+    q = injectFromlessWhere(q)
+    q = q.replaceAll("(?i)\\bCAST\\s*\\(\\s*NULL\\s+AS\\s+Null\\s*\\)",
+      "CAST(NULL AS STRING)")
     // CH SELECT-list aliases are visible in WHERE of the same level
     // (ExpressionAnalyzer alias scope); Spark's are not — substitute
     q = inlineAliasInWhere(q)
@@ -575,6 +590,41 @@ object ChSql {
         }
       }
     }
+    // the branch BEFORE a union needs the same wrap when its trailing
+    // LIMIT would otherwise read as `… LIMIT n UNION ALL …`, which
+    // SQL cannot parse (corpus 00374's first branch)
+    changed = true
+    while (changed) {
+      changed = false
+      val d = depths(q)
+      val unions = "(?i)\\bUNION\\s+ALL\\s+".r.findAllMatchIn(q).toSeq
+      unions.find { m =>
+        val dep = d(m.start)
+        if (dep == 0) false
+        else {
+          var s0 = m.start
+          // stop just INSIDE the enclosing paren — the '(' itself
+          // carries the inner depth, so the ENCLOSING one is the '('
+          // whose depth equals the union's (a nested subquery's '('
+          // sits deeper and must be walked over)
+          while (s0 > 0 && d(s0 - 1) >= dep &&
+            !(q.charAt(s0 - 1) == '(' && d(s0 - 1) == dep)) s0 -= 1
+          // start after the previous same-depth union, if any
+          unions.filter(u => u.end <= m.start && d(u.start) == dep)
+            .map(_.end).maxOption.foreach(p => s0 = math.max(s0, p))
+          val branch = q.substring(s0, m.start)
+          val bd = depths(branch)
+          val lim = "(?i)\\bLIMIT\\s+\\d+\\s*$".r
+            .findFirstMatchIn(branch.stripTrailing())
+          val wrapped = branch.trim.startsWith("(") && branch.trim.endsWith(")")
+          lim.exists(l => bd(l.start) == 0) && !wrapped && {
+            q = q.substring(0, s0) + "(" + branch.trim + ") " + q.substring(m.start)
+            changed = true
+            true
+          }
+        }
+      }
+    }
     q
   }
 
@@ -600,6 +650,24 @@ object ChSql {
       }.mkString
     }
   }
+
+  /** Insert ` FROM (SELECT 0 AS __flw)` into a SELECT level that has
+    * a WHERE but no FROM — see the call site. */
+  private def injectFromlessWhere(q: String): String =
+    recurseParens(q)(l => mapUnionBranches(l) { level =>
+      val t = level.trim
+      if (!t.take(6).equalsIgnoreCase("SELECT")) level
+      else {
+        val d = depths(t)
+        val hasFrom = topMatches(t, d, "FROM").nonEmpty
+        topMatches(t, d, "WHERE").headOption match {
+          case Some(w) if !hasFrom =>
+            val lead = level.substring(0, level.length - level.stripLeading().length)
+            lead + t.substring(0, w) + "FROM (SELECT 0 AS __flw) " + t.substring(w)
+          case _ => level
+        }
+      }
+    })
 
   private def hoistArrayJoinCalls(q: String): String =
     recurseParens(q)(level0 => mapUnionBranches(level0)(hoistArrayJoinLevel))
@@ -1774,6 +1842,44 @@ object ChSql {
         Literal(1))))
   }
 
+  /** Fold `if(0, a, b)` → `b` and `if(1, a, b)` → `a` textually (see
+    * the call site). Innermost-first via repetition; args split on
+    * depth-0 commas inside the call. */
+  private def foldConstIf(q0: String): String = {
+    var q = q0
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 20) {
+      changed = false
+      rounds += 1
+      val m = "(?i)\\bif\\s*\\(\\s*([01])\\s*,".r.findFirstMatchIn(maskQuotes(q))
+      m.foreach { mm =>
+        // find the matching close paren and the two arg boundaries
+        var depth = 1
+        var i = mm.end
+        var commaAt = -1
+        var inQ = false
+        var close = -1
+        while (i < q.length && close < 0) {
+          val c = q.charAt(i)
+          if (c == '\'') inQ = !inQ
+          else if (!inQ && c == '(') depth += 1
+          else if (!inQ && c == ')') { depth -= 1; if (depth == 0) close = i }
+          else if (!inQ && c == ',' && depth == 1 && commaAt < 0) commaAt = i
+          i += 1
+        }
+        if (close >= 0 && commaAt >= 0) {
+          val thenTxt = q.substring(mm.end, commaAt).trim
+          val elseTxt = q.substring(commaAt + 1, close).trim
+          val live = if (mm.group(1) == "1") thenTxt else elseTxt
+          q = q.substring(0, mm.start) + "(" + live + ")" + q.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    q
+  }
+
   /** ASCII-only lowercase via translate — the case folding CH's
     * non-UTF8 case-insensitive string search applies (bytes < 0x80). */
   private def asciiLower(e: Expression): Expression =
@@ -2168,7 +2274,56 @@ object ChSql {
     "moduloOrZero" -> viaColumn { case Seq(a, b) => graft.functions.ch.moduloOrZero(a, b) },
     "toYYYYMM" -> viaColumn { case Seq(c) => graft.functions.ch.toYYYYMM(c) },
     "toStartOfMonth" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfMonth(c) },
+    // remaining DateTimeTransforms surface (FunctionsDateTime.h);
+    // every one of these takes the optional trailing timezone via
+    // tzWrap (see the fns assembly)
+    "toStartOfQuarter" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.date_trunc("quarter", c.cast("timestamp"))) },
+    "toStartOfYear" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.date_trunc("year", c.cast("timestamp"))) },
+    "toStartOfDay" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.date_trunc("day", c.cast("timestamp")) },
+    "toTime" -> viaColumn { case Seq(c) => graft.functions.ch.toTime(c) },
+    "toYear" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.year(c.cast("timestamp")) },
+    "toMonth" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.month(c.cast("timestamp")) },
+    "toDayOfMonth" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.dayofmonth(c.cast("timestamp")) },
+    "toDayOfWeek" -> viaColumn { case Seq(c) => graft.functions.ch.chDayOfWeek(c) },
+    "toHour" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.hour(c.cast("timestamp")) },
+    "toMinute" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.minute(c.cast("timestamp")) },
+    "toSecond" -> viaColumn { case Seq(c) =>
+      org.apache.spark.sql.functions.second(c.cast("timestamp")) },
+    "toRelativeYearNum" -> viaColumn { case Seq(c) =>
+      graft.functions.ch.toRelativeYearNum(c) },
+    "toRelativeMonthNum" -> viaColumn { case Seq(c) =>
+      graft.functions.ch.toRelativeMonthNum(c) },
+    "toRelativeWeekNum" -> viaColumn { case Seq(c) =>
+      graft.functions.ch.toRelativeWeekNum(c) },
+    "toRelativeDayNum" -> viaColumn { case Seq(c) =>
+      graft.functions.ch.toRelativeDayNum(c) },
+    // hour/minute/second relatives are plain epoch division — the
+    // reference IGNORES the zone argument there (DateLUTImpl
+    // toRelativeHourNum = t/3600)
+    "toRelativeHourNum" -> viaColumn { case cs =>
+      graft.functions.ch.toRelativeHourNum(cs.head) },
+    "toRelativeMinuteNum" -> viaColumn { case cs =>
+      graft.functions.ch.toRelativeMinuteNum(cs.head) },
+    "toRelativeSecondNum" -> viaColumn { case cs =>
+      graft.functions.ch.toRelativeSecondNum(cs.head) },
     "toMonday" -> viaColumn { case Seq(c) => graft.functions.ch.toMonday(c) },
+    // toUnixTimestamp(x[, tz]): epoch seconds; with a zone the string
+    // parses as THAT zone's wall clock (FunctionsConversion.h +
+    // DateLUT parse path)
+    "toUnixTimestamp" -> {
+      case Seq(x) => Cast(Cast(x, TimestampType), LongType)
+      case Seq(x, tz) if isTzLiteral(tz) =>
+        Cast(ToUTCTimestamp(Cast(x, TimestampType), tz), LongType) },
     "toStartOfHour" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfHour(c) },
     "toStartOfMinute" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfMinute(c) },
     "toStartOfFiveMinute" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfFiveMinute(c) },
@@ -2759,11 +2914,18 @@ object ChSql {
         case Seq(x) => interp(x, 0.5)
         case Seq(x, l) => call_function("percentile", x, l) },
       "median" -> viaColumn { case Seq(x) => interp(x, 0.5) },
-      "quantiles" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+      "quantiles" -> {
+        // zero levels → empty result array (00382: the reference
+        // returns [] rather than segfaulting)
+        case Seq(x) => viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x))
+        case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
         viaColumn { case Seq(xc) =>
           array(levels.map(l => interp(xc, evalD(l))): _*) }(Seq(x)) },
-      "quantileExact" -> { case Seq(x, l) if l.foldable =>
-        viaColumn { case Seq(xc) => chQuantileExactCol(xc, evalD(l)) }(Seq(x)) },
+      "quantileExact" -> {
+        case Seq(x, l) if l.foldable =>
+          viaColumn { case Seq(xc) => chQuantileExactCol(xc, evalD(l)) }(Seq(x))
+        case Seq(x) => // level defaults to 0.5 (AggregateFunctionsQuantile)
+          viaColumn { case Seq(xc) => chQuantileExactCol(xc, 0.5) }(Seq(x)) },
       "medianExact" -> { case Seq(x) =>
         viaColumn { case Seq(xc) => chQuantileExactCol(xc, 0.5) }(Seq(x)) },
       // element-wise exact quantiles over array rows: per position,
@@ -2777,23 +2939,36 @@ object ChSql {
             array(levels.map(l => element_at(s,
               least(floor(lit(evalD(l)) * n.cast("double")).cast("int"), n - 1) + 1)): _*)
           }) }(Seq(x)) },
-      "quantilesExact" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+      "quantilesExact" -> {
+        case Seq(x) => viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x))
+        case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
         viaColumn { case Seq(xc) =>
           array(levels.map(l => chQuantileExactCol(xc, evalD(l))): _*) }(Seq(x)) },
-      "quantileTiming" -> { case Seq(x, l) if l.foldable =>
-        graft.functions.QuantileTiming(x, evalD(l)) },
+      "quantileTiming" -> {
+        case Seq(x, l) if l.foldable => graft.functions.QuantileTiming(x, evalD(l))
+        case Seq(x) => graft.functions.QuantileTiming(x, 0.5) },
       "medianTiming" -> { case Seq(x) => graft.functions.QuantileTiming(x, 0.5) },
-      "quantilesTiming" -> { case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+      "quantilesTiming" -> {
+        case Seq(x) => viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x))
+        case x +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
         graft.functions.QuantilesTiming(x, levels.map(evalD)) },
-      "quantileTimingWeighted" -> { case Seq(x, w, l) if l.foldable =>
-        graft.functions.QuantileTimingWeighted(x, w, evalD(l)) },
-      "quantilesTimingWeighted" -> { case x +: w +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+      "quantileTimingWeighted" -> {
+        case Seq(x, w, l) if l.foldable =>
+          graft.functions.QuantileTimingWeighted(x, w, evalD(l))
+        case Seq(x, w) => graft.functions.QuantileTimingWeighted(x, w, 0.5) },
+      "quantilesTimingWeighted" -> {
+        case Seq(x, w) => viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x))
+        case x +: w +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
         graft.functions.QuantilesTimingWeighted(x, w, levels.map(evalD)) },
-      "quantileExactWeighted" -> { case Seq(x, w, l) if l.foldable =>
-        graft.functions.QuantileExactWeighted(x, w, evalD(l)) },
+      "quantileExactWeighted" -> {
+        case Seq(x, w, l) if l.foldable =>
+          graft.functions.QuantileExactWeighted(x, w, evalD(l))
+        case Seq(x, w) => graft.functions.QuantileExactWeighted(x, w, 0.5) },
       "medianExactWeighted" -> { case Seq(x, w) =>
         graft.functions.QuantileExactWeighted(x, w, 0.5) },
-      "quantilesExactWeighted" -> { case x +: w +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+      "quantilesExactWeighted" -> {
+        case Seq(x, w) => viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x))
+        case x +: w +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
         graft.functions.QuantilesExactWeighted(x, w, levels.map(evalD)) },
       "medianTimingWeighted" -> { case Seq(x, w) =>
         graft.functions.QuantileTimingWeighted(x, w, 0.5) },
@@ -2814,9 +2989,21 @@ object ChSql {
           case more => more.reduce((a, b) => zip_with(a, b, (x, y) => struct(x, y)))
         }
         size(array_distinct(tuples)).cast("long") },
-      "quantileDeterministic" -> { case Seq(x, d, l) if l.foldable =>
-        graft.functions.QuantileDeterministic(x, d, evalD(l)) },
-      "quantilesDeterministic" -> { case x +: d +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
+      "quantileDeterministic" -> {
+        case Seq(x, d, l) if l.foldable =>
+          graft.functions.QuantileDeterministic(x, d, evalD(l))
+        case Seq(x, d) => graft.functions.QuantileDeterministic(x, d, 0.5) },
+      "quantileTDigest" -> {
+        case Seq(x, l) if l.foldable => graft.functions.QuantileTDigest(x, evalD(l))
+        case Seq(x) => graft.functions.QuantileTDigest(x, 0.5) },
+      "medianTDigest" -> { case Seq(x) => graft.functions.QuantileTDigest(x, 0.5) },
+      "quantilesTDigest" -> { case Seq(x) =>
+        viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x)) },
+      "quantilesTDigestWeighted" -> { case Seq(x, w) =>
+        viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x)) },
+      "quantilesDeterministic" -> {
+        case Seq(x, d) => viaColumn { _ => org.apache.spark.sql.functions.array().cast("array<double>") }(Seq(x))
+        case x +: d +: levels if levels.nonEmpty && levels.forall(_.foldable) =>
         graft.functions.QuantilesDeterministic(x, d, levels.map(evalD)) })
   }
 
@@ -2901,6 +3088,53 @@ object ChSql {
     valueEntries ++ countEntries ++ avgEntries ++ quantEntries
   }
 
+  /** Date-family names accepting the reference's optional trailing
+    * TIMEZONE argument (DateTimeTransforms.h: every transform takes a
+    * DateLUT). The wrapper shifts the instant to that zone's wall
+    * clock (from_utc_timestamp) and reuses the 1-arg builder — for
+    * Date/number results that is exact; for DateTime results the
+    * value stays in shifted wall-clock form, which renders exactly as
+    * the reference renders a DateTime('zone') column (corpus 00189).
+    */
+  private val tzAwareDateFns: Set[String] = Set(
+    "tomonday", "tostartofmonth", "tostartofquarter", "tostartofyear",
+    "toyear", "tomonth", "todayofmonth",
+    "todayofweek", "tohour", "tominute", "tosecond",
+    "torelativeyearnum", "torelativemonthnum", "torelativeweeknum",
+    "torelativedaynum", "tostring", "todate", "toyyyymm")
+
+  /** The DateTime-returning subset, wrapped with the back-conversion
+    * variant. */
+  private val tzAwareDateTimeFns: Set[String] = Set(
+    "totime", "tostartofday", "tostartofhour", "tostartofminute",
+    "tostartoffiveminute", "timeslot")
+
+  private def isTzLiteral(e: Expression): Boolean =
+    e.foldable && e.dataType == StringType && {
+      val v = Option(e.eval(null)).map(_.toString).getOrElse("")
+      v == "UTC" || v.contains("/")
+    }
+
+  private def tzWrap(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    case init :+ tz if init.nonEmpty && isTzLiteral(tz) =>
+      b(FromUTCTimestamp(Cast(init.head, TimestampType), tz) +: init.tail)
+    case other => b(other)
+  }
+
+  /** Like [[tzWrap]] but for DateTime-RETURNING transforms: the
+    * result converts back to an instant, so a downstream
+    * `toString(x, tz)` (which shifts again for display) round-trips
+    * exactly as the reference's DateTime('zone') column does
+    * (00189's `toString(toTime(dt, tz), tz)` pairs). */
+  private def tzWrapDateTime(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    case init :+ tz if init.nonEmpty && isTzLiteral(tz) =>
+      ToUTCTimestamp(
+        b(FromUTCTimestamp(Cast(init.head, TimestampType), tz) +: init.tail), tz)
+    case other => b(other)
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = {
     val all = baseFns ++ emptyArrayFns ++ ifCombinatorFns ++ combinatorFns ++
       quantileFns ++ arrayReduceFns ++ stateMergeFns
@@ -2910,6 +3144,12 @@ object ChSql {
     // lowercases names, so dedupe case-insensitively.
     val byName = scala.collection.mutable.LinkedHashMap[String, (String, Seq[Expression] => Expression)]()
     all.foreach { case e @ (n, _) => byName(n.toLowerCase(java.util.Locale.ROOT)) = e }
+    tzAwareDateFns.foreach(k => byName.get(k).foreach { case (n, b) =>
+      byName(k) = (n, tzWrap(b))
+    })
+    tzAwareDateTimeFns.foreach(k => byName.get(k).foreach { case (n, b) =>
+      byName(k) = (n, tzWrapDateTime(b))
+    })
     byName.values.toSeq
   }
 

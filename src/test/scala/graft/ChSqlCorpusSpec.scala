@@ -303,6 +303,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00299_stripe_log_multiple_inserts",
     "00308_write_buffer_valid_utf8",
     "00312_position_case_insensitive_utf8",
+    "00315_quantile_off_by_one",
     "00316_rounding_functions_and_empty_block",
     "00317_in_tuples_and_out_of_range_values",
     "00318_pk_tuple_order",
@@ -313,6 +314,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00326_function_multi_if",
     "00330_view_subqueries",
     "00331_final_and_prewhere",
+    "00332_quantile_timing_memory_leak",
     "00333_parser_number_bug",
     "00337_shard_any_heavy",
     "00338_replicate_array_of_strings",
@@ -338,10 +340,12 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00370_duplicate_columns_in_subqueries",
     "00371_union_all",
     "00373_group_by_tuple",
+    "00374_any_last_if_merge",
     "00375_shard_group_uniq_array_of_string",
     "00376_shard_group_uniq_array_of_int_array",
     "00377_shard_group_uniq_array_of_string_array",
     "00381_first_significant_subdomain",
+    "00382_quantiles_empty_levels_segfaults",
     "00383_utf8_validation",
     "00384_column_aggregate_function_insert_from",
     "00386_enum_in_pk",
@@ -357,6 +361,8 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00409_shard_limit_by",
     "00412_logical_expressions_optimizer",
     "00413_distinct",
+    "00414_time_zones_direct_conversion",
+    "00420_null_in_scalar_subqueries",
     "00422_hash_function_constexpr",
     "00423_storage_log_single_thread",
     "00425_count_nullable",
