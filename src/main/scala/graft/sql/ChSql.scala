@@ -2235,8 +2235,12 @@ object ChSql {
           function = graft.functions.UInt8ToBool(lam.function))),
         Literal(true))) },
     "arrayJoin" -> { case Seq(arr) => Explode(arr) },
-    "arrayElement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
-    "charrayelement" -> { case Seq(a, i) => graft.functions.ChArrayElement(a, i) },
+    // index casts to LONG: a UInt64 index column arrives as
+    // Decimal(20,0), which the kernel's integral check rejects
+    "arrayElement" -> { case Seq(a, i) =>
+      graft.functions.ChArrayElement(a, Cast(i, LongType)) },
+    "charrayelement" -> { case Seq(a, i) =>
+      graft.functions.ChArrayElement(a, Cast(i, LongType)) },
     // more conversions / misc
     // toDateTime: a STRING of digits is a unix timestamp (the
     // reference parses '1000000000' as the epoch second)
@@ -2255,7 +2259,14 @@ object ChSql {
     "identity" -> { case Seq(e) => e },
     "ignore" -> { case es => Literal(0) },
     "tuple" -> { es => CreateStruct(es) },
-    "has" -> { case Seq(arr, e) => ArrayContains(arr, e) },
+    "has" -> { case Seq(arr, e) =>
+      if (e.dataType == NullType) {
+        // has(arr, NULL) = does the array hold a NULL element
+        // (FunctionsArray.h has with Nullable); array_contains
+        // rejects a NULL needle
+        val v = UnresolvedNamedLambdaVariable(Seq("__hx"))
+        new ArrayExists(arr, LambdaFunction(IsNull(v), Seq(v)))
+      } else ArrayContains(arr, e) },
     "indexOf" -> { case Seq(arr, e) => new ArrayPosition(arr, e) },
     "match" -> { case Seq(h, p) => RLike(h, p) },
     "positionUTF8" -> { case Seq(h, n) => new StringLocate(n, h) },
