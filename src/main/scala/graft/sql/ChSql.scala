@@ -405,6 +405,8 @@ object ChSql {
     // `0 ? not_existing_column : 1` works (corpus 00393); Spark's
     // analyzer would reject the unresolved reference
     q = foldConstIf(q)
+    // CH null placement: NULLs sort as the GREATEST value
+    q = defaultNullsOrdering(q)
     // table-less `FROM ARRAY JOIN expr AS alias` → explode subquery
     q = q.replaceAll(
       "(?is)\\bFROM\\s+ARRAY\\s+JOIN\\s+(.+?)\\s+[Aa][Ss]\\s+(\\w+)\\s*$",
@@ -650,6 +652,37 @@ object ChSql {
       }.mkString
     }
   }
+
+  /** CH sorts NULLs (and NaNs) LAST ascending, FIRST descending —
+    * they compare as the GREATEST value; Spark's SQL default is the
+    * opposite for NULLs. Append the explicit placement to every
+    * ORDER BY item that doesn't already carry one. */
+  private def defaultNullsOrdering(q: String): String =
+    recurseParens(q)(l => mapUnionBranches(l) { level =>
+      val t = level.trim
+      if (!t.take(6).equalsIgnoreCase("SELECT")) level
+      else {
+        val d = depths(t)
+        "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(t).toSeq
+          .filter(m => d(m.start) == 0).lastOption match {
+          case None => level
+          case Some(ob) =>
+            val end = ("(?i)\\b(LIMIT|SETTINGS|FORMAT|UNION)\\b").r
+              .findAllMatchIn(t).map(_.start)
+              .find(i => i > ob.end && d(i) == 0).getOrElse(t.length)
+            val items = splitTopLevel(t.substring(ob.end, end)).map { it0 =>
+              val it = it0.trim
+              if ("(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r.findFirstIn(it).isDefined) it
+              else if ("(?i)\\bDESC(ENDING)?\\s*$".r.findFirstIn(it).isDefined)
+                it + " NULLS FIRST"
+              else it + " NULLS LAST"
+            }
+            val lead = level.substring(0, level.length - level.stripLeading().length)
+            lead + t.substring(0, ob.end) + " " + items.mkString(", ") + " " +
+              t.substring(end)
+        }
+      }
+    })
 
   /** Insert ` FROM (SELECT 0 AS __flw)` into a SELECT level that has
     * a WHERE but no FROM — see the call site. */
@@ -2259,6 +2292,13 @@ object ChSql {
     "identity" -> { case Seq(e) => e },
     "ignore" -> { case es => Literal(0) },
     "tuple" -> { es => CreateStruct(es) },
+    // CH nullIf is TRI-STATE: when `a = b` evaluates to NULL (either
+    // side NULL) the result is NULL, where SQL's NULLIF returns a
+    // (FunctionsNull nullIf via if(a=b, NULL, a); corpus 00395:
+    // nullIf(9, NULL) = NULL)
+    "nullIf" -> { case Seq(a, b) =>
+      CaseWhen(Seq((Not(Coalesce(Seq(EqualTo(a, b), Literal(true))))
+        : Expression, a)), None) },
     "has" -> { case Seq(arr, e) =>
       if (e.dataType == NullType) {
         // has(arr, NULL) = does the array hold a NULL element
@@ -2266,7 +2306,12 @@ object ChSql {
         // rejects a NULL needle
         val v = UnresolvedNamedLambdaVariable(Seq("__hx"))
         new ArrayExists(arr, LambdaFunction(IsNull(v), Seq(v)))
-      } else ArrayContains(arr, e) },
+      } else
+        // no-match over an array CONTAINING nulls (or a NULL needle
+        // value at runtime) is 0 in the reference, not SQL's
+        // three-valued NULL; a NULL ARRAY stays NULL
+        If(IsNull(arr), Literal.create(null, BooleanType),
+          Coalesce(Seq(ArrayContains(arr, e), Literal(false)))) },
     "indexOf" -> { case Seq(arr, e) => new ArrayPosition(arr, e) },
     "match" -> { case Seq(h, p) => RLike(h, p) },
     "positionUTF8" -> { case Seq(h, n) => new StringLocate(n, h) },
