@@ -397,6 +397,10 @@ object ChSql {
       "USING ($1)")
     // USING-join resolution quirks (outer-alias keys, main-table `*`,
     // left-priority ambiguity)
+    // sibling-alias inlining must run FIRST: rewriteUsingJoin may
+    // copy a select item into the left join side, where outer aliases
+    // aren't visible (00163's `dummy + 2 AS number, number / 2 AS n`)
+    q = inlineForwardAliases(q)
     q = rewriteUsingJoin(q)
     // CH ternary operator `cond ? a : b` (parenthesized form)
     q = ternaryToIf(q)
@@ -441,13 +445,11 @@ object ChSql {
     // CH SELECT-list aliases are visible in WHERE of the same level
     // (ExpressionAnalyzer alias scope); Spark's are not — substitute
     q = inlineAliasInWhere(q)
-    // CH select-list aliases resolve order-INDEPENDENTLY (the
-    // reference's ExpressionAnalyzer substitutes the whole alias map
-    // before analysis; corpus 00216 puts `n = n_` ahead of the items
-    // defining n and n_). Spark's lateral column aliases resolve
-    // left-to-right only, so FORWARD references inline textually;
-    // backward references stay native (no text growth).
-    q = inlineForwardAliases(q)
+    // (sibling-alias inlining moved before rewriteUsingJoin above:
+    // CH aliases resolve order-independently — ExpressionAnalyzer
+    // substitutes the whole alias map before analysis, corpus 00216 —
+    // while Spark's lateral aliases are left-to-right and absent
+    // under joins)
     q = bracketLiteralsToArray(q)
     // `(SELECT 'str' …)` — Spark's parser reads `SELECT 'str'` as a
     // typed literal of type SELECT; concat() is a string identity
@@ -816,10 +818,16 @@ object ChSql {
         .findFirstIn(target).isDefined ||
       ("\\(([^()]*)\\)\\s*->").r.findAllMatchIn(target)
         .exists(m => m.group(1).split(",").map(_.trim).contains(a))
+    // under a top-level JOIN Spark's lateral column aliases don't
+    // resolve at all (the name searches the join relations only), so
+    // BACKWARD references inline there too (00163's
+    // `dummy + 2 AS number, number / 2 AS n` over a join)
+    val joined = topMatches(t, depths(t), "JOIN").nonEmpty
+    def refs(i: Int, j: Int): Boolean = if (joined) j != i else j > i
     def hasForwardRef: Boolean =
       its.zipWithIndex.exists { case ((_, expr, _), i) =>
         its.zipWithIndex.exists { case ((a, e, al), j) =>
-          j > i && substitutable(a, e, al) && !shadowedByLambda(expr, a) &&
+          refs(i, j) && substitutable(a, e, al) && !shadowedByLambda(expr, a) &&
             aliasRe(a).findFirstIn(maskQuotes(expr)).isDefined
         }
       }
@@ -829,7 +837,7 @@ object ChSql {
       its = its.zipWithIndex.map { case ((name, expr, al0), i) =>
         var e2 = expr
         its.zipWithIndex.foreach { case ((a, e, al), j) =>
-          if (j > i && substitutable(a, e, al) && !shadowedByLambda(e2, a) &&
+          if (refs(i, j) && substitutable(a, e, al) && !shadowedByLambda(e2, a) &&
             aliasRe(a).findFirstIn(maskQuotes(e2)).isDefined)
             e2 = mapOutsideQuotes(e2)(seg => aliasRe(a).replaceAllIn(seg,
               java.util.regex.Matcher.quoteReplacement(s"($e)")))

@@ -223,6 +223,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00157_aliases_and_lambda_formal_parameters",
     "00159_whitespace_in_columns_list",
     "00162_shard_global_join",
+    "00163_shard_join_with_empty_table",
     "00164_not_chain",
     "00165_transform_non_const_default",
     "00166_functions_of_aggregation_states",
