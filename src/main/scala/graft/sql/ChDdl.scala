@@ -631,7 +631,25 @@ object ChDdl {
   private def rewriteAll(spark: SparkSession, sql: String): String = {
     refreshMergeTables(spark, sql)
     rewriteRefs(rewriteInSet(rewriteFinal(spark,
-      rewriteNested(rewriteTableFunctions(spark, sql)))))
+      rewriteNested(rewriteTableFunctions(spark, expandStarOverMat(sql))))))
+  }
+
+  /** `SELECT * FROM t` omits MATERIALIZED/ALIAS columns — they are
+    * computed, not part of the ordinary width (ExpressionAnalyzer
+    * asterisk expansion; corpus 00311). Narrow shape only: a
+    * single-table star select. Explicit references still work. */
+  private def expandStarOverMat(sql: String): String = {
+    val m = "(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+([\\w.`]+)(.*)$".r
+      .findFirstMatchIn(sql).getOrElse(return sql)
+    val name = m.group(1).replace("`", "")
+    val entry = tables.get(name)
+      .orElse(currentDb.flatMap(db => tables.get(s"$db.$name")))
+      .getOrElse(return sql)
+    val mat = entry.defaultKinds.filter { case (_, k) =>
+      k.equalsIgnoreCase("MATERIALIZED") || k.equalsIgnoreCase("ALIAS") }.keySet
+    if (mat.isEmpty) return sql
+    val cols = entry.df.schema.fieldNames.filterNot(mat.contains)
+    s"SELECT ${cols.mkString(", ")} FROM ${m.group(1)}${m.group(2)}"
   }
 
   /** `x IN set_table` — StorageSet is only readable as the right side
@@ -1239,7 +1257,17 @@ object ChDdl {
           case Some(cl) if cl.trim.nonEmpty =>
             org.apache.spark.sql.types.StructType(
               cl.split(",").map(c => entry.df.schema(c.trim.replace("`", ""))))
-          case _ => entry.df.schema
+          case _ =>
+            // a column-list-less INSERT covers only the ORDINARY
+            // columns: MATERIALIZED/ALIAS columns are computed, never
+            // supplied (InterpreterInsertQuery required-columns;
+            // corpus 00311's `d Date MATERIALIZED …` table takes
+            // 3-tuples into a 4-column schema)
+            org.apache.spark.sql.types.StructType(
+              entry.df.schema.fields.filterNot(f =>
+                entry.defaultKinds.get(f.name).exists(k =>
+                  k.equalsIgnoreCase("MATERIALIZED") ||
+                    k.equalsIgnoreCase("ALIAS"))))
         }
         val partial =
           if (rest.trim.toUpperCase.startsWith("VALUES")) {

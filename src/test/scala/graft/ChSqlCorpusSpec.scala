@@ -303,6 +303,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00296_url_parameters",
     "00299_stripe_log_multiple_inserts",
     "00308_write_buffer_valid_utf8",
+    "00311_array_primary_key",
     "00312_position_case_insensitive_utf8",
     "00315_quantile_off_by_one",
     "00316_rounding_functions_and_empty_block",
