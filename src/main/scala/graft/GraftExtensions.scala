@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.ChImplicitCasts)
     // Enum name↔value semantics over metadata-tagged numeric columns
     ext.injectResolutionRule(_ => graft.plans.ChEnumCoercion)
+    // toTypeName folds to the reference spelling while ChTypeTag
+    // markers are still visible (analysis-time, corpus 00433/00435)
+    ext.injectResolutionRule(_ => graft.plans.ChTypeNameResolution)
   }
 }
 
@@ -41,6 +44,14 @@ object GraftFunctions {
 
   private val base: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("siphash64"), info("siphash64"), SipHash64Expr.builder),
+    // transparent CH-type annotation for toTypeName (erases to its
+    // child after analysis; planted by the dialect's typed CASTs)
+    (FunctionIdentifier("ch_type_tag"), info("ch_type_tag"), {
+      case Seq(e, Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        graft.functions.ChTypeTag(e, s.toString)
+      case other => throw new IllegalArgumentException(
+        s"ch_type_tag(expr, 'TypeName' literal) expected, got $other")
+    }),
     (FunctionIdentifier("uniq_upto"), info("uniq_upto"), {
       case Seq(e, Literal(n: Int, _)) => UniqUpTo(e, n)
       case other => throw new IllegalArgumentException(

@@ -130,6 +130,45 @@ object CodingFns {
     sb.toString
   }
 
+  /** convertCharset(s, from, to) — decode the raw bytes with `from`,
+    * encode with `to` (FunctionsCharset.cpp, ucnv-based). JVM
+    * charsets cover the byte-oriented pages (cp1251, koi8-r, latin1,
+    * utf-8/16/32 …); the ICU-only transfer encodings the reference
+    * also accepts (utf-7, bocu-1, scsu) are a DOCUMENTED DIVERGENCE —
+    * Spark bundles only icu4j's core jar, not the icu4j-charset
+    * converter module (corpus 00436 stays unpinned on those).
+    * Substitution on malformed/unmappable input matches ucnv's
+    * default. */
+  def chCharset(name: String): java.nio.charset.Charset =
+    java.nio.charset.Charset.forName(name)
+  def convertCharset(src: Array[Byte],
+      from: org.apache.spark.unsafe.types.UTF8String,
+      to: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val decoded = new String(src, chCharset(from.toString))
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      decoded.getBytes(chCharset(to.toString)))
+  }
+
+  /** cutIPv6(addr16, v6cut, v4cut): zero the trailing N bytes — N
+    * chosen by IPv4-mapped detection (bytes 0-7 zero and bytes 8-11 =
+    * 00 00 FF FF, FunctionsCoding.h:262-423) — then render through
+    * [[ipv6NumToString]]. Invoked via codegen'd StaticInvoke. */
+  def cutIPv6(src0: Array[Byte], cutV6: Int, cutV4: Int):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val src =
+      if (src0.length == 16) src0 else java.util.Arrays.copyOf(src0, 16)
+    var i = 0; var headZero = true
+    while (i < 8) { if (src(i) != 0) headZero = false; i += 1 }
+    val mapped = headZero && src(8) == 0 && src(9) == 0 &&
+      (src(10) & 0xff) == 0xff && (src(11) & 0xff) == 0xff
+    val cut = math.min(math.max(if (mapped) cutV4 else cutV6, 0), 16)
+    val a = src.clone()
+    i = 16 - cut
+    while (i < 16) { a(i) = 0; i += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(ipv6NumToString(a))
+  }
+
   /** IPv6StringToNum: parse full/compressed/embedded-IPv4 forms to 16
     * bytes; malformed input yields all-zero (the reference's
     * default-value convention, FunctionsCoding.h:429-490). */

@@ -496,7 +496,11 @@ case class ChArraySum(child: Expression)
 }
 
 /** CH toTypeName — the type of the argument under its reference
-  * spelling, resolved at analysis (IFunction::getReturnType). */
+  * spelling. [[graft.plans.ChTypeNameResolution]] folds it to a
+  * literal during ANALYSIS (while [[ChTypeTag]] markers are still in
+  * the tree) via [[graft.types.ChTypeInfer]]; this replacement is the
+  * fallback spelling if the rule never fired
+  * (IFunction::getReturnType). */
 case class ToTypeName(child: Expression)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   override lazy val replacement: Expression =
@@ -504,5 +508,21 @@ case class ToTypeName(child: Expression)
       graft.types.ChTypes.toChName(child.dataType, child.nullable), StringType)
   override def prettyName: String = "totypename"
   override protected def withNewChildInternal(newChild: Expression): ToTypeName =
+    copy(child = newChild)
+}
+
+/** Transparent CH-type annotation: carries the reference's type name
+  * for an expression whose Spark storage type erases it (UInt32 lives
+  * in LongType, DataTypesNumber.h). Semantically the identity — it
+  * erases to its child in the optimizer's ReplaceExpressions pass, so
+  * physical plans and codegen never see it; only analysis-time
+  * consumers (ToTypeName inference) read `chName`. `chName` may be
+  * `Nullable(...)`-wrapped (explicit CAST target); a bare name takes
+  * its nullability from the child. */
+case class ChTypeTag(child: Expression, chName: String)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child
+  override def prettyName: String = "ch_type_tag"
+  override protected def withNewChildInternal(newChild: Expression): ChTypeTag =
     copy(child = newChild)
 }

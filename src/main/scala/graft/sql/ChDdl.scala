@@ -68,6 +68,9 @@ object ChDdl {
 
   /** Per-test-file settings reset (the reference runner starts a new
     * client per file, so SET never leaks across files). */
+  /** Read view for the translator's block-introspection rewrite. */
+  private[sql] def currentMaxBlockSize: Long = maxBlockSize
+
   def resetSettings(): Unit = {
     joinUseNulls = false
     totalsMode = "before_having"

@@ -340,6 +340,8 @@ object ChSql {
     // Spark resolves the real column first — inline the shadowing
     // expression into later items
     q = inlineShadowingAliases(q)
+    // toTypeName over a sibling alias types the aliased expression
+    q = inlineToTypeNameArgs(q)
     // GROUP BY k WITH TOTALS → GROUPING SETS ((k),()) + hidden
     // grouping_id marker; ChDdl.executeRendered splits the totals row
     q = rewriteWithTotals(q)
@@ -375,6 +377,8 @@ object ChSql {
     // fn(args, params) — the quantile/topK/groupArray families
     // (AggregateFunctionFactory parameter dispatch)
     q = flattenParamCalls(q)
+    // typed CASTs keep their declared CH name via ch_type_tag
+    q = rewriteTypedCasts(q)
     // CAST type surface: Nullable(T) unwraps (Spark columns are
     // nullable); CH scalar type names map to Spark spellings in the
     // `AS type` seat (exact case — aliases are never CH-cased names)
@@ -411,6 +415,9 @@ object ChSql {
     q = foldConstIf(q)
     // CH null placement: NULLs sort as the GREATEST value
     q = defaultNullsOrdering(q)
+    // block introspection family → row-order windows (after
+    // defaultNullsOrdering so the injected OVER(ORDER BY) is untouched)
+    q = rewriteBlockFns(q)
     // table-less `FROM ARRAY JOIN expr AS alias` → explode subquery
     q = q.replaceAll(
       "(?is)\\bFROM\\s+ARRAY\\s+JOIN\\s+(.+?)\\s+[Aa][Ss]\\s+(\\w+)\\s*$",
@@ -852,6 +859,143 @@ object ChSql {
     lead + "SELECT " + list + " " + t.substring(end)
   }
 
+  /** `expr AS res, toTypeName(res)` types the aliased EXPRESSION:
+    * Spark's lateral-column-alias resolution hands the type-name
+    * inference a bare attribute (the alias's output slot), erasing
+    * the expression structure the CH spelling derives from — so
+    * inline the sibling item's text into the call (both directions;
+    * values are unaffected, only the typed argument changes). */
+  private def inlineToTypeNameArgs(q: String): String =
+    recurseParens(q)(l => mapUnionBranches(l)(inlineToTypeNameLevel))
+
+  private def inlineToTypeNameLevel(level: String): String = {
+    val t = level.trim
+    if (!t.take(6).equalsIgnoreCase("SELECT")) return level
+    if ("(?i)\\btoTypeName\\s*\\(".r.findFirstIn(maskQuotes(t)).isEmpty)
+      return level
+    val aliased = selectItems(t).filter { case (n, e) =>
+      n.replaceAll("\\s+", "") != e.replaceAll("\\s+", "") &&
+        !n.contains(".") &&
+        "(?i)\\barrayJoin\\s*\\(".r.findFirstIn(e).isEmpty }
+    if (aliased.isEmpty) return level
+    var out = level
+    aliased.foreach { case (a, e) =>
+      val re = ("(?i)\\btoTypeName\\s*\\(\\s*" +
+        java.util.regex.Pattern.quote(a) + "\\s*\\)").r
+      out = mapOutsideQuotes(out)(seg => re.replaceAllIn(seg,
+        java.util.regex.Matcher.quoteReplacement(s"toTypeName(($e))")))
+    }
+    out
+  }
+
+  /** Block-introspection family (rowNumberInAllBlocks / blockNumber /
+    * rowNumberInBlock / blockSize — FunctionsMiscellaneous.cpp).
+    * Spark has no block concept, so model the pipeline as a dense row
+    * order sliced into `max_block_size` blocks — exactly how the
+    * reference's single-thread pipeline chops a stream
+    * (IBlockInputStream max_block_size; corpus 00344 pins the whole
+    * family under SET max_block_size).
+    *
+    * Calls at SELECT level become window expressions directly (they
+    * evaluate post-WHERE, like the reference's final pipeline stage —
+    * corpus 00160's `blockSize() < 10` over two index-selected rows).
+    * Calls INSIDE an aggregate can't hold a window, so the level's
+    * FROM..WHERE wraps into a subquery that projects the row number /
+    * total as `__rnab`/`__cnt` first.
+    *
+    * Scale note: the unpartitioned row_number window is a
+    * single-partition construct — inherent to the function family's
+    * sequential semantics (a global dense row order), and only paid
+    * by queries that call it. */
+  private val blockFnRe =
+    "(?i)\\b(rowNumberInAllBlocks|rowNumberInBlock|blockNumber|blockSize)\\s*\\(\\s*\\)".r
+
+  private def rewriteBlockFns(q: String): String =
+    recurseParens(q)(l => mapUnionBranches(l)(rewriteBlockFnsLevel))
+
+  private def rewriteBlockFnsLevel(level: String): String = {
+    val t = level.trim
+    if (!t.take(6).equalsIgnoreCase("SELECT")) return level
+    if (blockFnRe.findFirstIn(maskQuotes(level)).isEmpty) return level
+    val s = ChDdl.currentMaxBlockSize
+    val rn = "(row_number() OVER (ORDER BY 'b') - 1)"
+    val cnt = "(count(*) OVER ())"
+    // is any call nested inside an aggregate call's argument list?
+    val masked = maskQuotes(level)
+    val inAgg = keylessAggRe.findAllMatchIn(masked).exists { am =>
+      val open = masked.indexOf('(', am.end - 1)
+      if (open < 0) false
+      else {
+        var depth = 1; var j = open + 1
+        while (j < masked.length && depth > 0) {
+          if (masked(j) == '(') depth += 1
+          else if (masked(j) == ')') depth -= 1
+          j += 1
+        }
+        blockFnRe.findFirstIn(masked.substring(open, j)).isDefined
+      }
+    }
+    def subst(text: String, rnE: String, cntE: String): String =
+      mapOutsideQuotes(text)(seg => seg
+        .replaceAll("(?i)\\browNumberInAllBlocks\\s*\\(\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(rnE))
+        .replaceAll("(?i)\\browNumberInBlock\\s*\\(\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(s"($rnE % $s)"))
+        .replaceAll("(?i)\\bblockNumber\\s*\\(\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(s"($rnE div $s)"))
+        .replaceAll("(?i)\\bblockSize\\s*\\(\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(
+            s"least($s, $cntE - ($rnE div $s) * $s)")))
+    // `ignore(...)` is constant 0 whatever its arguments; when the
+    // arguments hold one of the injected windows (00160's WHERE
+    // `NOT ignore(blockSize() < 10 AS b)`) fold the call away
+    // textually — the analyzer rejects windows inside WHERE before
+    // the ignore builder would discard them
+    def foldIgnoreWindows(text: String): String = {
+      var out = text
+      var again = true
+      while (again) {
+        again = false
+        val m0 = "(?i)\\bignore\\s*\\(".r.findAllMatchIn(maskQuotes(out))
+          .find(m => {
+            val open = out.indexOf('(', m.start)
+            var depth = 1; var j = open + 1
+            val msk = maskQuotes(out)
+            while (j < out.length && depth > 0) {
+              if (msk(j) == '(') depth += 1
+              else if (msk(j) == ')') depth -= 1
+              j += 1
+            }
+            out.substring(open, j).contains("OVER (ORDER BY 'b')")
+          })
+        m0.foreach { m =>
+          val open = out.indexOf('(', m.start)
+          var depth = 1; var j = open + 1
+          val msk = maskQuotes(out)
+          while (j < out.length && depth > 0) {
+            if (msk(j) == '(') depth += 1
+            else if (msk(j) == ')') depth -= 1
+            j += 1
+          }
+          out = out.substring(0, m.start) + "0" + out.substring(j)
+          again = true
+        }
+      }
+      out
+    }
+    if (!inAgg) foldIgnoreWindows(subst(level, rn, cnt))
+    else {
+      val d = depths(level)
+      val fromAt = topMatches(level, d, "FROM").headOption.getOrElse(return level)
+      val wrapEnd = topMatches(level, d, "GROUP|HAVING|ORDER|LIMIT|SETTINGS")
+        .filter(_ > fromAt).minOption.getOrElse(level.length)
+      val rel = level.substring(fromAt + 4, wrapEnd).trim
+      subst(level.substring(0, fromAt), "__rnab", "__cnt") +
+        s"FROM (SELECT *, $rn AS __rnab, $cnt AS __cnt FROM $rel) " +
+        level.substring(wrapEnd)
+    }
+  }
+
   private def inlineAliasInWhere(q: String): String =
     recurseParens(q)(level0 => mapUnionBranches(level0)(inlineAliasInWhereLevel))
 
@@ -1023,8 +1167,13 @@ object ChSql {
           val pat = ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(alias) +
             "(?![\\w(`'])").r
           val repl = java.util.regex.Matcher.quoteReplacement(s"($expr)")
-          // substitute only AFTER the definition site
-          val head = before.substring(0, m.start)
+          // CH in-place aliases bind QUERY-WIDE (`SELECT *, b FROM t
+          // WHERE ignore(e AS b)` — corpus 00160): substitute before
+          // and after the definition, skipping the defining
+          // expression's own span (`x + 1 AS x` must keep reading the
+          // source column inside its definition)
+          val head = mapOutsideQuotes(before.substring(0, p + 1))(seg =>
+            pat.replaceAllIn(seg, repl)) + before.substring(p + 1, m.start)
           val tail = mapOutsideQuotes(before.substring(m.start))(seg =>
             pat.replaceAllIn(seg, repl))
           q = head + tail
@@ -1128,6 +1277,53 @@ object ChSql {
     * enum cast keyed by name (DataTypeEnum.cpp `castToValue`), whose
     * result serializes as the name. Only LITERAL operands fold; see
     * the call site for the non-literal channel. */
+  /** `CAST(expr AS T)` with T a CH scalar name (optionally
+    * Nullable-wrapped) → `ch_type_tag(CAST(expr AS <spark>), 'T')`:
+    * runs as the plain Spark cast, but the DECLARED reference name —
+    * unsignedness and explicit Nullable(...) — survives analysis for
+    * toTypeName (corpus 00424: sum(1 + CAST(dummy AS Nullable(UInt8)))
+    * is Nullable(UInt64)). Types outside the map keep the untagged
+    * path (the general AS-map below). */
+  private val castTypeMap = Map(
+    "UInt8" -> "INT", "UInt16" -> "INT", "Int32" -> "INT",
+    "UInt32" -> "BIGINT", "UInt64" -> "BIGINT", "Int64" -> "BIGINT",
+    "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
+    "Float32" -> "FLOAT", "Float64" -> "DOUBLE",
+    "String" -> "STRING", "Date" -> "DATE", "DateTime" -> "TIMESTAMP")
+
+  private def rewriteTypedCasts(q0: String): String = {
+    var q = q0
+    // rightmost-first: inner casts rewrite before enclosing ones and
+    // earlier match offsets stay valid
+    "(?i)\\bCAST\\s*\\(".r.findAllMatchIn(q).toSeq.reverse.foreach { m =>
+      val d = depths(q)
+      val open = m.end - 1
+      val close = (open + 1 until q.length).find(j => d(j) == d(open) - 1)
+      close.foreach { c =>
+        val inner = q.substring(open + 1, c)
+        val masked = maskTop(inner)
+        val asM = "(?i)\\sAS\\s+".r.findAllMatchIn(masked).toSeq.lastOption
+        asM.foreach { am =>
+          val typeText = inner.substring(am.end).trim
+          val tm = "^(?:Nullable\\s*\\(\\s*(\\w+)\\s*\\)|(\\w+))$".r
+            .findFirstMatchIn(typeText)
+          tm.foreach { t =>
+            val base = Option(t.group(1)).getOrElse(t.group(2))
+            castTypeMap.get(base).foreach { spark =>
+              val chName =
+                if (t.group(1) != null) s"Nullable($base)" else base
+              val expr = inner.substring(0, am.start).trim
+              q = q.substring(0, m.start) +
+                s"ch_type_tag(CAST($expr AS $spark), '$chName')" +
+                q.substring(c + 1)
+            }
+          }
+        }
+      }
+    }
+    q
+  }
+
   private def rewriteEnumCasts(q0: String): String = {
     val lit = "'(?:[^'\\\\]|\\\\.)*'"
     def check(bits: Int, nameLit: String, body: String): String = {
@@ -1952,6 +2148,12 @@ object ChSql {
       LambdaFunction(fin, Seq(fin)))
   }
 
+  /** Wrap a conversion builder's result in a [[graft.functions.ChTypeTag]]
+    * carrying the CH-declared name (erased to identity after analysis). */
+  private def tagged(chName: String, b: Seq[Expression] => Expression):
+      Seq[Expression] => Expression =
+    args => graft.functions.ChTypeTag(b(args), chName)
+
   private def cast(dt: DataType): Seq[Expression] => Expression = {
     // toUInt16(Date) is the raw day count, toUInt32(DateTime) the
     // epoch second (DataTypeDate=UInt16 / DataTypeDateTime=UInt32
@@ -2221,19 +2423,23 @@ object ChSql {
       Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), Literal("abcdefghijklmnopqrstuvwxyz")) },
     "upper" -> { case Seq(e) => StringTranslate(e,
       Literal("abcdefghijklmnopqrstuvwxyz"), Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ")) },
-    "toUInt64" -> cast(LongType),
-    "toInt64" -> cast(LongType),
-    "toUInt32" -> cast(LongType),
-    "toInt32" -> cast(IntegerType),
-    "toUInt16" -> cast(IntegerType),
-    "toInt16" -> cast(IntegerType),
-    "toUInt8" -> cast(IntegerType),
-    "toInt8" -> cast(IntegerType),
+    // to<N> conversions carry their declared CH name via ChTypeTag —
+    // the Spark storage type erases unsignedness, toTypeName needs it
+    "toUInt64" -> tagged("UInt64", cast(LongType)),
+    "toInt64" -> tagged("Int64", cast(LongType)),
+    "toUInt32" -> tagged("UInt32", cast(LongType)),
+    "toInt32" -> tagged("Int32", cast(IntegerType)),
+    "toUInt16" -> tagged("UInt16", cast(IntegerType)),
+    "toInt16" -> tagged("Int16", cast(IntegerType)),
+    "toUInt8" -> tagged("UInt8", cast(IntegerType)),
+    "toInt8" -> tagged("Int8", cast(IntegerType)),
     // toFloat64/32 accept the reference's special spellings
     // inf/-inf/±nan. The fallback is a TRY cast: an ANSI cast of 'inf'
     // would throw at constant-folding time even on an unreached branch.
-    "toFloat64" -> { case Seq(e) => floatConv(e, DoubleType) },
-    "toFloat32" -> { case Seq(e) => floatConv(e, FloatType) },
+    "toFloat64" -> { case Seq(e) =>
+      graft.functions.ChTypeTag(floatConv(e, DoubleType), "Float64") },
+    "toFloat32" -> { case Seq(e) =>
+      graft.functions.ChTypeTag(floatConv(e, FloatType), "Float32") },
     // toDate(integer) = epoch-day number (DataTypeDate is UInt16)
     "toDate" -> { case Seq(e) if e.resolved && (e.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
@@ -2477,6 +2683,18 @@ object ChSql {
       graft.functions.KernelExpr(e, "ipv6_string_to_num") },
     "IPv4ToIPv6" -> { case Seq(e) =>
       graft.functions.KernelExpr(Cast(e, LongType), "ipv4_to_ipv6") },
+    "convertCharset" -> { case Seq(s, f, t) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.functions.CodingFns.type], StringType, "convertCharset",
+        Seq(Cast(s, BinaryType), f, t),
+        Seq(BinaryType, StringType, StringType),
+        returnNullable = false) },
+    "cutIPv6" -> { case Seq(a, v6, v4) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.functions.CodingFns.type], StringType, "cutIPv6",
+        Seq(Cast(a, BinaryType), Cast(v6, IntegerType), Cast(v4, IntegerType)),
+        Seq(BinaryType, IntegerType, IntegerType),
+        returnNullable = false) },
     "UUIDNumToString" -> { case Seq(e) =>
       graft.functions.KernelExpr(e, "uuid_num_to_string") },
     "UUIDStringToNum" -> { case Seq(e) =>

@@ -44,8 +44,16 @@ object CorpusTriage {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // filter: substring match, or `@/path/to/file` with one test name
+    // per line (used to sweep exactly the unpinned set)
+    val nameMatch: String => Boolean =
+      if (filter.startsWith("@")) {
+        val names = Files.readAllLines(Paths.get(filter.drop(1)))
+          .toArray(Array.empty[String]).map(_.trim).filter(_.nonEmpty).toSet
+        n => names.contains(n.stripSuffix(".sql"))
+      } else _.contains(filter)
     val files = new File(corpus).listFiles()
-      .filter(f => f.getName.endsWith(".sql") && f.getName.contains(filter))
+      .filter(f => f.getName.endsWith(".sql") && nameMatch(f.getName))
       .sortBy(_.getName)
     var pass, fail, skip = 0
     files.foreach { f =>

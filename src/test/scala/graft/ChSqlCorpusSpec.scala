@@ -222,6 +222,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00156_array_map_to_constant",
     "00157_aliases_and_lambda_formal_parameters",
     "00159_whitespace_in_columns_list",
+    "00160_merge_and_index_in_in",
     "00162_shard_global_join",
     "00163_shard_join_with_empty_table",
     "00164_not_chain",
@@ -321,6 +322,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00337_shard_any_heavy",
     "00338_replicate_array_of_strings",
     "00343_array_element_generic",
+    "00344_row_number_in_all_blocks",
     "00345_index_signed_unsigned_comparison",
     "00346_if_tuple",
     "00347_has_tuple",
@@ -362,15 +364,20 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00404_null_literal",
     "00409_shard_limit_by",
     "00412_logical_expressions_optimizer",
+    "00413_least_greatest_new_behavior",
     "00413_distinct",
     "00414_time_zones_direct_conversion",
     "00420_null_in_scalar_subqueries",
     "00422_hash_function_constexpr",
     "00423_storage_log_single_thread",
+    "00424_shard_aggregate_functions_of_nullable",
     "00425_count_nullable",
     "00426_nulls_sorting",
     "00429_point_in_ellipses",
     "00431_if_nulls",
+    "00433_ifnull",
+    "00434_tonullable",
+    "00435_coalesce",
     "00436_fixed_string_16_comparisons",
     "00437_nulls_first_last",
     "00438_bit_rotate",
