@@ -150,6 +150,17 @@ object CodingFns {
       decoded.getBytes(chCharset(to.toString)))
   }
 
+  /** toFixedString(s, n): zero-pad the raw BYTES to n
+    * (DataTypeFixedString — byte-level, so binary payloads whose
+    * UTF8 char count differs from their byte count pad correctly). */
+  def fixedString(s: org.apache.spark.unsafe.types.UTF8String, n: Int):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val b = s.getBytes
+    if (b.length >= n) s
+    else org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      java.util.Arrays.copyOf(b, n))
+  }
+
   /** cutIPv6(addr16, v6cut, v4cut): zero the trailing N bytes — N
     * chosen by IPv4-mapped detection (bytes 0-7 zero and bytes 8-11 =
     * 00 00 FF FF, FunctionsCoding.h:262-423) — then render through

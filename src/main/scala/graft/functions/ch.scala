@@ -237,6 +237,38 @@ object ch {
 object MathKernels {
   import org.apache.commons.math3.special.{Erf, Gamma}
 
+  /** round(Float64, s>0) with the reference's double pipeline: scale
+    * up, ties-to-even on the PRODUCT, scale down; sign restored after
+    * (FunctionsRound.h Float64 PositiveScale). */
+  def roundToScale(x: Double, scale: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else {
+      val r = math.rint(math.abs(x) * scale) / scale
+      // normalize(): zero loses the sign (round(-0.002, 1) prints 0)
+      if (x < 0 && r != 0d) -r else r
+    }
+
+  /** round/ceil/floor(Float, s<0) — the reference's magnitude
+    * algorithm (FunctionsRound.h Float NegativeScale): |x|/10^-s,
+    * hard-zero when that falls below 0.1, round by mode, scale back,
+    * restore sign (negative zero included — normalize()). mode:
+    * 0 nearest-even, 1 floor, 2 ceil (_MM_FROUND_*). */
+  def roundNegScale(x: Double, p: Double, mode: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else {
+      val v = math.abs(x) / p
+      val r =
+        if (v < 0.1) 0d
+        else (mode match {
+          case 0 => math.rint(v)
+          case 1 => math.floor(v)
+          case _ => math.ceil(v)
+        }) * p
+      // normalize(): a zero result loses the sign (golden prints 0,
+      // not -0, for round(-13, -2))
+      if (x < 0 && r != 0d) -r else r
+    }
+
   /** C tgamma: pole at 0 is +inf (commons-math3 returns NaN there). */
   def tgamma(x: Double): Double =
     if (x == 0d) Double.PositiveInfinity else Gamma.gamma(x)

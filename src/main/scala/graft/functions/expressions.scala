@@ -511,6 +511,34 @@ case class ToTypeName(child: Expression)
     copy(child = newChild)
 }
 
+/** round(x, s>0) dispatching on the RESOLVED argument type: floats
+  * take the reference's double pipeline (scale up, ties-to-even on
+  * the product, scale down — FunctionsRound.h Float64 PositiveScale;
+  * BigDecimal-exact BRound differs one ulp where the product lands on
+  * a representable half, corpus 00232), everything else keeps
+  * bankers' BRound. Lazy replacement — the argument may be unresolved
+  * when the dialect builder runs. */
+case class ChRoundPositive(child: Expression, scale: Int)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case DoubleType | FloatType =>
+      // scale clamps to the type's digits10 (15 / 6) before the
+      // power-of-10 lookup (ScaleForRightType PositiveScale)
+      val digits = if (child.dataType == FloatType) 6 else 15
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[MathKernels.type], DoubleType, "roundToScale",
+        Seq(org.apache.spark.sql.catalyst.expressions.Cast(child, DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            math.pow(10, math.min(scale, digits)))),
+        Seq(DoubleType, DoubleType), returnNullable = false)
+    case _ => org.apache.spark.sql.catalyst.expressions.BRound(child,
+      org.apache.spark.sql.catalyst.expressions.Literal(scale))
+  }
+  override def prettyName: String = "ch_round"
+  override protected def withNewChildInternal(newChild: Expression): ChRoundPositive =
+    copy(child = newChild)
+}
+
 /** Transparent CH-type annotation: carries the reference's type name
   * for an expression whose Spark storage type erases it (UInt32 lives
   * in LongType, DataTypesNumber.h). Semantically the identity — it

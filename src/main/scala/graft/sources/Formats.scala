@@ -46,7 +46,19 @@ object Formats {
     * then named and cast to the target schema. */
   def parseValues(spark: SparkSession, values: String, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val raw = spark.sql(s"SELECT * FROM VALUES $values")
+    // Spark inline tables only evaluate foldable expressions; the
+    // reference's VALUES admit arbitrary expressions
+    // (ValuesRowInputStream falls back to the expression parser —
+    // corpus 00306/00432). Fall back to one-row SELECTs per tuple.
+    val raw =
+      try spark.sql(s"SELECT * FROM VALUES $values")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        val sel = splitTuples(values)
+          .map(t => s"SELECT ${t.trim.stripPrefix("(").stripSuffix(")")}")
+          .mkString(" UNION ALL ")
+        // expressions may call dialect functions (toDate, arrayReduce)
+        graft.sql.ChSql.withDialectFunctions(spark)(spark.sql(sel))
+      }
     require(raw.columns.length == schema.length,
       s"VALUES arity ${raw.columns.length} != schema arity ${schema.length}")
     raw.select(raw.columns.zip(schema.fields).map { case (c, f) =>
@@ -66,6 +78,33 @@ object Formats {
       }
       v.as(f.name)
     }.toIndexedSeq: _*)
+  }
+
+  /** Split a `(…), (…)` VALUES body into tuple texts (quote- and
+    * depth-aware; commas between tuples separate, commas inside don't). */
+  private def splitTuples(values: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var esc = false; var start = -1
+    values.indices.foreach { i =>
+      val c = values(i)
+      if (inQ) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inQ = false
+      } else c match {
+        case '\'' => inQ = true
+        case '(' =>
+          if (depth == 0) start = i
+          depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) {
+            out += values.substring(start, i + 1); start = -1
+          }
+        case _ => ()
+      }
+    }
+    out.result()
   }
 
   /** FORMAT JSON / JSONCompact — byte-exact rendering of the

@@ -709,6 +709,7 @@ object ChDdl {
       .findFirstMatchIn(trimmed).map(_.group(1))
     // Vertical(Raw): one `col: value` block per row
     val vertical = "(?i)FORMAT\\s+Vertical(Raw)?\\s*$".r.findFirstMatchIn(trimmed)
+    val tskvFmt = "(?i)FORMAT\\s+TSKV\\s*$".r.findFirstIn(trimmed).isDefined
     // The totals side-channel row is NOT subject to LIMIT
     // (TotalsHavingBlockInputStream sits before the limit in the
     // reference pipeline, the limit applies to main rows only): hoist
@@ -724,7 +725,13 @@ object ChDdl {
             Some(m.group(1).toInt))
         case _ => (stmtRaw, None)
       }
-    execute(spark, stmt).map(decodeEnums).flatMap { df =>
+    execute(spark, stmt).map(decodeEnums).map { df0 =>
+      // hidden sort keys projected by the WITH TOTALS rewrite (ORDER
+      // BY over a non-selected group key) never render; dropping
+      // AFTER the sort keeps row order
+      val hid = df0.columns.filter(_.matches("__sort\\d+"))
+      if (hid.isEmpty) df0 else df0.drop(hid.toIndexedSeq: _*)
+    }.flatMap { df =>
       if (jsonFmt.isDefined) {
         val compact = jsonFmt.get.equalsIgnoreCase("JSONCompact")
         val noFmt = trimmed.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*$", "")
@@ -764,6 +771,9 @@ object ChDdl {
             s"${df.columns(c)}: $v"
           }.mkString("\n")
         }.mkString("\n"))
+      } else if (tskvFmt) {
+        val out = Formats.tskv(df)
+        if (out.isEmpty) None else Some(out)
       } else if (blockTsv) {
         val rows = df.limit(1000000).collect()
         if (rows.isEmpty) None
@@ -793,10 +803,31 @@ object ChDdl {
         // branch's rule; corpus 00150 joins under WITH TOTALS)
         val fillJoin = !joinUseNulls &&
           "(?i)(?<!ARRAY )\\bJOIN\\b".r.findFirstIn(stmtRaw).isDefined
+        // a CONSTANT select item keeps its value in the totals row —
+        // it's a const column, only real group keys default-fill
+        // (corpus 00257: `select 40 as z … group by z WITH TOTALS`
+        // prints 40 in totals, not 0)
+        val outIdx = fields.indices.filter(_ != gid)
+        val itemsForConst = ChSql.selectItems(
+          trimmed.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*$", ""))
+        def litOf(e: String): Option[Any] = {
+          val s = e.trim
+          if (s.matches("-?\\d+")) Some(s.toLong)
+          else if (s.matches("-?\\d+\\.\\d+")) Some(s.toDouble)
+          else if (s.matches("'(?:[^'\\\\]|\\\\.)*'"))
+            Some(s.substring(1, s.length - 1))
+          else None
+        }
+        val constLit: Map[Int, Any] =
+          if (itemsForConst.length == outIdx.length)
+            outIdx.zip(itemsForConst).flatMap { case (fi, (_, e)) =>
+              litOf(e).map(fi -> _) }.toMap
+          else Map.empty
         def values(r: Row, totals: Boolean): Seq[Any] =
           fields.indices.filter(_ != gid).map { i =>
             val v = r.get(i)
-            if (v == null && (totals || fillJoin)) renderDefaultF(fields(i))
+            if (v == null && totals && constLit.contains(i)) constLit(i)
+            else if (v == null && (totals || fillJoin)) renderDefaultF(fields(i))
             else v
           }.toSeq
         val (tot, main0) = rows.partition(_.getAs[Number](gid).longValue != 0L)
@@ -1218,6 +1249,12 @@ object ChDdl {
       case _: ArrayType => expr("array()").cast(dt)
       case DateType => lit("1970-01-01").cast(DateType)
       case _: TimestampType => lit(0).cast(TimestampType)
+      // struct-backed aggregate states (avg = (s, c)) default to the
+      // empty state — per-field defaults; an empty avg finalizes to
+      // nan via 0.0/0.0 (corpus 00432's ALTER ADD over existing rows)
+      case st: StructType => struct(
+        st.fields.map(f => defaultLit(f.dataType).as(f.name)).toIndexedSeq: _*)
+        .cast(st)
       case other => lit(0).cast(other)
     }
   }
@@ -1299,7 +1336,8 @@ object ChDdl {
               ChSql.withDialectFunctions(spark) {
                 df.withColumn(f.name,
                   castCh(org.apache.spark.sql.functions.expr(
-                    fixZeroDate(e, f.dataType)), f.dataType))
+                    fixZeroDate(ChSql.translateScalarExpr(e), f.dataType)),
+                    f.dataType))
               }
             case None =>
               // an omitted Nested sibling fills lockstep with the
@@ -1365,7 +1403,8 @@ object ChDdl {
             if (!entry.df.columns.contains(field.name)) {
               val value = addDefs.find(_._1 == field.name).map(_._2) match {
                 case Some(e) =>
-                  castCh(org.apache.spark.sql.functions.expr(e), field.dataType)
+                  castCh(org.apache.spark.sql.functions.expr(
+                    ChSql.translateScalarExpr(e)), field.dataType)
                 case None => defaultLit(field.dataType)
               }
               // later inserts evaluate the same DEFAULT (corpus 00363)

@@ -200,8 +200,17 @@ object ChSql {
     var q = stripComments(ch).trim.stripSuffix(";").trim
     // FORMAT <name> at the end is presentation, not semantics
     q = q.replaceAll("(?i)\\s+FORMAT\\s+[A-Za-z]+\\s*$", "")
-    // SETTINGS k=v[, …] is an execution hint
-    q = q.replaceAll("(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*\\S+(\\s*,\\s*\\w+\\s*=\\s*\\S+)*", "")
+    // SETTINGS k=v[, …] is an execution hint. Value pattern must not
+    // swallow a closing paren or a quoted string's tail — `SETTINGS
+    // max_result_rows = 0) GROUP BY` inside a subquery keeps its `)`
+    // (corpus 00266)
+    q = q.replaceAll(
+      "(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*('[^']*'|[\\w.]+)" +
+        "(\\s*,\\s*\\w+\\s*=\\s*('[^']*'|[\\w.]+))*", "")
+    // single-parameter parenthesized lambda `(x) -> e` — Spark's
+    // parser only accepts the bare form for one parameter
+    q = mapOutsideQuotes(q)(seg =>
+      seg.replaceAll("\\(\\s*(\\w+)\\s*\\)\\s*->", "$1 ->"))
     q = q.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
     // keyless aggregation over EMPTY input yields an EMPTY result in
     // the reference (Aggregator::convertToBlocks: `if (data_variants
@@ -332,6 +341,9 @@ object ChSql {
       "AS ARRAY<TINYINT>")
     q = q.replaceAll("(?i)\\bAS\\s+Array\\s*\\(\\s*Enum16\\s*\\(([^()]*)\\)\\s*\\)",
       "AS ARRAY<SMALLINT>")
+    // bare select items self-alias first so in-place alias inlining
+    // can't erase their output names (corpus 00393)
+    q = selfNameBareItems(q)
     q = inlineLiteralAliases(q)
     // CH in-function expression aliases (`abs(e AS x)` … uses x later)
     q = inlineExprAliases(q)
@@ -342,6 +354,12 @@ object ChSql {
     q = inlineShadowingAliases(q)
     // toTypeName over a sibling alias types the aliased expression
     q = inlineToTypeNameArgs(q)
+    // keyless `SELECT aggs WITH TOTALS` ≡ totals over a constant
+    // group key: one main row plus an equal totals row (corpus 00257
+    // `SELECT count() WITH TOTALS`); inject the key so the GROUP BY
+    // machinery below covers it uniformly (incl. subquery
+    // pass-through, 00220)
+    q = injectKeylessTotalsGroup(q)
     // GROUP BY k WITH TOTALS → GROUPING SETS ((k),()) + hidden
     // grouping_id marker; ChDdl.executeRendered splits the totals row
     q = rewriteWithTotals(q)
@@ -408,6 +426,20 @@ object ChSql {
     q = rewriteUsingJoin(q)
     // CH ternary operator `cond ? a : b` (parenthesized form)
     q = ternaryToIf(q)
+    // a scalar-subquery hasColumnInTable is a translate-time constant
+    // (the reference's analyzer evaluates it before the dead ternary
+    // branch is ever looked at — corpus 00393's
+    // `(SELECT hasColumnInTable(…)) ? not_existing : 42`)
+    q = "(?is)\\(\\s*SELECT\\s+hasColumnInTable\\(\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*\\)\\s*\\)".r
+      .replaceAllIn(q, m => {
+        val (db, tbl, col) = (m.group(1), m.group(2), m.group(3))
+        val has =
+          if (db == "system" && (tbl == "numbers" || tbl == "numbers_mt"))
+            col == "number"
+          else if (db == "system" && tbl == "one") col == "dummy"
+          else ChDdl.hasColumn(s"$db.$tbl", col)
+        if (has) "1" else "0"
+      })
     // constant-condition if() folds to the live branch TEXTUALLY —
     // the reference's interpreter never analyzes the dead branch, so
     // `0 ? not_existing_column : 1` works (corpus 00393); Spark's
@@ -1066,6 +1098,63 @@ object ChSql {
     * every bare `s` reference becomes the literal. Only applies at
     * paren depth > 0 (top-level `SELECT 1 AS x` is normal SQL), and
     * never when the "alias" is a CH type name (CAST syntax). */
+  /** Before in-place aliases are inlined away, re-alias bare select
+    * items to their own name (`(1 AS a) ? … , a` → `…, a AS a`): the
+    * inline passes substitute `a` with `(1)` and the OUTPUT COLUMN
+    * NAME would otherwise degrade to Spark's auto-name (corpus 00393
+    * TSKV prints `a=1`). Only levels that hold an in-paren alias are
+    * touched — `x AS x` is the identity everywhere else. */
+  private def selfNameBareItems(q: String): String =
+    recurseParens(q)(l => mapUnionBranches(l)(selfNameLevel))
+
+  /** Names bound by an IN-PAREN alias at this level — an ` AS x`
+    * whose innermost enclosing bracket is a function call, plain
+    * group, or array literal (NOT a subquery): exactly the aliases
+    * the inline passes will erase. */
+  private def inParenAliasNames(t: String): Set[String] = {
+    val out = Set.newBuilder[String]
+    "(?i)\\s+AS\\s+`?([A-Za-z_]\\w*)`?".r.findAllMatchIn(maskQuotes(t))
+      .foreach { m =>
+        var stack = List.empty[Int]
+        var inQ = false
+        var i = 0
+        while (i < m.start) {
+          val c = t.charAt(i)
+          if (c == '\'') inQ = !inQ
+          else if (!inQ && (c == '(' || c == '[')) stack = i :: stack
+          else if (!inQ && (c == ')' || c == ']')) stack = stack.drop(1)
+          i += 1
+        }
+        val inlineable = stack.headOption.exists { p =>
+          t.charAt(p) == '[' || (t.charAt(p) == '(' &&
+            !t.substring(p + 1).stripLeading.toUpperCase.startsWith("SELECT"))
+        }
+        if (inlineable) out += m.group(1)
+      }
+    out.result()
+  }
+
+  private def selfNameLevel(level: String): String = {
+    val t = level.trim
+    if (!t.take(6).equalsIgnoreCase("SELECT")) return level
+    val erased = inParenAliasNames(t)
+    if (erased.isEmpty) return level
+    val top = maskTop(t)
+    val end = ("(?i)\\b(FROM|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|ARRAY|" +
+      "UNION|SETTINGS|FORMAT|WITH)\\b").r
+      .findFirstMatchIn(top).map(_.start).getOrElse(t.length)
+    val body = t.substring(6, end)
+    if (body.stripLeading().toUpperCase.startsWith("DISTINCT ")) return level
+    val items = splitTopLevel(body).map { it =>
+      val bare = it.trim
+      if (bare.matches("[A-Za-z_]\\w*") && erased.contains(bare))
+        s"$bare AS $bare"
+      else bare
+    }
+    val lead = level.substring(0, level.length - level.stripLeading().length)
+    lead + "SELECT " + items.mkString(", ") + " " + t.substring(end)
+  }
+
   private def inlineLiteralAliases(q: String): String = {
     val lit = "'(?:[^'\\\\]|\\\\.)*'|(?<![\\w.])\\d+(?:\\.\\d+)?"
     val re = (s"(materialize\\(\\s*(?:$lit)\\s*\\)|$lit)" +
@@ -1109,9 +1198,12 @@ object ChSql {
     matches.reverse.foreach { m =>
       out = out.substring(0, m.start) + m.group(1) + out.substring(m.end)
     }
-    // replace bare alias references with the literal
+    // replace bare alias references with the literal — but never a
+    // FUNCTION CALL of the same name (`'…' AS hex` must not rewrite
+    // `hex(x)`, corpus 00396)
     matches.foreach { m =>
-      val pat = ("\\b" + java.util.regex.Pattern.quote(m.group(2)) + "\\b").r
+      val pat = ("(?<![\\w.`'])(?<![Aa][Ss] )" +
+        java.util.regex.Pattern.quote(m.group(2)) + "(?![\\w(`'])").r
       val repl = java.util.regex.Matcher.quoteReplacement(m.group(1))
       out = mapOutsideQuotes(out)(seg => pat.replaceAllIn(seg, repl))
     }
@@ -1143,29 +1235,31 @@ object ChSql {
           while (i < m.start) {
             val c = q.charAt(i)
             if (c == '\'') inQ = !inQ
-            else if (!inQ && c == '(') stack = i :: stack
-            else if (!inQ && c == ')') stack = stack.drop(1)
+            else if (!inQ && (c == '(' || c == '[')) stack = i :: stack
+            else if (!inQ && (c == ')' || c == ']')) stack = stack.drop(1)
             i += 1
           }
-          // any paren EXCEPT a subquery: `(e AS x)` aliases e in CH
+          // any paren EXCEPT a subquery: `(e AS x)` aliases e in CH;
+          // an array literal counts too (`[0 AS x]`, corpus 00230)
           stack.headOption.exists { p =>
-            q.charAt(p) == '(' &&
-              !q.substring(p + 1).stripLeading.toUpperCase.startsWith("SELECT")
+            q.charAt(p) == '[' || (q.charAt(p) == '(' &&
+              !q.substring(p + 1).stripLeading.toUpperCase.startsWith("SELECT"))
           }
         }
       }
       cand.foreach { m =>
         val alias = m.group(1)
         val dep = d(m.start)
-        // expression start: enclosing '(' or same-depth ',' to the left
+        // expression start: enclosing '('/'[' or same-depth ',' left
         var p = m.start - 1
-        while (p >= 0 && !((q.charAt(p) == '(' || q.charAt(p) == ',') && d(p) == dep))
+        while (p >= 0 && !((q.charAt(p) == '(' || q.charAt(p) == '[' ||
+            q.charAt(p) == ',') && d(p) == dep))
           p -= 1
         val expr = q.substring(p + 1, m.start).trim
         if (expr.nonEmpty && !expr.equalsIgnoreCase(alias)) {
           val before = q.substring(0, m.start) + q.substring(m.end)
-          val pat = ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(alias) +
-            "(?![\\w(`'])").r
+          val pat = ("(?<![\\w.`'])(?<![Aa][Ss] )" +
+            java.util.regex.Pattern.quote(alias) + "(?![\\w(`'])").r
           val repl = java.util.regex.Matcher.quoteReplacement(s"($expr)")
           // CH in-place aliases bind QUERY-WIDE (`SELECT *, b FROM t
           // WHERE ignore(e AS b)` — corpus 00160): substitute before
@@ -1364,6 +1458,33 @@ object ChSql {
     * (corpus 00152 `SELECT count() FROM (… WITH TOTALS)` = 1), while a
     * plain projection passes the totals row through (`SELECT *` shows
     * main, blank line, totals). */
+  /** `WITH TOTALS` with no GROUP BY at its level gets a constant
+    * group key injected — keyless totals are the totals of a
+    * one-group aggregation (corpus 00257/00220). */
+  private def injectKeylessTotalsGroup(q0: String): String = {
+    val re = "(?is)\\bWITH\\s+TOTALS\\b".r
+    re.findAllMatchIn(maskQuotes(q0)).toSeq.reverse.foldLeft(q0) { (acc, m) =>
+      val d = depths(acc)
+      val d0 = d(m.start)
+      var j = m.start - 1
+      while (j >= 0 &&
+          !(d(j) < d0 || (d(j) == d0 && acc.charAt(j) == '('))) j -= 1
+      val spanStart = j + 1
+      val masked = maskQuotes(acc)
+      val span = {
+        val arr = masked.substring(spanStart, m.start).toCharArray
+        var k = 0
+        while (k < arr.length) {
+          if (d(spanStart + k) != d0) arr(k) = ' '
+          k += 1
+        }
+        new String(arr)
+      }
+      if ("(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(span).isDefined) acc
+      else acc.substring(0, m.start) + "GROUP BY '__kt' " + acc.substring(m.start)
+    }
+  }
+
   private def rewriteWithTotals(q: String): String = {
     val re = "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
     re.findFirstMatchIn(q) match {
@@ -1388,11 +1509,66 @@ object ChSql {
         val sub =
           if (outerAggs) s"(SELECT * FROM ($innerRw) WHERE __gid = 0)"
           else s"($innerRw)"
-        rewriteWithTotals(q.substring(0, open) + sub + q.substring(close + 1))
+        // pass-through: the outer projection must carry the totals
+        // marker so the renderer can split (corpus 00220 `SELECT x
+        // FROM (… WITH TOTALS) LIMIT 1` prints main, blank, totals);
+        // an outer `*` already propagates it
+        val pre0 = q.substring(0, open)
+        val outerBody = "(?is)\\bSELECT\\b(.*?)\\bFROM\\s*$".r
+          .findFirstMatchIn(maskTop(pre0.trim))
+        val q2 =
+          if (outerAggs || outerBody.isEmpty ||
+              outerBody.get.group(1).contains("*") ||
+              outerBody.get.group(1).contains("__gid"))
+            q.substring(0, open) + sub + q.substring(close + 1)
+          else {
+            val fromAt = pre0.length - "(?is)\\bFROM\\s*$".r
+              .findFirstMatchIn(pre0).map(mm => pre0.length - mm.start)
+              .getOrElse(0)
+            if (fromAt <= 0 || fromAt >= pre0.length)
+              q.substring(0, open) + sub + q.substring(close + 1)
+            else pre0.substring(0, fromAt) + ", __gid " +
+              pre0.substring(fromAt) + sub + q.substring(close + 1)
+          }
+        rewriteWithTotals(q2)
       case Some(m) =>
         val keys = m.group(1).trim
-        val rewritten = q.substring(0, m.start) +
+        var rewritten = q.substring(0, m.start) +
           s"GROUP BY GROUPING SETS (($keys), ())" + q.substring(m.end)
+        // a top-level ORDER BY over a group key that's NOT a select
+        // item can't resolve through GROUPING SETS in Spark — project
+        // the key as a hidden `__sortN` column and sort on that; the
+        // renderer drops `__sortN` columns (corpus 00285
+        // `SELECT ignore(x), count() … GROUP BY x WITH TOTALS ORDER
+        // BY x`)
+        val keyNames = splitTopLevel(keys).map(_.trim)
+          .filter(_.matches("[A-Za-z_]\\w*"))
+        val itemNames = selectItems(q).map(_._1).toSet
+        var hidden = Seq.empty[String]
+        if (keyNames.nonEmpty) {
+          val dR = depths(rewritten)
+          "(?i)\\bORDER\\s+BY\\s+".r.findAllMatchIn(maskQuotes(rewritten)).toSeq
+            .filter(om => dR(om.start) == 0).lastOption.foreach { om =>
+              val obEnd = ("(?i)\\b(LIMIT|SETTINGS|FORMAT|UNION)\\b").r
+                .findAllMatchIn(maskQuotes(rewritten))
+                .map(_.start).find(_ > om.end)
+                .getOrElse(rewritten.length)
+              var clause = rewritten.substring(om.end, obEnd)
+              keyNames.zipWithIndex.foreach { case (k, n) =>
+                if (!itemNames.contains(k)) {
+                  val pat = ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(k) +
+                    "(?![\\w(`'])").r
+                  if (pat.findFirstIn(mapOutsideQuotes(clause)(identity)).isDefined) {
+                    clause = mapOutsideQuotes(clause)(seg =>
+                      pat.replaceAllIn(seg, s"__sort$n"))
+                    hidden = hidden :+ s", $k AS __sort$n"
+                  }
+                }
+              }
+              rewritten = rewritten.substring(0, om.end) + clause +
+                rewritten.substring(obEnd)
+            }
+        }
         // insert the marker before the first top-level FROM/GROUP
         val d = depths(rewritten)
         val up = rewritten.toUpperCase
@@ -1411,7 +1587,7 @@ object ChSql {
           case _ => rewritten.length
         }
         rewritten.substring(0, at) + ", grouping_id() AS __gid" +
-          rewritten.substring(at)
+          hidden.mkString + rewritten.substring(at)
     }
   }
 
@@ -1460,8 +1636,20 @@ object ChSql {
           }
           if (!stop && d0 > 0 && start < q.length &&
             (q.charAt(start) == '(' || q.charAt(start) == '[')) start += 1
-          // tighten: a trailing keyword inside [start, i) shifts start
-          leftKw.findFirstMatchIn(q.substring(start, i)) match {
+          // tighten: a trailing keyword inside [start, i) shifts start.
+          // Search on a depth-masked view — a keyword INSIDE a
+          // parenthesized subquery condition belongs to the condition
+          // (`(SELECT … LIMIT 1) ? a : b`, corpus 00393)
+          val segMasked = {
+            val arr = q.substring(start, i).toCharArray
+            var k2 = 0
+            while (k2 < arr.length) {
+              if (d(start + k2) != d0) arr(k2) = ' '
+              k2 += 1
+            }
+            new String(arr)
+          }
+          leftKw.findFirstMatchIn(segMasked) match {
             case Some(m) => start = start + m.end(1)
             case None =>
           }
@@ -1945,6 +2133,23 @@ object ChSql {
     out.toString
   }
 
+  /** Scalar-expression subset of [[translate]] for dialect text
+    * evaluated OUTSIDE a SELECT (DEFAULT/ALIAS column expressions):
+    * array literals, hex integers, ternaries, single-param
+    * parenthesized lambdas, Float64 literal typing (corpus 00261:
+    * `array default ['zero','one','two']`). */
+  private[sql] def translateScalarExpr(e0: String): String = {
+    var e = bracketLiteralsToArray(e0)
+    e = mapOutsideQuotes(e)(seg =>
+      "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg,
+        m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString))
+    e = mapOutsideQuotes(e)(seg =>
+      seg.replaceAll("\\(\\s*(\\w+)\\s*\\)\\s*->", "$1 ->"))
+    e = ternaryToIf(e)
+    mapOutsideQuotes(e)(seg =>
+      seg.replaceAll("(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])", "$1D"))
+  }
+
   private[sql] def bracketLiteralsToArray(q: String): String = {
     val out = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]() // true = literal bracket
@@ -2022,27 +2227,62 @@ object ChSql {
   /** round/ceil/floor with CH semantics: bankers' rounding for
     * round(), Int-folded scale, and integer truncation under a
     * negative scale (FunctionsRound.h). */
+  /** Strip ChTypeTag markers for foldability checks/eval — a tagged
+    * literal (toUInt8(6)) is still a literal argument. */
+  private def untag(e: Expression): Expression = e match {
+    case graft.functions.ChTypeTag(c, _) => untag(c)
+    case _ => e
+  }
+
   private def chRound(kind: String): Seq[Expression] => Expression = { args =>
-    val (x, s) = args match {
-      case Seq(x0) => (x0, 0)
-      case Seq(x0, s0) if s0.foldable => (x0, evalD(s0).toInt)
+    // the scale keeps its FLOAT value for the NullScale cutoff —
+    // `round(toUInt8(13), -2.1)` compares -2.1 < -digits10 BEFORE
+    // truncating for the power-of-10 index (ScaleForRightType signed
+    // branch; 00161 lines 61-62)
+    val (x, sD) = args match {
+      case Seq(x0) => (x0, 0d)
+      case Seq(x0, s0) if untag(s0).foldable => (x0, evalD(untag(s0)))
       case other => throw new IllegalArgumentException(
         s"$kind(x[, scale literal]) expected, got $other")
     }
-    val digits10 = if (x.resolved) x.dataType match {
+    val s = sD.toInt
+    // the DECLARED width decides the NullScale cutoff
+    // (std::numeric_limits<T>::digits10); a ChTypeTag recovers it
+    // where Spark's storage type widened (toUInt8 → IntegerType)
+    val tagDigits = x match {
+      case graft.functions.ChTypeTag(_, n) =>
+        Map("UInt8" -> 2, "Int8" -> 2, "UInt16" -> 4, "Int16" -> 4,
+          "UInt32" -> 9, "Int32" -> 9, "UInt64" -> 19, "Int64" -> 18)
+          .get(graft.types.ChTypeInfer.parse(n).base)
+      case _ => None
+    }
+    val digits10 = tagDigits.orElse(if (x.resolved) x.dataType match {
       case ByteType => Some(2)
       case ShortType => Some(4)
       case IntegerType => Some(9)
       case LongType => Some(18)
       case _ => None
-    } else None
-    if (s < 0 && digits10.isDefined) {
+    } else None)
+    // float x (or not-yet-typed x) with a negative scale: the
+    // reference's magnitude algorithm over doubles (roundNegScale);
+    // resolved-integer x keeps the exact integer arithmetic below
+    if (sD < 0 && digits10.isEmpty) {
+      val mode = kind match {
+        case "round" => 0
+        case "floor" => 1
+        case _ => 2
+      }
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.functions.MathKernels.type], DoubleType, "roundNegScale",
+        Seq(Cast(x, DoubleType), Literal(math.pow(10, -s)), Literal(mode)),
+        Seq(DoubleType, DoubleType, IntegerType), returnNullable = false)
+    } else if (sD < 0 && digits10.isDefined) {
       // integer NegativeScale path (FunctionsRound.h
       // IntegerRoundingComputation): work on |x|, then re-sign;
       // ceil adds the divisor unconditionally (the reference's
       // exact arithmetic, golden-pinned by 00161). Past the type's
       // digit count the result is the fixed zero (NullScale).
-      if (-s > digits10.get) Cast(Literal(0L), x.dataType)
+      if (sD < -digits10.get) Cast(Literal(0L), x.dataType)
       else {
         val p = Literal(math.pow(10, -s).toLong)
         val xL = Cast(x, LongType)
@@ -2059,6 +2299,7 @@ object ChSql {
         If(neg, UnaryMinus(res0), res0)
       }
     } else kind match {
+      case "round" if s > 0 => graft.functions.ChRoundPositive(x, s)
       case "round" => org.apache.spark.sql.catalyst.expressions.BRound(x, Literal(s))
       case "ceil" => org.apache.spark.sql.catalyst.expressions.RoundCeil(x, Literal(s))
       case "floor" => org.apache.spark.sql.catalyst.expressions.RoundFloor(x, Literal(s))
@@ -2411,6 +2652,10 @@ object ChSql {
       else e match {
         // toString(FixedString) cuts the zero padding
         // (FunctionsConversion FixedString→String; corpus 00032)
+        case si: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+            if si.functionName == "fixedString" =>
+          org.apache.spark.sql.catalyst.expressions.StringTrimRight(
+            e, Some(Literal("\u0000")))
         case org.apache.spark.sql.catalyst.expressions.StringRPad(
             _, _, Literal(pad, StringType))
             if pad != null && pad.toString == "\u0000" =>
@@ -2450,8 +2695,14 @@ object ChSql {
       case args => cast(DateType)(args) },
     // FixedString(n): shorter strings zero-pad to n bytes
     // (DataTypeFixedString serialization; corpus 00439)
+    // FixedString(n) pads to n BYTES, not chars — binary payloads
+    // (unhex output) miscount as UTF8 chars under rpad (corpus
+    // 00396's toFixedString(unhex(32 hex digits), 16))
     "toFixedString" -> { case Seq(s, n) =>
-      org.apache.spark.sql.catalyst.expressions.StringRPad(s, n, Literal("\u0000")) },
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.functions.CodingFns.type], StringType, "fixedString",
+        Seq(s, Cast(n, IntegerType)), Seq(StringType, IntegerType),
+        returnNullable = false) },
     // reference argument order: position(haystack, needle).
     // CH position counts BYTES (PositionImpl is a memmem over the
     // raw bytes: position('абв','бв')=3); positionUTF8 counts code
@@ -2527,6 +2778,12 @@ object ChSql {
         If(IsNull(arr), Literal.create(null, BooleanType),
           Coalesce(Seq(ArrayContains(arr, e), Literal(false)))) },
     "indexOf" -> { case Seq(arr, e) => new ArrayPosition(arr, e) },
+    // countEqual(arr, x): occurrences of x among the elements —
+    // null-safe equality counts NULL needles against NULL elements
+    // (FunctionsArray.h CountEqualAction; corpus 00230)
+    "countEqual" -> viaColumn { case Seq(arr, x) =>
+      import org.apache.spark.sql.functions._
+      size(filter(arr, e => e <=> x)) },
     "match" -> { case Seq(h, p) => RLike(h, p) },
     "positionUTF8" -> { case Seq(h, n) => new StringLocate(n, h) },
     "replaceAll" -> { case Seq(s, f, t) => StringReplace(s, f, t) },
@@ -3139,7 +3396,16 @@ object ChSql {
         val spec = nameU8.toString.trim
         val m = "(\\w+?)(If)?(?:\\((.*)\\))?$".r.findFirstMatchIn(spec).getOrElse(
           throw new IllegalArgumentException(s"arrayReduce: bad aggregate '$spec'"))
-        val base = m.group(1)
+        // -State is the identity in the value-state model (the state
+        // IS the partial value, see stateMergeFns); -Merge folds an
+        // array OF states (corpus 00432)
+        val base0 = m.group(1)
+        val base =
+          if (base0 == "avgState") "avgState" // (s, c) struct state
+          else if (base0.endsWith("State")) base0.dropRight(5)
+          else if (base0 == "groupUniqArrayMerge") "groupUniqArrayMergeFlat"
+          else if (base0 == "sumMerge") "sum"
+          else base0
         val hasIf = m.group(2) != null
         val params = Option(m.group(3))
           .map(_.split(",").map(_.trim.toDouble).toSeq).getOrElse(Seq.empty)
@@ -3176,6 +3442,14 @@ object ChSql {
             case "anyLast" => element_at(cols.head, -1)
             case "groupArray" => cols.head
             case "groupUniqArray" => array_distinct(cols.head)
+            case "groupUniqArrayMergeFlat" =>
+              array_distinct(flatten(cols.head))
+            // avg's state is its (sum, count) pair
+            // (AggregateFunctionAvg; ChTypes AggregateFunction(avg)
+            // parses to the same struct layout)
+            case "avgState" => struct(
+              aggregate(cols.head, lit(0L), (acc, e) => acc + e.cast("long")).as("s"),
+              size(cols.head).cast("long").as("c"))
             case "median" => arrQuantileCol(cols.head, 0.5)
             case "quantile" =>
               arrQuantileCol(cols.head, params.headOption.getOrElse(0.5))

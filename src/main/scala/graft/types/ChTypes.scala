@@ -126,6 +126,14 @@ object ChTypes {
   private def withEnumMeta(f: StructField, e: Option[ChEnum.Def]): StructField =
     e.fold(f)(d => f.copy(metadata = ChEnum.tag(f.metadata, d)))
 
+  /** Attach the declared CH type text as field metadata: toTypeName
+    * inference ([[ChTypeInfer.MetaKey]]) and AggregateFunction-typed
+    * default handling read it back; the Spark storage type alone
+    * can't (UInt8 lives in IntegerType). */
+  private def withTypeMeta(f: StructField, typeText: String): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(ChTypeInfer.MetaKey, typeText).build())
+
   /** CH type text a parsed column renders as — enum defs print their
     * (value-sorted) entry list, everything else round-trips the
     * declared text via the inverse scalar map. */
@@ -162,15 +170,18 @@ object ChTypes {
         val fs = f.trim.split("\\s+", 2)
         require(fs.length == 2, s"Nested field needs 'name Type': $f")
         val p = parse(fs(1))
-        val field = withEnumMeta(StructField(s"${sp(0)}.${fs(0)}",
+        val tt = s"Array(${renderTypeText(fs(1).trim, p)})"
+        val field = withTypeMeta(withEnumMeta(StructField(s"${sp(0)}.${fs(0)}",
           ArrayType(p.dataType, containsNull = p.nullable), nullable = false),
-          p.enumDef)
-        ColDef(field, s"Array(${renderTypeText(fs(1).trim, p)})", None, None)
+          p.enumDef), tt)
+        ColDef(field, tt, None, None)
       }
     } else {
       val p = parse(typeText2)
-      Seq(ColDef(withEnumMeta(StructField(sp(0), p.dataType, p.nullable), p.enumDef),
-        renderTypeText(typeText2, p), defaultKind, defaultExpr))
+      val tt = renderTypeText(typeText2, p)
+      Seq(ColDef(withTypeMeta(withEnumMeta(
+        StructField(sp(0), p.dataType, p.nullable), p.enumDef), tt),
+        tt, defaultKind, defaultExpr))
     }
   }
 
