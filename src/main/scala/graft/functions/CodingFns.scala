@@ -150,6 +150,20 @@ object CodingFns {
       decoded.getBytes(chCharset(to.toString)))
   }
 
+  /** LEB128 unsigned varint bytes of n, as a raw-byte string —
+    * the serialization of a count aggregate state (writeVarUInt;
+    * corpus 00357 hex(toString(countState())) = '0A'). */
+  def varintStr(n0: Long): org.apache.spark.unsafe.types.UTF8String = {
+    var n = n0
+    val out = Array.newBuilder[Byte]
+    while (java.lang.Long.compareUnsigned(n, 0x80L) >= 0) {
+      out += ((n & 0x7f) | 0x80).toByte
+      n = n >>> 7
+    }
+    out += n.toByte
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out.result())
+  }
+
   /** toFixedString(s, n): zero-pad the raw BYTES to n
     * (DataTypeFixedString — byte-level, so binary payloads whose
     * UTF8 char count differs from their byte count pad correctly). */

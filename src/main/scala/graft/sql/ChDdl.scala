@@ -49,6 +49,16 @@ object ChDdl {
         tables.get(name.stripPrefix("default.")) else None)
       .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
 
+  /** Statically-known column names of a dialect table (None when
+    * unknown) — the USING-join rewriter consults this for plain
+    * table operands (corpus 00138). */
+  private[sql] def tableColumns(name: String): Option[Seq[String]] =
+    tables.get(name)
+      .orElse(tables.get(s"${currentDb.getOrElse("default")}.$name"))
+      .orElse(if (name.startsWith("default."))
+        tables.get(name.stripPrefix("default.")) else None)
+      .map(_.df.columns.toSeq)
+
   /** `USE db` state: bare table names resolve as `db.name`. */
   @volatile private var currentDb: Option[String] = None
 
@@ -161,6 +171,10 @@ object ChDdl {
       }
       None
     }
+    else if (up.startsWith("ATTACH MATERIALIZED VIEW"))
+      // an MV is a lazy view here — re-attaching just re-creates it
+      // over the same stored query (corpus 00180)
+      execute(spark, stmt.replaceAll("(?i)^ATTACH\\s+", "CREATE "))
     else if (up.startsWith("ATTACH TABLE")) {
       val name0 = "(?i)^ATTACH\\s+TABLE\\s+([\\w.`]+)".r
         .findFirstMatchIn(stmt).map(_.group(1).replace("`", ""))
@@ -788,10 +802,15 @@ object ChDdl {
         // DEFAULTS (0/'') unless join_use_nulls is set
         val fillJoin = !joinUseNulls &&
           "(?i)(?<!ARRAY )\\bJOIN\\b".r.findFirstIn(stmtRaw).isDefined
+        val u64 = uint64Cols(df)
         def fill(r: Row): Seq[Any] =
-          if (!fillJoin) r.toSeq
+          if (!fillJoin && u64.isEmpty) r.toSeq
           else df.schema.fields.indices.map { i =>
-            if (r.isNullAt(i)) renderDefaultF(df.schema.fields(i)) else r.get(i)
+            if (r.isNullAt(i)) {
+              if (fillJoin) renderDefaultF(df.schema.fields(i)) else null
+            } else if (u64(i) && r.getAs[Long](i) < 0)
+              java.lang.Long.toUnsignedString(r.getAs[Long](i))
+            else r.get(i)
           }
         if (rows.isEmpty) None
         else Some(rows.map(r => Formats.renderRow(fill(r))).mkString("\n"))
@@ -961,6 +980,17 @@ object ChDdl {
       }.toIndexedSeq: _*)
     }
   }
+
+  /** Column indices whose Long values are reference-UInt64 (metadata
+    * planted by ChTypeNameResolution on hash-family aliases) — their
+    * decimal rendering is unsigned (corpus 00120 intHash64 output). */
+  private def uint64Cols(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == org.apache.spark.sql.types.LongType &&
+          f.metadata.contains(graft.types.ChTypeInfer.MetaKey) &&
+          f.metadata.getString(graft.types.ChTypeInfer.MetaKey)
+            .startsWith("UInt64") => i
+    }.toSet
 
   /** Field-aware default: an enum renders its smallest-value NAME. */
   private def renderDefaultF(f: org.apache.spark.sql.types.StructField): Any =

@@ -474,6 +474,11 @@ object ChSql {
     // nest, so hoist each call to a LATERAL VIEW explode and use the
     // generated column (multiple calls multiply, like the reference)
     q = hoistArrayJoinCalls(q)
+    // arrayJoin + aggregates in one SELECT with no GROUP BY: the
+    // reference aggregates per exploded value (the generated column
+    // is a plain column by aggregation time) — group by the hoisted
+    // vars (corpus 00181 `SELECT arrayJoin([1]) AS ID2, covarSamp(…)`)
+    q = groupHoistedArrayJoinWithAggs(q)
     // a FROM-less SELECT with WHERE reads the one-row system.one
     // source in the reference (`SELECT 1 WHERE 0` is an empty
     // relation, 00420's NULL scalar subqueries); Spark's parser
@@ -870,7 +875,9 @@ object ChSql {
             aliasRe(a).findFirstIn(maskQuotes(expr)).isDefined
         }
       }
-    if (!hasForwardRef) return level
+    // aggregate-span backward refs are handled below even when no
+    // forward ref exists
+    val hadForward = hasForwardRef
     var rounds = 0
     while (hasForwardRef && rounds < 10) {
       its = its.zipWithIndex.map { case ((name, expr, al0), i) =>
@@ -885,10 +892,55 @@ object ChSql {
       }
       rounds += 1
     }
+    // BACKWARD refs inside AGGREGATE arguments: Spark's lateral
+    // column aliases don't reach aggregate functions (corpus 00135
+    // `concat(…) AS s, …, max(s)`) — inline those too, but only
+    // within the aggregate-call span
+    var aggChanged = false
+    its = its.zipWithIndex.map { case ((name, expr, al0), i) =>
+      var e2 = expr
+      its.zipWithIndex.foreach { case ((a, e, al), j) =>
+        if (j < i && !joined && substitutable(a, e, al) &&
+            !shadowedByLambda(e2, a)) {
+          val e3 = substInAggSpans(e2, a, e)
+          if (e3 != e2) { aggChanged = true; e2 = e3 }
+        }
+      }
+      (name, e2, al0)
+    }
+    if (!hadForward && !aggChanged) return level
     val list = its.map { case (n, e, al) =>
       if (al) s"$e AS $n" else e }.mkString(", ")
     val lead = level.substring(0, level.length - level.stripLeading().length)
     lead + "SELECT " + list + " " + t.substring(end)
+  }
+
+  /** Replace `alias` with `(expr)` only INSIDE aggregate-call spans
+    * of `text` (the spans where a lateral alias can't resolve). */
+  private def substInAggSpans(text: String, alias: String, expr: String): String = {
+    val masked = maskQuotes(text)
+    val pat = ("(?<![\\w.`'])(?<![Aa][Ss] )" +
+      java.util.regex.Pattern.quote(alias) + "(?![\\w(`'])").r
+    var out = text
+    // rightmost-first keeps earlier span offsets valid
+    keylessAggRe.findAllMatchIn(masked).toSeq.reverse.foreach { am =>
+      val open = masked.indexOf('(', am.end - 1)
+      if (open >= 0) {
+        var depth = 1; var j = open + 1
+        while (j < masked.length && depth > 0) {
+          if (masked(j) == '(') depth += 1
+          else if (masked(j) == ')') depth -= 1
+          j += 1
+        }
+        val span = out.substring(open, j)
+        if (pat.findFirstIn(maskQuotes(span)).isDefined) {
+          val replaced = mapOutsideQuotes(span)(seg => pat.replaceAllIn(seg,
+            java.util.regex.Matcher.quoteReplacement(s"($expr)")))
+          out = out.substring(0, open) + replaced + out.substring(j)
+        }
+      }
+    }
+    out
   }
 
   /** `expr AS res, toTypeName(res)` types the aliased EXPRESSION:
@@ -1027,6 +1079,55 @@ object ChSql {
         level.substring(wrapEnd)
     }
   }
+
+  /** Levels with hoisted arrayJoin vars AND top-level aggregates but
+    * no GROUP BY get `GROUP BY <vars>` appended — the reference's
+    * pipeline explodes first, then aggregates with the generated
+    * column as an ordinary key (corpus 00181). */
+  private def groupHoistedArrayJoinWithAggs(q: String): String =
+    recurseParens(q)(l => mapUnionBranches(l) { level =>
+      val t = level.trim
+      if (!t.take(6).equalsIgnoreCase("SELECT")) level
+      else {
+        val top = maskTop(t)
+        if ("(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(top).isDefined) level
+        else {
+          val end = ("(?i)\\b(FROM|UNION|SETTINGS|FORMAT)\\b").r
+            .findFirstMatchIn(top).map(_.start).getOrElse(t.length)
+          val body = t.substring(6, end)
+          val bodyMasked = maskQuotes(body)
+          // aggregate-call argument spans within the body
+          val aggSpans = keylessAggRe.findAllMatchIn(bodyMasked).toSeq.flatMap { am =>
+            val open = bodyMasked.indexOf('(', am.end - 1)
+            if (open < 0) None
+            else {
+              var depth = 1; var j = open + 1
+              while (j < bodyMasked.length && depth > 0) {
+                if (bodyMasked(j) == '(') depth += 1
+                else if (bodyMasked(j) == ')') depth -= 1
+                j += 1
+              }
+              Some((open, j))
+            }
+          }
+          // only vars used OUTSIDE aggregates become group keys —
+          // `groupArray(arrayJoin([4,5,6]))` collects all exploded
+          // values into ONE row (corpus 00371)
+          val ajVars = "__ajv\\d+".r.findAllMatchIn(bodyMasked)
+            .filter(vm => !aggSpans.exists(sp => vm.start >= sp._1 && vm.start < sp._2))
+            .map(_.matched).toSeq.distinct
+          if (ajVars.isEmpty ||
+              keylessAggRe.findFirstIn(maskSubqueries(body)).isEmpty) level
+          else {
+            val insertAt = ("(?i)\\b(ORDER|LIMIT|HAVING|SETTINGS|FORMAT|UNION)\\b").r
+              .findFirstMatchIn(top).map(_.start).getOrElse(t.length)
+            val lead = level.substring(0, level.length - level.stripLeading().length)
+            lead + t.substring(0, insertAt) +
+              s" GROUP BY ${ajVars.mkString(", ")} " + t.substring(insertAt)
+          }
+        }
+      }
+    })
 
   private def inlineAliasInWhere(q: String): String =
     recurseParens(q)(level0 => mapUnionBranches(level0)(inlineAliasInWhereLevel))
@@ -1399,17 +1500,56 @@ object ChSql {
         val asM = "(?i)\\sAS\\s+".r.findAllMatchIn(masked).toSeq.lastOption
         asM.foreach { am =>
           val typeText = inner.substring(am.end).trim
+          val expr = inner.substring(0, am.start).trim
+          def replaceWith(text: String): Unit =
+            q = q.substring(0, m.start) + text + q.substring(c + 1)
           val tm = "^(?:Nullable\\s*\\(\\s*(\\w+)\\s*\\)|(\\w+))$".r
             .findFirstMatchIn(typeText)
-          tm.foreach { t =>
+          val arrM = "^Array\\s*\\(\\s*(\\w+)\\s*\\)$".r
+            .findFirstMatchIn(typeText)
+          val tupM = "^Tuple\\s*\\((.*)\\)$".r.findFirstMatchIn(typeText)
+          if (tm.isDefined) {
+            val t = tm.get
             val base = Option(t.group(1)).getOrElse(t.group(2))
-            castTypeMap.get(base).foreach { spark =>
+            // CAST(x AS String) IS toString(x) in the reference
+            // (FunctionsConversion generic-to-String path renders
+            // tuples/arrays in their literal form — corpus 00357)
+            if (base == "String" && t.group(1) == null)
+              replaceWith(s"toString($expr)")
+            else castTypeMap.get(base).foreach { spark =>
               val chName =
                 if (t.group(1) != null) s"Nullable($base)" else base
-              val expr = inner.substring(0, am.start).trim
-              q = q.substring(0, m.start) +
-                s"ch_type_tag(CAST($expr AS $spark), '$chName')" +
-                q.substring(c + 1)
+              replaceWith(s"ch_type_tag(CAST($expr AS $spark), '$chName')")
+            }
+          } else if (arrM.isDefined) {
+            // CAST(string AS Array(T)) parses the literal text
+            // (corpus 00358); numeric element text is JSON-compatible
+            castTypeMap.get(arrM.get.group(1)).foreach { spark =>
+              replaceWith(s"from_json($expr, 'array<$spark>')")
+            }
+          } else if (tupM.isDefined) {
+            // CAST(string AS Tuple(T…)): strip the parens, parse CSV,
+            // wrap each field to its declared width (UInt8 wraps mod
+            // 256 — corpus 00358's (9, 231))
+            val parts = splitTopLevel(tupM.get.group(1)).map(_.trim)
+            if (parts.nonEmpty && parts.forall(castTypeMap.contains)) {
+              val src =
+                s"from_csv(regexp_replace($expr, '^\\\\(|\\\\)$$', ''), " +
+                  s"'${parts.indices.map(i => s"c$i BIGINT").mkString(", ")}')"
+              val fields = parts.zipWithIndex.map { case (p, i) =>
+                val v = s"$src.c$i"
+                val wrapped = p match {
+                  case "UInt8" => s"pmod($v, 256)"
+                  case "UInt16" => s"pmod($v, 65536)"
+                  case "UInt32" => s"pmod($v, 4294967296)"
+                  case "Int8" => s"(pmod($v + 128, 256) - 128)"
+                  case "Int16" => s"(pmod($v + 32768, 65536) - 32768)"
+                  case "Int32" => s"(pmod($v + 2147483648, 4294967296) - 2147483648)"
+                  case _ => v
+                }
+                s"ch_type_tag(CAST($wrapped AS ${castTypeMap(p)}), '$p') AS c$i"
+              }
+              replaceWith(s"struct(${fields.mkString(", ")})")
             }
           }
         }
@@ -1888,7 +2028,10 @@ object ChSql {
     /** Output column names of a parenthesized subquery (first branch
       * of a UNION); None when not statically known. */
     def colsOf(op: String): Option[Seq[String]] = {
-      val t = op.trim
+      var t = op.trim
+      // peel a trailing operand alias: `(SELECT …) AS x`
+      "(?is)^(.*\\))\\s*(?:AS\\s+)?`?\\w+`?$".r.findFirstMatchIn(t)
+        .foreach(m => t = m.group(1).trim)
       if (!t.startsWith("(") || !t.endsWith(")")) return None
       val inner = t.substring(1, t.length - 1).trim
       if (!inner.toUpperCase.startsWith("SELECT")) return None
@@ -1906,7 +2049,20 @@ object ChSql {
       })
     }
 
-    var leftCols = colsOf(left)
+    /** Known columns of a PLAIN TABLE operand (`system.one AS x`,
+      * a dialect-catalog table) — corpus 00138 joins USING a key
+      * that only exists as an outer-select alias over a table. */
+    def colsOfTableRef(op: String): Option[Seq[String]] = {
+      val m = "^([\\w.]+?)(?:\\s+(?:[Aa][Ss]\\s+)?(\\w+))?$".r
+        .findFirstMatchIn(op.trim.replace("`", ""))
+      m.flatMap { mm =>
+        val name = mm.group(1)
+        if (name.equalsIgnoreCase("system.one")) Some(Seq("dummy"))
+        else ChDdl.tableColumns(name)
+      }
+    }
+
+    var leftCols = colsOf(left).orElse(colsOfTableRef(left))
     val rightCols = colsOf(right)
     val selItems = splitTopLevel(sel)
 
@@ -2649,6 +2805,15 @@ object ChSql {
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           classOf[graft.functions.StringKernels.type], StringType,
           "uint64ToString", Seq(e), Seq(LongType), returnNullable = false)
+      else if (e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression] &&
+          e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]
+            .aggregateFunction.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Count])
+        // toString of a COUNT STATE is its serialized varint
+        // (AggregateFunctionCount serialize = writeVarUInt; corpus
+        // 00357 hex(toString(countState())) = '0A')
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[graft.functions.CodingFns.type], StringType,
+          "varintStr", Seq(e), Seq(LongType), returnNullable = false)
       else e match {
         // toString(FixedString) cuts the zero padding
         // (FunctionsConversion FixedString→String; corpus 00032)
@@ -2959,12 +3124,32 @@ object ChSql {
     "toStringCutToZero" -> { case Seq(e) =>
       graft.functions.KernelExpr(e, "to_string_cut_to_zero") },
     // statistics aggregates under CH camelCase names
-    "varSamp" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.var_samp(c) },
+    // the -Samp estimators return +inf below two samples
+    // (AggregateFunctionsStatistics.h: NUM_DECIMAL_DIGITS... the
+    // count<2 branch yields infinity; Spark returns NULL — corpus
+    // 00181 `varSamp(LIMIT 1)` prints inf)
+    "varSamp" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      when(count(c) < 2, lit(Double.PositiveInfinity)).otherwise(var_samp(c)) },
     "varPop" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.var_pop(c) },
-    "stddevSamp" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.stddev_samp(c) },
+    "stddevSamp" -> viaColumn { case Seq(c) =>
+      import org.apache.spark.sql.functions._
+      when(count(c) < 2, lit(Double.PositiveInfinity)).otherwise(stddev_samp(c)) },
     "stddevPop" -> viaColumn { case Seq(c) => org.apache.spark.sql.functions.stddev_pop(c) },
-    "covarSamp" -> viaColumn { case Seq(a, b) => org.apache.spark.sql.functions.covar_samp(a, b) },
+    "covarSamp" -> viaColumn { case Seq(a, b) =>
+      import org.apache.spark.sql.functions._
+      when(count(a) < 2, lit(Double.PositiveInfinity)).otherwise(covar_samp(a, b)) },
     "covarPop" -> viaColumn { case Seq(a, b) => org.apache.spark.sql.functions.covar_pop(a, b) },
+    "corr" -> viaColumn { case Seq(a, b) =>
+      import org.apache.spark.sql.functions._
+      // NOT functions.corr — the name resolves back into this scoped
+      // registry and the analyzer loops; build the Catalyst aggregate
+      val corrCol = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Corr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(a.cast("double")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(b.cast("double")))
+          .toAggregateExpression())
+      when(count(a) < 2, lit(Double.PositiveInfinity)).otherwise(corrCol) },
     // replaceOne: first occurrence only (FunctionsStringSearch.h)
     "replaceOne" -> { case Seq(s, f, t) =>
       val loc = new StringLocate(f, s)

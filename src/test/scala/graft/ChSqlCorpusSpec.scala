@@ -192,6 +192,8 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00107_totals_after_having",
     "00108_shard_totals_after_having",
     "00109_shard_totals_after_having",
+    "00110_external_sort",
+    "00111_shard_external_sort_distributed",
     "00112_shard_totals_after_having",
     "00113_group_array",
     "00114_float_type_result_of_division",
@@ -199,6 +201,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00117_parsing_arrays",
     "00118_storage_join",
     "00119_storage_join",
+    "00120_join_and_group_by",
     "00122_join_with_subquery_with_subquery",
     "00123_shard_unmerged_result_when_max_distributed_connections_is_one",
     "00124_shard_distributed_with_many_replicas",
@@ -210,8 +213,10 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00131_set_hashed",
     "00132_sets",
     "00134_aggregation_by_fixed_string_of_size_1_2_4_8",
+    "00135_duplicate_group_by_keys_segfault",
     "00136_duplicate_order_by_elems",
     "00137_in_constants",
+    "00138_table_aliases",
     "00140_parse_unix_timestamp_as_datetime",
     "00140_prewhere_column_order",
     "00141_parse_timestamp_as_datetime",
@@ -241,6 +246,8 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00174_compare_date_time_with_constant_string_in_in",
     "00176_if_string_arrays",
     "00179_lambdas_with_common_expressions_and_filter",
+    "00180_attach_materialized_view",
+    "00181_aggregate_functions_statistics",
     "00182_functions_higher_order_and_consts",
     "00185_array_literals",
     "00187_like_regexp_prefix",
@@ -347,6 +354,8 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00353_join_by_tuple",
     "00355_array_of_non_const_convertible_types",
     "00356_analyze_aggregations_and_union_all",
+    "00357_to_string_complex_types",
+    "00358_from_string_complex_types",
     "00359_convert_or_zero_functions",
     "00360_to_date_from_string_with_datetime",
     "00361_shared_array_offsets_and_squash_blocks",
