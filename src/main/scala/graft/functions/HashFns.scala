@@ -156,6 +156,19 @@ object HashFns {
 
   /** intHash64(x) = murmur finalizer of (x ^ salt)
     * (FunctionsHashing.h:165; Common/HashTable/Hash.h:13). */
+  /** The UNSALTED murmur finalizer (Common/HashTable/Hash.h
+    * intHash64) — uniqCombined's key hash; the SQL function intHash64
+    * below salts first (FunctionsHashing.h IntHash64Impl). */
+  def rawIntHash64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
   def intHash64(x0: Long): Long = {
     var x = x0 ^ 0x4cf2d2baae6da887L
     x ^= x >>> 33

@@ -365,20 +365,29 @@ object Formats {
         s"${jsonString(df.columns(i))}:${jsonString(r.get(i))}")
         .mkString("{", ",", "}")).mkString("\n")
 
-  /** CSV / CSVWithNames — RFC-ish quoting, every string quoted with
-    * `"` doubled (CSVRowOutputStream). */
+  /** CSV / CSVWithNames (CSVRowOutputStream): strings, dates,
+    * datetimes and array literal forms double-quote with `"` doubled
+    * (embedded newlines stay raw inside the quotes); numbers print
+    * bare; a TUPLE flattens into one CSV field per element
+    * (DataTypeTuple::serializeTextCSV — corpus 00300). */
   def csv(df: DataFrame, withNames: Boolean = false,
       limit: Int = 1000000): String = {
-    def cell(v: Any): String = v match {
-      case null => "\\N"
-      case s: String => "\"" + s.replace("\"", "\"\"") + "\""
-      case other => renderValue(other, inArray = false)
+    def q(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+    def field(v: Any): Seq[String] = v match {
+      case null => Seq("\\N")
+      case r: org.apache.spark.sql.Row => r.toSeq.flatMap(field)
+      case s: String => Seq(q(s))
+      case a: scala.collection.Seq[_] =>
+        Seq(q(a.map(renderValue(_, inArray = true)).mkString("[", ",", "]")))
+      case d: java.sql.Date => Seq(q(renderValue(d, inArray = false)))
+      case t: java.sql.Timestamp => Seq(q(renderValue(t, inArray = false)))
+      case b: Boolean => Seq(if (b) "1" else "0")
+      case other => Seq(renderValue(other, inArray = false))
     }
     val header =
-      if (withNames) Seq(df.columns.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(","))
-      else Seq.empty
+      if (withNames) Seq(df.columns.map(q).mkString(",")) else Seq.empty
     (header ++ df.limit(limit).collect()
-      .map(r => r.toSeq.map(cell).mkString(","))).mkString("\n")
+      .map(r => r.toSeq.flatMap(field).mkString(","))).mkString("\n")
   }
 
   /** Values — `(1,'a'),(2,'b')` rows (ValuesRowOutputStream). */

@@ -724,6 +724,7 @@ object ChDdl {
     // Vertical(Raw): one `col: value` block per row
     val vertical = "(?i)FORMAT\\s+Vertical(Raw)?\\s*$".r.findFirstMatchIn(trimmed)
     val tskvFmt = "(?i)FORMAT\\s+TSKV\\s*$".r.findFirstIn(trimmed).isDefined
+    val csvFmt = "(?i)FORMAT\\s+CSV(WithNames)?\\s*$".r.findFirstMatchIn(trimmed)
     // The totals side-channel row is NOT subject to LIMIT
     // (TotalsHavingBlockInputStream sits before the limit in the
     // reference pipeline, the limit applies to main rows only): hoist
@@ -787,6 +788,9 @@ object ChDdl {
         }.mkString("\n"))
       } else if (tskvFmt) {
         val out = Formats.tskv(df)
+        if (out.isEmpty) None else Some(out)
+      } else if (csvFmt.isDefined) {
+        val out = Formats.csv(df, withNames = csvFmt.get.group(1) != null)
         if (out.isEmpty) None else Some(out)
       } else if (blockTsv) {
         val rows = df.limit(1000000).collect()

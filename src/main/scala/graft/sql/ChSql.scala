@@ -3424,8 +3424,19 @@ object ChSql {
     Seq(
       "uniq" -> viaColumn(exactCount),
       "uniqExact" -> viaColumn(exactCount),
-      "uniqHLL12" -> viaColumn(exactCount),
-      "uniqCombined" -> viaColumn(exactCount),
+      // single-arg uniqHLL12 is the BIT-EXACT estimator port (16-key
+      // small set + 4096-bucket HLL, UniqHLL12.scala — corpus 00212
+      // pins the estimates); multi-arg keeps the exact fallback
+      "uniqHLL12" -> { args => args match {
+        case Seq(e) => graft.functions.UniqHLL12(e).toAggregateExpression()
+        case es => viaColumn(exactCount)(es)
+      } },
+      // single-arg uniqCombined: bit-exact three-phase estimator port
+      // (UniqCombined.scala); multi-arg keeps the exact fallback
+      "uniqCombined" -> { args => args match {
+        case Seq(e) => graft.functions.UniqCombined(e).toAggregateExpression()
+        case es => viaColumn(exactCount)(es)
+      } },
       "uniqState" -> viaColumn { case Seq(e) => collect_set(e) },
       "uniqExactState" -> viaColumn { case Seq(e) => collect_set(e) },
       "uniqMerge" -> viaColumn { case Seq(s) =>

@@ -266,11 +266,13 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00206_empty_array_to_single",
     "00207_left_array_join",
     "00208_agg_state_merge",
+    "00212_shard_aggregate_function_uniq",
     "00213_multiple_global_in",
     "00216_bit_test_function_family",
     "00217_global_subquery_columns_with_same_name",
     "00218_like_regexp_newline",
     "00220_with_totals_in_subquery_remote_and_limit",
+    "00224_shard_distributed_aggregation_memory_efficient_and_overflows",
     "00225_join_duplicate_columns",
     "00219_full_right_join_column_order",
     "00222_sequence_aggregate_function_family",
@@ -322,6 +324,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00295_global_in_one_shard_rows_before_limit",
     "00296_url_parameters",
     "00299_stripe_log_multiple_inserts",
+    "00300_csv",
     "00306_insert_values_and_expressions",
     "00308_write_buffer_valid_utf8",
     "00311_array_primary_key",
