@@ -130,6 +130,7 @@ object CombinedState {
 
 case class UniqCombined(
     child: Expression,
+    variadic: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CombinedState] {
@@ -150,7 +151,7 @@ case class UniqCombined(
   }
 
   override def createAggregationBuffer(): CombinedState =
-    new CombinedState(if (stringKeyed) 64 else 32)
+    new CombinedState(if (variadic || stringKeyed) 64 else 32)
 
   private def keyOf(v: Any): Long = v match {
     case s: UTF8String => HashFns.cityHash64(s.getBytes)
@@ -175,7 +176,8 @@ case class UniqCombined(
     val v = child.eval(input)
     if (v != null) {
       val key =
-        if (isTimestamp)
+        if (variadic) v.asInstanceOf[Long] // the child IS the 64-bit key
+        else if (isTimestamp)
           HashFns.rawIntHash64(Math.floorDiv(v.asInstanceOf[Long], 1000000L)) & 0xffffffffL
         else keyOf(v)
       buf.insertKey(key)

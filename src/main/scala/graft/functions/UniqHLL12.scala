@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Distributed shape: a constant 4 KB state per group with
   * partial/final merge — the canonical sketch aggregate at 100 TB.
   */
-final class HLL12State {
+final class HLL12State(val trivial: Boolean = false) {
   var small: java.util.HashSet[Long] = new java.util.HashSet[Long]()
   var registers: Array[Byte] = null
 
@@ -42,7 +42,9 @@ final class HLL12State {
   }
 
   @inline private def insertLarge(key: Long): Unit = {
-    val hash = HLL12State.intHash32(key)
+    // variadic mode: the key IS the hash already (TrivialHash —
+    // AggregateFunctionUniqHLL12DataForVariadic), truncated to UInt32
+    val hash = if (trivial) key.toInt else HLL12State.intHash32(key)
     val bucket = hash & 0xfff
     val tail = hash >>> 12 // 20 significant bits
     val rank =
@@ -117,8 +119,86 @@ object HLL12State {
   }
 }
 
+/** The reference's multi-argument uniq key
+  * (AggregateFunctions/UniqVariadicHash.h): each argument's RAW
+  * STORAGE BYTES (IColumn::getDataAt — the declared CH width, little
+  * endian) hash with CityHash64; successive hashes fold with
+  * Hash128to64. `widths` carries the per-argument byte width (-1 for
+  * strings), resolved from declared CH types by
+  * [[graft.plans.ChTypeNameResolution]] while ChTypeTag markers are
+  * still visible; Nil means not yet resolved. */
+case class UniqVariadicKeyExpr(children: Seq[Expression], widths: Seq[Int])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "uniq_variadic_key"
+
+  private def combine(lo: Long, hi: Long): Long = {
+    val kMul = 0x9ddfea08eb382d69L
+    var a = (lo ^ hi) * kMul
+    a ^= (a >>> 47)
+    var b = (hi ^ a) * kMul
+    b ^= (b >>> 47)
+    b * kMul
+  }
+
+  private def argHash(v: Any, dt: DataType, width: Int): Long = {
+    val bytes: Array[Byte] = v match {
+      case s: UTF8String => s.getBytes
+      case a: Array[Byte] => a
+      case other =>
+        val x: Long = other match {
+          case l: Long =>
+            dt match {
+              case _: TimestampType | TimestampNTZType =>
+                Math.floorDiv(l, 1000000L)
+              case _ => l
+            }
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case b: Boolean => if (b) 1L else 0L
+          case f: Float =>
+            java.lang.Float.floatToRawIntBits(f).toLong & 0xffffffffL
+          case d: Double => java.lang.Double.doubleToRawLongBits(d)
+          case o => return HashFns.cityHash64(
+            UTF8String.fromString(o.toString).getBytes)
+        }
+        val w = if (width > 0) width else 8
+        val out = new Array[Byte](w)
+        var i = 0
+        while (i < w) { out(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
+        out
+    }
+    HashFns.cityHash64(bytes)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    var acc = 0L
+    var first = true
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      val w = if (widths.nonEmpty) widths(i) else -2
+      val h = argHash(v, children(i).dataType, w)
+      acc = if (first) h else combine(h, acc)
+      first = false
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): UniqVariadicKeyExpr =
+    copy(children = newChildren)
+}
+
 case class UniqHLL12(
     child: Expression,
+    trivial: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[HLL12State] {
@@ -128,7 +208,7 @@ case class UniqHLL12(
   override def children: Seq[Expression] = child :: Nil
   override def prettyName: String = "uniq_hll12"
 
-  override def createAggregationBuffer(): HLL12State = new HLL12State
+  override def createAggregationBuffer(): HLL12State = new HLL12State(trivial)
 
   /** Value → UInt64 key (AggregateFunctionUniqTraits / the String
     * CityHash64 path). */
@@ -186,7 +266,7 @@ case class UniqHLL12(
 
   override def deserialize(bytes: Array[Byte]): HLL12State = {
     val bb = ByteBuffer.wrap(bytes)
-    val s = new HLL12State
+    val s = new HLL12State(trivial)
     if (bb.get() == 0) {
       val n = bb.getInt
       var i = 0

@@ -40,6 +40,44 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Struct argument → variadic key over its fields. */
+  private def structKey(c: Expression): graft.functions.UniqVariadicKeyExpr = c match {
+    case cs: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+      graft.functions.UniqVariadicKeyExpr(cs.valExprs, Nil)
+    case other =>
+      val st = other.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      graft.functions.UniqVariadicKeyExpr(
+        st.fields.indices.map(i =>
+          org.apache.spark.sql.catalyst.expressions.GetStructField(other, i)).toSeq,
+        Nil)
+  }
+
+  /** getDataAt byte width of an argument under its DECLARED CH type
+    * (-1 = string/raw bytes). */
+  private def chWidth(e: Expression): Int = {
+    import org.apache.spark.sql.types._
+    val byBase = ChTypeInfer.infer(e).map(_.base).flatMap {
+      case "UInt8" | "Int8" => Some(1)
+      case "UInt16" | "Int16" | "Date" => Some(2)
+      case "UInt32" | "Int32" | "Float32" | "DateTime" => Some(4)
+      case "UInt64" | "Int64" | "Float64" => Some(8)
+      case "String" => Some(-1)
+      case _ => None
+    }
+    byBase.getOrElse(e.dataType match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 4
+      case LongType => 8
+      case FloatType => 4
+      case DoubleType => 8
+      case DateType => 2
+      case _: TimestampType | TimestampNTZType => 4
+      case StringType | BinaryType => -1
+      case _ => 8
+    })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val p1 = plan.resolveOperatorsUp {
       // a sort key that is reference-UInt64 (stored in LongType with
@@ -65,33 +103,89 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
         case t @ ToTypeName(c) if c.resolved =>
           Literal.create(ChTypeInfer.name(c),
             org.apache.spark.sql.types.StringType)
-        case al @ Alias(c, n) if uint64Producer(c) &&
-            al.explicitMetadata.isEmpty =>
+        // multi-argument uniq family: a struct argument unpacks into
+        // the variadic key; widths resolve from declared CH types
+        // while tags are visible (UniqVariadicHash.h getDataAt width)
+        case u: graft.functions.UniqHLL12
+            if !u.trivial && u.child.resolved &&
+              u.child.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          u.copy(child = structKey(u.child), trivial = true)
+        case u: graft.functions.UniqCombined
+            if !u.variadic && u.child.resolved &&
+              u.child.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          u.copy(child = structKey(u.child), variadic = true)
+        // `%` over a reference-UInt64 left side divides UNSIGNED —
+        // wrapped products stay in the UInt64 ring
+        // ((number + K1) * K2 % 131, corpus 00264's shard key)
+        case r @ org.apache.spark.sql.catalyst.expressions.Remainder(a, b, _)
+            if r.resolved && r.dataType == org.apache.spark.sql.types.LongType &&
+              ChTypeInfer.infer(a).exists(t => t.base == "UInt64" && !t.nullable) &&
+              !a.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] =>
+          val si = org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            classOf[java.lang.Long], org.apache.spark.sql.types.LongType,
+            "remainderUnsigned",
+            Seq(a, org.apache.spark.sql.catalyst.expressions.Cast(
+              b, org.apache.spark.sql.types.LongType)),
+            Seq(org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.LongType),
+            returnNullable = false)
+          // keep the modulo's CH type visible (the rewrite would
+          // otherwise erase it and downstream width/render inference
+          // falls back to the Long storage)
+          ChTypeInfer.infer(r) match {
+            case Some(t) => graft.functions.ChTypeTag(si, t.render)
+            case None => si
+          }
+        // carry the DECLARED/inferred CH type across Project
+        // boundaries as alias metadata: downstream attributes keep
+        // the unsigned/width identity their Spark storage erases
+        // (variadic uniq widths, UInt64 rendering/ordering)
+        case al @ Alias(c, n) if al.explicitMetadata.isEmpty && c.resolved &&
+            !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] && {
+              uint64Producer(c) || ChTypeInfer.infer(c).exists(t =>
+                t.render != graft.types.ChTypes.toChName(c.dataType, c.nullable))
+            } =>
+          val chName =
+            if (uint64Producer(c)) "UInt64"
+            else ChTypeInfer.infer(c).get.render
           Alias(c, n)(al.exprId, al.qualifier,
             Some(new org.apache.spark.sql.types.MetadataBuilder()
-              .putString(ChTypeInfer.MetaKey, "UInt64").build()),
+              .putString(ChTypeInfer.MetaKey, chName).build()),
             al.nonInheritableMetadataKeys)
       }
     }
     // AttributeReferences created BEFORE the alias was tagged carry a
     // stale (empty) metadata snapshot — refresh them by exprId so the
     // UInt64 mark survives joins/aggregates to the output schema
-    val ids = p1.collect { case pl =>
-      pl.expressions.flatMap(_.collect {
-        case al: Alias if al.explicitMetadata
-            .exists(_.contains(ChTypeInfer.MetaKey)) => al.exprId
-      })
-    }.flatten.toSet
-    if (ids.isEmpty) p1
-    else p1.resolveOperatorsUp { case pl =>
+    val tags: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
+      p1.collect { case pl =>
+        pl.expressions.flatMap(_.collect {
+          case al: Alias if al.explicitMetadata
+              .exists(_.contains(ChTypeInfer.MetaKey)) =>
+            al.exprId -> al.explicitMetadata.get.getString(ChTypeInfer.MetaKey)
+        })
+      }.flatten.toMap
+    val p2 =
+      if (tags.isEmpty) p1
+      else p1.resolveOperatorsUp { case pl =>
+        pl.transformExpressionsUp {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if tags.contains(a.exprId) &&
+                !a.metadata.contains(ChTypeInfer.MetaKey) =>
+            a.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(a.metadata)
+              .putString(ChTypeInfer.MetaKey, tags(a.exprId)).build())(
+              a.exprId, a.qualifier)
+        }
+      }
+    // variadic uniq widths resolve LAST — after attribute metadata is
+    // refreshed, so a `number % 10 AS x` subquery alias reads back as
+    // UInt8 (1 byte) rather than its widened Long storage
+    p2.resolveOperatorsUp { case pl =>
       pl.transformExpressionsUp {
-        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
-            if ids.contains(a.exprId) &&
-              !a.metadata.contains(ChTypeInfer.MetaKey) =>
-          a.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(a.metadata)
-            .putString(ChTypeInfer.MetaKey, "UInt64").build())(
-            a.exprId, a.qualifier)
+        case k: graft.functions.UniqVariadicKeyExpr
+            if k.widths.isEmpty && k.childrenResolved =>
+          k.copy(widths = k.children.map(chWidth))
       }
     }
   }

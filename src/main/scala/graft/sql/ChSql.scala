@@ -254,8 +254,13 @@ object ChSql {
     q = rewriteUnionBranchLimit(q)
     // 0x… integer literals (Spark has no hex literal syntax)
     q = mapOutsideQuotes(q)(seg =>
-      "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg,
-        m => java.lang.Long.parseUnsignedLong(m.group(1), 16).toString))
+      "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg, m => {
+        val v = java.lang.Long.parseUnsignedLong(m.group(1), 16)
+        // a wrapped (top-bit) literal is still UInt64 in the
+        // reference — keep the identity for unsigned arithmetic
+        // ((number + 0x8ffc…) * … % 131, corpus 00264)
+        if (v < 0) s"ch_type_tag(${v}L, 'UInt64')" else v.toString
+      }))
     // `IN (SELECT (tuple))` — Spark's parser reads `SELECT (` as a
     // call to a routine named SELECT; spell the tuple projection as
     // tuple(...) so the subquery alternative wins (corpus 00132)
@@ -3429,13 +3434,17 @@ object ChSql {
       // pins the estimates); multi-arg keeps the exact fallback
       "uniqHLL12" -> { args => args match {
         case Seq(e) => graft.functions.UniqHLL12(e).toAggregateExpression()
-        case es => viaColumn(exactCount)(es)
+        case es => graft.functions.UniqHLL12(
+          graft.functions.UniqVariadicKeyExpr(es, Nil), trivial = true)
+          .toAggregateExpression()
       } },
       // single-arg uniqCombined: bit-exact three-phase estimator port
       // (UniqCombined.scala); multi-arg keeps the exact fallback
       "uniqCombined" -> { args => args match {
         case Seq(e) => graft.functions.UniqCombined(e).toAggregateExpression()
-        case es => viaColumn(exactCount)(es)
+        case es => graft.functions.UniqCombined(
+          graft.functions.UniqVariadicKeyExpr(es, Nil), variadic = true)
+          .toAggregateExpression()
       } },
       "uniqState" -> viaColumn { case Seq(e) => collect_set(e) },
       "uniqExactState" -> viaColumn { case Seq(e) => collect_set(e) },
@@ -3729,8 +3738,16 @@ object ChSql {
       // uniqUpTo(N)(x…) arrives flattened; multiple exprs hash as a
       // tuple (AggregateFunctionUniqUpTo.h)
       "uniqUpTo" -> { case args :+ n if n.foldable && args.nonEmpty =>
-        val child = if (args.length == 1) args.head
-          else org.apache.spark.sql.catalyst.expressions.CreateStruct(args)
+        // multi-arg / tuple forms count distinct TUPLES — uniqUpTo is
+        // exact, so any injective-enough 64-bit key works (xxhash64)
+        val child = args match {
+          case Seq(s)
+              if s.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CreateNamedStruct] =>
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(s))
+          case Seq(single) => single
+          case more =>
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(more)
+        }
         graft.functions.UniqUpTo(child, evalD(n).toInt) },
       // arrayUniq(arr…) — distinct elements (lockstep tuples for
       // multiple arrays), a scalar fn (FunctionsArray.h arrayUniq)

@@ -192,6 +192,12 @@ object ChTypeInfer {
     case l: Least => leastGreatest(l.children, greatest = false)
     case g: Greatest => leastGreatest(g.children, greatest = true)
 
+    // modulo takes the DIVISOR's width, intDiv the DIVIDEND's
+    // (NumberTraits.h ResultOfModulo / ResultOfIntegerDivision) —
+    // `number % 10` is UInt8, intDiv(number, 10) UInt64
+    case Remainder(a, b, _) => divLike(a, b, widthOf = b)
+    case IntegralDivide(a, b, _) => divLike(a, b, widthOf = a)
+
     case Add(a, b, _) => arith(Seq(a, b), signedResult = false)
     case Multiply(a, b, _) => arith(Seq(a, b), signedResult = false)
     case Subtract(a, b, _) => arith(Seq(a, b), signedResult = true)
@@ -272,6 +278,18 @@ object ChTypeInfer {
         && bases.map(intWidth).max == 64)
       Some(T(if (greatest) "UInt64" else "Int64", nullable))
     else superBase(bases).map(T(_, nullable))
+  }
+
+  /** Modulo / integral division: sign from either operand, width
+    * from the designated one (NumberTraits.h). */
+  private def divLike(a: Expression, b: Expression, widthOf: Expression): Option[T] = {
+    val ta = infer(a); val tb = infer(b)
+    if (ta.isEmpty || tb.isEmpty) return None
+    val (x, y) = (ta.get, tb.get)
+    if (!isInt(x.base) || !isInt(y.base)) return None
+    val signed = !isUInt(x.base) || !isUInt(y.base)
+    val w = intWidth(if (widthOf eq a) x.base else y.base)
+    Some(T(intName(signed, w), x.nullable || y.nullable))
   }
 
   /** Binary plus/minus/times widen to twice the wider operand, capped

@@ -297,6 +297,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00258_materializing_tuples",
     "00259_hashing_tuples",
     "00260_like_and_curly_braces",
+    "00264_uniq_many_args",
     "00266_shard_global_subquery_and_aliases",
     "00266_read_overflow_mode",
     "00267_tuple_array_access_operators_priority",
