@@ -52,6 +52,15 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"ch_type_tag(expr, 'TypeName' literal) expected, got $other")
     }),
+    // runtime enum CAST: the entry list parks in ChSql.enumCastDefs
+    // (arbitrary quoting can't ride in SQL text)
+    (FunctionIdentifier("ch_enum_cast"), info("ch_enum_cast"), {
+      case Seq(e, Literal(id: Integer, _)) =>
+        val (bits, body) = graft.sql.ChSql.enumCastDefs(id.intValue)
+        graft.functions.ChEnumCast(e, bits, body)
+      case other => throw new IllegalArgumentException(
+        s"ch_enum_cast(expr, id literal) expected, got $other")
+    }),
     (FunctionIdentifier("uniq_upto"), info("uniq_upto"), {
       case Seq(e, Literal(n: Int, _)) => UniqUpTo(e, n)
       case other => throw new IllegalArgumentException(

@@ -530,3 +530,62 @@ case class AnyHeavy(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): AnyHeavy =
     copy(child = newChildren.head)
 }
+
+/** argMin / argMax with the reference's FIRST-encountered tie rule
+  * (AggregateFunctionsArgMinMax.h: the stored pair only updates on a
+  * STRICT improvement of the ordering value, so among equal orderings
+  * the first row in read order wins). Spark's own min_by/max_by keeps
+  * the LAST tied row, which diverges on any data with duplicate
+  * ordering values (corpus 00027).
+  *
+  * Declarative two-slot buffer (value, ordering) — partial/final agg
+  * with a constant-size state, the canonical 100 TB shape. Merge is
+  * strict the same way, and Spark merges partial buffers in partition
+  * order, so first-win holds across partitions too.
+  */
+case class ChArgExtremum(
+    valueExpr: Expression,
+    orderingExpr: Expression,
+    isMin: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  override def children: Seq[Expression] = Seq(valueExpr, orderingExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = valueExpr.dataType
+  override def prettyName: String = if (isMin) "ch_arg_min" else "ch_arg_max"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .checkForOrderingExpr(orderingExpr.dataType, prettyName)
+
+  private lazy val value =
+    AttributeReference("value", valueExpr.dataType, nullable = true)()
+  private lazy val ordering =
+    AttributeReference("ordering", orderingExpr.dataType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    value :: ordering :: Nil
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, valueExpr.dataType),
+    Literal.create(null, orderingExpr.dataType))
+
+  private def strictlyBetter(newOrd: Expression, oldOrd: Expression): Expression =
+    if (isMin) LessThan(newOrd, oldOrd) else GreaterThan(newOrd, oldOrd)
+
+  private def updateWith(oldValue: Expression, oldOrd: Expression,
+      newValue: Expression, newOrd: Expression): Seq[Expression] = {
+    val better = And(IsNotNull(newOrd),
+      Or(IsNull(oldOrd), strictlyBetter(newOrd, oldOrd)))
+    Seq(If(better, newValue, oldValue), If(better, newOrd, oldOrd))
+  }
+
+  override lazy val updateExpressions: Seq[Expression] =
+    updateWith(value, ordering, valueExpr, orderingExpr)
+  override lazy val mergeExpressions: Seq[Expression] =
+    updateWith(value.left, ordering.left, value.right, ordering.right)
+  override lazy val evaluateExpression: Expression = value
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChArgExtremum =
+    copy(valueExpr = newChildren(0), orderingExpr = newChildren(1))
+}

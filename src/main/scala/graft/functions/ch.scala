@@ -237,6 +237,22 @@ object ch {
 object MathKernels {
   import org.apache.commons.math3.special.{Erf, Gamma}
 
+  /** Float64 → UInt64 with the reference's x86-64 conversion shape
+    * (static_cast<UInt64>(double) compiles to: x < 2^63 → cvttsd2si;
+    * else cvttsd2si(x − 2^63) + 2^63 with the cvtt overflow sentinel
+    * 0x8000000000000000) — so [2^63, 2^64) wraps to the unsigned
+    * bit pattern and ≥ 2^64 lands on 0 (corpus 00232). */
+  def toUInt64FromDouble(d: Double): Long = {
+    val p63 = 9.223372036854776e18 // 2^63
+    if (java.lang.Double.isNaN(d)) java.lang.Long.MIN_VALUE
+    else if (d >= p63) {
+      val y = d - p63
+      val inner =
+        if (y >= p63) java.lang.Long.MIN_VALUE else y.toLong
+      inner + java.lang.Long.MIN_VALUE
+    } else d.toLong
+  }
+
   /** round(Float64, s>0) with the reference's double pipeline: scale
     * up, ties-to-even on the PRODUCT, scale down; sign restored after
     * (FunctionsRound.h Float64 PositiveScale). */

@@ -554,3 +554,166 @@ case class ChTypeTag(child: Expression, chName: String)
   override protected def withNewChildInternal(newChild: Expression): ChTypeTag =
     copy(child = newChild)
 }
+
+/** `finalizeAggregation(stateColumn)` — converts an aggregate-state
+  * column to its finalized value (FunctionsMiscellaneous
+  * finalizeAggregation). In this model most states ARE their partial
+  * value, so the default is the identity (RuntimeReplaceable erases
+  * the marker). The exception is the uniq family, whose state is the
+  * distinct set (collect_set) while the finalized value is its SIZE —
+  * [[graft.plans.ChTypeNameResolution]] rewrites the marker once the
+  * child's AggregateFunction(...) CH type is visible through alias
+  * metadata (corpus 00334). */
+case class FinalizeAggregation(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child
+  override def prettyName: String = "finalize_aggregation"
+  override protected def withNewChildInternal(newChild: Expression): FinalizeAggregation =
+    copy(child = newChild)
+}
+
+/** Numeric → Float64 honoring a reference-UInt64 identity the Long
+  * storage erases: [[graft.plans.ChTypeNameResolution]] rewrites this
+  * to the unsigned reinterpretation once alias metadata is visible
+  * (formatReadableSize over toUInt64 of a wrapped value, corpus
+  * 00232); the default replacement is the plain signed cast. */
+case class ChUnsignedToDouble(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(child, DoubleType)
+  override def prettyName: String = "ch_unsigned_to_double"
+  override protected def withNewChildInternal(newChild: Expression): ChUnsignedToDouble =
+    copy(child = newChild)
+}
+
+/** SummingMergeTree nested-Map fold kernel
+  * (SummingSortedBlockInputStream.cpp mergeMap): input is the
+  * CONCATENATION of a merged group's map entries as
+  * array<struct<members…>>; output groups entries by the key-member
+  * tuple (indices `keyIdx`), sums the value members per key, drops
+  * keys whose accumulated values are all zero (only possible after an
+  * actual merge — a once-seen zero entry survives), and emits entries
+  * sorted ascending by key tuple (the reference's std::map order). */
+case class SumMapMergeExpr(child: Expression, keyIdx: Seq[Int])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.StructType
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "sum_map_merge"
+
+  private lazy val st =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val valIdx: Seq[Int] = st.fields.indices.filterNot(keyIdx.contains)
+
+  private def cmpOne(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Short, y: Short) => java.lang.Short.compare(x, y)
+    case (x: Byte, y: Byte) => java.lang.Byte.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+
+  private object KeyOrd extends Ordering[Seq[Any]] {
+    def compare(a: Seq[Any], b: Seq[Any]): Int = {
+      var i = 0
+      while (i < a.length) {
+        val c = cmpOne(a(i), b(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  override protected def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val merged = scala.collection.mutable.TreeMap
+      .empty[Seq[Any], (Array[Double], Int)](KeyOrd)
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, st.length)
+      val key: Seq[Any] = keyIdx.map(j => row.get(j, st(j).dataType))
+      val vals: Array[Double] = valIdx.map { j =>
+        row.get(j, st(j).dataType) match {
+          case null => 0.0
+          case l: Long => l.toDouble
+          case x: Int => x.toDouble
+          case s: Short => s.toDouble
+          case b: Byte => b.toDouble
+          case d: Double => d
+          case f: Float => f.toDouble
+          case o => o.toString.toDouble
+        }
+      }.toArray
+      merged.get(key) match {
+        case Some((acc, n)) =>
+          var k = 0
+          while (k < acc.length) { acc(k) += vals(k); k += 1 }
+          merged.update(key, (acc, n + 1))
+        case None => merged.update(key, (vals, 1))
+      }
+      i += 1
+    }
+    val kept = merged.toSeq.filter { case (_, (sums, n)) =>
+      n == 1 || sums.exists(_ != 0.0)
+    }
+    new GenericArrayData(kept.map { case (key, (sums, _)) =>
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(st.length)
+      keyIdx.zipWithIndex.foreach { case (j, kk) => out.update(j, key(kk)) }
+      valIdx.zipWithIndex.foreach { case (j, vv) =>
+        val v: Any = st(j).dataType match {
+          case LongType => sums(vv).toLong
+          case IntegerType => sums(vv).toInt
+          case ShortType => sums(vv).toShort
+          case ByteType => sums(vv).toByte
+          case FloatType => sums(vv).toFloat
+          case _ => sums(vv)
+        }
+        out.update(j, v)
+      }
+      out
+    }.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SumMapMergeExpr =
+    copy(child = newChild)
+}
+
+/** Runtime enum CAST (DataTypeEnum castColumn; corpus 00298): a
+  * STRING operand validates against the name set and passes through as
+  * the name; a NUMERIC operand decodes to its name. The result
+  * carries Enum identity via alias metadata planted by
+  * [[graft.plans.ChTypeNameResolution]] (display right-aligns and
+  * type-names like the reference's Enum column). */
+case class ChEnumCast(child: Expression, bits: Int, defBody: String)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  lazy val enumDef: graft.types.ChEnum.Def =
+    graft.types.ChEnum.parseDef(bits, defBody)
+  override lazy val replacement: Expression = {
+    // the enum VALUE is the numeric storage channel (cityHash64 over
+    // an enum hashes the number — corpus 00324); the NAME only
+    // appears at render time via the alias metadata
+    val storage: DataType =
+      if (bits == 8) ByteType
+      else org.apache.spark.sql.types.ShortType
+    if (child.dataType == StringType)
+      CaseWhen(enumDef.names.zip(enumDef.values).map { case (n, v) =>
+        (EqualTo(child, Literal(n)): Expression,
+          Cast(Literal(v), storage): Expression)
+      }, None)
+    else Cast(child, storage)
+  }
+  override def prettyName: String = "ch_enum_cast"
+  override protected def withNewChildInternal(newChild: Expression): ChEnumCast =
+    copy(child = newChild)
+}

@@ -55,6 +55,24 @@ object ChImplicitCasts extends Rule[LogicalPlan] {
         case Add(n, t, _) if ts(t) && integral(n) => longToTs(Add(tsToLong(t), n))
         case Subtract(t, n, _) if ts(t) && integral(n) =>
           longToTs(Subtract(tsToLong(t), n))
+        // DateTime − DateTime is the SECOND difference (Int), Date −
+        // Date the DAY difference — never Spark's interval (corpus
+        // 00192 `greatest(now(), now() + 10) - now()` = 10). Spark's
+        // operator resolution may already have picked
+        // SubtractTimestamps/SubtractDates — unwrap those too.
+        case Subtract(a, b, _) if ts(a) && ts(b) =>
+          Subtract(tsToLong(a), tsToLong(b))
+        case Subtract(a, b, _) if date(a) && date(b) =>
+          org.apache.spark.sql.catalyst.expressions.DateDiff(a, b)
+        case st: org.apache.spark.sql.catalyst.expressions.SubtractTimestamps
+            if ts(st.left) && integral(st.right) =>
+          longToTs(Subtract(tsToLong(st.left), st.right))
+        case st: org.apache.spark.sql.catalyst.expressions.SubtractTimestamps
+            if ts(st.left) && ts(st.right) =>
+          Subtract(tsToLong(st.left), tsToLong(st.right))
+        case sd: org.apache.spark.sql.catalyst.expressions.SubtractDates
+            if date(sd.left) && date(sd.right) =>
+          org.apache.spark.sql.catalyst.expressions.DateDiff(sd.left, sd.right)
 
         // CH scalar subqueries may return several columns — the value
         // is then a tuple (ExpressionAnalyzer scalar subquery →

@@ -95,14 +95,59 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
                 .exists(t => t.base == "UInt64" && !t.nullable))
             so.copy(child = org.apache.spark.sql.catalyst.expressions
               .BitwiseXor(so.child, Literal(Long.MinValue)))
-          else so
+          else if (!so.resolved) so
+          else so.child.dataType match {
+            // NULL elements INSIDE an array sort key compare as the
+            // GREATEST value in the reference (same rule as top-level
+            // NULLS LAST — getLeastSupertype/sortBlock null_direction);
+            // Spark's array comparator puts nulls first. Lift each
+            // element to (isNull, value): the flag dominates, so nulls
+            // land last ascending / first descending, and the struct's
+            // lexicographic array compare keeps everything else same.
+            case at: org.apache.spark.sql.types.ArrayType
+                if so.resolved && at.containsNull &&
+                  !at.elementType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                  org.apache.spark.sql.catalyst.expressions.RowOrdering
+                    .isOrderable(at.elementType) =>
+              import org.apache.spark.sql.catalyst.expressions._
+              val lv = NamedLambdaVariable("__e", at.elementType, nullable = true)
+              so.copy(child = ArrayTransform(so.child,
+                LambdaFunction(
+                  CreateNamedStruct(Seq(
+                    Literal("n"), IsNull(lv), Literal("v"), lv)),
+                  Seq(lv))))
+            case _ => so
+          }
         }
         if (newOrder == s.order) s else s.copy(order = newOrder)
     }.resolveOperatorsUp { case p =>
       p.transformExpressionsUp {
-        case t @ ToTypeName(c) if c.resolved =>
-          Literal.create(ChTypeInfer.name(c),
-            org.apache.spark.sql.types.StringType)
+        // IN (SELECT …): the reference's Set::insertFromBlock SKIPS
+        // rows containing NULL when building the set, so `2 IN
+        // {1, NULL, 3}` is 0, not SQL's three-valued NULL (corpus
+        // 00441). Filter the subquery on all-outputs-not-null; NOT IN
+        // gets the ordinary complement for the same reason.
+        case in @ org.apache.spark.sql.catalyst.expressions.InSubquery(
+            _, lq: org.apache.spark.sql.catalyst.expressions.ListQuery)
+            if lq.plan.resolved && lq.plan.output.exists(_.nullable) &&
+              !lq.plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter] =>
+          val cond = lq.plan.output
+            .map(o => org.apache.spark.sql.catalyst.expressions.IsNotNull(o): Expression)
+            .reduce(org.apache.spark.sql.catalyst.expressions.And)
+          val filtered = in.copy(query = lq.copy(plan =
+            org.apache.spark.sql.catalyst.plans.logical.Filter(cond, lq.plan)))
+          // a NULL scalar needle still yields NULL (the reference's
+          // three-valued outer compare survives; only the SET drops
+          // nulls) — Spark's ExistenceJoin rewrite would say false.
+          // A null-component TUPLE needle is plain 0 in the reference.
+          in.values match {
+            case Seq(v) if v.nullable =>
+              org.apache.spark.sql.catalyst.expressions.If(
+                org.apache.spark.sql.catalyst.expressions.IsNull(v),
+                Literal.create(null, org.apache.spark.sql.types.BooleanType),
+                filtered)
+            case _ => filtered
+          }
         // multi-argument uniq family: a struct argument unpacks into
         // the variadic key; widths resolve from declared CH types
         // while tags are visible (UniqVariadicHash.h getDataAt width)
@@ -148,9 +193,16 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
           val chName =
             if (uint64Producer(c)) "UInt64"
             else ChTypeInfer.infer(c).get.render
-          Alias(c, n)(al.exprId, al.qualifier,
-            Some(new org.apache.spark.sql.types.MetadataBuilder()
-              .putString(ChTypeInfer.MetaKey, chName).build()),
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(ChTypeInfer.MetaKey, chName)
+          // an enum CAST result keeps Enum identity (right alignment,
+          // DESCRIBE name) through the same metadata channel
+          val meta = c match {
+            case ec: graft.functions.ChEnumCast =>
+              graft.types.ChEnum.tag(mb.build(), ec.enumDef)
+            case _ => mb.build()
+          }
+          Alias(c, n)(al.exprId, al.qualifier, Some(meta),
             al.nonInheritableMetadataKeys)
       }
     }
@@ -186,6 +238,35 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
         case k: graft.functions.UniqVariadicKeyExpr
             if k.widths.isEmpty && k.childrenResolved =>
           k.copy(widths = k.children.map(chWidth))
+        // fold toTypeName LAST — after attribute metadata refresh, so
+        // a same-SELECT sibling alias (`1 AS x, toTypeName(least(x,…))`)
+        // reads the tagged CH type, not the widened storage; a
+        // still-unrewritten lateral alias reference defers the fold to
+        // a later fixed-point iteration (corpus 00192)
+        case t @ ToTypeName(c) if c.resolved && !c.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LateralColumnAliasReference]) =>
+          Literal.create(ChTypeInfer.name(c),
+            org.apache.spark.sql.types.StringType)
+        // finalizeAggregation over a bare uniq-family state column:
+        // the state is the distinct set, the finalized value its SIZE
+        // (corpus 00334); every other state finalizes as the identity
+        // (the marker's RuntimeReplaceable default)
+        // unsigned Float64 view of a tagged UInt64 Long (corpus 00232)
+        case u @ graft.functions.ChUnsignedToDouble(c)
+            if c.resolved && c.dataType == org.apache.spark.sql.types.LongType &&
+              ChTypeInfer.infer(c).exists(t => t.base == "UInt64" && !t.nullable) => {
+          import org.apache.spark.sql.catalyst.expressions._
+          val d = Cast(c, org.apache.spark.sql.types.DoubleType)
+          If(LessThan(c, Literal(0L)),
+            Add(d, Literal(1.8446744073709552e19)), d)
+        }
+        case f @ graft.functions.FinalizeAggregation(c)
+            if c.resolved && ChTypeInfer.infer(c).exists(t =>
+              t.base.startsWith("AggregateFunction(uniq") &&
+                !t.base.startsWith("AggregateFunction(uniqUpTo")) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Size(c),
+            org.apache.spark.sql.types.LongType)
       }
     }
   }

@@ -117,7 +117,9 @@ object Formats {
     */
   def renderJson(names: Seq[String], chTypes: Seq[String],
       rows: Seq[Seq[Any]], totals: Option[Seq[Any]],
-      rowsBeforeLimit: Option[Long], compact: Boolean): String = {
+      rowsBeforeLimit: Option[Long], compact: Boolean,
+      quote64: Boolean = true,
+      extremes: Option[(Seq[Any], Seq[Any])] = None): String = {
     def jsonStr(s: String): String = {
       val sb = new StringBuilder("\"")
       s.foreach {
@@ -148,10 +150,28 @@ object Formats {
         val elemT = if (chType.startsWith("Array(") && chType.endsWith(")"))
           chType.substring(6, chType.length - 1) else chType
         a.map(jsonVal(_, elemT)).mkString("[", ",", "]")
+      // tuples serialize as JSON ARRAYS with per-element types
+      // (DataTypeTuple::serializeTextJSON; corpus 00378)
+      case r: org.apache.spark.sql.Row =>
+        val elemTs: Seq[String] =
+          if (chType.startsWith("Tuple(") && chType.endsWith(")"))
+            graft.types.ChTypes.splitTopCommas(
+              chType.substring(6, chType.length - 1)).map(_.trim)
+          else Seq.fill(r.length)(chType)
+        r.toSeq.zipWithIndex.map { case (v, i) =>
+          jsonVal(v, elemTs.lift(i).getOrElse(chType))
+        }.mkString("[", ",", "]")
       case n =>
-        val s = renderValue(n, inArray = false)
-        // serializeTextJSON quotes 64-bit integer types
-        if (chType == "UInt64" || chType == "Int64") "\"" + s + "\"" else s
+        // a reference-UInt64 in wrapped Long storage prints UNSIGNED
+        val s = n match {
+          case l: Long if chType == "UInt64" && l < 0 =>
+            java.lang.Long.toUnsignedString(l)
+          case _ => renderValue(n, inArray = false)
+        }
+        // serializeTextJSON quotes 64-bit integer types (by default —
+        // output_format_json_quote_64bit_integers)
+        if (quote64 && (chType == "UInt64" || chType == "Int64"))
+          "\"" + s + "\"" else s
     }
     val sb = new StringBuilder
     sb.append("{\n\t\"meta\":\n\t[\n")
@@ -191,11 +211,188 @@ object Formats {
             .mkString(",\n"))
           .append("\n\t}")
     }
+    extremes.foreach { case (mins, maxs) =>
+      def one(tag: String, vals: Seq[Any]): String =
+        if (compact)
+          "\t\t\"" + tag + "\": [" +
+            vals.indices.map(j => jsonVal(vals(j), chTypes(j))).mkString(",") + "]"
+        else
+          "\t\t\"" + tag + "\":\n\t\t{\n" +
+            vals.indices.map(j =>
+              "\t\t\t" + jsonStr(names(j)) + ": " + jsonVal(vals(j), chTypes(j)))
+              .mkString(",\n") + "\n\t\t}"
+      sb.append(",\n\n\t\"extremes\":\n\t{\n")
+        .append(one("min", mins)).append(",\n")
+        .append(one("max", maxs))
+        .append("\n\t}")
+    }
     sb.append(",\n\n\t\"rows\": ").append(rows.length)
     rowsBeforeLimit.foreach(n =>
       sb.append(",\n\n\t\"rows_before_limit_at_least\": ").append(n))
     sb.append("\n}")
     sb.toString
+  }
+
+  /** FORMAT JSONEachRow — one compact JSON object per row
+    * (JSONEachRowRowOutputStream); no meta/totals/extremes. */
+  def renderJsonEachRow(names: Seq[String], chTypes: Seq[String],
+      rows: Seq[Seq[Any]], quote64: Boolean): String =
+    rows.map { r =>
+      names.indices.map { i =>
+        // reuse renderJson's value rules via one-column documents:
+        // the single data row renders as a line "\t\t[<value>]"
+        val body = renderJson(Seq(names(i)), Seq(chTypes(i)),
+          Seq(Seq(r(i))), None, None, compact = true, quote64 = quote64)
+        val start = body.indexOf("\t\t[")
+        val lineEnd = body.indexOf("\n\t]", start)
+        val v = body.substring(start + 3, lineEnd).stripSuffix("]")
+        "\"" + names(i) + "\":" + v
+      }.mkString("{", ",", "}")
+    }.mkString("\n")
+
+  /** FORMAT XML (XMLRowOutputStream): tab-indented result document —
+    * meta columns, rows with per-column tags (a non-identifier column
+    * name falls back to the tag `field`), arrays as
+    * `<array><elem>…</elem></array>`, tuples as `<tuple>…</tuple>`,
+    * optional totals/extremes sections, and the row count. Escapes
+    * `&` and `<` only (writeXMLString). */
+  def renderXml(names: Seq[String], chTypes: Seq[String],
+      rows: Seq[Seq[Any]], totals: Option[Seq[Any]],
+      extremes: Option[(Seq[Any], Seq[Any])]): String = {
+    def esc(t: String): String = t.replace("&", "&amp;").replace("<", "&lt;")
+    def tagOf(n: String): String =
+      if (n.matches("[A-Za-z_][A-Za-z0-9_-]*")) n else "field"
+    def xmlVal(v: Any): String = v match {
+      case null => ""
+      // writeXMLString escapes only & and < — newlines stay literal
+      case str: String => esc(str)
+      case a: scala.collection.Seq[_] =>
+        "<array>" + a.map(e => s"<elem>${xmlVal(e)}</elem>").mkString + "</array>"
+      case r: org.apache.spark.sql.Row =>
+        "<tuple>" + r.toSeq.map(e => s"<elem>${xmlVal(e)}</elem>").mkString + "</tuple>"
+      case other => esc(renderValue(other, inArray = false))
+    }
+    val sb = new StringBuilder
+    sb.append("<?xml version='1.0' encoding='UTF-8' ?>\n<result>\n")
+    sb.append("\t<meta>\n\t\t<columns>\n")
+    names.indices.foreach { i =>
+      sb.append("\t\t\t<column>\n")
+        .append("\t\t\t\t<name>").append(esc(names(i))).append("</name>\n")
+        .append("\t\t\t\t<type>").append(esc(chTypes(i))).append("</type>\n")
+        .append("\t\t\t</column>\n")
+    }
+    sb.append("\t\t</columns>\n\t</meta>\n")
+    def section(indent: String, vals: Seq[Any]): String =
+      names.indices.map { i =>
+        val t = tagOf(names(i))
+        s"$indent<$t>${xmlVal(vals(i))}</$t>\n"
+      }.mkString
+    sb.append("\t<data>\n")
+    rows.foreach { r =>
+      sb.append("\t\t<row>\n").append(section("\t\t\t", r))
+        .append("\t\t</row>\n")
+    }
+    sb.append("\t</data>\n")
+    totals.foreach { t =>
+      sb.append("\t<totals>\n").append(section("\t\t", t))
+        .append("\t</totals>\n")
+    }
+    extremes.foreach { case (mins, maxs) =>
+      sb.append("\t<extremes>\n")
+        .append("\t\t<min>\n").append(section("\t\t\t", mins))
+        .append("\t\t</min>\n")
+        .append("\t\t<max>\n").append(section("\t\t\t", maxs))
+        .append("\t\t</max>\n")
+        .append("\t</extremes>\n")
+    }
+    sb.append("\t<rows>").append(rows.length).append("</rows>\n</result>")
+    sb.toString
+  }
+
+  /** The Pretty* family (PrettyBlockOutputStream and friends):
+    * box-drawing tables, one per BLOCK of the result stream, ANSI-bold
+    * column names (suppressed by the NoEscapes variants), numeric
+    * columns right-aligned, `output_format_pretty_max_rows`
+    * truncation with a trailing "Showed first N." note.
+    * `kind` is Pretty, PrettyCompact or PrettySpace; MonoBlock folds
+    * all blocks into one table before rendering. */
+  def renderPretty(kind: String, noEscapes: Boolean,
+      names: Seq[String], alignRight: Seq[Boolean],
+      blocks: Seq[Seq[Seq[Any]]], maxRows: Long): String = {
+    def bold(t: String): String =
+      if (noEscapes) t else "\u001b[1m" + t + "\u001b[0m"
+    def cellText(v: Any): String = renderValue(v, inArray = false)
+    val out = new StringBuilder
+    var shown = 0L
+    var truncated = false
+    val itBlocks = blocks.iterator.filter(_.nonEmpty)
+    while (itBlocks.hasNext && !truncated) {
+      val block0 = itBlocks.next()
+      val room = maxRows - shown
+      val block = if (block0.length <= room) block0
+        else { truncated = true; block0.take(room.toInt) }
+      if (block.nonEmpty) {
+        val cells = block.map(_.map(cellText))
+        val widths = names.indices.map { i =>
+          (names(i).length +: cells.map(_(i).length)).max
+        }
+        def pad(t: String, w: Int, right: Boolean): String =
+          if (right) " " * (w - t.length) + t else t + " " * (w - t.length)
+        kind match {
+          case "Pretty" =>
+            out.append(widths.map(w => "━" * (w + 2)).mkString("┏", "┳", "┓")).append('\n')
+            out.append(names.indices.map(i =>
+              " " + bold(pad(names(i), widths(i), right = false)) + " ")
+              .mkString("┃", "┃", "┃")).append('\n')
+            out.append(widths.map(w => "━" * (w + 2)).mkString("┡", "╇", "┩")).append('\n')
+            cells.zipWithIndex.foreach { case (r, ri) =>
+              if (ri > 0)
+                out.append(widths.map(w => "─" * (w + 2)).mkString("├", "┼", "┤")).append('\n')
+              out.append(names.indices.map(i =>
+                " " + pad(r(i), widths(i), alignRight(i)) + " ")
+                .mkString("│", "│", "│")).append('\n')
+            }
+            out.append(widths.map(w => "─" * (w + 2)).mkString("└", "┴", "┘")).append('\n')
+          case "PrettyCompact" =>
+            // header names align WITH their column: right-aligned
+            // columns pad dashes before the name (corpus 00406/00298)
+            out.append(names.indices.map { i =>
+              val padLen = widths(i) - names(i).length
+              if (alignRight(i))
+                "─" * (padLen + 1) + bold(names(i)) + "─"
+              else "─" + bold(names(i)) + "─" * (padLen + 1)
+            }.mkString("┌", "┬", "┐")).append('\n')
+            cells.foreach { r =>
+              out.append(names.indices.map(i =>
+                " " + pad(r(i), widths(i), alignRight(i)) + " ")
+                .mkString("│", "│", "│")).append('\n')
+            }
+            out.append(widths.map(w => "─" * (w + 2)).mkString("└", "┴", "┘")).append('\n')
+          case "PrettySpace" =>
+            // padding stays OUTSIDE the bold sequence
+            out.append(names.indices.map { i =>
+              val padded = bold(names(i)) +
+                " " * (widths(i) - names(i).length)
+              if (i == 0) padded else "   " + padded
+            }.mkString.replaceAll("\\s+$", "")).append('\n')
+            out.append('\n')
+            cells.foreach { r =>
+              out.append(names.indices.map { i =>
+                if (i == 0) pad(r(i), widths(i), alignRight(i))
+                else "   " + pad(r(i), widths(i), alignRight(i))
+              }.mkString.replaceAll("\\s+$", "")).append('\n')
+            }
+        }
+        shown += block.length
+      }
+    }
+    if (truncated) {
+      if (kind == "PrettySpace")
+        out.append("\nShowed first ").append(shown).append(".\n")
+      else out.append("  Showed first ").append(shown).append(".\n")
+    }
+    val res = out.toString
+    if (res.endsWith("\n")) res.dropRight(1) else res
   }
 
   /** TabSeparated — the reference's default test-output format
@@ -218,7 +415,24 @@ object Formats {
     if (d.isNaN) "nan"
     else if (d.isPosInfinity) "inf"
     else if (d.isNegInfinity) "-inf"
-    else renderShortest(math.abs(d).toString, d < 0 || 1 / d < 0)
+    else renderShortest(shortestRepr(math.abs(d)), d < 0 || 1 / d < 0)
+  }
+
+  /** Shortest round-tripping decimal form of a non-negative double.
+    * JDK 17's Double.toString is NOT always shortest (it can emit 17
+    * significant digits where 16 round-trip — fixed only in JDK 19's
+    * Ryū rewrite), while the reference's double-conversion ToShortest
+    * is; search precisions 1..17 for the first that round-trips. */
+  private def shortestRepr(ad: Double): String = {
+    var p = 1
+    while (p <= 17) {
+      val s = String.format("%." + (p - 1) + "E", ad.asInstanceOf[AnyRef])
+      if (java.lang.Double.parseDouble(s) == ad)
+        return if (s.contains('.')) s
+          else { val i = s.indexOf('E'); s.substring(0, i) + ".0" + s.substring(i) }
+      p += 1
+    }
+    ad.toString
   }
 
   /** The reference prints floats via double-conversion ToShortest
@@ -300,12 +514,17 @@ object Formats {
     * (TabSeparatedRowOutputStream with_names/with_types). Types print
     * under their ClickHouse names. */
   def tabSeparatedWithNames(df: DataFrame, withTypes: Boolean = false,
-      limit: Int = 1000000): String = {
+      limit: Int = 1000000): String =
+    tabSeparatedWithNamesTyped(df, withTypes,
+      df.schema.fields.toSeq.map(f =>
+        graft.types.ChTypes.toChName(f.dataType, f.nullable)), limit)
+
+  /** Same, with the caller supplying the CH type spellings (analysis
+    * metadata knows UInt8 where the storage only says Int32). */
+  def tabSeparatedWithNamesTyped(df: DataFrame, withTypes: Boolean,
+      chTypes: Seq[String], limit: Int = 1000000): String = {
     val header = Seq(df.columns.mkString("\t")) ++
-      (if (withTypes)
-        Seq(df.schema.fields.map(f =>
-          graft.types.ChTypes.toChName(f.dataType, f.nullable)).mkString("\t"))
-      else Seq.empty)
+      (if (withTypes) Seq(chTypes.mkString("\t")) else Seq.empty)
     (header ++ df.limit(limit).collect()
       .map(r => renderRow(r.toSeq))).mkString("\n")
   }

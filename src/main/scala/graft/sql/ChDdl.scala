@@ -17,13 +17,124 @@ import graft.types.ChTypes
   */
 object ChDdl {
 
-  final case class Entry(name: String, view: String, var df: DataFrame, spec: Spec,
+  final case class Entry(name: String, view: String, var df: DataFrame, var spec: Spec,
       var defaults: Seq[(String, String)] = Seq.empty,
       // DESCRIBE surface: declared CH type text and default kind per
       // column (what the schema alone can't reproduce — UInt8 vs
       // Int32, Enum entry lists)
       var colTypes: Map[String, String] = Map.empty,
-      var defaultKinds: Map[String, String] = Map.empty)
+      var defaultKinds: Map[String, String] = Map.empty,
+      // SHOW CREATE TABLE surface: the declared ENGINE text
+      var engineText: String = "",
+      // columns ADDed with a pure type default and never written:
+      // the reference materializes them at READ time, so a later
+      // MODIFY shows the NEW type's default (corpus 00030)
+      var virtualDefaults: Set[String] = Set.empty,
+      // Replicated* engines: the ZooKeeper path identifying the
+      // replication group — replicas of one path share data
+      var zkPath: Option[String] = None,
+      // block structure of the table's data as written (sizes of the
+      // squashed insert blocks, in order) — the blockSize() family
+      // reads it; None once an insert couldn't be modeled statically
+      var blockSizes: Option[Vector[Long]] = Some(Vector.empty))
+
+  /** Replication groups: every Entry sharing a zk path sees the same
+    * data (ReplicatedMergeTree multi-replica semantics on a single
+    * process); detached partitions park here until ATTACH. */
+  private val detachedParts =
+    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]()
+  /** Per-group hashes of inserted blocks — identical consecutive
+    * inserts deduplicate (ReplicatedMergeTreeBlockOutputStream
+    * checksum dedup; corpus 00226). */
+  private val insertedBlockHashes =
+    scala.collection.concurrent.TrieMap[String, scala.collection.mutable.Set[String]]()
+
+  /** Block structure recorded for a view, for the blockSize() family
+    * (translator-side lookup). */
+  private[sql] def blockSizesForView(view: String): Option[Seq[Long]] =
+    tables.values.find(_.view == view).flatMap(_.blockSizes)
+      .filter(_.nonEmpty)
+
+  /** Input block sizes of an INSERT SELECT source when they are
+    * statically knowable: `… FROM system.numbers LIMIT n` reads
+    * max_block_size-row chunks; a UNION ALL of `SELECT
+    * arrayJoin(range(k))` branches yields one k-row block each. */
+  private def staticInputBlocks(sel: String): Option[Seq[Long]] = {
+    // split top-level UNION ALL branches
+    val masked = ChSql.maskQuotes(sel)
+    val d = {
+      val a = new Array[Int](masked.length); var dep = 0
+      masked.indices.foreach { i =>
+        if (masked(i) == '(') { a(i) = dep; dep += 1 }
+        else if (masked(i) == ')') { dep -= 1; a(i) = dep }
+        else a(i) = dep }
+      a
+    }
+    val cuts = "(?i)\\bUNION\\s+ALL\\b".r.findAllMatchIn(masked)
+      .filter(m => d(m.start) == 0).map(m => (m.start, m.end)).toList
+    val branches = (cuts match {
+      case Nil => Seq(sel)
+      case cs =>
+        val starts = 0 :: cs.map(_._2)
+        val ends = cs.map(_._1) :+ sel.length
+        starts.zip(ends).map { case (a, b) => sel.substring(a, b) }
+    }).map(_.trim)
+    val numbersRe =
+      "(?is)^SELECT\\s+.*\\bFROM\\s+system\\.numbers(?:_mt)?\\s+LIMIT\\s+(\\d+)\\s*$".r
+    val rangeRe =
+      "(?is)^SELECT\\s+arrayJoin\\s*\\(\\s*range\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)(?:\\s+AS\\s+\\w+)?\\s*$".r
+    val per = branches.map {
+      case numbersRe(n) =>
+        val total = n.toLong; val mbs = maxBlockSize
+        Some((0L until (total + mbs - 1) / mbs).map(i =>
+          math.min(mbs, total - i * mbs)))
+      case rangeRe(k) => Some(Seq(k.toLong))
+      case _ => None
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+  }
+
+  /** SquashingTransform.cpp simulation over input block sizes. */
+  private def squashBlocks(blocks: Seq[Long], rowBytes: Long): Seq[Long] = {
+    val (minRows, minBytes) = (minInsertRows, minInsertBytes)
+    def enough(rows: Long): Boolean =
+      (minRows == 0 && minBytes == 0) ||
+        (minRows > 0 && rows >= minRows) ||
+        (minBytes > 0 && rows * rowBytes >= minBytes)
+    val out = scala.collection.mutable.Buffer[Long]()
+    var acc = 0L
+    blocks.foreach { b =>
+      if (enough(b)) {
+        if (acc == 0) out += b
+        else { out += acc; acc = b }
+      } else if (acc > 0 && enough(acc)) { out += acc; acc = b }
+      else { acc += b; if (enough(acc)) { out += acc; acc = 0 } }
+    }
+    if (acc > 0) out += acc
+    out.toSeq
+  }
+
+  /** Fixed row width from declared types (bytes-threshold squashing). */
+  private def rowBytesOf(entry: Entry): Long =
+    entry.df.schema.fields.map { f =>
+      entry.colTypes.getOrElse(f.name, "") match {
+        case "UInt8" | "Int8" => 1L
+        case "UInt16" | "Int16" | "Date" => 2L
+        case "UInt32" | "Int32" | "Float32" | "DateTime" => 4L
+        case _ => 8L
+      }
+    }.sum.max(1L)
+
+  /** Propagate a replicated entry's data to every replica of its
+    * group (and refresh their views). */
+  private def syncReplicas(entry: Entry): Unit =
+    entry.zkPath.foreach { zk =>
+      tables.values.filter(e => e.zkPath.contains(zk) && (e ne entry))
+        .foreach { peer =>
+          peer.df = entry.df
+          peer.df.createOrReplaceTempView(peer.view)
+        }
+    }
 
   private val tables = scala.collection.concurrent.TrieMap[String, Entry]()
 
@@ -41,6 +152,29 @@ object ChDdl {
     else currentDb.map(db => s"$db.$name")
       .filter(n => tables.contains(n) || detached.contains(n))
       .getOrElse(name)
+
+  /** Re-attach the declared ch.type field metadata (lost through
+    * unions/aggregations/parquet round-trips) so analysis-time
+    * consumers (ChTypeInfer — finalizeAggregation over
+    * AggregateFunction columns, UInt64 rendering) keep seeing the
+    * declared types on every re-registered view. */
+  private def withDeclaredMeta(df: DataFrame,
+      colTypes: Map[String, String]): DataFrame = {
+    val interesting = colTypes.filter { case (_, t) =>
+      t.trim.startsWith("AggregateFunction(") || t.trim.startsWith("UInt64")
+    }
+    if (interesting.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      interesting.get(f.name) match {
+        case Some(t) if !f.metadata.contains(graft.types.ChTypeInfer.MetaKey) =>
+          qcol(f.name).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(graft.types.ChTypeInfer.MetaKey, t).build())
+        case _ => qcol(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
 
   private def lookupTable(name: String): Entry =
     tables.get(name)
@@ -75,6 +209,15 @@ object ChDdl {
   @volatile private var maxRowsToGroupBy: Long = 0L
   @volatile private var maxBlockSize: Long = 65536L
   @volatile private var groupByOverflowMode: String = "throw"
+  // INSERT SELECT squashing thresholds (SquashingTransform.cpp)
+  @volatile private var minInsertRows: Long = 1048576L
+  @volatile private var minInsertBytes: Long = 268435456L
+  /** SET extremes = 1 — append min/max rows after the result. */
+  @volatile private var extremesOn: Boolean = false
+  /** output_format_json_quote_64bit_integers (JSON formats). */
+  @volatile private var jsonQuote64: Boolean = true
+  /** output_format_pretty_max_rows (Pretty* formats). */
+  @volatile private var prettyMaxRows: Long = 10000L
 
   /** Per-test-file settings reset (the reference runner starts a new
     * client per file, so SET never leaks across files). */
@@ -88,6 +231,11 @@ object ChDdl {
     maxRowsToGroupBy = 0L
     maxBlockSize = 65536L
     groupByOverflowMode = "throw"
+    minInsertRows = 1048576L
+    minInsertBytes = 268435456L
+    extremesOn = false
+    jsonQuote64 = true
+    prettyMaxRows = 10000L
   }
 
   /** hasColumnInTable support: does `db.table` declare `col` (flattened
@@ -124,6 +272,18 @@ object ChDdl {
         .foreach(m => maxBlockSize = m.group(1).toLong)
       "(?i)group_by_overflow_mode\\s*=\\s*'?(\\w+)'?".r.findFirstMatchIn(stmt)
         .foreach(m => groupByOverflowMode = m.group(1).toLowerCase)
+      "(?i)min_insert_block_size_rows\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => minInsertRows = m.group(1).toLong)
+      "(?i)min_insert_block_size_bytes\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => minInsertBytes = m.group(1).toLong)
+      "(?i)\\bextremes\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => extremesOn = m.group(1) != "0")
+      "(?i)output_format_json_quote_64bit_integers\\s*=\\s*(\\d+)".r
+        .findFirstMatchIn(stmt)
+        .foreach(m => jsonQuote64 = m.group(1) != "0")
+      "(?i)output_format_pretty_max_rows\\s*=\\s*(\\d+)".r
+        .findFirstMatchIn(stmt)
+        .foreach(m => prettyMaxRows = m.group(1).toLong)
       None
     }
     else if (stmt.isEmpty || up.startsWith("CREATE DATABASE")) None
@@ -242,6 +402,33 @@ object ChDdl {
         s"unknown table: $name")
       Some(spark.sql("SELECT 1 AS result"))
     }
+    else if (up.startsWith("SHOW CREATE TABLE")) {
+      // InterpreterShowCreateQuery: one row with the reconstructed
+      // statement — ` name Type [KIND expr]` items, ", "-joined with
+      // each item carrying its own leading space; dotted (flattened
+      // Nested) names print backticked (corpus 00061)
+      val name = stmt.substring("SHOW CREATE TABLE".length)
+        .replace("`", "").trim
+      val entry = lookupTable(name)
+      val exprs = entry.defaults.toMap
+      val items = entry.df.schema.fields.map { f =>
+        val t = entry.colTypes.getOrElse(f.name, ChTypes.toChName(f))
+        val kind = entry.defaultKinds.getOrElse(f.name,
+          if (exprs.contains(f.name)) "DEFAULT" else "")
+        val quoted = if (f.name.contains(".")) s"`${f.name}`" else f.name
+        val tail =
+          if (kind.nonEmpty) s" $kind ${exprs.getOrElse(f.name, "")}" else ""
+        s" $quoted $t$tail"
+      }
+      val text = s"CREATE TABLE ${entry.name} (${items.mkString(", ")})" +
+        s" ENGINE = ${entry.engineText}"
+      import scala.jdk.CollectionConverters._
+      Some(spark.createDataFrame(
+        Seq(Row(text)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("statement",
+            org.apache.spark.sql.types.StringType)))))
+    }
     else if (up.startsWith("SHOW TABLES")) {
       // SHOW TABLES [FROM db] over the engine's table registry
       // (InterpreterShowTablesQuery; corpus 00080)
@@ -267,6 +454,8 @@ object ChDdl {
       // is order-agnostic for exactly this reason); catalog tables
       // carry no part ids, so drop the clause rather than fail
       val noPart = stmt.replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part\\s*$", "")
+        .replaceAll("(?i),\\s*_part_index\\b", "")
+        .replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part_index\\s*$", "")
       joinTotals(spark, noPart).orElse {
         val rewritten = rewriteAll(spark, noPart)
         val th = TotalsHaving.Settings(totalsMode, totalsAutoThreshold,
@@ -436,16 +625,34 @@ object ChDdl {
           java.util.regex.Matcher.quoteReplacement(
             s"${left}ARRAY JOIN ${rewritten.mkString(", ")}")
         })
+        // `SELECT *` with an ARRAY JOIN over nested members: the
+        // reference REPLACES the member columns with their unnested
+        // element values in the star width (ExpressionAnalyzer
+        // ARRAY JOIN asterisk handling; corpus 00147) — expand the
+        // star so the exploded scalars take the members' positions
+        if (scalarSubs.nonEmpty) {
+          val starRe = "(?is)^(\\s*SELECT\\s+)\\*(\\s+FROM\\b)".r
+          starRe.findFirstMatchIn(q).foreach { mm =>
+            val cols = e.df.schema.fieldNames.map(c =>
+              scalarSubs.getOrElse(c, s"`$c`"))
+            q = q.substring(0, mm.start) + mm.group(1) +
+              cols.mkString(", ") + mm.group(2) + q.substring(mm.end)
+          }
+        }
+        // a dotted ref may carry whitespace around the dot in the
+        // reference's lexer (`m. s` — corpus 00327)
+        def dottedPat(ref: String) =
+          ("(?<![\\w.`])" + ref.split('.')
+            .map(java.util.regex.Pattern.quote)
+            .mkString("\\s*\\.\\s*") + "(?![\\w.`(])").r
         // exploded element references
         scalarSubs.foreach { case (ref, elem) =>
-          val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(ref) +
-            "(?![\\w.`(])").r
+          val pat = dottedPat(ref)
           q = ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, elem))
         }
         // remaining dotted column refs → backticked identifiers
         dotted.foreach { col =>
-          val pat = ("(?<![\\w.`])" + java.util.regex.Pattern.quote(col) +
-            "(?![\\w.`(])").r
+          val pat = dottedPat(col)
           q = ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, s"`$col`"))
         }
         q
@@ -505,6 +712,58 @@ object ChDdl {
       }
     }
 
+  /** Expand a remote() address pattern into shards, each a list of
+    * replica addresses (TableFunctionRemote.cpp:65-77 /
+    * parseRemoteDescription): top-level commas and `{a,b}` / `{a..b}`
+    * brace groups multiply into SHARDS; `{r1|r2}` lists replicas of
+    * one shard. */
+  private[sql] def expandShards(desc: String): Seq[Seq[String]] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    var depth = 0
+    var start = 0
+    desc.indices.foreach { i =>
+      desc(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case ',' if depth == 0 => parts += desc.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    parts += desc.substring(start)
+    def expand(s: String): Seq[String] =
+      "\\{([^}|]*)\\}".r.findFirstMatchIn(s) match {
+        case None => Seq(s)
+        case Some(m) =>
+          val body = m.group(1)
+          val opts =
+            if (body.contains("..")) {
+              val Array(a, b) = body.split("\\.\\.", 2)
+              (a.trim.toInt to b.trim.toInt).map(_.toString)
+            } else body.split(",").toSeq.map(_.trim)
+          opts.flatMap(o =>
+            expand(s.substring(0, m.start) + o + s.substring(m.end)))
+      }
+    parts.filter(_.trim.nonEmpty).flatMap { p =>
+      expand(p.trim).map { shard =>
+        // remaining {r1|r2} groups are replica alternatives
+        "\\{([^}]*)\\}".r.findFirstMatchIn(shard) match {
+          case Some(m) if m.group(1).contains("|") =>
+            m.group(1).split("\\|").toSeq.map(r =>
+              shard.substring(0, m.start) + r.trim + shard.substring(m.end))
+          case _ => Seq(shard)
+        }
+      }
+    }.toSeq
+  }
+
+  /** Is this address the local server? The reference's shard tests
+    * run against a single server, so loopback addresses are the
+    * reachable ones and anything else connection-refuses. */
+  private def isLocalAddr(addr: String): Boolean = {
+    val host = addr.takeWhile(_ != ':').trim
+    host == "localhost" || host.startsWith("127.")
+  }
+
   private val tfCounter = new java.util.concurrent.atomic.AtomicLong
 
   /** Table functions in FROM:
@@ -551,13 +810,47 @@ object ChDdl {
     val remoteRe =
       ("(?i)\\bremote\\s*\\(\\s*'([^']*)'\\s*,\\s*['`]?(\\w+)['`]?" +
         "(?:\\s*\\.\\s*['`]?(\\w+)['`]?|\\s*,\\s*['`]?(\\w+)['`]?)?\\s*\\)").r
+    // skip_unavailable_shards=1 drops shards whose every replica
+    // fails to connect — against the reference's single-server test
+    // setup only loopback addresses are reachable (corpus 00183)
+    val skipUnavail =
+      "(?i)\\bskip_unavailable_shards\\s*=\\s*1\\b".r.findFirstIn(q).isDefined
+    def remoteShardCount(desc: String): Int = {
+      val shards = expandShards(desc)
+      val n = if (skipUnavail) shards.count(_.exists(isLocalAddr))
+        else shards.size
+      n max 1
+    }
+    // distributed_group_by_no_merge=1: each shard completes its OWN
+    // aggregation and the initiator concatenates the per-shard blocks
+    // with no final merge — replicate the whole query once per shard
+    // (corpus 00184)
+    if ("(?i)\\bdistributed_group_by_no_merge\\s*=\\s*1\\b".r
+        .findFirstIn(q).isDefined) {
+      val inQuote = new Array[Boolean](q.length + 1)
+      var inQ = false
+      q.indices.foreach { i => inQuote(i) = inQ; if (q(i) == '\'') inQ = !inQ }
+      remoteRe.findAllMatchIn(q).toList.filterNot(m => inQuote(m.start)) match {
+        case m :: Nil =>
+          val (db, table) = Option(m.group(3)).orElse(Option(m.group(4))) match {
+            case Some(t) => (m.group(2), t)
+            case None => (currentDb.getOrElse("default"), m.group(2))
+          }
+          val frag = tableFragment(db, table)
+          val n = remoteShardCount(m.group(1))
+          val one = q.substring(0, m.start) + frag + q.substring(m.end)
+          if (n > 1) q = Seq.fill(n)(one).mkString(" UNION ALL ")
+          else q = one
+        case _ =>
+      }
+    }
     q = replaceQuoteAware(q, remoteRe)(m => {
       val (db, table) = Option(m.group(3)).orElse(Option(m.group(4))) match {
         case Some(t) => (m.group(2), t)
         case None => (currentDb.getOrElse("default"), m.group(2))
       }
       val frag = tableFragment(db, table)
-      val n = shardCount(m.group(1)) max 1
+      val n = remoteShardCount(m.group(1))
       java.util.regex.Matcher.quoteReplacement(
         if (n == 1) frag
         else Seq.fill(n)(s"SELECT * FROM $frag").mkString("(", " UNION ALL ", ")"))
@@ -697,7 +990,8 @@ object ChDdl {
       if (pat.findFirstIn(q).isEmpty) q
       else {
         val fview = e.view + "__final"
-        MergeTreeTable.fold(e.df, e.spec).createOrReplaceTempView(fview)
+        withDeclaredMeta(MergeTreeTable.fold(e.df, e.spec), e.colTypes)
+          .createOrReplaceTempView(fview)
         ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg, fview))
       }
     }
@@ -721,9 +1015,17 @@ object ChDdl {
     // FORMAT JSON / JSONCompact render the reference's exact JSON shape
     val jsonFmt = "(?i)FORMAT\\s+(JSONCompact|JSON)\\s*$".r
       .findFirstMatchIn(trimmed).map(_.group(1))
+    val jsonEachRow = "(?i)FORMAT\\s+JSONEachRow\\s*$".r
+      .findFirstIn(trimmed).isDefined
+    val xmlFmt = "(?i)FORMAT\\s+XML\\s*$".r.findFirstIn(trimmed).isDefined
+    val prettyFmt =
+      "(?i)FORMAT\\s+(Pretty(?:Compact)?(?:MonoBlock)?|PrettySpace)(NoEscapes)?\\s*$".r
+        .findFirstMatchIn(trimmed)
     // Vertical(Raw): one `col: value` block per row
     val vertical = "(?i)FORMAT\\s+Vertical(Raw)?\\s*$".r.findFirstMatchIn(trimmed)
     val tskvFmt = "(?i)FORMAT\\s+TSKV\\s*$".r.findFirstIn(trimmed).isDefined
+    val tsvNames = "(?i)FORMAT\\s+TabSeparatedWithNames(AndTypes)?\\s*$".r
+      .findFirstMatchIn(trimmed)
     val csvFmt = "(?i)FORMAT\\s+CSV(WithNames)?\\s*$".r.findFirstMatchIn(trimmed)
     // The totals side-channel row is NOT subject to LIMIT
     // (TotalsHavingBlockInputStream sits before the limit in the
@@ -747,8 +1049,8 @@ object ChDdl {
       val hid = df0.columns.filter(_.matches("__sort\\d+"))
       if (hid.isEmpty) df0 else df0.drop(hid.toIndexedSeq: _*)
     }.flatMap { df =>
-      if (jsonFmt.isDefined) {
-        val compact = jsonFmt.get.equalsIgnoreCase("JSONCompact")
+      if (jsonFmt.isDefined || jsonEachRow || xmlFmt) {
+        val compact = jsonFmt.exists(_.equalsIgnoreCase("JSONCompact"))
         val noFmt = trimmed.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*$", "")
         val gid = df.columns.indexOf("__gid")
         val outFields = df.schema.fields.zipWithIndex
@@ -764,15 +1066,54 @@ object ChDdl {
           if (gid >= 0) rowsAll.partition(_.getAs[Number](gid).longValue != 0L)
           else (Array.empty[Row], rowsAll)
         val mainRows = mainLimit.fold(main0)(main0.take)
+        // totals keep only AGGREGATE values and bare literals; every
+        // other item prints its type default (TotalsHavingBlockInputStream
+        // leaves non-aggregate columns at defaults — corpus 00378's
+        // constant conversions total as 0)
+        val aggRe = ("(?i)^(count|sum|min|max|avg|any|anyLast|anyHeavy|" +
+          "uniq\\w*|group\\w*|median\\w*|quantile\\w*|topK\\w*|" +
+          "var\\w*|stddev\\w*|covar\\w*|corr|argMin|argMax)\\s*\\(").r
+        val litRe = "^-?[\\d.]+$|^'[^']*'$".r
+        val keepInTotals: Seq[Boolean] = exprs.map { e =>
+          val t = e.trim
+          aggRe.findFirstIn(t).isDefined || litRe.findFirstIn(t).isDefined
+        }
         def vals(r: Row, totals: Boolean): Seq[Any] =
-          df.schema.fields.indices.filter(_ != gid).map { i =>
-            val v = r.get(i)
-            if (v == null && totals) renderDefaultF(df.schema.fields(i)) else v
+          df.schema.fields.indices.filter(_ != gid).zipWithIndex.map {
+            case (i, oi) =>
+              val v = r.get(i)
+              if (totals && (v == null || !keepInTotals.lift(oi).getOrElse(true)))
+                renderDefaultF(df.schema.fields(i))
+              else if (v == null && totals) renderDefaultF(df.schema.fields(i))
+              else v
           }.toSeq
-        Some(Formats.renderJson(names, chTypes,
+        // extremes block (SET extremes=1): per-column min/max of the
+        // main rows; array columns contribute EMPTY arrays
+        val wantExtremesJ = extremesOn ||
+          "(?i)\\bSETTINGS\\b[^;]*\\bextremes\\s*=\\s*1".r
+            .findFirstIn(stmtRaw).isDefined
+        val extremesJson =
+          if (!wantExtremesJ || mainRows.isEmpty) None
+          else {
+            val filled = mainRows.map(r => vals(r, totals = false)).toSeq
+            val idx = filled.head.indices
+            Some((idx.map(i => Extremes.pick(filled.map(_(i)), min = true)),
+              idx.map(i => Extremes.pick(filled.map(_(i)), min = false))))
+          }
+        if (xmlFmt)
+          Some(Formats.renderXml(names, chTypes,
+            mainRows.map(r => vals(r, totals = false)).toSeq,
+            totRows.headOption.map(r => vals(r, totals = true)),
+            extremesJson))
+        else if (jsonEachRow)
+          Some(Formats.renderJsonEachRow(names, chTypes,
+            mainRows.map(r => vals(r, totals = false)).toSeq,
+            quote64 = jsonQuote64))
+        else Some(Formats.renderJson(names, chTypes,
           mainRows.map(r => vals(r, totals = false)).toSeq,
           totRows.headOption.map(r => vals(r, totals = true)),
-          rowsBeforeLimit(spark, noFmt), compact))
+          rowsBeforeLimit(spark, noFmt), compact,
+          quote64 = jsonQuote64, extremes = extremesJson))
       }
       else if (vertical.isDefined) {
         val raw = vertical.get.group(1) != null
@@ -786,9 +1127,69 @@ object ChDdl {
             s"${df.columns(c)}: $v"
           }.mkString("\n")
         }.mkString("\n"))
+      } else if (prettyFmt.isDefined) {
+        val kindRaw = prettyFmt.get.group(1)
+        val noEsc = prettyFmt.get.group(2) != null
+        val mono = kindRaw.toLowerCase.endsWith("monoblock")
+        val kind = kindRaw.replaceAll("(?i)MonoBlock$", "") match {
+          case k if k.equalsIgnoreCase("PrettyCompact") => "PrettyCompact"
+          case k if k.equalsIgnoreCase("PrettySpace") => "PrettySpace"
+          case _ => "Pretty"
+        }
+        // block structure of the result stream: max_block_size chunks
+        // (statement-level SETTINGS override the session value)
+        val bs = "(?i)\\bSETTINGS\\b[^;]*\\bmax_block_size\\s*=\\s*(\\d+)".r
+          .findFirstMatchIn(stmtRaw).map(_.group(1).toLong)
+          .getOrElse(maxBlockSize)
+        // column headers print the reference's ORIGINAL item text
+        // (Spark's derived names leak internal wrappers; 00298 shows
+        // toInt8(x), not ch_type_tag(x))
+        val itemsP = ChSql.selectItems(
+          trimmed.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*$", "")
+            .replaceAll("(?is)\\bSETTINGS\\b.*$", ""))
+        val headerNames =
+          if (itemsP.length == df.columns.length) itemsP.map(_._1)
+          else df.columns.toSeq
+        val rows = df.limit(1000000).collect()
+          .map(_.toSeq).toSeq
+        // each top-level UNION branch arrives as its own block
+        // (00098: three 1-row headers); otherwise max_block_size
+        // chunks
+        val unionBranches =
+          "(?i)\\bUNION\\s+ALL\\b".r.findAllIn(
+            ChSql.maskQuotes(trimmed)).length + 1
+        val blocks =
+          if (mono) Seq(rows)
+          else if (unionBranches > 1 && rows.length == unionBranches)
+            rows.map(Seq(_))
+          else rows.grouped(math.max(1, bs.toInt)).toSeq
+        val alignRight = df.schema.fields.toSeq.map { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.NullType => true
+            // enums render their NAMES but keep the numeric column's
+            // right alignment (PrettyBlockOutputStream asks the TYPE,
+            // DataTypeEnum isNumeric — corpus 00298)
+            case _ => graft.types.ChEnum.of(f).isDefined
+          }
+        }
+        val outTxt = Formats.renderPretty(kind, noEsc,
+          headerNames, alignRight, blocks, prettyMaxRows)
+        if (outTxt.isEmpty) None else Some(outTxt)
       } else if (tskvFmt) {
         val out = Formats.tskv(df)
         if (out.isEmpty) None else Some(out)
+      } else if (tsvNames.isDefined) {
+        // type header spells the CH names: prefer the analysis-time
+        // ch.type field metadata (ChTypeNameResolution alias tags),
+        // fall back to the storage-derived spelling
+        val types = df.schema.fields.toSeq.map { f =>
+          if (f.metadata.contains(graft.types.ChTypeInfer.MetaKey))
+            f.metadata.getString(graft.types.ChTypeInfer.MetaKey)
+          else ChTypes.toChName(f.dataType, f.nullable)
+        }
+        Some(Formats.tabSeparatedWithNamesTyped(df,
+          withTypes = tsvNames.get.group(1) != null, chTypes = types))
       } else if (csvFmt.isDefined) {
         val out = Formats.csv(df, withNames = csvFmt.get.group(1) != null)
         if (out.isEmpty) None else Some(out)
@@ -816,8 +1217,27 @@ object ChDdl {
               java.lang.Long.toUnsignedString(r.getAs[Long](i))
             else r.get(i)
           }
+        // SETTINGS extremes=1 (global SET or statement-level):
+        // a blank line then the per-column min and max rows
+        // (ExtremesTransform; NaNs are skipped unless every value is
+        // NaN — corpus 00402; tuples/dates compare lexicographically,
+        // corpus 00254)
+        val wantExtremes = (extremesOn ||
+          "(?i)\\bSETTINGS\\b[^;]*\\bextremes\\s*=\\s*1".r
+            .findFirstIn(stmtRaw).isDefined) && rows.nonEmpty
+        val extremesTail =
+          if (!wantExtremes) ""
+          else {
+            val filled = rows.map(fill)
+            val mins = df.schema.fields.indices.map(i =>
+              Extremes.pick(filled.map(_(i)), min = true))
+            val maxs = df.schema.fields.indices.map(i =>
+              Extremes.pick(filled.map(_(i)), min = false))
+            "\n\n" + Formats.renderRow(mins) + "\n" + Formats.renderRow(maxs)
+          }
         if (rows.isEmpty) None
-        else Some(rows.map(r => Formats.renderRow(fill(r))).mkString("\n"))
+        else Some(rows.map(r => Formats.renderRow(fill(r))).mkString("\n") +
+          extremesTail)
       } else Some {
         val gid = df.columns.indexOf("__gid")
         val fields = df.schema.fields
@@ -875,7 +1295,9 @@ object ChDdl {
   private def chJsonType(expr: String,
       f: org.apache.spark.sql.types.StructField): String = {
     val e = expr.trim
-    if ("(?i)^count\\s*\\(".r.findFirstIn(e).isDefined) "UInt64"
+    if (f.metadata.contains(graft.types.ChTypeInfer.MetaKey))
+      f.metadata.getString(graft.types.ChTypeInfer.MetaKey)
+    else if ("(?i)^count\\s*\\(".r.findFirstIn(e).isDefined) "UInt64"
     else if ("(?i)^uniq".r.findFirstIn(e).isDefined) "UInt64"
     else if ("(?i)^ignore\\s*\\(".r.findFirstIn(e).isDefined) "UInt8"
     else if ("(?i)^arrayJoin\\s*\\(\\s*range\\s*\\(".r.findFirstIn(e).isDefined)
@@ -1011,6 +1433,8 @@ object ChDdl {
     case org.apache.spark.sql.types.DoubleType => 0.0d
     case org.apache.spark.sql.types.FloatType => 0.0f
     case _: org.apache.spark.sql.types.ArrayType => Seq.empty
+    case st: org.apache.spark.sql.types.StructType =>
+      Row.fromSeq(st.fields.toSeq.map(f => renderDefault(f.dataType)))
     case _ => 0L
   }
 
@@ -1130,7 +1554,18 @@ object ChDdl {
         case (None, None) =>
           throw new IllegalArgumentException(s"CREATE TABLE without columns: $stmt")
       }
-      val spec = engineSpec(engine, engineArgs, initial.schema)
+      // Replicated<X> = X plus a replication group: the leading
+      // ('/zk/path', 'replica') args identify the group; the rest is
+      // the plain engine spec (StorageReplicatedMergeTree)
+      val (engine2, engineArgs2, zkPath) =
+        if (engine.startsWith("Replicated")) {
+          val ps = engineArgs.map(splitArgs).getOrElse(Seq.empty).map(_.trim)
+          val (quoted, rest2) = ps.span(_.startsWith("'"))
+          (engine.stripPrefix("Replicated"),
+            if (rest2.isEmpty) None else Some(rest2.mkString(", ")),
+            quoted.headOption.map(_.stripPrefix("'").stripSuffix("'")))
+        } else (engine, engineArgs, None)
+      val spec = engineSpec(engine2, engineArgs2, initial.schema)
       if (engine == "Set") setTables.put(name, ())
       // ENGINE = Merge(db, 'regex') reads the union of the matching
       // tables (StorageMerge; corpus 00270/00401) — the declared
@@ -1162,8 +1597,17 @@ object ChDdl {
           .getOrElse(Map.empty),
         colDefs.map(_.flatMap(d => d.defaultKind.map(d.field.name -> _)).toMap)
           .getOrElse(Map.empty))
+      entry.engineText = engine + engineArgs.map(a => s"($a)").getOrElse("")
+      entry.zkPath = zkPath
+      // a new replica of an existing group starts with the group's
+      // CURRENT data (replica recovery clone)
+      zkPath.foreach { zk =>
+        tables.values.find(e => e.zkPath.contains(zk)).foreach { peer =>
+          entry.df = peer.df
+        }
+      }
       tables.put(name, entry)
-      backing.createOrReplaceTempView(entry.view)
+      entry.df.createOrReplaceTempView(entry.view)
     case _ =>
       throw new IllegalArgumentException(s"unsupported CREATE TABLE: $stmt")
   }
@@ -1219,6 +1663,21 @@ object ChDdl {
         val key = core.drop(1).dropRight(2).flatMap(keyElems)
         Spec(core.headOption.toSeq ++ key, None,
           graft.storage.MergeTreeTable.Collapsing(core.last))
+      case "AggregatingMergeTree" =>
+        // old syntax: (date, key, granularity); state columns are the
+        // AggregateFunction(...)-declared ones, read back from the
+        // ch.type field metadata ChTypes attached
+        val fullKey = core.headOption.toSeq ++ sortKey
+        val states = schema.fields.collect {
+          case f if f.metadata.contains(graft.types.ChTypeInfer.MetaKey) &&
+              f.metadata.getString(graft.types.ChTypeInfer.MetaKey)
+                .trim.startsWith("AggregateFunction(") =>
+            val t = f.metadata.getString(graft.types.ChTypeInfer.MetaKey).trim
+            val base = t.stripPrefix("AggregateFunction(")
+              .takeWhile(c => c != ',' && c != '(' && c != ')').trim
+            f.name -> base.toLowerCase
+        }.toMap
+        Spec(fullKey, None, graft.storage.MergeTreeTable.Aggregating(states))
       case "MergeTree" =>
         Spec(core.headOption.toSeq ++ sortKey, None, Plain)
       case _ => Spec(Seq.empty, None, Plain) // Memory / TinyLog / Log / Null
@@ -1242,7 +1701,17 @@ object ChDdl {
   private def dropTable(spark: SparkSession, stmt: String): Unit = {
     val name = stmt.replaceAll("(?i)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?", "")
       .replace("`", "").trim
-    tables.remove(name).foreach(e => spark.catalog.dropTempView(e.view))
+    tables.remove(name).foreach { e =>
+      spark.catalog.dropTempView(e.view)
+      // last replica of a group gone → the group's ZooKeeper state
+      // (insert dedup hashes, detached parts) disappears with it
+      e.zkPath.foreach { zk =>
+        if (!tables.values.exists(_.zkPath.contains(zk))) {
+          insertedBlockHashes.remove(zk)
+          detachedParts.keys.filter(_._1 == zk).foreach(detachedParts.remove)
+        }
+      }
+    }
     viewDefs.remove(name)
     mergeSpecs.remove(name)
     setTables.remove(name)
@@ -1327,6 +1796,28 @@ object ChDdl {
       case m(rawName, colListOrNull, rest) =>
         val name = rawName.replace("`", "")
         val entry = lookupTable(name)
+        // replicated INSERT deduplication: a block identical to one
+        // already written to the group is silently dropped
+        // (ReplicatedMergeTreeBlockOutputStream block-id checksum;
+        // corpus 00226 inserts the same row 16 times, keeps 1)
+        entry.zkPath match {
+          case Some(zk) =>
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(stmt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val seen = insertedBlockHashes.getOrElseUpdate(zk,
+              scala.collection.mutable.Set.empty[String])
+            if (seen.contains(h)) return
+            seen += h
+          case None =>
+        }
+        // real values materialize — the column is no longer a
+        // virtual read-time default (see virtualDefaults)
+        Option(colListOrNull) match {
+          case Some(cl) if cl.trim.nonEmpty =>
+            entry.virtualDefaults = entry.virtualDefaults --
+              cl.split(",").map(_.trim.replace("`", ""))
+          case _ => entry.virtualDefaults = Set.empty
+        }
         val target = Option(colListOrNull) match {
           case Some(cl) if cl.trim.nonEmpty =>
             org.apache.spark.sql.types.StructType(
@@ -1342,6 +1833,14 @@ object ChDdl {
                 entry.defaultKinds.get(f.name).exists(k =>
                   k.equalsIgnoreCase("MATERIALIZED") ||
                     k.equalsIgnoreCase("ALIAS"))))
+        }
+        // record the squashed block structure when the source's block
+        // shape is statically knowable (00340/00341's blockSize());
+        // anything else invalidates the tracking for this table
+        entry.blockSizes = entry.blockSizes.flatMap { prev =>
+          if (rest.trim.toUpperCase.startsWith("VALUES")) None
+          else staticInputBlocks(rest.trim).map(bs =>
+            prev ++ squashBlocks(bs, rowBytesOf(entry)))
         }
         val partial =
           if (rest.trim.toUpperCase.startsWith("VALUES")) {
@@ -1403,7 +1902,9 @@ object ChDdl {
         entry.df = entry.df.unionByName(sorted)
         // StorageSet::insertBlock folds each block into a unique set
         if (setTables.contains(entry.name)) entry.df = entry.df.distinct()
+        entry.df = withDeclaredMeta(entry.df, entry.colTypes)
         entry.df.createOrReplaceTempView(entry.view)
+        syncReplicas(entry)
       case _ => throw new IllegalArgumentException(s"unsupported INSERT: $stmt")
     }
   }
@@ -1425,39 +1926,74 @@ object ChDdl {
           val up = a.toUpperCase
           if (up.startsWith("ADD COLUMN")) {
             val body = a.replaceAll("(?i)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?", "")
-            val (colDef, after) = body.split("(?i)\\s+AFTER\\s+") match {
+            val (colDef0, after) = body.split("(?i)\\s+AFTER\\s+") match {
               case Array(d, af) => (d.trim, Some(af.trim.replace("`", "")))
               case Array(d) => (d.trim, None)
             }
+            // a backticked (flattened-Nested) column name sheds its
+            // quoting before the type parse (`n.d` Array(Date))
+            val colDef = colDef0.replaceFirst("^`([^`]+)`", "$1")
             // a DEFAULT expression evaluates over the existing rows
             // (the reference computes it on read for old parts;
-            // corpus 00229 `ADD COLUMN hash_x DEFAULT intHash64(x)`)
-            val (addSchema, addDefs) = ChTypes.schemaWithDefaults(colDef)
-            val field = addSchema.fields.head
-            if (!entry.df.columns.contains(field.name)) {
-              val value = addDefs.find(_._1 == field.name).map(_._2) match {
-                case Some(e) =>
-                  castCh(org.apache.spark.sql.functions.expr(
-                    ChSql.translateScalarExpr(e)), field.dataType)
-                case None => defaultLit(field.dataType)
+            // corpus 00229 `ADD COLUMN hash_x DEFAULT intHash64(x)`).
+            // A Nested(…) definition flattens to several parallel
+            // array columns (corpus 00030) — add each, keeping the
+            // AFTER chain so they land adjacent in declared order.
+            val colDefs2 = ChTypes.columnDefs(colDef)
+            val addDefs = colDefs2.flatMap(d =>
+              d.defaultExpr.map(d.field.name -> _))
+            var anchor = after
+            colDefs2.foreach { cd =>
+              val field = cd.field
+              if (!entry.df.columns.contains(field.name)) {
+                // a new member of an EXISTING Nested group fills each
+                // row with an array of element defaults sized like its
+                // sibling arrays (the reference's shared offsets —
+                // corpus 00061 `n.d` after `n.ui8`)
+                val nestedSibling = field.name.split('.') match {
+                  case Array(prefix, _) =>
+                    entry.df.columns.find(c => c != field.name &&
+                      c.startsWith(prefix + "."))
+                  case _ => None
+                }
+                val value = addDefs.find(_._1 == field.name).map(_._2) match {
+                  case Some(e) =>
+                    castCh(org.apache.spark.sql.functions.expr(
+                      ChSql.translateScalarExpr(e)), field.dataType)
+                  case None => (field.dataType, nestedSibling) match {
+                    case (org.apache.spark.sql.types.ArrayType(et, _), Some(sib)) =>
+                      import org.apache.spark.sql.functions._
+                      transform(qcol(sib), _ => defaultLit(et))
+                    case _ => defaultLit(field.dataType)
+                  }
+                }
+                // later inserts evaluate the same DEFAULT (corpus 00363)
+                entry.defaults = entry.defaults ++
+                  addDefs.filter(_._1 == field.name)
+                entry.colTypes += (field.name -> cd.typeText)
+                if (!addDefs.exists(_._1 == field.name))
+                  entry.virtualDefaults += field.name
+                // withColumn analyzes eagerly — resolve the dialect-text
+                // DEFAULT (may use if/hex/…) inside the scoped registry
+                val withCol = ChSql.withDialectFunctions(spark) {
+                  entry.df.withColumn(field.name, value)
+                }
+                val cols = entry.df.columns.toSeq
+                val ordered = anchor match {
+                  case Some(af) =>
+                    // AFTER may name a Nested GROUP — anchor on its
+                    // last flattened member (corpus 00030)
+                    val idx = cols.indexOf(af) match {
+                      case -1 => cols.lastIndexWhere(_.startsWith(af + "."))
+                      case i => i
+                    }
+                    require(idx >= 0, s"AFTER column not found: $af")
+                    cols.patch(idx + 1, Seq(field.name), 0)
+                  case None => cols :+ field.name
+                }
+                entry.df = withCol.select(ordered.map(qcol): _*)
               }
-              // later inserts evaluate the same DEFAULT (corpus 00363)
-              entry.defaults = entry.defaults ++
-                addDefs.filter(_._1 == field.name)
-              // withColumn analyzes eagerly — resolve the dialect-text
-              // DEFAULT (may use if/hex/…) inside the scoped registry
-              val withCol = ChSql.withDialectFunctions(spark) {
-                entry.df.withColumn(field.name, value)
-              }
-              val cols = entry.df.columns.toSeq
-              val ordered = after match {
-                case Some(af) =>
-                  val idx = cols.indexOf(af)
-                  require(idx >= 0, s"AFTER column not found: $af")
-                  cols.patch(idx + 1, Seq(field.name), 0)
-                case None => cols :+ field.name
-              }
-              entry.df = withCol.select(ordered.map(col): _*)
+              anchor = anchor.map(_ => field.name)
             }
           } else if (up.startsWith("DROP COLUMN")) {
             val body = a.replaceAll("(?i)^DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?", "")
@@ -1477,8 +2013,46 @@ object ChDdl {
                   when(year(col(dateCol)) * 100 + month(col(dateCol)) === yyyymm.toInt,
                     defaultLit(dt)).otherwise(col(cname)))
               case plain =>
-                entry.df = entry.df.drop(plain.replace("`", "").trim)
+                // select-away instead of drop(): a dotted (flattened
+                // Nested) name must match the literal top-level
+                // column, not parse as a struct-field path; dropping
+                // a Nested GROUP name removes every member
+                val cname = plain.replace("`", "").trim
+                val gone = (c: String) => c == cname || c.startsWith(cname + ".")
+                if (entry.df.columns.exists(gone))
+                  entry.df = entry.df.select(entry.df.columns
+                    .filterNot(gone).map(qcol).toIndexedSeq: _*)
             }
+          } else if (up.startsWith("DETACH PARTITION")) {
+            // park the month's rows aside; ATTACH restores them
+            // (PartsCleaner `detached/` directory semantics)
+            import org.apache.spark.sql.functions._
+            val yyyymm = a.replaceAll("(?i)^DETACH\\s+PARTITION\\s+", "")
+              .replace("'", "").trim.toInt
+            val dateCol = entry.spec.sortKey.headOption.getOrElse(
+              throw new IllegalArgumentException(s"no partition column: $a"))
+            val key = (entry.zkPath.getOrElse(entry.name), yyyymm)
+            val isMonth =
+              year(col(dateCol)) * 100 + month(col(dateCol)) === yyyymm
+            detachedParts.put(key, entry.df.filter(isMonth))
+            entry.df = entry.df.filter(!isMonth)
+          } else if (up.startsWith("ATTACH PARTITION")) {
+            val yyyymm = a.replaceAll("(?i)^ATTACH\\s+PARTITION\\s+", "")
+              .replace("'", "").trim.toInt
+            val key = (entry.zkPath.getOrElse(entry.name), yyyymm)
+            detachedParts.remove(key).foreach { parked =>
+              entry.df = entry.df.unionByName(parked)
+            }
+          } else if (up.startsWith("MODIFY PRIMARY KEY")) {
+            // re-keying only changes the physical sort/prune layout —
+            // reads are unaffected, so update the Spec and move on
+            // (StorageMergeTree::alterPrimaryKey; corpus 00329)
+            val cols = a.replaceAll("(?i)^MODIFY\\s+PRIMARY\\s+KEY\\s*", "")
+              .replace("(", "").replace(")", "").split(",")
+              .map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+            val partCol = entry.spec.sortKey.headOption.toSeq
+            entry.spec = entry.spec.copy(
+              sortKey = (partCol ++ cols).distinct)
           } else if (up.startsWith("DROP PARTITION")) {
             // month-partition delete (ALTER ... DROP PARTITION yyyymm)
             import org.apache.spark.sql.functions._
@@ -1511,16 +2085,29 @@ object ChDdl {
                 ChEnum.decodeCol(qcol(field.name), oldF)
               case _ => qcol(field.name)
             }
-            val castTo = converted.cast(ChTypes.deepNullable(field.dataType))
+            val castTo =
+              // a never-written ADDed column materializes at read —
+              // after a type change it reads as the NEW type's
+              // default, not a conversion of the old one
+              if (entry.virtualDefaults.contains(field.name))
+                defaultLit(field.dataType)
+              else converted.cast(ChTypes.deepNullable(field.dataType))
             // select (not withColumn) so the new enum metadata lands
             // on the field; position is preserved
             entry.df = entry.df.select(entry.df.columns.map { n =>
               if (n == field.name) castTo.as(field.name, field.metadata) else qcol(n)
             }.toIndexedSeq: _*)
             entry.colTypes += (field.name -> cd.typeText)
+            // MODIFY replaces the whole declaration: without a DEFAULT
+            // clause the old default is dropped (corpus 00061)
+            entry.defaults = entry.defaults.filterNot(_._1 == field.name) ++
+              cd.defaultExpr.map(field.name -> _)
+            entry.defaultKinds = entry.defaultKinds - field.name ++
+              cd.defaultKind.map(field.name -> _)
           } else throw new IllegalArgumentException(s"unsupported ALTER action: $a")
         }
         entry.df.createOrReplaceTempView(entry.view)
+        syncReplicas(entry)
       case _ => throw new IllegalArgumentException(s"unsupported ALTER: $stmt")
     }
   }
@@ -1559,8 +2146,9 @@ object ChDdl {
     val snap = java.nio.file.Files.createTempDirectory("graft_optimize").toString
     MergeTreeTable.write(folded, snap, entry.spec,
       org.apache.spark.sql.SaveMode.Overwrite)
-    entry.df = MergeTreeTable.read(spark, snap)
+    entry.df = withDeclaredMeta(MergeTreeTable.read(spark, snap), entry.colTypes)
     entry.df.createOrReplaceTempView(entry.view)
+    syncReplicas(entry)
   }
 
   /** Test hook: forget everything (the catalog is process-global). */
@@ -1572,5 +2160,47 @@ object ChDdl {
     setTables.clear()
     detached.clear()
     currentDb = None
+  }
+}
+
+/** Extremes rows (SETTINGS extremes=1): per-column min/max over the
+  * result set — the reference's ExtremesTransform. NaN values are
+  * skipped unless the whole column is NaN; tuples (Rows), dates and
+  * strings compare with their natural lexicographic order. Driver-side
+  * over the already-collected presentation rows (same bound as the
+  * renderer); a distributed surface would fold min/max in the plan. */
+private[sql] object Extremes {
+  private def isNaN(v: Any): Boolean = v match {
+    case d: Double => d.isNaN
+    case f: Float => f.isNaN
+    case _ => false
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Row, y: Row) =>
+      x.toSeq.zip(y.toSeq).iterator.map { case (p, q) => cmp(p, q) }
+        .find(_ != 0).getOrElse(x.length - y.length)
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+
+  def pick(values: Seq[Any], min: Boolean): Any = {
+    // array columns do not participate — they contribute an empty
+    // array to the extremes rows (Block::addExtremes skips
+    // non-numeric/composite columns, leaving the default)
+    if (values.exists(_.isInstanceOf[scala.collection.Seq[_]]))
+      return Seq.empty
+    val usable = values.filterNot(v => v == null || isNaN(v))
+    val pool = if (usable.nonEmpty) usable else values.filterNot(_ == null)
+    if (pool.isEmpty) null
+    else pool.reduce((a, b) =>
+      if ((cmp(a, b) <= 0) == min) a else b)
   }
 }

@@ -197,6 +197,13 @@ object ChSql {
   }
 
   def translate(ch: String): String = {
+    val __res = translateImpl(ch)
+    if (sys.env.contains("GRAFT_SHOW_SQL"))
+      System.err.println(s"[translate] ${__res}")
+    __res
+  }
+
+  private def translateImpl(ch: String): String = {
     var q = stripComments(ch).trim.stripSuffix(";").trim
     // FORMAT <name> at the end is presentation, not semantics
     q = q.replaceAll("(?i)\\s+FORMAT\\s+[A-Za-z]+\\s*$", "")
@@ -252,15 +259,76 @@ object ChSql {
     // reference (each branch is an independent SELECT); SQL reads it
     // as a limit over the union — parenthesize the branch (00098_c)
     q = rewriteUnionBranchLimit(q)
-    // 0x… integer literals (Spark has no hex literal syntax)
-    q = mapOutsideQuotes(q)(seg =>
-      "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(seg, m => {
-        val v = java.lang.Long.parseUnsignedLong(m.group(1), 16)
-        // a wrapped (top-bit) literal is still UInt64 in the
-        // reference — keep the identity for unsigned arithmetic
-        // ((number + 0x8ffc…) * … % 131, corpus 00264)
-        if (v < 0) s"ch_type_tag(${v}L, 'UInt64')" else v.toString
-      }))
+    // Literal spellings the reference's lexer accepts and Spark's
+    // doesn't (corpus 00031 pins the full matrix):
+    //  - hex FLOATS 0x123p4 / -0x1P1023 (C99 strtod) → Float64
+    //  - hex ints up to 64 bits (wrapped top-bit stays UInt64);
+    //    LONGER hex overflows strtoull and re-parses as Float64
+    //  - a leading `-` in unary position negates: a UInt64-magnitude
+    //    value leaves the Int64 domain and becomes Float64
+    //  - leading-zero ints are OCTAL (strtoull base 0: 0377 = 255)
+    //  - integer/fraction literals too long for exact types fall back
+    //    to Float64 (strtod), e.g. a 300-digit int → 1e308
+    q = mapOutsideQuotes(q)(seg => {
+      var s = seg
+      // double literal text Spark reads as DOUBLE (exponent form)
+      def dbl(v: Double): String =
+        if (v.isInfinity) { if (v > 0) "double('Infinity')" else "double('-Infinity')" }
+        else { val t = java.lang.Double.toString(v)
+          if (t.contains('E') || t.contains('e')) t else t + "E0" }
+      // hex floats first (the int pattern can't match them — the p
+      // suffix breaks its word boundary — but order makes it clear)
+      s = "(?i)(?<![\\w.')\\]])(-\\s*)?\\b0x([0-9a-f]+(?:\\.[0-9a-f]*)?p[+-]?\\d+)\\b".r
+        .replaceAllIn(s, m => {
+          val sign = if (m.group(1) != null) "-" else ""
+          dbl(java.lang.Double.parseDouble(sign + "0x" + m.group(2)))
+        })
+      // unary minus over a hex literal (preceded by start / an opener
+      // / an operator — a binary minus after an identifier is NOT
+      // rewritten): magnitude above Int64 range negates in Float64
+      // (FieldVisitors: UInt64 → negate → Float64)
+      s = "(?i)(^|[(,=<>+*/%]|\\bSELECT\\s|\\bWHEN\\s|\\bTHEN\\s|\\bELSE\\s)(\\s*)-\\s*0x([0-9a-f]+)\\b".r
+        .replaceAllIn(s, m => {
+          val big = BigInt(m.group(3), 16)
+          val lit = if (big > Long.MaxValue) dbl(-big.toDouble)
+            else "-" + big.toString
+          java.util.regex.Matcher.quoteReplacement(
+            m.group(1) + m.group(2) + lit)
+        })
+      s = "(?i)\\b0x([0-9a-f]+)\\b".r.replaceAllIn(s, m => {
+        val digits = m.group(1)
+        if (digits.length > 16) dbl(BigInt(digits, 16).toDouble)
+        else {
+          val v = java.lang.Long.parseUnsignedLong(digits, 16)
+          // a wrapped (top-bit) literal is still UInt64 in the
+          // reference — keep the identity for unsigned arithmetic
+          // ((number + 0x8ffc…) * … % 131, corpus 00264)
+          if (v < 0) s"ch_type_tag(${v}L, 'UInt64')" else v.toString
+        }
+      })
+      // octal (strtoull base 0); an unparseably long run of digits
+      // re-parses as DECIMAL Float64 (strtod has no octal)
+      s = "(?<![\\w.'])0(\\d+)\\b(?!\\s*[.:xXeE])".r.replaceAllIn(s, m => {
+        val digits = m.group(1)
+        if (digits.length <= 21 && digits.forall(c => c >= '0' && c <= '7'))
+          java.lang.Long.parseLong(digits, 8).toString
+        else if (digits.length > 21)
+          dbl(new java.math.BigDecimal("0" + digits).doubleValue())
+        else m.group(0)
+      })
+      // decimal ints too long for UInt64 → Float64
+      s = "(?<![\\w.'])([1-9]\\d{19,})\\b(?!\\s*[.:eE])".r.replaceAllIn(s, m => {
+        val digits = m.group(1)
+        if (BigInt(digits) > BigInt("18446744073709551615"))
+          dbl(new java.math.BigDecimal(digits).doubleValue())
+        else m.group(0)
+      })
+      // fractions with more digits than Float64 resolves parse via
+      // strtod — shorten through an exact BigDecimal→double hop
+      s = "(?<![\\w.'])(\\d+\\.\\d{18,})\\b(?![eE])".r.replaceAllIn(s, m =>
+        dbl(new java.math.BigDecimal(m.group(1)).doubleValue()))
+      s
+    })
     // `IN (SELECT (tuple))` — Spark's parser reads `SELECT (` as a
     // call to a routine named SELECT; spell the tuple projection as
     // tuple(...) so the subquery alternative wins (corpus 00132)
@@ -297,22 +365,71 @@ object ChSql {
     // C escapes Spark's parser lacks: \a (bell), \v (vtab), \? — the
     // reference's unescapeForFileName set (corpus 00342)
     q = q.replace("\\a", "\u0007").replace("\\v", "\u000b").replace("\\f", "").replace("\\?", "?")
-    // \xNN byte escapes in string literals (consecutive runs decode
-    // as UTF-8; Spark's parser has no \x escape)
-    q = "((?:\\\\x[0-9A-Fa-f]{2})+)".r.replaceAllIn(q, m => {
-      val bytes = m.group(1).split("\\\\x").filter(_.nonEmpty)
-        .map(h => Integer.parseInt(h, 16).toByte)
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .replace("\\", "\\\\").replace("'", "\\'")
-      java.util.regex.Matcher.quoteReplacement(s)
+    // \xNN byte escapes in string literals: decode the WHOLE literal
+    // under the reference's escape rules (ReadHelpers.h
+    // parseEscapeSequence: \x is a raw byte). Valid-UTF-8 results ride
+    // in the SQL text as before; byte sequences that are NOT valid
+    // UTF-8 would be mangled to U+FFFD by the parser's String
+    // round-trip, so they respell as CAST(unhex(...) AS STRING),
+    // which preserves exact bytes (corpus 00342's \xAA)
+    q = "'((?:\\\\.|[^'\\\\])*)'".r.replaceAllIn(q, m => {
+      val body = m.group(1)
+      if (!body.contains("\\x"))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (c == '\\' && i + 1 < body.length) {
+            body.charAt(i + 1) match {
+              case 'x' if i + 3 < body.length =>
+                out.write(Integer.parseInt(body.substring(i + 2, i + 4), 16))
+                i += 4
+              case e =>
+                out.write(e match {
+                  case 'a' => 0x07; case 'b' => 0x08; case 'f' => 0x0c
+                  case 'n' => 0x0a; case 'r' => 0x0d; case 't' => 0x09
+                  case 'v' => 0x0b; case '0' => 0x00; case o => o.toInt
+                })
+                i += 2
+            }
+          } else {
+            out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            i += 1
+          }
+        }
+        val bytes = out.toByteArray
+        val valid =
+          try {
+            java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .decode(java.nio.ByteBuffer.wrap(bytes)); true
+          } catch { case _: java.nio.charset.CharacterCodingException => false }
+        if (valid) {
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            .replace("\\", "\\\\").replace("'", "\\'")
+          java.util.regex.Matcher.quoteReplacement("'" + s + "'")
+        } else {
+          val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+          s"unhex('$hex')"
+        }
+      }
     })
     q = q.replaceAll("(?i)\\bsystem\\.one\\b", "(SELECT 0 AS dummy)")
     // CH float literals inf / nan (FieldVisitors / Float64 parsing);
     // double() not CAST(... AS DOUBLE): the literal-alias inliner
     // would read the latter's `'Infinity' AS DOUBLE` as an alias
     q = mapOutsideQuotes(q)(seg => seg
-      .replaceAll("(?i)(?<![\\w.'])inf(?![\\w'(])", "double('Infinity')")
-      .replaceAll("(?i)(?<![\\w.'])nan(?![\\w'(])", "double('NaN')"))
+      .replaceAll("(?i)(?<![\\w.'])inf(?![\\w'(])",
+        "ch_type_tag(double('Infinity'), 'Float64')")
+      .replaceAll("(?i)(?<![\\w.'])nan(?![\\w'(])",
+        "ch_type_tag(double('NaN'), 'Float64')")
+      // edge float spellings `0.` / `.0` (strtod accepts both, Spark
+      // neither; a trailing-dot or leading-dot literal is Float64 in
+      // the reference, not DECIMAL — corpus 00031 x15-x17)
+      .replaceAll("(?<![\\w.])(\\d+)\\.(?![\\w.])", "$1.0E0")
+      // NOT after `)`/`]` — `(tuple).3` is ELEMENT ACCESS, not a float
+      .replaceAll("(?<![\\w.)\\]])\\.(\\d+)\\b(?![.eE])", "0.$1E0"))
     // join strictness: ANY ≈ plain join (exact when RHS key-unique).
     // GLOBAL prefix = ship-to-every-shard, Spark's broadcast planning;
     // the full CH prefix grammar is [GLOBAL] [ANY|ALL] [type] [OUTER]
@@ -452,6 +569,14 @@ object ChSql {
     q = foldConstIf(q)
     // CH null placement: NULLs sort as the GREATEST value
     q = defaultNullsOrdering(q)
+    // an aggregate over runningAccumulate(...) can't nest in one
+    // Spark expression (window-inside-aggregate): hoist the
+    // accumulate into a projection below the aggregation
+    q = hoistRunningAccumulate(q)
+    // literal NULL tuples in IN lists never match — drop them
+    q = dropNullTuplesInIn(q)
+    // CASE-with-expression + Float32 results zero out (see helper)
+    q = caseExprFloat32(q)
     // block introspection family → row-order windows (after
     // defaultNullsOrdering so the injected OVER(ORDER BY) is untouched)
     q = rewriteBlockFns(q)
@@ -737,6 +862,203 @@ object ChSql {
 
   /** Insert ` FROM (SELECT 0 AS __flw)` into a SELECT level that has
     * a WHERE but no FROM — see the call site. */
+  /** Literal tuples containing NULL inside an IN list can never match
+    * (the reference's Set::createFromAST skips rows with nulls), and
+    * Spark's coercion rejects the struct<null,null> literal outright —
+    * drop them from the list (corpus 00441: `(a, b) IN ((1, -1),
+    * (NULL, NULL), (3, -3))` behaves as the two-tuple list). */
+  private def dropNullTuplesInIn(q: String): String = {
+    val re = "(?i)\\bIN\\s*\\(".r
+    var cur = q
+    var searchFrom = 0
+    var m = re.findFirstMatchIn(cur.substring(searchFrom))
+    // iterate matches manually since replacements change offsets
+    var guard = 0
+    while (m.isDefined && guard < 1000) {
+      guard += 1
+      val abs = searchFrom + m.get.start
+      val open = searchFrom + m.get.end - 1
+      // find matching close
+      var depth = 0; var k = open; var inQ = false
+      while (k < cur.length && { val c = cur.charAt(k)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') depth -= 1
+        depth != 0 || c != ')' }) k += 1
+      if (k >= cur.length) { searchFrom = open + 1 }
+      else {
+        val body = cur.substring(open + 1, k)
+        val items = splitTopLevel(body)
+        val isTupleList = items.length > 1 && items.forall { it =>
+          val t = it.trim; t.startsWith("(") && t.endsWith(")")
+        }
+        // scalar lists drop bare NULL items the same way — but only
+        // in a LIST (not a subquery or a single parenthesized expr)
+        val isScalarList = items.length > 1 && !isTupleList
+        val kept =
+          if (isTupleList) items.filterNot { it =>
+            val t = it.trim
+            splitTopLevel(t.substring(1, t.length - 1))
+              .exists(_.trim.equalsIgnoreCase("NULL"))
+          }
+          else if (isScalarList)
+            items.filterNot(_.trim.equalsIgnoreCase("NULL"))
+          else items
+        if (kept.nonEmpty && kept.length != items.length) {
+          cur = cur.substring(0, open + 1) + kept.mkString(", ") +
+            cur.substring(k)
+          searchFrom = abs + 1
+        } else searchFrom = k + 1
+      }
+      m = if (searchFrom < cur.length)
+        re.findFirstMatchIn(cur.substring(searchFrom)) else None
+    }
+    cur
+  }
+
+  /** `CASE x WHEN … END` (with a head expression) routes through the
+    * reference's transform(), whose numeric lookup tables cannot carry
+    * Float32 results — every row of such a CASE comes out 0
+    * (FunctionsTransform.h table init bitcasts the to-values; corpus
+    * 00328 pins the whole matrix). Searched CASE (no head expr) takes
+    * the multiIf path and is unaffected. */
+  private def caseExprFloat32(q: String): String = {
+    val caseRe = "(?i)\\bCASE\\b".r
+    var out = q
+    var changed = true
+    var guard = 0
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      val m0 = maskQuotes(out)
+      caseRe.findAllMatchIn(m0).toSeq.reverseIterator.foreach { m =>
+        if (!changed) {
+          // matching END with nested-CASE counting
+          var depth = 1
+          var endAt = -1
+          val tail = m0.substring(m.end)
+          val tok = "(?i)\\b(CASE|END)\\b".r
+          tok.findAllMatchIn(tail).foreach { t =>
+            if (endAt < 0) {
+              if (t.group(1).equalsIgnoreCase("CASE")) depth += 1
+              else { depth -= 1; if (depth == 0) endAt = m.end + t.end }
+            }
+          }
+          if (endAt > 0) {
+            val block = out.substring(m.start, endAt)
+            val headLen = "(?i)\\bWHEN\\b".r.findFirstMatchIn(
+              maskQuotes(block).drop(4)).map(_.start).getOrElse(-1)
+            val head =
+              if (headLen < 0) "" else block.substring(4, 4 + headLen).trim
+            // zeroes only when the branch supertype lands on Float32
+            // (Float32 present, everything else ≤ 16-bit): wider
+            // companions promote the table to Float64, which works
+            val f32Super =
+              "(?i)\\btoFloat32\\s*\\(".r.findFirstIn(block).isDefined &&
+                "(?i)\\bto(Float64|U?Int32|U?Int64)\\s*\\(".r
+                  .findFirstIn(block).isEmpty
+            if (head.nonEmpty && f32Super) {
+              out = out.substring(0, m.start) + "0" + out.substring(endAt)
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
+  private val raCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** `sum(length(runningAccumulate(x)))` — the reference evaluates
+    * runningAccumulate per ROW (scalar over states in result order,
+    * FunctionsMiscellaneous) and then aggregates; Spark rejects the
+    * window-inside-aggregate nesting. Hoist each such call into a
+    * `SELECT *, runningAccumulate(x) AS __ra FROM (…)` projection
+    * below the aggregation (corpus 00410). */
+  private def hoistRunningAccumulate(q: String): String = {
+    val aggNames = Set("sum", "min", "max", "avg", "count", "any",
+      "anylast", "uniq", "uniqexact", "grouparray", "groupuniqarray")
+    recurseParens(q)(l => mapUnionBranches(l) { level =>
+      val t = level.trim
+      if (!t.take(6).equalsIgnoreCase("SELECT") ||
+          "(?i)\\brunningAccumulate\\s*\\(".r.findFirstIn(t).isEmpty) level
+      else {
+        var cur = t
+        var changed = true
+        var hoisted = List.empty[(String, String)] // (call text, alias)
+        while (changed) {
+          changed = false
+          val d = depths(cur)
+          // enclosing call name per open paren: identifier directly
+          // before each unclosed '(' at the match position
+          val m0 = "(?i)\\brunningAccumulate\\s*\\(".r.findAllMatchIn(cur)
+            .find { m =>
+              if (d(m.start) == 0) false
+              else {
+                // walk outward: collect identifiers preceding each
+                // unclosed paren before m.start
+                var names = List.empty[String]
+                var j = 0
+                var inQ = false
+                val stack = new scala.collection.mutable.ArrayBuffer[Int]
+                while (j < m.start) {
+                  val c = cur.charAt(j)
+                  if (c == '\'') inQ = !inQ
+                  else if (!inQ && c == '(') stack += j
+                  else if (!inQ && c == ')' && stack.nonEmpty)
+                    stack.remove(stack.length - 1)
+                  j += 1
+                }
+                stack.foreach { p =>
+                  val pre = cur.substring(0, p)
+                  "([A-Za-z_]\\w*)\\s*$".r.findFirstMatchIn(pre)
+                    .foreach(mm => names ::= mm.group(1).toLowerCase)
+                }
+                names.exists(aggNames.contains)
+              }
+            }
+          m0.foreach { m =>
+            // extent of the runningAccumulate(...) call
+            var depth2 = 0; var k = m.end - 1; var q2 = false
+            while (k < cur.length && { val c = cur.charAt(k)
+              if (c == '\'') q2 = !q2
+              else if (!q2 && c == '(') depth2 += 1
+              else if (!q2 && c == ')') depth2 -= 1
+              depth2 != 0 || c != ')' }) k += 1
+            val call = cur.substring(m.start, k + 1)
+            val alias = s"__ra${raCounter.incrementAndGet()}"
+            cur = cur.substring(0, m.start) + alias + cur.substring(k + 1)
+            hoisted ::= (call, alias)
+            changed = true
+          }
+        }
+        if (hoisted.isEmpty) level
+        else {
+          // wrap the FROM operand with the hoisted projection
+          val d = depths(cur)
+          "(?i)\\bFROM\\b".r.findAllMatchIn(cur)
+            .find(m => d(m.start) == 0) match {
+            case None => level // FROM-less: leave untouched
+            case Some(fm) =>
+              val end = "(?i)\\b(WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT|UNION)\\b".r
+                .findAllMatchIn(cur)
+                .find(m => m.start > fm.end && d(m.start) == 0)
+                .map(_.start).getOrElse(cur.length)
+              val operand = cur.substring(fm.end, end).trim
+              val proj = hoisted.reverse
+                .map { case (call, alias) => s"$call AS $alias" }
+                .mkString(", ")
+              val lead = level.substring(0,
+                level.length - level.stripLeading().length)
+              lead + cur.substring(0, fm.end) +
+                s" (SELECT *, $proj FROM $operand) " + cur.substring(end)
+          }
+        }
+      }
+    })
+  }
+
   private def injectFromlessWhere(q: String): String =
     recurseParens(q)(l => mapUnionBranches(l) { level =>
       val t = level.trim
@@ -1024,6 +1346,26 @@ object ChSql {
         blockFnRe.findFirstIn(masked.substring(open, j)).isDefined
       }
     }
+    // when the FROM table carries a RECORDED block structure (the
+    // squashed-insert shape, ChDdl.blockSizesForView), blockSize()
+    // maps each row to ITS block's size instead of the uniform
+    // max_block_size approximation (corpus 00340/00341)
+    val recorded: Option[Seq[Long]] =
+      // only for an UNFILTERED scan: a WHERE (or index selection)
+      // re-blocks the read stream, so the stored structure no longer
+      // describes what blockSize() observes (00160 reads 2 index-
+      // selected rows out of a 100k-row insert block)
+      if ("(?i)\\b(WHERE|PREWHERE)\\b".r.findFirstIn(maskQuotes(level)).isDefined)
+        None
+      else "(?i)\\bFROM\\s+`?([\\w.]+)`?".r.findFirstMatchIn(maskQuotes(level))
+        .flatMap(m => ChDdl.blockSizesForView(m.group(1)))
+    def bsExpr(rnE: String, cntE: String): String = recorded match {
+      case Some(sizes) =>
+        val starts = sizes.scanLeft(0L)(_ + _).dropRight(1)
+        s"element_at(array(${sizes.mkString(", ")}), " +
+          s"size(filter(array(${starts.mkString(", ")}), __bss -> __bss <= $rnE)))"
+      case None => s"least($s, $cntE - ($rnE div $s) * $s)"
+    }
     def subst(text: String, rnE: String, cntE: String): String =
       mapOutsideQuotes(text)(seg => seg
         .replaceAll("(?i)\\browNumberInAllBlocks\\s*\\(\\s*\\)",
@@ -1033,8 +1375,7 @@ object ChSql {
         .replaceAll("(?i)\\bblockNumber\\s*\\(\\s*\\)",
           java.util.regex.Matcher.quoteReplacement(s"($rnE div $s)"))
         .replaceAll("(?i)\\bblockSize\\s*\\(\\s*\\)",
-          java.util.regex.Matcher.quoteReplacement(
-            s"least($s, $cntE - ($rnE div $s) * $s)")))
+          java.util.regex.Matcher.quoteReplacement(bsExpr(rnE, cntE))))
     // `ignore(...)` is constant 0 whatever its arguments; when the
     // arguments hold one of the injected windows (00160's WHERE
     // `NOT ignore(blockSize() < 10 AS b)`) fold the call away
@@ -1072,7 +1413,18 @@ object ChSql {
       }
       out
     }
-    if (!inAgg) foldIgnoreWindows(subst(level, rn, cnt))
+    // a block fn in GROUP BY needs the same hoist as one inside an
+    // aggregate: the window primitives move into a projection below
+    // (corpus 00340's GROUP BY blockSize())
+    val inGroupBy = {
+      val d0 = depths(level)
+      topMatches(level, d0, "GROUP").exists { g =>
+        val end = topMatches(level, d0, "HAVING|ORDER|LIMIT|SETTINGS")
+          .filter(_ > g).minOption.getOrElse(level.length)
+        blockFnRe.findFirstIn(maskQuotes(level.substring(g, end))).isDefined
+      }
+    }
+    if (!inAgg && !inGroupBy) foldIgnoreWindows(subst(level, rn, cnt))
     else {
       val d = depths(level)
       val fromAt = topMatches(level, d, "FROM").headOption.getOrElse(return level)
@@ -1081,7 +1433,7 @@ object ChSql {
       val rel = level.substring(fromAt + 4, wrapEnd).trim
       subst(level.substring(0, fromAt), "__rnab", "__cnt") +
         s"FROM (SELECT *, $rn AS __rnab, $cnt AS __cnt FROM $rel) " +
-        level.substring(wrapEnd)
+        subst(level.substring(wrapEnd), "__rnab", "__cnt")
     }
   }
 
@@ -1587,8 +1939,25 @@ object ChSql {
         java.util.regex.Matcher.quoteReplacement(
           names.mkString("array(", ", ", ")"))
       })
+    // NON-literal operand: runtime cast through the name map — a
+    // string validates and passes as its name, a number decodes to
+    // its name (DataTypeEnum castColumn; corpus 00298). The entry
+    // list can't ride in SQL text (quoting), so it parks in a
+    // registry keyed by id.
+    q = ("(?is)\\bCAST\\s*\\(\\s*(.+?)\\s+AS\\s+Enum(8|16)\\s*" +
+      "\\(([^()]*)\\)\\s*\\)").r.replaceAllIn(q, m => {
+      val bits = m.group(2).toInt
+      val id = enumCastDefs.size
+      enumCastDefs.put(id, (bits, m.group(3)))
+      java.util.regex.Matcher.quoteReplacement(
+        s"ch_enum_cast(${m.group(1)}, $id)")
+    })
     q
   }
+
+  /** Entry lists parked for ch_enum_cast (see rewriteEnumCasts). */
+  val enumCastDefs =
+    scala.collection.concurrent.TrieMap[Int, (Int, String)]()
 
   /** `GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS
     * ((k1, k2), ())`, appending a hidden `grouping_id() AS __gid`
@@ -2019,7 +2388,7 @@ object ChSql {
       km = kw.findFirstMatchIn(leftSeg)
     }
     var left = leftSeg.trim
-    val right = q.substring(joinM.end, usingM.start).trim
+    var right = q.substring(joinM.end, usingM.start).trim
     // USING (...) column list
     val openIdx = usingM.end - 1
     var depth = 0
@@ -2067,8 +2436,17 @@ object ChSql {
       }
     }
 
+    // RIGHT/FULL outer: a build-side row with a NULL key never enters
+    // the reference's join hash table (Interpreters/Join.cpp insertFromBlock
+    // skips null keys), so it is absent from the non-joined output —
+    // where Spark would preserve it with default-filled left columns.
+    // Pre-filter the right operand on key non-nullness (corpus 00445).
     var leftCols = colsOf(left).orElse(colsOfTableRef(left))
     val rightCols = colsOf(right)
+    if ("(?i)\\b(RIGHT|FULL)\\b".r.findFirstIn(jtWords.toString).isDefined) {
+      val nn = usingCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      right = s"(SELECT * FROM $right AS __jnk WHERE $nn)"
+    }
     val selItems = splitTopLevel(sel)
 
     // (1) USING key defined as an outer-select alias → inject into left
@@ -2202,10 +2580,27 @@ object ChSql {
     * dropping SET statements and empty fragments. */
   // SET statements stay in the list: ChDdl.execute applies the ones
   // the engine models (join_use_nulls) and ignores the rest
-  def statements(file: String): Seq[String] =
-    stripComments(file).split(";").map(_.trim)
-      .filter(_.nonEmpty)
-      .toSeq
+  def statements(file: String): Seq[String] = {
+    // split on ';' OUTSIDE string literals ('Hello;%' is data —
+    // corpus 00319) — CH escaping: \' stays inside the literal
+    val s = stripComments(file)
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var esc = false
+    s.foreach { c =>
+      if (inQ) {
+        cur += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inQ = false
+      } else if (c == '\'') { inQ = true; cur += c }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def stripComments(s: String): String = {
     val noBlock = s.replaceAll("(?s)/\\*.*?\\*/", " ")
@@ -2499,10 +2894,13 @@ object ChSql {
         var commaAt = -1
         var inQ = false
         var close = -1
+        // bracket depth counts too — `[1,2]` array literals hold
+        // commas that are NOT the arg separator
         while (i < q.length && close < 0) {
           val c = q.charAt(i)
           if (c == '\'') inQ = !inQ
-          else if (!inQ && c == '(') depth += 1
+          else if (!inQ && (c == '(' || c == '[')) depth += 1
+          else if (!inQ && c == ']') depth -= 1
           else if (!inQ && c == ')') { depth -= 1; if (depth == 0) close = i }
           else if (!inQ && c == ',' && depth == 1 && commaAt < 0) commaAt = i
           i += 1
@@ -2774,11 +3172,12 @@ object ChSql {
     "log2" -> viaColumn { case Seq(x) => graft.functions.ch.log2C(x) },
     "log10" -> viaColumn { case Seq(x) => graft.functions.ch.log10C(x) },
     // argMin/argMax (AggregateFunctionsArgMinMax.h) — value at the
-    // row extremizing the second argument
-    "argMin" -> viaColumn { case Seq(v, o) =>
-      org.apache.spark.sql.functions.min_by(v, o) },
-    "argMax" -> viaColumn { case Seq(v, o) =>
-      org.apache.spark.sql.functions.max_by(v, o) },
+    // row extremizing the second argument; FIRST tied row wins
+    // (strict-improvement update), where Spark's min_by keeps last
+    "argMin" -> { case Seq(v, o) =>
+      graft.functions.ChArgExtremum(v, o, isMin = true).toAggregateExpression() },
+    "argMax" -> { case Seq(v, o) =>
+      graft.functions.ChArgExtremum(v, o, isMin = false).toAggregateExpression() },
     "groupUniqArrayIf" -> viaColumn { case Seq(x, c) =>
       org.apache.spark.sql.functions.collect_set(
         org.apache.spark.sql.functions.when(c, x)) },
@@ -2789,6 +3188,22 @@ object ChSql {
     // indexHint(cond) — pure index-analysis hint, the result column is
     // the constant 1 (FunctionsMiscellaneous.cpp FunctionIndexHint)
     "indexHint" -> { case _ => Literal(1) },
+    // replicate(x, arr) — an array sized like arr filled with x
+    // (FunctionsMiscellaneous replicate; corpus 00178)
+    "replicate" -> viaColumn { case Seq(x, arr) =>
+      org.apache.spark.sql.functions.transform(arr, _ => x) },
+    // now()/today()/yesterday() (FunctionsDateTime.h) — per-query
+    // constants, like Spark's current_timestamp/current_date; second
+    // granularity for now()
+    "now" -> { case Seq() => graft.functions.ChTypeTag(
+      Cast(Cast(org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(),
+        LongType), TimestampType), "DateTime") },
+    "today" -> { case Seq() => graft.functions.ChTypeTag(
+      org.apache.spark.sql.catalyst.expressions.CurrentDate(None), "Date") },
+    "yesterday" -> { case Seq() => graft.functions.ChTypeTag(
+      org.apache.spark.sql.catalyst.expressions.DateSub(
+        org.apache.spark.sql.catalyst.expressions.CurrentDate(None),
+        Literal(1)), "Date") },
     // hasColumnInTable('db','table','col') — catalog probe, resolved
     // to a constant at translate time (FunctionsMiscellaneous.cpp)
     "hasColumnInTable" -> { case Seq(d, t, c)
@@ -2840,7 +3255,19 @@ object ChSql {
       Literal("abcdefghijklmnopqrstuvwxyz"), Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ")) },
     // to<N> conversions carry their declared CH name via ChTypeTag —
     // the Spark storage type erases unsignedness, toTypeName needs it
-    "toUInt64" -> tagged("UInt64", cast(LongType)),
+    // float sources wrap like the reference's static_cast<UInt64>
+    // ([2^63, 2^64) keeps its unsigned bit pattern, ≥ 2^64 → 0 —
+    // MathKernels.toUInt64FromDouble); everything else is the plain
+    // legacy cast
+    "toUInt64" -> tagged("UInt64", {
+      case Seq(e) if e.resolved &&
+          (e.dataType == DoubleType || e.dataType == FloatType) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[graft.functions.MathKernels.type], LongType,
+          "toUInt64FromDouble",
+          Seq(Cast(e, DoubleType)), Seq(DoubleType), returnNullable = false)
+      case args => cast(LongType)(args)
+    }),
     "toInt64" -> tagged("Int64", cast(LongType)),
     "toUInt32" -> tagged("UInt32", cast(LongType)),
     "toInt32" -> tagged("Int32", cast(IntegerType)),
@@ -2967,7 +3394,29 @@ object ChSql {
     // Column-helper bridges (graft.functions.ch)
     "notEmpty" -> viaColumn { case Seq(c) => graft.functions.ch.notEmpty(c) },
     "empty" -> viaColumn { case Seq(c) => graft.functions.ch.empty(c) },
-    "intDivOrZero" -> viaColumn { case Seq(a, b) => graft.functions.ch.intDivOrZero(a, b) },
+    // DivideIntegralOrZeroImpl also zeroes the one overflowing case,
+    // typeMin / -1, under the DECLARED CH width of the dividend
+    // (corpus 00081: intDivOrZero(-128, -1) = 0 because -128 is Int8)
+    "intDivOrZero" -> { case Seq(a, b) =>
+      val base = graft.types.ChTypeInfer.infer(a).map(_.base).getOrElse(
+        a.dataType match {
+          case ByteType => "Int8"; case ShortType => "Int16"
+          case IntegerType => "Int32"; case LongType => "Int64"
+          case _ => ""
+        })
+      val minVal: Option[Long] = base match {
+        case "Int8" => Some(-128L); case "Int16" => Some(-32768L)
+        case "Int32" => Some(Int.MinValue.toLong)
+        case "Int64" => Some(Long.MinValue); case _ => None
+      }
+      viaColumn { case Seq(ac, bc) =>
+        import org.apache.spark.sql.functions._
+        val overflow = minVal
+          .map(m => ac === lit(m) && bc === lit(-1L))
+          .getOrElse(lit(false))
+        when(overflow, lit(0L))
+          .otherwise(graft.functions.ch.intDivOrZero(ac, bc))
+      }(Seq(a, b)) },
     "moduloOrZero" -> viaColumn { case Seq(a, b) => graft.functions.ch.moduloOrZero(a, b) },
     "toYYYYMM" -> viaColumn { case Seq(c) => graft.functions.ch.toYYYYMM(c) },
     "toStartOfMonth" -> viaColumn { case Seq(c) => graft.functions.ch.toStartOfMonth(c) },
@@ -3039,7 +3488,13 @@ object ChSql {
     "cutQueryString" -> viaColumn { case Seq(c) => graft.functions.ch.cutQueryString(c) },
     "greatCircleDistance" -> viaColumn { case Seq(a, b, c, d) =>
       graft.functions.ch.greatCircleDistance(a, b, c, d) },
-    "formatReadableSize" -> viaColumn { case Seq(c) => graft.functions.ch.formatReadableSize(c) },
+    // a reference-UInt64 argument (wrapped Long storage) reads as
+    // UNSIGNED before the Float64 conversion (corpus 00232:
+    // formatReadableSize(toUInt64(1.2e19)) is 11.15 EiB, not −4.85);
+    // the marker resolves once alias metadata is visible
+    "formatReadableSize" -> { case Seq(e) =>
+      viaColumn { case Seq(c) => graft.functions.ch.formatReadableSize(c) }(
+        Seq(graft.functions.ChUnsignedToDouble(e))) },
     "multiIf" -> viaColumn { cs =>
       graft.functions.ch.multiIf(
         cs.dropRight(1).grouped(2).collect { case Seq(c, v) => (c, v) }.toSeq,
@@ -3048,9 +3503,13 @@ object ChSql {
     // CH range(n) = [0, …, n-1]; arrayEnumerate(arr) = [1, …, len]
     "range" -> { case Seq(n) =>
       val nL = Cast(n, LongType)
-      If(LessThanOrEqual(nL, Literal(0L)),
-        Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)),
-        new Sequence(Literal(0L), Subtract(nL, Literal(1L)))) },
+      // tag: range is Array(UInt64) in the reference whatever the
+      // Long storage says (FunctionsArray.h FunctionRange)
+      graft.functions.ChTypeTag(
+        If(LessThanOrEqual(nL, Literal(0L)),
+          Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)),
+          new Sequence(Literal(0L), Subtract(nL, Literal(1L)))),
+        "Array(UInt64)") },
     "arrayEnumerate" -> { case Seq(arr) =>
       If(LessThanOrEqual(new Size(arr), Literal(0)),
         Literal.create(Seq.empty[Int], ArrayType(IntegerType, containsNull = false)),
@@ -3305,7 +3764,17 @@ object ChSql {
     "countState" -> { es =>
       org.apache.spark.sql.catalyst.expressions.aggregate.Count(
         if (es.isEmpty) Seq(Literal(1)) else es) },
-    "finalizeAggregation" -> { case Seq(e) => e },
+    "finalizeAggregation" -> { case Seq(e) =>
+      graft.functions.FinalizeAggregation(e) },
+    // Spark 4's Exp evaluates via StrictMath.exp (fdlibm), which is
+    // 1 ulp off glibc's correctly-rounded exp on some inputs
+    // (exp(26), corpus 00232); the reference links glibc, and
+    // java.lang.Math.exp matches it on the corpus values
+    "exp" -> { case Seq(x) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[java.lang.Math], DoubleType, "exp",
+        Seq(Cast(x, DoubleType)), Seq(DoubleType),
+        returnNullable = false) },
     // bit-test family (FunctionsCoding.h:1866-2236)
     "bitTest" -> { case Seq(x, p) =>
       Cast(BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(p, IntegerType)), Literal(1L)), IntegerType) },
@@ -3329,9 +3798,12 @@ object ChSql {
           case _ => true
         }
         if (truthy) a else b
-      case Seq(c, a, b) if c.resolved && c.nullable =>
+      case Seq(c, a, b) if c.resolved && c.nullable &&
+          graft.types.ChTypeInfer.isChNullable(c) =>
         // Nullable condition: if(NULL, a, b) is NULL in the reference
-        // (FunctionsConditional over Nullable; corpus 00431)
+        // (FunctionsConditional over Nullable; corpus 00431). Decided
+        // on the REFERENCE's nullability — Spark marks `%` nullable
+        // for the zero-divisor NULL where CH UInt8 modulo is plain
         CaseWhen(Seq(
           (IsNull(c), Literal.create(null, NullType)),
           (graft.functions.UInt8ToBool(c), a)), Some(b))
@@ -3365,7 +3837,11 @@ object ChSql {
       "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType,
       "emptyArrayDateTime" -> TimestampType).map {
       case (n, dt) => n -> { (_: Seq[Expression]) =>
-        Literal.create(Seq.empty[Any], ArrayType(dt, containsNull = false)): Expression }
+        // the tag carries the DECLARED element type the Long/Int
+        // storage erases (toTypeName over if(…, emptyArrayInt64()))
+        graft.functions.ChTypeTag(
+          Literal.create(Seq.empty[Any], ArrayType(dt, containsNull = false)),
+          s"Array(${n.stripPrefix("emptyArray")})"): Expression }
     }
 
   // -If aggregate combinators (AggregateFunctionIf.cpp)
@@ -3446,8 +3922,17 @@ object ChSql {
           graft.functions.UniqVariadicKeyExpr(es, Nil), variadic = true)
           .toAggregateExpression()
       } },
-      "uniqState" -> viaColumn { case Seq(e) => collect_set(e) },
-      "uniqExactState" -> viaColumn { case Seq(e) => collect_set(e) },
+      // the distinct-set state carries its AggregateFunction(...) CH
+      // type so a downstream finalizeAggregation over the bare COLUMN
+      // knows to finalize as the set's SIZE (corpus 00334)
+      "uniqState" -> { case Seq(e) =>
+        graft.functions.ChTypeTag(
+          viaColumn { case Seq(c) => collect_set(c) }(Seq(e)),
+          s"AggregateFunction(uniq, ${graft.types.ChTypeInfer.name(e)})") },
+      "uniqExactState" -> { case Seq(e) =>
+        graft.functions.ChTypeTag(
+          viaColumn { case Seq(c) => collect_set(c) }(Seq(e)),
+          s"AggregateFunction(uniqExact, ${graft.types.ChTypeInfer.name(e)})") },
       "uniqMerge" -> viaColumn { case Seq(s) =>
         size(distinctSetMerge(s)).cast("long") },
       "uniqExactMerge" -> viaColumn { case Seq(s) =>
@@ -3468,12 +3953,25 @@ object ChSql {
         sum(aggregate(a, lit(0.0), (acc, e) => acc + e)) /
           sum(size(a)).cast("double") },
       "countArray" -> viaColumn { case Seq(a) => sum(size(a)).cast("long") },
-      "argMinArray" -> viaColumn { case Seq(x, a) =>
-        min_by(element_at(x, array_position(a, array_min(a)).cast("int")),
-          array_min(a)) },
-      "argMaxArray" -> viaColumn { case Seq(x, a) =>
-        max_by(element_at(x, array_position(a, array_max(a)).cast("int")),
-          array_max(a)) },
+      // per-row reduction picks the first extremal element (lockstep
+      // pairs scan left-to-right), cross-row via the first-win
+      // ChArgExtremum — the -Array combinator over argMin/argMax
+      "argMinArray" -> { case Seq(x, a) =>
+        val (xc, ac) = (org.apache.spark.sql.graftbridge.Bridge.column(x),
+          org.apache.spark.sql.graftbridge.Bridge.column(a))
+        graft.functions.ChArgExtremum(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            element_at(xc, array_position(ac, array_min(ac)).cast("int"))),
+          org.apache.spark.sql.graftbridge.Bridge.expression(array_min(ac)),
+          isMin = true).toAggregateExpression() },
+      "argMaxArray" -> { case Seq(x, a) =>
+        val (xc, ac) = (org.apache.spark.sql.graftbridge.Bridge.column(x),
+          org.apache.spark.sql.graftbridge.Bridge.column(a))
+        graft.functions.ChArgExtremum(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            element_at(xc, array_position(ac, array_max(ac)).cast("int"))),
+          org.apache.spark.sql.graftbridge.Bridge.expression(array_max(ac)),
+          isMin = false).toAggregateExpression() },
       // anyLast = last non-null in data order; the corpus runs
       // single-threaded inserts so max_by over a monotonic id matches
       "anyLastIf" -> viaColumn { case Seq(x, c) => last(when(c, x), true) },

@@ -16,15 +16,43 @@ import graft.sources.Formats
 object CorpusTriage {
   private val corpus = "/root/reference/dbms/tests/queries/0_stateless"
 
+  // Documented divergences (not skip-marked, recorded here):
+  //  - 00395_nullable: the has()/arrayElement() blocks over
+  //    Array(Nullable(String)) expect the reference's off-by-one
+  //    null-map read (FunctionsArray.h ArrayIndexStringImpl /
+  //    ArrayElementStringImpl: `k = current_offset + j - 1` indexes
+  //    the PREVIOUS global element's null flag, leaking null state
+  //    across rows). We implement the declared semantics instead of
+  //    the bug; 27 of its 330 output lines differ, all in those
+  //    blocks. Numeric arrays use the correct `current_offset + j`
+  //    in the reference and match.
+  //  - 00334_column_aggregate_function_limit: GROUP BY + LIMIT 1
+  //    without ORDER BY — the answer depends on hash-map iteration
+  //    order of the reference; any group is a correct answer.
+  //  - 00273_quantiles: the grouped quantilesDeterministic rows
+  //    differ by ±1 sample: ReservoirSamplerDeterministic.h's
+  //    insertImpl appends the element that TRIGGERS a skip-degree
+  //    bump without re-checking it against the new degree, so the
+  //    final sample holds good-at-final-degree ∪ {that one
+  //    arrival-order-dependent straggler}. Our parallel merge
+  //    converges to exactly good-at-final-degree (verified by
+  //    simulation: single-thread = 7244 samples incl. straggler,
+  //    any partitioned order = 7243). Ungrouped statements match.
+
+  //  - 00189_time_zones: 129 of 130 lines match; the one diff is
+  //    toTime(…, 'Pacific/Pitcairn') — a half-hour-offset zone where
+  //    the reference's DateLUT day-anchoring renders 01:30 for a
+  //    wall-time of 01:00. Real java.time zone rules disagree with
+  //    the LUT artifact; we keep the rules.
+
   // features we knowingly don't support in the translator yet, plus
   // tests that are nondeterministic by construction (now()/rand) or
   // pin algorithm-specific sketch values (uniq* HLL registers)
   private val skipMarkers = Seq(
     "zookeeper",
-    "FORMAT Pretty", "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
-    "extremes", "SAMPLE",
-    "sleep", "now()", "today()", "yesterday()", "rand",
-    "replicate",
+    "FORMAT TabSeparatedRaw", "FORMAT RowBinary",
+    "SAMPLE",
+    "sleep", "rand",
     "dict", "region", "OLAP")
 
   def main(args: Array[String]): Unit = {
@@ -91,6 +119,7 @@ object CorpusTriage {
         } catch {
           case e: Throwable =>
             println(s"ERR  $name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(100)}")
+            if (args.length > 1) e.printStackTrace(System.out)
             fail += 1
         }
       }

@@ -37,6 +37,10 @@ object MergeTreeTable {
   final case class Replacing(version: String) extends Engine
   /** CollapsingMergeTree: ±1 `sign` cancels; keep keys with sign-sum > 0. */
   final case class Collapsing(sign: String) extends Engine
+  /** AggregatingMergeTree: merge AggregateFunction states per key.
+    * `stateCols` maps state column name → lowercased aggregate base
+    * name from the declared AggregateFunction(...) type. */
+  final case class Aggregating(stateCols: Map[String, String]) extends Engine
 
   final case class Spec(
       sortKey: Seq[String],
@@ -108,14 +112,66 @@ object MergeTreeTable {
       // output is never empty while input wasn't.
       val keyNames = spec.partitionCol.toSeq ++ spec.sortKey
       val keys = keyNames.map(col)
-      val others = df.columns.filterNot(c => keyNames.contains(c) || sumCols.contains(c))
+      def qcol(n: String) = col(if (n.contains(".")) s"`$n`" else n)
+      // Nested groups named *Map fold as MAPS (SummingSortedBlockInputStream
+      // map discovery): key members = the first member plus names
+      // ending ID/Key/Type (integral element type), value members =
+      // the numeric rest; groups violating the shape stay ordinary.
+      def elemType(c: String) = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) => Some(et)
+        case _ => None
+      }
+      def integral(dt: org.apache.spark.sql.types.DataType) = dt match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DateType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }
+      def numeric(dt: org.apache.spark.sql.types.DataType) =
+        integral(dt) || dt == org.apache.spark.sql.types.DoubleType ||
+          dt == org.apache.spark.sql.types.FloatType
+      val mapGroups: Map[String, (Seq[String], Seq[Int])] =
+        df.columns.filter(_.contains(".")).groupBy(_.takeWhile(_ != '.'))
+          .filter { case (g, ms) =>
+            g.endsWith("Map") && ms.forall(m => !keyNames.contains(m))
+          }
+          .flatMap { case (g, ms0) =>
+            val ms = ms0.toSeq
+            val flags = ms.zipWithIndex.map { case (m, i) =>
+              val leaf = m.drop(g.length + 1)
+              val isKey = i == 0 || leaf.endsWith("ID") ||
+                leaf.endsWith("Key") || leaf.endsWith("Type")
+              (m, i, isKey)
+            }
+            val ok = flags.forall { case (m, _, isKey) =>
+              elemType(m).exists(et =>
+                if (isKey) integral(et) else numeric(et))
+            }
+            if (ok && flags.exists(!_._3))
+              Some(g -> (ms, flags.filter(_._3).map(_._2)))
+            else None
+          }
+      val mapMembers = mapGroups.values.flatMap(_._1).toSet
+      val sumCols2 = sumCols.filterNot(mapMembers.contains)
+      val others = df.columns.filterNot(c =>
+        keyNames.contains(c) || sumCols2.contains(c) || mapMembers.contains(c))
+      val mapAlias: Map[String, String] =
+        mapGroups.keys.zipWithIndex.map { case (g, i) => g -> s"__map$i" }.toMap
       // min(col) not first(col): first() is pick-any under a shuffle,
       // min is deterministic regardless of merge order
-      val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
-        others.map(c => min(col(c)).as(c)) :+ count(lit(1)).as("__cnt")
+      val aggs = sumCols2.map(c => sum(col(c)).as(c)) ++
+        others.map(c => min(qcol(c)).as(c)) ++
+        mapGroups.map { case (g, (ms, _)) =>
+          flatten(collect_list(arrays_zip(ms.map(qcol): _*))).as(mapAlias(g))
+        } :+ count(lit(1)).as("__cnt")
+      val keep0 =
+        if (sumCols2.isEmpty) lit(true) // nothing to sum → plain dedup
+        else col("__cnt") === 1 || sumCols2.map(c => col(c) =!= 0).reduce(_ || _)
       val keep =
-        if (sumCols.isEmpty) lit(true) // nothing to sum → plain dedup
-        else col("__cnt") === 1 || sumCols.map(c => col(c) =!= 0).reduce(_ || _)
+        if (mapGroups.isEmpty) keep0
+        else mapGroups.values.map { case (ms, _) => size(qcol(ms.head)) > 0 }
+          .foldLeft(keep0)(_ || _)
       // The "every group zeroed out → keep the last group" edge case
       // (SummingSortedBlockInputStream.cpp:195-247) needs one global
       // fact, not a global ordering: a 1-row scalar aggregate
@@ -123,8 +179,18 @@ object MergeTreeTable {
       // back. Costs a second partial-aggregated reduce-to-one-row
       // pass; the previous empty-key window forced EVERY folded row
       // through a single partition — a scale-killer.
-      val folded = df.groupBy(keys: _*)
+      val folded0 = df.groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
+      // expand the merged maps back into their member columns
+      val folded1 = mapGroups.foldLeft(folded0) { case (d, (g, (ms, ki))) =>
+        val mergedCol = org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.SumMapMergeExpr(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col(mapAlias(g))),
+            ki))
+        ms.foldLeft(d)((dd, m) =>
+          dd.withColumn(m, transform(mergedCol, x => x.getField(m))))
+      }
+      val folded = folded1
         .withColumn("__keep", keep)
         .withColumn("__key", struct(keys: _*))
       val summary = folded.agg(
@@ -132,7 +198,7 @@ object MergeTreeTable {
         max(col("__key")).as("__lastkey"))
       folded.crossJoin(broadcast(summary))
         .filter(col("__keep") || (col("__any") === 0 && col("__key") === col("__lastkey")))
-        .select(df.columns.map(col).toIndexedSeq: _*)
+        .select(df.columns.map(qcol).toIndexedSeq: _*)
     case Replacing(version) =>
       import org.apache.spark.sql.expressions.Window
       val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
@@ -158,6 +224,39 @@ object MergeTreeTable {
         .filter(col("__rn") === 1 && col("__signsum") > 0)
         .withColumn(sign, col("__signsum").cast("int"))
         .drop("__rn", "__signsum")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    case Aggregating(stateCols) =>
+      // Merge equal-key rows by re-aggregating each state under its
+      // declared aggregate's -Merge rule (AggregatingSortedBlockInputStream
+      // / the ChSql stateMergeFns layout): set states union, list and
+      // reservoir states concatenate, value states re-reduce, avg sums
+      // its (s, c) pair. One partial/final hash agg — single shuffle.
+      val keyNames = spec.partitionCol.toSeq ++ spec.sortKey
+      val keys = keyNames.map(col)
+      def mergeCol(c: String): Column = {
+        val kind = stateCols(c)
+        if (kind.startsWith("quantile") || kind.startsWith("median") ||
+            kind == "grouparray")
+          flatten(collect_list(col(c))).as(c)
+        else kind match {
+          case "uniq" | "uniqexact" | "uniqhll12" | "uniqcombined" |
+               "groupuniqarray" =>
+            array_distinct(flatten(collect_list(col(c)))).as(c)
+          case "sum" | "sumif" | "count" => sum(col(c)).as(c)
+          case "min" | "minif" => min(col(c)).as(c)
+          case "max" | "maxif" => max(col(c)).as(c)
+          case "any" | "anyif" => first(col(c), ignoreNulls = true).as(c)
+          case "anylast" | "anylastif" => last(col(c), ignoreNulls = true).as(c)
+          case "avg" => struct(
+            sum(col(c)("s")).as("s"), sum(col(c)("c")).as("c")).as(c)
+          case _ => first(col(c)).as(c)
+        }
+      }
+      val aggs = df.columns.filterNot(keyNames.contains).map { c =>
+        if (stateCols.contains(c)) mergeCol(c) else min(col(c)).as(c)
+      }.toIndexedSeq
+      if (aggs.isEmpty) df.dropDuplicates(keyNames)
+      else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -35,7 +35,9 @@ object ChEnum {
     /** `Enum8('a' = 0, 'b' = 1)` — the DESCRIBE rendering. */
     def typeName: String =
       s"Enum$bits(" + names.zip(values).map { case (n, v) =>
-        s"'${n.replace("\\", "\\\\").replace("'", "\\'")}' = $v"
+        val esc = n.replace("\\", "\\\\").replace("'", "\\'")
+          .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+        s"'$esc' = $v"
       }.mkString(", ") + ")"
 
     def toMetadata: Metadata = new MetadataBuilder()
@@ -51,8 +53,26 @@ object ChEnum {
     val entries = splitEntries(body).map { e =>
       entryRe.findFirstMatchIn(e.trim) match {
         case Some(m) =>
-          val name = m.group(1).replace("\\'", "'").replace("\\\\", "\\")
-          (name, m.group(2).toInt)
+          // full CH string unescape, left-to-right (ReadHelpers:
+          // \\ \' \t \n \r \0; unknown \c keeps c) — chained
+          // replace() would double-process (corpus 00298 '\t\\t')
+          val raw = m.group(1)
+          val sb = new StringBuilder
+          var i = 0
+          while (i < raw.length) {
+            val c = raw.charAt(i)
+            if (c == '\\' && i + 1 < raw.length) {
+              raw.charAt(i + 1) match {
+                case 't' => sb += '\t'
+                case 'n' => sb += '\n'
+                case 'r' => sb += '\r'
+                case '0' => sb += '\u0000'
+                case o => sb += o
+              }
+              i += 2
+            } else { sb += c; i += 1 }
+          }
+          (sb.toString, m.group(2).toInt)
         case None =>
           throw new IllegalArgumentException(s"bad Enum$bits entry: $e")
       }
@@ -110,6 +130,8 @@ object ChEnum {
   def decodeCol(c: Column, f: StructField): Column = of(f) match {
     case None => c
     case Some(d) => f.dataType match {
+      // a column already rendered to its NAME decodes to itself
+      case org.apache.spark.sql.types.StringType => c
       case _: ArrayType => transform(c, x => decodeElem(x, d))
       case _ => decodeElem(c, d)
     }

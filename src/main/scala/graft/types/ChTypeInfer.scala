@@ -95,6 +95,11 @@ object ChTypeInfer {
   private def superBase(bases: Seq[String]): Option[String] = {
     val distinct = bases.distinct
     if (distinct.isEmpty) None
+    // Array(X) supertypes elementwise (getLeastSupertype.cpp arrays)
+    else if (distinct.size > 1 &&
+        distinct.forall(b => b.startsWith("Array(") && b.endsWith(")")))
+      superBase(distinct.map(b => b.stripPrefix("Array(").stripSuffix(")")))
+        .map(i => s"Array($i)")
     else if (distinct.size == 1) Some(distinct.head)
     else if (distinct.forall(b => isInt(b) || isFloat(b))) {
       if (distinct.exists(isFloat)) {
@@ -129,6 +134,10 @@ object ChTypeInfer {
     case graft.functions.UInt8ToBool(c) => infer(c)
     case KnownNullable(c) => Some(inferOr(c).copy(nullable = true))
     case KnownNotNull(c) => Some(inferOr(c).copy(nullable = false))
+    // BEFORE the RuntimeReplaceable fallthrough: the enum cast names
+    // its Enum type (DataTypeEnum), not the replacement's String
+    case ec: graft.functions.ChEnumCast =>
+      Some(T(ec.enumDef.typeName, nullable = false))
     case r: RuntimeReplaceable => infer(r.replacement)
 
     case Literal(null, NullType) => Some(T("Null", nullable = false))
@@ -174,6 +183,12 @@ object ChTypeInfer {
       }
 
     case Cast(c, StringType, _, _) => Some(T("String", chNullable(c)))
+    // temporal conversions: the reference's toDate/toDateTime THROW on
+    // bad input rather than producing NULL, so nullability follows
+    // the argument (Spark's cast is nullable-on-failure)
+    case Cast(c, DateType, _, _) => Some(T("Date", chNullable(c)))
+    case Cast(c, TimestampType | TimestampNTZType, _, _) =>
+      Some(T("DateTime", chNullable(c)))
     // coercion-inserted numeric widenings are invisible to the
     // reference's typing: an untagged numeric cast reports its
     // CHILD's CH type (explicit conversions carry a ChTypeTag above
@@ -181,6 +196,11 @@ object ChTypeInfer {
     case Cast(c, dt, _, _)
         if intType(dt) || dt == DoubleType || dt == FloatType ||
           dt.isInstanceOf[DecimalType] =>
+      infer(c)
+    // same for coercion-inserted ARRAY widenings (array<int> →
+    // array<bigint> around a branch of if/multiIf)
+    case Cast(c, ArrayType(dt, _), _, _)
+        if intType(dt) || dt == DoubleType || dt == FloatType =>
       infer(c)
 
     case Coalesce(args) => combine(args, ifNullRule = true)
@@ -197,6 +217,39 @@ object ChTypeInfer {
     // `number % 10` is UInt8, intDiv(number, 10) UInt64
     case Remainder(a, b, _) => divLike(a, b, widthOf = b)
     case IntegralDivide(a, b, _) => divLike(a, b, widthOf = a)
+
+    // tuple literals: Tuple(per-element CH types)
+    case cs: CreateNamedStruct if cs.valExprs.nonEmpty =>
+      val ts = cs.valExprs.map(v => infer(v).map(_.render)
+        .orElse(Some(graft.types.ChTypes.toChName(v.dataType, v.nullable))))
+      if (ts.exists(_.isEmpty)) None
+      else Some(T(s"Tuple(${ts.flatten.mkString(", ")})", nullable = false))
+
+    // array literals: Array(least supertype of the elements); range()
+    // (Spark Sequence) is Array(UInt64) in the reference
+    case CreateArray(children, _) if children.nonEmpty =>
+      combine(children, ifNullRule = false).map(t =>
+        T(s"Array(${t.base})", nullable = false))
+    case _: org.apache.spark.sql.catalyst.expressions.Sequence =>
+      Some(T("Array(UInt64)", nullable = false))
+
+    // `/` is always Float64 and never null-producing in the reference
+    // (÷0 yields inf/nan, not NULL — corpus 00031 toTypeName(0/0)).
+    // During analysis the node is still Spark's Divide (the
+    // ChFloatDivide swap happens post-analysis in ChSql.apply).
+    case graft.functions.ChFloatDivide(a, b) =>
+      Some(T("Float64", chNullable(a) || chNullable(b)))
+    case Divide(a, b, _) =>
+      Some(T("Float64", chNullable(a) || chNullable(b)))
+
+    // DateTime−DateTime / Date−Date difference is Int32
+    // (FunctionsDateTime minus; the implicit-cast rule has already
+    // lowered the operands to Long/DateDiff)
+    case Subtract(a, b, _)
+        if Seq(a, b).forall(e => infer(e).exists(t =>
+          t.base == "DateTime" || t.base == "Date")) =>
+      Some(T("Int32", chNullable(a) || chNullable(b)))
+    case _: DateDiff => Some(T("Int32", nullable = false))
 
     case Add(a, b, _) => arith(Seq(a, b), signedResult = false)
     case Multiply(a, b, _) => arith(Seq(a, b), signedResult = false)
@@ -233,6 +286,12 @@ object ChTypeInfer {
   private def chNullable(e: Expression): Boolean =
     infer(e).map(_.nullable).getOrElse(e.nullable)
 
+  /** Reference-level nullability of an expression: Spark marks e.g.
+    * `%` nullable (zero divisor → NULL) where the reference's UInt8
+    * modulo is plain non-null — builders deciding on NULL-guard
+    * shapes should ask this, not Spark's `.nullable`. */
+  def isChNullable(e: Expression): Boolean = chNullable(e)
+
   /** Type of a pick-one-of-the-values combinator. Null-typed values
     * drop out of the base computation. With `ifNullRule` (coalesce /
     * ifNull — FunctionsNull.cpp) the result is Nullable only when
@@ -250,7 +309,15 @@ object ChTypeInfer {
 
   private def combine(values: Seq[Expression], ifNullRule: Boolean,
       forceNullable: Boolean = false): Option[T] = {
-    val (nulls, rest) = values.partition(v => v.dataType == NullType || isNullLit(v))
+    val (nulls, rest0) = values.partition(v => v.dataType == NullType || isNullLit(v))
+    // `[]` (Array(Nothing)) unifies with any array without forcing
+    // nullability — drop it from the base computation like the
+    // reference's getLeastSupertype does
+    val rest = {
+      val r = rest0.filterNot(_.dataType == ArrayType(NullType, containsNull = true))
+        .filterNot(_.dataType == ArrayType(NullType, containsNull = false))
+      if (r.nonEmpty) r else rest0
+    }
     if (rest.isEmpty) return Some(T("Null", nullable = false))
     val ts = rest.map(infer)
     if (ts.exists(_.isEmpty)) return None

@@ -266,6 +266,11 @@ object ChTypes {
   private def inner(t: String, head: String): String =
     t.substring(head.length + 1, t.length - 1)
 
+  /** Split on top-level commas (ignoring nesting and quotes) —
+    * shared with the format renderers (Tuple(…) element lists,
+    * compact-JSON row reparsing). */
+  def splitTopCommas(s: String): Seq[String] = splitTop(s)
+
   /** Split on top-level commas (ignoring nesting and quotes). */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
