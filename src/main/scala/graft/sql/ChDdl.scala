@@ -38,6 +38,10 @@ object ChDdl {
       // reads it; None once an insert couldn't be modeled statically
       var blockSizes: Option[Vector[Long]] = Some(Vector.empty))
 
+  /** Buffer-engine tables → their destination (StorageBuffer). */
+  private val bufferDest =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** Replication groups: every Entry sharing a zk path sees the same
     * data (ReplicatedMergeTree multi-replica semantics on a single
     * process); detached partitions park here until ATTACH. */
@@ -132,6 +136,12 @@ object ChDdl {
       tables.values.filter(e => e.zkPath.contains(zk) && (e ne entry))
         .foreach { peer =>
           peer.df = entry.df
+          // schema changes replicate too (ALTER on r1, DESCRIBE on r2
+          // — corpus 00062)
+          peer.colTypes = entry.colTypes
+          peer.defaults = entry.defaults
+          peer.defaultKinds = entry.defaultKinds
+          peer.virtualDefaults = entry.virtualDefaults
           peer.df.createOrReplaceTempView(peer.view)
         }
     }
@@ -1497,6 +1507,7 @@ object ChDdl {
       // `AS other.table` — copy the source's structure
       // (InterpreterCreateQuery as_table_name path)
       val asTable = "(?is)^AS\\s+([\\w.]+)\\s*(.*)$".r.findFirstMatchIn(rest)
+      var asSrcEntry: Option[Entry] = None
       asTable.foreach { m =>
         val src = m.group(1)
         rest = m.group(2).trim
@@ -1507,6 +1518,7 @@ object ChDdl {
             val e = tables.getOrElse(src, tables.getOrElse(
               currentDb.map(db => s"$db.$src").getOrElse(src),
               throw new IllegalArgumentException(s"AS source not found: $src")))
+            asSrcEntry = Some(e)
             s"SELECT * FROM ${e.view} WHERE false"
           })
       }
@@ -1599,6 +1611,26 @@ object ChDdl {
           .getOrElse(Map.empty))
       entry.engineText = engine + engineArgs.map(a => s"($a)").getOrElse("")
       entry.zkPath = zkPath
+      // `AS other.table` copies the DESCRIBE surface too (declared
+      // type texts and defaults — corpus 00168 Buffer AS mt)
+      asSrcEntry.foreach { src =>
+        if (entry.colTypes.isEmpty) entry.colTypes = src.colTypes
+        if (entry.defaults.isEmpty) entry.defaults = src.defaults
+        if (entry.defaultKinds.isEmpty) entry.defaultKinds = src.defaultKinds
+      }
+      // Buffer(db, dest, …): reads and writes pass through to the
+      // destination table (StorageBuffer with an eager flush — the
+      // corpus observes only the flushed state)
+      if (engine == "Buffer") {
+        val ps = engineArgs.map(splitArgs).getOrElse(Seq.empty).map(_.trim)
+        if (ps.length >= 2) {
+          val destName = s"${ps(0).replace("'", "")}.${ps(1).replace("'", "")}"
+          tables.get(destName).foreach { destE =>
+            bufferDest.put(name, destName)
+            entry.df = destE.df
+          }
+        }
+      }
       // a new replica of an existing group starts with the group's
       // CURRENT data (replica recovery clone)
       zkPath.foreach { zk =>
@@ -1716,6 +1748,7 @@ object ChDdl {
     mergeSpecs.remove(name)
     setTables.remove(name)
     detached.remove(name)
+    bufferDest.remove(name)
   }
 
   /** Cast into a CH-typed column. UInt64 lives in DECIMAL(20,0): a
@@ -1794,16 +1827,34 @@ object ChDdl {
     val m = "(?is)^INSERT\\s+INTO\\s+([\\w.`]+)\\s*(?:\\(([\\w\\s,.`]*)\\))?\\s*(.*)$".r
     stmt match {
       case m(rawName, colListOrNull, rest) =>
-        val name = rawName.replace("`", "")
-        val entry = lookupTable(name)
+        val name0 = rawName.replace("`", "")
+        val entry0 = lookupTable(name0)
+        // a Buffer table forwards writes to its destination
+        val entry = bufferDest.get(entry0.name)
+          .map(lookupTable).getOrElse(entry0)
+        val name = entry.name
         // replicated INSERT deduplication: a block identical to one
         // already written to the group is silently dropped
         // (ReplicatedMergeTreeBlockOutputStream block-id checksum;
         // corpus 00226 inserts the same row 16 times, keeps 1)
         entry.zkPath match {
           case Some(zk) =>
+            // the reference checksums the SORTED block (each insert
+            // stably sorts by the primary key before writing), so six
+            // permutations of the same rows are ONE block (corpus
+            // 00215) — canonicalize VALUES tuples by sorting
+            val canon = {
+              val m2 = "(?is)^INSERT\\s+INTO\\s+\\S+\\s*(?:\\([^)]*\\))?\\s*VALUES\\s*(.*)$".r
+              m2.findFirstMatchIn(stmt.trim) match {
+                case Some(mm) =>
+                  val tuples = ChSql.splitTopLevel(mm.group(1))
+                    .map(_.trim).sorted
+                  name + "|" + tuples.mkString(",")
+                case None => stmt
+              }
+            }
             val h = java.security.MessageDigest.getInstance("MD5")
-              .digest(stmt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+              .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
             val seen = insertedBlockHashes.getOrElseUpdate(zk,
               scala.collection.mutable.Set.empty[String])
             if (seen.contains(h)) return
@@ -1905,6 +1956,12 @@ object ChDdl {
         entry.df = withDeclaredMeta(entry.df, entry.colTypes)
         entry.df.createOrReplaceTempView(entry.view)
         syncReplicas(entry)
+        // buffers over this destination see the new data immediately
+        tables.values.filter(e =>
+          bufferDest.get(e.name).contains(entry.name)).foreach { b =>
+          b.df = entry.df
+          b.df.createOrReplaceTempView(b.view)
+        }
       case _ => throw new IllegalArgumentException(s"unsupported INSERT: $stmt")
     }
   }

@@ -45,6 +45,13 @@ object CorpusTriage {
   //    wall-time of 01:00. Real java.time zone rules disagree with
   //    the LUT artifact; we keep the rules.
 
+  //  - 00062_replicated_merge_tree_alter_zookeeper: 231 of 232 lines
+  //    match; the one diff renders UInt32 100500 as DateTime — the
+  //    reference goldens were produced on a Europe/Moscow server
+  //    (epoch 100500 → "06:55"), while this engine runs UTC ("03:55").
+  //    Every parse+render round-trip cancels the zone, so only this
+  //    absolute-epoch render differs.
+
   // features we knowingly don't support in the translator yet, plus
   // tests that are nondeterministic by construction (now()/rand) or
   // pin algorithm-specific sketch values (uniq* HLL registers)
