@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // toTypeName folds to the reference spelling while ChTypeTag
     // markers are still visible (analysis-time, corpus 00433/00435)
     ext.injectResolutionRule(_ => graft.plans.ChTypeNameResolution)
+    // year(d) = N → a half-open date range, so parquet row-group
+    // stats and partition pruning fire (PKCondition.cpp's monotonic
+    // function analysis, restated as a Catalyst rewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SargableDates)
   }
 }
 

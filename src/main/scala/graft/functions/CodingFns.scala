@@ -141,13 +141,82 @@ object CodingFns {
     * default. */
   def chCharset(name: String): java.nio.charset.Charset =
     java.nio.charset.Charset.forName(name)
+
+  /** convertCharset (FunctionsCharset.cpp): decode `from`, encode
+    * `to`, SUBSTITUTE on malformed/unmappable in both directions
+    * (UCNV_*_CALLBACK_SUBSTITUTE). Returns raw bytes — the target
+    * charset's output is not generally valid UTF-8. The Unicode
+    * compression charsets the JDK lacks (UTF-7 / SCSU / BOCU-1,
+    * RFC 2152 / UTS #6 / UTN #6) encode through
+    * [[UnicodeCompression]]. */
   def convertCharset(src: Array[Byte],
       from: org.apache.spark.unsafe.types.UTF8String,
-      to: org.apache.spark.unsafe.types.UTF8String):
-      org.apache.spark.unsafe.types.UTF8String = {
-    val decoded = new String(src, chCharset(from.toString))
-    org.apache.spark.unsafe.types.UTF8String.fromBytes(
-      decoded.getBytes(chCharset(to.toString)))
+      to: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    import java.nio.charset.CodingErrorAction
+    def norm(n: String) = n.toLowerCase.replace("-", "").replace("_", "")
+    val fromCs = chCharset(from.toString)
+    // single-byte charsets decode through a per-byte table whose
+    // UNDEFINED entries keep the byte value as a C0/C1 control —
+    // ICU's windows-125x tables do (cp1251 0x98 → U+0098), the JDK
+    // substitutes U+FFFD
+    val chars =
+      if (fromCs.canEncode && fromCs.newEncoder().maxBytesPerChar() == 1.0f) {
+        val table = new Array[Char](256)
+        var b = 0
+        while (b < 256) {
+          val out = fromCs.decode(
+            java.nio.ByteBuffer.wrap(Array(b.toByte))).toString
+          table(b) =
+            if (out.length == 1 && out.charAt(0) != '�') out.charAt(0)
+            else b.toChar
+          b += 1
+        }
+        val sb = new java.lang.StringBuilder(src.length)
+        src.foreach(x => sb.append(table(x & 0xff)))
+        sb.toString
+      } else {
+        val dec = fromCs.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(CodingErrorAction.REPLACE)
+        dec.decode(java.nio.ByteBuffer.wrap(src)).toString
+      }
+    norm(to.toString) match {
+      case "utf7" => UnicodeCompression.encodeUtf7(chars)
+      case "scsu" => UnicodeCompression.encodeScsu(chars)
+      case "bocu1" => UnicodeCompression.encodeBocu1(chars)
+      case _ =>
+        val toCs = chCharset(to.toString)
+        if (toCs.canEncode && toCs.newEncoder().maxBytesPerChar() == 1.0f) {
+          // symmetric identity fallback on ENCODE: ICU round-trips
+          // the undefined control bytes (U+0098 → 0x98 in cp1251)
+          var inv = Map.empty[Char, Byte]
+          var b = 255
+          while (b >= 0) {
+            val out = toCs.decode(
+              java.nio.ByteBuffer.wrap(Array(b.toByte))).toString
+            val ch =
+              if (out.length == 1 && out.charAt(0) != '�') out.charAt(0)
+              else b.toChar
+            inv += (ch -> b.toByte)
+            b -= 1
+          }
+          val outB = new Array[Byte](chars.length)
+          var i = 0
+          while (i < chars.length) {
+            outB(i) = inv.getOrElse(chars.charAt(i), '?'.toByte)
+            i += 1
+          }
+          outB
+        } else {
+          val enc = toCs.newEncoder()
+            .onMalformedInput(CodingErrorAction.REPLACE)
+            .onUnmappableCharacter(CodingErrorAction.REPLACE)
+          val out = enc.encode(java.nio.CharBuffer.wrap(chars))
+          val arr = new Array[Byte](out.remaining())
+          out.get(arr)
+          arr
+        }
+    }
   }
 
   /** LEB128 unsigned varint bytes of n, as a raw-byte string —

@@ -1,0 +1,192 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Port of the reference's `uniq` adaptive-sampling estimator
+  * (AggregateFunctions/UniquesHashSet.h — the BJKST scheme):
+  *
+  *  - values map to a UInt64 key (AggregateFunctionUniqTraits:
+  *    integers as-is, floats by bit pattern, strings via CityHash64);
+  *  - the key hashes to 32 bits: low word of intHash64
+  *    (DefaultHash<UInt64>, truncated to HashValue_t = UInt32);
+  *  - a set keeps only hashes divisible by 2^skip_degree; whenever it
+  *    exceeds UNIQUES_HASH_MAX_SIZE = 2^16 elements, skip_degree
+  *    increments and non-divisible hashes drop (UniquesHashSet
+  *    shrinkIfNeed/rehash);
+  *  - the estimate is m·2^d plus a pseudo-random remainder
+  *    (intHashCRC32(m) masked to d bits), corrected for 32-bit hash
+  *    collisions: round(2^32·(ln 2^32 − ln(2^32 − res)))
+  *    (UniquesHashSet::size).
+  *
+  * The state is ORDER-INDEPENDENT — the surviving set is exactly
+  * {h : 2^d | h} for the smallest d keeping ≤ 2^16 elements — so the
+  * partial/final merge (max skip, filter, re-thin; UniquesHashSet::
+  * merge) reproduces single-threaded results bit-for-bit.
+  *
+  * Distributed shape: ≤ 256 KB per group regardless of cardinality,
+  * where an exact distinct is O(n) state and a full shuffle of every
+  * key — the reason the reference defaults uniq to this sketch and
+  * the right default at 100 TB.
+  */
+final class UniqSketchState {
+  /** Hashes (UInt32 in an Int) divisible by 2^skipDegree; the
+    * reference's has_zero is just membership of 0 here. */
+  var set: java.util.HashSet[Integer] = new java.util.HashSet[Integer]()
+  var skipDegree: Int = 0
+
+  @inline private def good(h: Int): Boolean =
+    (h & ((1 << skipDegree) - 1)) == 0
+
+  private def thinIfNeeded(): Unit =
+    while (set.size() > UniqSketchState.MaxSize) {
+      skipDegree += 1
+      val it = set.iterator()
+      while (it.hasNext) if (!good(it.next())) it.remove()
+    }
+
+  def insertHash(h: Int): Unit =
+    if (good(h)) { set.add(h); thinIfNeeded() }
+
+  def merge(other: UniqSketchState): Unit = {
+    if (other.skipDegree > skipDegree) {
+      skipDegree = other.skipDegree
+      val it = set.iterator()
+      while (it.hasNext) if (!good(it.next())) it.remove()
+    }
+    val it = other.set.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (good(h)) { set.add(h); thinIfNeeded() }
+    }
+  }
+
+  def estimate(): Long = {
+    val m = set.size().toLong
+    if (skipDegree == 0) m
+    else {
+      var res = m * (1L << skipDegree)
+      res += UniqSketchState.intHashCRC32(m) & ((1L << skipDegree) - 1)
+      val p32 = 4294967296.0
+      math.round(p32 * (math.log(p32) - math.log(p32 - res)))
+    }
+  }
+}
+
+object UniqSketchState {
+  /** UNIQUES_HASH_MAX_SIZE = 1 << (17 - 1). */
+  val MaxSize = 1 << 16
+
+  /** intHash64 (Common/HashTable/Hash.h:13) — the MurmurHash3
+    * finalizer; DefaultHash<UInt64>. */
+  def intHash64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** intHashCRC32 (Hash.h:31): hardware CRC32C of the value's 8
+    * little-endian bytes, initial register −1, NO final complement —
+    * java.util.zip.CRC32C applies both the init and the final XOR, so
+    * the raw register is the complement of getValue(). */
+  def intHashCRC32(x: Long): Long = {
+    val c = new java.util.zip.CRC32C()
+    var i = 0
+    while (i < 8) { c.update(((x >>> (8 * i)) & 0xff).toInt); i += 1 }
+    (~c.getValue()) & 0xffffffffL
+  }
+}
+
+/** The `uniq` aggregate over one column (or a pre-hashed variadic key
+  * with `trivial = true`, mirroring
+  * AggregateFunctionUniqUniquesHashSetDataForVariadic's TrivialHash). */
+case class UniqSketch(
+    child: Expression,
+    trivial: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[UniqSketchState] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "uniq_sketch"
+
+  override def createAggregationBuffer(): UniqSketchState = new UniqSketchState
+
+  /** Value → UInt64 key (AggregateFunctionUniqTraits / String
+    * CityHash64 path — same mapping as [[UniqHLL12]]). */
+  private def keyOf(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case b: Boolean => if (b) 1L else 0L
+    case f: Float =>
+      java.lang.Float.floatToRawIntBits(f).toLong & 0xffffffffL
+    case d: Double => java.lang.Double.doubleToRawLongBits(d)
+    case s: UTF8String => HashFns.cityHash64(s.getBytes)
+    case a: Array[Byte] => HashFns.cityHash64(a)
+    case other => HashFns.cityHash64(
+      UTF8String.fromString(other.toString).getBytes)
+  }
+
+  private lazy val isTimestamp = child.dataType match {
+    case _: TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  override def update(buf: UniqSketchState, input: InternalRow): UniqSketchState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key =
+        if (isTimestamp) Math.floorDiv(v.asInstanceOf[Long], 1000000L)
+        else keyOf(v)
+      // variadic mode: the key IS the hash (TrivialHash), truncated
+      val h = if (trivial) key.toInt else UniqSketchState.intHash64(key).toInt
+      buf.insertHash(h)
+    }
+    buf
+  }
+
+  override def merge(a: UniqSketchState, b: UniqSketchState): UniqSketchState = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: UniqSketchState): Any = buf.estimate()
+
+  override def serialize(buf: UniqSketchState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(1 + 4 + 4 * buf.set.size())
+    bb.put(buf.skipDegree.toByte).putInt(buf.set.size())
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putInt(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): UniqSketchState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new UniqSketchState
+    s.skipDegree = bb.get().toInt
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { s.set.add(bb.getInt); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): UniqSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): UniqSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): UniqSketch =
+    copy(child = newChildren.head)
+}

@@ -634,49 +634,66 @@ case class SumMapMergeExpr(child: Expression, keyIdx: Seq[Int])
     }
   }
 
+  /** Float members accumulate in Double, everything else in Long —
+    * the reference's FieldVisitorSum sums in the native column type,
+    * so 64-bit integer values above 2^53 must not round-trip through
+    * a double. */
+  private lazy val valIsFloat: Array[Boolean] = valIdx.map { j =>
+    st(j).dataType == DoubleType || st(j).dataType == FloatType
+  }.toArray
+
   override protected def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val merged = scala.collection.mutable.TreeMap
-      .empty[Seq[Any], (Array[Double], Int)](KeyOrd)
+      .empty[Seq[Any], (Array[Long], Array[Double], Int)](KeyOrd)
     var i = 0
     while (i < arr.numElements()) {
       val row = arr.getStruct(i, st.length)
       val key: Seq[Any] = keyIdx.map(j => row.get(j, st(j).dataType))
-      val vals: Array[Double] = valIdx.map { j =>
-        row.get(j, st(j).dataType) match {
-          case null => 0.0
-          case l: Long => l.toDouble
-          case x: Int => x.toDouble
-          case s: Short => s.toDouble
-          case b: Byte => b.toDouble
-          case d: Double => d
-          case f: Float => f.toDouble
-          case o => o.toString.toDouble
+      val longs = new Array[Long](valIdx.length)
+      val dbls = new Array[Double](valIdx.length)
+      var k0 = 0
+      while (k0 < valIdx.length) {
+        row.get(valIdx(k0), st(valIdx(k0)).dataType) match {
+          case null =>
+          case l: Long => longs(k0) = l
+          case x: Int => longs(k0) = x.toLong
+          case s: Short => longs(k0) = s.toLong
+          case b: Byte => longs(k0) = b.toLong
+          case d: Double => dbls(k0) = d
+          case f: Float => dbls(k0) = f.toDouble
+          case o =>
+            if (valIsFloat(k0)) dbls(k0) = o.toString.toDouble
+            else longs(k0) = o.toString.toLong
         }
-      }.toArray
+        k0 += 1
+      }
       merged.get(key) match {
-        case Some((acc, n)) =>
+        case Some((accL, accD, n)) =>
           var k = 0
-          while (k < acc.length) { acc(k) += vals(k); k += 1 }
-          merged.update(key, (acc, n + 1))
-        case None => merged.update(key, (vals, 1))
+          while (k < accL.length) {
+            accL(k) += longs(k); accD(k) += dbls(k); k += 1
+          }
+          merged.update(key, (accL, accD, n + 1))
+        case None => merged.update(key, (longs, dbls, 1))
       }
       i += 1
     }
-    val kept = merged.toSeq.filter { case (_, (sums, n)) =>
-      n == 1 || sums.exists(_ != 0.0)
+    val kept = merged.toSeq.filter { case (_, (ls, ds, n)) =>
+      n == 1 || ls.exists(_ != 0L) || ds.exists(_ != 0.0)
     }
-    new GenericArrayData(kept.map { case (key, (sums, _)) =>
+    new GenericArrayData(kept.map { case (key, (ls, ds, _)) =>
       val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(st.length)
       keyIdx.zipWithIndex.foreach { case (j, kk) => out.update(j, key(kk)) }
       valIdx.zipWithIndex.foreach { case (j, vv) =>
         val v: Any = st(j).dataType match {
-          case LongType => sums(vv).toLong
-          case IntegerType => sums(vv).toInt
-          case ShortType => sums(vv).toShort
-          case ByteType => sums(vv).toByte
-          case FloatType => sums(vv).toFloat
-          case _ => sums(vv)
+          case LongType => ls(vv)
+          case IntegerType => ls(vv).toInt
+          case ShortType => ls(vv).toShort
+          case ByteType => ls(vv).toByte
+          case FloatType => ds(vv).toFloat
+          case DoubleType => ds(vv)
+          case _ => ls(vv)
         }
         out.update(j, v)
       }
@@ -707,10 +724,14 @@ case class ChEnumCast(child: Expression, bits: Int, defBody: String)
       if (bits == 8) ByteType
       else org.apache.spark.sql.types.ShortType
     if (child.dataType == StringType)
+      // unknown names THROW (DataTypeEnum::getValue "Unknown element"),
+      // they must not silently become NULL
       CaseWhen(enumDef.names.zip(enumDef.values).map { case (n, v) =>
         (EqualTo(child, Literal(n)): Expression,
           Cast(Literal(v), storage): Expression)
-      }, None)
+      }, Some(Cast(RaiseError(Concat(Seq(
+        Literal("Unknown element '"), child,
+        Literal(s"' for type Enum$bits")))), storage)))
     else Cast(child, storage)
   }
   override def prettyName: String = "ch_enum_cast"

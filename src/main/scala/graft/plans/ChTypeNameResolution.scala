@@ -78,7 +78,53 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
     })
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  /** exprId → CH type for every resolved Alias in the plan (and its
+    * subquery plans), built bottom-up so later aliases see earlier
+    * ones. Lets [[ChTypeInfer.infer]] type an attribute by its
+    * DEFINING expression — e.g. system.numbers' `number` via the
+    * ch_type_tag the rewrite plants — instead of by column name. */
+  private def aliasScope(plan: LogicalPlan): Map[Long, ChTypeInfer.T] = {
+    val m = scala.collection.mutable.Map.empty[Long, ChTypeInfer.T]
+    def walk(p: LogicalPlan): Unit = {
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      // explode/posexplode outputs carry the array's ELEMENT type
+      // (arrayJoin of an Array(UInt8) literal is UInt8 — corpus 00397
+      // prints it in the TSVWithNamesAndTypes header)
+      p match {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+            if g.resolved =>
+          val arrChild = g.generator match {
+            case e: org.apache.spark.sql.catalyst.expressions.Explode => Some(e.child)
+            case e: org.apache.spark.sql.catalyst.expressions.PosExplode => Some(e.child)
+            case _ => None
+          }
+          arrChild.foreach { c =>
+            ChTypeInfer.withScope(m.toMap)(ChTypeInfer.infer(c)).foreach { t =>
+              if (t.base.startsWith("Array(") && t.base.endsWith(")"))
+                g.generatorOutput.lastOption.foreach(a =>
+                  m(a.exprId.id) = graft.types.ChTypeInfer.T(
+                    t.base.stripPrefix("Array(").stripSuffix(")"),
+                    nullable = false))
+            }
+          }
+        case _ => ()
+      }
+      p.expressions.foreach(_.foreach {
+        case al: Alias if al.resolved && !m.contains(al.exprId.id) =>
+          ChTypeInfer.withScope(m.toMap)(ChTypeInfer.infer(al.child))
+            .foreach(t => m(al.exprId.id) = t)
+        case _ => ()
+      })
+    }
+    walk(plan)
+    m.toMap
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    ChTypeInfer.withScope(aliasScope(plan))(applyScoped(plan))
+
+  private def applyScoped(plan: LogicalPlan): LogicalPlan = {
     val p1 = plan.resolveOperatorsUp {
       // a sort key that is reference-UInt64 (stored in LongType with
       // wraparound) orders UNSIGNED: flipping the sign bit converts
@@ -185,8 +231,13 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
         // boundaries as alias metadata: downstream attributes keep
         // the unsigned/width identity their Spark storage erases
         // (variadic uniq widths, UInt64 rendering/ordering)
+        // attribute children participate too when the SCOPE knows
+        // their defining type (a lateral-view output re-aliased at
+        // the top — corpus 00397's arrayJoin AS arr header)
         case al @ Alias(c, n) if al.explicitMetadata.isEmpty && c.resolved &&
-            !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] && {
+            (!c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] ||
+              !c.asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]
+                .metadata.contains(ChTypeInfer.MetaKey)) && {
               uint64Producer(c) || ChTypeInfer.infer(c).exists(t =>
                 t.render != graft.types.ChTypes.toChName(c.dataType, c.nullable))
             } =>

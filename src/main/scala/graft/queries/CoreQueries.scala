@@ -127,7 +127,12 @@ object CoreQueries {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(su, li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-      .filter(year(col("o_orderdate")) === 1996)
+      // sargable range, not year()=N: the raw-column comparison
+      // reaches the parquet scan as PushedFilters, so row-group
+      // min/max stats and partition pruning fire at scale — a
+      // function-wrapped predicate prunes nothing
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
       .groupBy(col("n_name"))
       .agg(decOut(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))))
         .as("revenue"))

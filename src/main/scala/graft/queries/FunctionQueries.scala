@@ -267,14 +267,20 @@ object FunctionQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
-  // q30 uniq (adaptive HLL, AggregateFunctionUniq.h) ≡
-  // approx_count_distinct — algorithm-specific values, so rows-only
-  // (no DuckDB oracle); accuracy property-tested in ScalaTest.
+  // q30 uniq — the reference's adaptive-sampling sketch ported as a
+  // native aggregate (UniquesHashSet.h / UniqSketch.scala): ≤256 KB
+  // state per group at any cardinality, exact below 2^16 distinct
+  // hashes. Algorithm-specific values above that, so rows-only (no
+  // DuckDB oracle); exactness + merge invariance pinned in
+  // UniqSketchSpec.
   // ---------------------------------------------------------------
   def q30(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_uniq_users"))
+      .agg(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.UniqSketch(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("user_id")))
+          .toAggregateExpression()).as("approx_uniq_users"))
       .orderBy(col("event_type"))
 
   // ---------------------------------------------------------------

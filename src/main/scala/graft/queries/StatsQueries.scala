@@ -78,8 +78,12 @@ object StatsQueries {
     // one LAZY plan (a cross join of two 1-row aggregates) — eager
     // .count() calls here would run jobs at plan-build time, which
     // breaks composability and bench timing
+    // sargable range, not year()=N — the raw-column comparison lands
+    // in PushedFilters so the orders scan prunes row groups at scale
     def custs(y: Int) = t(s, dir, "orders")
-      .filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+      .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01"))
+      .select(col("o_custkey")).distinct()
     val both = custs(1996).intersect(custs(1997))
       .agg(count(lit(1)).as("n_both_years"))
     val only96 = custs(1996).except(custs(1997))

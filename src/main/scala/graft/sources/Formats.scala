@@ -403,6 +403,18 @@ object Formats {
       .map(r => r.toSeq.map(renderValue(_, inArray = false)).mkString("\t"))
       .mkString("\n")
 
+  /** TabSeparatedRaw / TSVRaw (TabSeparatedRawRowOutputStream):
+    * top-level strings write UNESCAPED; containers keep their
+    * literal form. */
+  def tabSeparatedRaw(df: DataFrame, limit: Int = 1000000): String =
+    df.limit(limit).collect()
+      .map(_.toSeq.map {
+        case s: String => s
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case v => renderValue(v, inArray = false)
+      }.mkString("\t"))
+      .mkString("\n")
+
   /** One external row, TabSeparated (shared with the WITH TOTALS
     * renderer in ChDdl). */
   def renderRow(values: Seq[Any]): String =
@@ -426,7 +438,10 @@ object Formats {
   private def shortestRepr(ad: Double): String = {
     var p = 1
     while (p <= 17) {
-      val s = String.format("%." + (p - 1) + "E", ad.asInstanceOf[AnyRef])
+      // Locale.ROOT: a comma-decimal default locale (de, fr, …) would
+      // render "1,234E+00" and crash the parseDouble round-trip check
+      val s = String.format(java.util.Locale.ROOT,
+        "%." + (p - 1) + "E", ad.asInstanceOf[AnyRef])
       if (java.lang.Double.parseDouble(s) == ad)
         return if (s.contains('.')) s
           else { val i = s.indexOf('E'); s.substring(0, i) + ".0" + s.substring(i) }
@@ -505,6 +520,12 @@ object Formats {
         // the reference prints the plain numeric value ('-1')
         val s = b.stripTrailingZeros
         if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
+      // raw byte strings (convertCharset output): CH String has no
+      // encoding, print the bytes as-is (valid-UTF-8 goldens only
+      // ever render convertible values; the rest go through hex())
+      case b: Array[Byte] =>
+        val s = escape(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        if (inArray) s"'$s'" else s
       case other => other.toString
     }
     render(v, inArray)

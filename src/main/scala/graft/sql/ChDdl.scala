@@ -387,7 +387,18 @@ object ChDdl {
         .replace("`", "").trim
       val entry = lookupTable(name)
       val exprs = entry.defaults.toMap
-      val rows: Seq[Row] = entry.df.schema.fields.toSeq.map { f =>
+      // ordinary (incl. DEFAULT) columns first, then MATERIALIZED,
+      // then ALIAS — the reference keeps three separate lists
+      // (ColumnsDescription; InterpreterDescribeQuery prints them in
+      // that order — corpus 00079 after MODIFY)
+      def kindClass(n: String): Int =
+        entry.defaultKinds.get(n).map(_.toUpperCase) match {
+          case Some("MATERIALIZED") => 1
+          case Some("ALIAS") => 2
+          case _ => 0
+        }
+      val rows: Seq[Row] = entry.df.schema.fields.toSeq
+        .sortBy(f => kindClass(f.name))(Ordering.Int).map { f =>
         val t = entry.colTypes.getOrElse(f.name, ChTypes.toChName(f))
         val kind = entry.defaultKinds.getOrElse(f.name,
           if (exprs.contains(f.name)) "DEFAULT" else "")
@@ -459,20 +470,28 @@ object ChDdl {
     else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
     else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }
     else {
-      // `ORDER BY _part` sorts by insertion batch — storage order,
-      // which a distributed engine doesn't define (the corpus compare
-      // is order-agnostic for exactly this reason); catalog tables
-      // carry no part ids, so drop the clause rather than fail
-      val noPart = stmt.replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part\\s*$", "")
-        .replaceAll("(?i),\\s*_part_index\\b", "")
-        .replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part_index\\s*$", "")
+      // `ORDER BY _part` sorts by part NAME — storage naming a
+      // distributed engine doesn't define; drop the clause rather
+      // than fail. `_part_index` (the part's insert-order ordinal)
+      // DOES attach from the recorded insert-block structure when
+      // available (rewritePartIndex); the strip is the fallback.
+      val withPi = rewritePartIndex(stmt)
+      val noPart =
+        if (withPi ne stmt) withPi
+        else stmt.replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part\\s*$", "")
+          .replaceAll("(?i),\\s*_part_index\\b", "")
+          .replaceAll("(?i)\\s+ORDER\\s+BY\\s+_part_index\\s*$", "")
       joinTotals(spark, noPart).orElse {
         val rewritten = rewriteAll(spark, noPart)
         val th = TotalsHaving.Settings(totalsMode, totalsAutoThreshold,
           maxRowsToGroupBy, maxBlockSize, groupByOverflowMode == "any")
-        if (TotalsHaving.applies(rewritten, th))
-          Some(TotalsHaving.run(spark, rewritten, th))
-        else Some(ChSql(spark, rewritten))
+        val res =
+          if (TotalsHaving.applies(rewritten, th))
+            Some(TotalsHaving.run(spark, rewritten, th))
+          else Some(ChSql(spark, rewritten))
+        // a SAMPLE whose key range is empty reads zero parts: the
+        // whole query emits nothing, even a keyless aggregate
+        if (sampleWasEmpty) res.map(_.limit(0)) else res
       }
     }
   }
@@ -716,7 +735,7 @@ object ChDdl {
         // lives in ChSql.boundNumbers (it doesn't apply to a bare
         // remote() target, where the LIMIT sits outside the shard)
         case ("system", "numbers") | ("system", "numbers_mt") =>
-          "(SELECT id AS number FROM range(0, 100000000, 1, 16))"
+          "(SELECT ch_type_tag(id, 'UInt64') AS number FROM range(0, 100000000, 1, 16))"
         case _ => throw new IllegalArgumentException(
           s"table function target not found: $db.$table")
       }
@@ -950,8 +969,198 @@ object ChDdl {
 
   private def rewriteAll(spark: SparkSession, sql: String): String = {
     refreshMergeTables(spark, sql)
+    sampleSelectsNothing.set(false)
     rewriteRefs(rewriteInSet(rewriteFinal(spark,
-      rewriteNested(rewriteTableFunctions(spark, expandStarOverMat(sql))))))
+      rewriteNested(rewriteTableFunctions(spark,
+        expandStarOverMat(rewriteSample(sql)))))))
+  }
+
+  // ------------------------------------------------------------------
+  // SAMPLE clause (MergeTreeDataSelectExecutor.cpp:279-437)
+  // ------------------------------------------------------------------
+
+  /** Set when a SAMPLE rewrite proved the selected key range empty —
+    * the reference then reads zero parts, so the WHOLE query returns
+    * zero rows (even a keyless aggregate emits nothing); execute()
+    * applies .limit(0) to reproduce that. */
+  private val sampleSelectsNothing = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private[sql] def sampleWasEmpty: Boolean = sampleSelectsNothing.get
+
+  /** Exact rational from a CH sample-ratio numeral: `0.1`, `1/10`,
+    * `1e-1`, `2e-2`, `1e1/1e2`, `100000` (ASTSampleRatio.cpp parses
+    * the same decimal forms into a big-int fraction). */
+  private def parseRatio(s: String): (BigInt, BigInt) = {
+    def one(t: String): (BigInt, BigInt) = {
+      val m = "([0-9]+)(?:\\.([0-9]*))?(?:[eE]([+-]?[0-9]+))?".r
+        .findFirstMatchIn(t.trim).getOrElse(
+          throw new IllegalArgumentException(s"bad SAMPLE ratio: $t"))
+      val frac = Option(m.group(2)).getOrElse("")
+      val scale = frac.length - Option(m.group(3)).map(_.toInt).getOrElse(0)
+      val digits = BigInt(m.group(1) + frac)
+      if (scale >= 0) (digits, BigInt(10).pow(scale))
+      else (digits * BigInt(10).pow(-scale), BigInt(1))
+    }
+    val parts = s.split("/")
+    if (parts.length == 2) {
+      val (n1, d1) = one(parts(0)); val (n2, d2) = one(parts(1))
+      (n1 * d2, d1 * n2)
+    } else one(parts(0))
+  }
+
+  /** The sampling expression of an old-syntax `MergeTree(date,
+    * sampling, primary_key, granularity)` declaration — present only
+    * in the 4-argument form (MergeTreeData old-style ctor). */
+  private def samplingExprOf(e: Entry): Option[String] = {
+    val m = "(?is)^MergeTree\\s*\\((.*)\\)\\s*$".r
+      .findFirstMatchIn(e.engineText.trim).getOrElse(return None)
+    val core = splitArgs(m.group(1))
+    if (core.length >= 4) Some(core(1)) else None
+  }
+
+  /** Bit width of the sampling key's unsigned universe: a bare column
+    * keys on its declared UIntN type; a hash-function key is the hash
+    * width (intHash32 → 32, the 64-bit family → 64). */
+  private def samplingWidth(e: Entry, expr: String): Int = {
+    val t = expr.trim
+    if (t.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      e.colTypes.getOrElse(t, "UInt64") match {
+        case "UInt8" => 8
+        case "UInt16" => 16
+        case "UInt32" => 32
+        case _ => 64
+      }
+    else if (t.toLowerCase.startsWith("inthash32(")) 32
+    else 64
+  }
+
+  /** Merge-table members (or the table itself) a SAMPLE clause
+    * applies to — StorageMerge pushes the clause down to each member,
+    * which converts by-count ratios against its OWN row count. */
+  private def resolveSampleMembers(target: String): Seq[Entry] = {
+    def members(db: String, re0: String): Seq[Entry] = {
+      val rx = re0.r
+      dbTables(db).filter(p => rx.findFirstIn(p._1).isDefined)
+        .filterNot(p => mergeSpecs.contains(p._1) ||
+          mergeSpecs.contains(s"$db.${p._1}"))
+        .sortBy(_._1).map(_._2)
+    }
+    val mfn = "(?is)^merge\\s*\\(\\s*(\\w+)\\s*,\\s*'(.*)'\\s*\\)$".r
+    target.trim match {
+      case mfn(db, re0) => members(db, re0.replace("\\\\", "\\"))
+      case name =>
+        val e = tables.get(name)
+          .orElse(currentDb.flatMap(db => tables.get(s"$db.$name")))
+          .orElse(tables.get(s"default.$name"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"SAMPLE: unknown table $name"))
+        mergeSpecs.get(e.name) match {
+          case Some((db, re0, _)) => members(db, re0)
+          case None => Seq(e)
+        }
+    }
+  }
+
+  /** One member's sampled read as a CH-dialect subquery, or None when
+    * its selected range is empty. Bounds follow the reference exactly:
+    * universe U = 2^width, selected range = [floor(lo·U), floor(hi·U))
+    * with lo/hi the exact rationals offset + size·r/C and
+    * offset + size·(r+1)/C (r = parallel_replica_offset, C =
+    * parallel_replicas_count; C=1 degenerates to [offset,
+    * offset+size)). A 64-bit key compares in the sign-flipped signed
+    * domain because UInt64 stores as Long here (SURVEY §3). */
+  private def sampleMemberSubquery(e: Entry, size0: (BigInt, BigInt),
+      off: (BigInt, BigInt), pcount: Int, poffset: Int,
+      needFactor: Boolean): Option[String] = {
+    val sExpr = samplingExprOf(e).getOrElse(throw new IllegalArgumentException(
+      s"SAMPLE: table ${e.name} does not support sampling"))
+    val width = samplingWidth(e, sExpr)
+    // a ratio > 1 is an approximate row COUNT (converted per table)
+    val size =
+      if (size0._1 > size0._2) {
+        val total = BigInt(e.df.count())
+        if (total == 0 || size0._1 >= size0._2 * total) (BigInt(1), BigInt(1))
+        else (size0._1, size0._2 * total)
+      } else size0
+    val u = BigInt(2).pow(width)
+    val c = BigInt(pcount max 1)
+    val loNum = off._1 * size._2 * c + size._1 * off._2 * BigInt(poffset)
+    val hiNum = off._1 * size._2 * c + size._1 * off._2 * BigInt(poffset + 1)
+    val den = off._2 * size._2 * c
+    val lower = loNum * u / den // floor
+    val upper = hiNum * u / den
+    if (lower >= u || upper <= lower) return None
+    val conds = Seq.newBuilder[String]
+    if (width == 64) {
+      val half = BigInt(2).pow(63)
+      val se = s"bitXor($sExpr, bitShiftLeft(toInt64(1), 63))"
+      if (lower > 0) conds += s"$se >= ${lower - half}"
+      if (upper < u) conds += s"$se < ${upper - half}"
+    } else {
+      if (lower > 0) conds += s"$sExpr >= $lower"
+      if (upper < u) conds += s"$sExpr < $upper"
+    }
+    val cs = conds.result()
+    val where = if (cs.isEmpty) "" else " WHERE " + cs.mkString(" AND ")
+    val factor =
+      if (!needFactor) ""
+      else {
+        val f = new java.math.BigDecimal(size._2.bigInteger).divide(
+          new java.math.BigDecimal(size._1.bigInteger),
+          java.math.MathContext.DECIMAL64)
+        s", CAST($f AS DOUBLE) AS _sample_factor"
+      }
+    Some(s"SELECT *$factor FROM ${e.name}$where")
+  }
+
+  /** `FROM t SAMPLE s [OFFSET o]` → a filtered subquery per the
+    * reference's deterministic hash-range sampling
+    * (MergeTreeDataSelectExecutor.cpp:279-437, ASTSampleRatio.cpp):
+    * exact-rational bounds over the sampling key's 2^width universe,
+    * by-count conversion for ratios > 1, parallel-replica range
+    * subdivision from SETTINGS, the `_sample_factor` virtual column
+    * (= 1/relative size), and zero-part reads for empty ranges. The
+    * predicate lands inside the subquery, so Spark pushes it to the
+    * parquet scan — at scale the sampled read prunes like the
+    * reference's index range restriction. */
+  private def rewriteSample(sql: String): String = {
+    if ("(?i)\\bSAMPLE\\s".r.findFirstIn(sql).isEmpty) return sql
+    val pcount = "(?i)parallel_replicas_count\\s*=\\s*(\\d+)".r
+      .findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(1)
+    val poffset = "(?i)parallel_replica_offset\\s*=\\s*(\\d+)".r
+      .findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(0)
+    val needFactor = sql.contains("_sample_factor")
+    val numP = "[0-9]+(?:\\.[0-9]*)?(?:[eE][+-]?[0-9]+)?"
+    val ratP = s"$numP(?:\\s*/\\s*$numP)?"
+    val re = ("(?is)(\\bFROM\\s+)(`?[\\w.]+`?|merge\\s*\\([^)]*\\))" +
+      s"\\s+SAMPLE\\s+($ratP)(?:\\s+OFFSET\\s+($ratP))?").r
+    val masked = ChSql.maskQuotes(sql)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      val target = sql.substring(m.start(2), m.end(2)).replace("`", "")
+      val size = parseRatio(sql.substring(m.start(3), m.end(3)))
+      val off =
+        if (m.group(4) == null) (BigInt(0), BigInt(1))
+        else parseRatio(sql.substring(m.start(4), m.end(4)))
+      val members = resolveSampleMembers(target)
+      val subs = members.flatMap(
+        sampleMemberSubquery(_, size, off, pcount, poffset, needFactor))
+      val replacement =
+        if (subs.nonEmpty) subs.mkString("(", " UNION ALL ", ")")
+        else {
+          sampleSelectsNothing.set(true)
+          val fcol =
+            if (needFactor) ", CAST(0.0 AS DOUBLE) AS _sample_factor" else ""
+          s"(SELECT *$fcol FROM ${members.head.name} WHERE 1=0)"
+        }
+      sb.append(sql.substring(last, m.start))
+        .append(sql.substring(m.start(1), m.end(1)))
+        .append(replacement)
+      last = m.end
+    }
+    sb.append(sql.substring(last)).toString
   }
 
   /** `SELECT * FROM t` omits MATERIALIZED/ALIAS columns — they are
@@ -959,9 +1168,9 @@ object ChDdl {
     * asterisk expansion; corpus 00311). Narrow shape only: a
     * single-table star select. Explicit references still work. */
   private def expandStarOverMat(sql: String): String = {
-    val m = "(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+([\\w.`]+)(.*)$".r
+    val m = "(?is)^\\s*SELECT\\s+\\*\\s*(,.*?)?\\s+FROM\\s+([\\w.`]+)(.*)$".r
       .findFirstMatchIn(sql).getOrElse(return sql)
-    val name = m.group(1).replace("`", "")
+    val name = m.group(2).replace("`", "")
     val entry = tables.get(name)
       .orElse(currentDb.flatMap(db => tables.get(s"$db.$name")))
       .getOrElse(return sql)
@@ -969,7 +1178,9 @@ object ChDdl {
       k.equalsIgnoreCase("MATERIALIZED") || k.equalsIgnoreCase("ALIAS") }.keySet
     if (mat.isEmpty) return sql
     val cols = entry.df.schema.fieldNames.filterNot(mat.contains)
-    s"SELECT ${cols.mkString(", ")} FROM ${m.group(1)}${m.group(2)}"
+      .map(c => if (c.contains(".")) s"`$c`" else c)
+    val extra = Option(m.group(1)).getOrElse("")
+    s"SELECT ${cols.mkString(", ")}$extra FROM ${m.group(2)}${m.group(3)}"
   }
 
   /** `x IN set_table` — StorageSet is only readable as the right side
@@ -1017,6 +1228,7 @@ object ChDdl {
     * side-channel row; the translator models it as GROUPING SETS with
     * a hidden grouping_id marker). */
   def executeRendered(spark: SparkSession, stmtRaw: String): Option[String] = {
+    insertSideOut.set(None)
     val hasTotals = "(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(stmtRaw).isDefined
     // BlockTabSeparated prints COLUMNS as lines (values tab-joined)
     val trimmed = stmtRaw.trim.stripSuffix(";").trim
@@ -1034,8 +1246,13 @@ object ChDdl {
     // Vertical(Raw): one `col: value` block per row
     val vertical = "(?i)FORMAT\\s+Vertical(Raw)?\\s*$".r.findFirstMatchIn(trimmed)
     val tskvFmt = "(?i)FORMAT\\s+TSKV\\s*$".r.findFirstIn(trimmed).isDefined
-    val tsvNames = "(?i)FORMAT\\s+TabSeparatedWithNames(AndTypes)?\\s*$".r
-      .findFirstMatchIn(trimmed)
+    val tsvNames =
+      "(?i)FORMAT\\s+(?:TabSeparated|TSV)WithNames(AndTypes)?\\s*$".r
+        .findFirstMatchIn(trimmed)
+    // TSV is a synonym of TabSeparated (FormatFactory registration);
+    // the Raw variants write strings unescaped
+    val tsvRaw = "(?i)FORMAT\\s+(?:TabSeparatedRaw|TSVRaw)\\s*$".r
+      .findFirstIn(trimmed).isDefined
     val csvFmt = "(?i)FORMAT\\s+CSV(WithNames)?\\s*$".r.findFirstMatchIn(trimmed)
     // The totals side-channel row is NOT subject to LIMIT
     // (TotalsHavingBlockInputStream sits before the limit in the
@@ -1129,14 +1346,19 @@ object ChDdl {
         val raw = vertical.get.group(1) != null
         val rows = df.limit(1000000).collect()
         if (rows.isEmpty) None
-        else Some(rows.zipWithIndex.map { case (r, i) =>
-          s"Row ${i + 1}:\n──────\n" + df.columns.indices.map { c =>
-            val v =
-              if (raw) Option(r.get(c)).map(_.toString).getOrElse("\\N")
-              else Formats.renderValue(r.get(c), inArray = false)
-            s"${df.columns(c)}: $v"
-          }.mkString("\n")
-        }.mkString("\n"))
+        else {
+          // names pad to the widest so values align
+          // (VerticalRowOutputStream writes max_name_width spaces)
+          val nameW = df.columns.map(_.length).max
+          Some(rows.zipWithIndex.map { case (r, i) =>
+            s"Row ${i + 1}:\n──────\n" + df.columns.indices.map { c =>
+              val v =
+                if (raw) Option(r.get(c)).map(_.toString).getOrElse("\\N")
+                else Formats.renderValue(r.get(c), inArray = false)
+              (df.columns(c) + ":").padTo(nameW + 1, ' ') + s" $v"
+            }.mkString("\n")
+          }.mkString("\n"))
+        }
       } else if (prettyFmt.isDefined) {
         val kindRaw = prettyFmt.get.group(1)
         val noEsc = prettyFmt.get.group(2) != null
@@ -1200,6 +1422,9 @@ object ChDdl {
         }
         Some(Formats.tabSeparatedWithNamesTyped(df,
           withTypes = tsvNames.get.group(1) != null, chTypes = types))
+      } else if (tsvRaw) {
+        val out = Formats.tabSeparatedRaw(df)
+        if (out.isEmpty) None else Some(out)
       } else if (csvFmt.isDefined) {
         val out = Formats.csv(df, withNames = csvFmt.get.group(1) != null)
         if (out.isEmpty) None else Some(out)
@@ -1289,7 +1514,7 @@ object ChDdl {
           Seq("") ++
           tot.map(r => Formats.renderRow(values(r, totals = true)))).mkString("\n")
       }
-    }
+    }.orElse(insertSideOut.get())
   }
 
   /** Render the stored numeric form of every enum-tagged output
@@ -1448,6 +1673,85 @@ object ChDdl {
     case _ => 0L
   }
 
+  /** `_part_index` virtual column (MergeTreeDataSelectExecutor
+    * virtual columns — the part's insert-order ordinal): attached
+    * from the table's recorded insert-block structure through the
+    * same global-row-order window the blockSize() family uses
+    * (single-partition by construction — corpus-scoped, paid only by
+    * queries that read the column). Unrewritable shapes fall back to
+    * the caller's ORDER-BY strip. */
+  private def rewritePartIndex(stmt: String): String = {
+    if (!stmt.contains("_part_index")) return stmt
+    val masked = ChSql.maskQuotes(stmt)
+    if ("(?i)\\b(WHERE|PREWHERE)\\b".r.findFirstIn(masked).isDefined) return stmt
+    val m = "(?i)\\bFROM\\s+`?([\\w.]+)`?".r.findFirstMatchIn(masked)
+      .getOrElse(return stmt)
+    val name = stmt.substring(m.start(1), m.end(1))
+    val entry = tables.get(name)
+      .orElse(currentDb.flatMap(db => tables.get(s"$db.$name")))
+      .getOrElse(return stmt)
+    val sizes = entry.blockSizes.filter(_.nonEmpty).getOrElse(return stmt)
+    val starts = sizes.scanLeft(0L)(_ + _).dropRight(1)
+    val rn = "(row_number() OVER (ORDER BY 'b') - 1)"
+    val idx =
+      s"(size(filter(array(${starts.mkString(", ")}), __ps -> __ps <= $rn)) - 1)"
+    val head = stmt.substring(0, m.start) // ends before FROM
+    val tail = stmt.substring(m.end(1)) // after the table name
+    val sub = s"(SELECT *, $idx AS _part_index FROM $name)"
+    // a bare star must not WIDEN by the virtual column — CH includes
+    // virtuals only when explicitly selected
+    "(?is)^(\\s*SELECT\\s+)\\*(\\s*)$".r.findFirstMatchIn(head) match {
+      case Some(sm) =>
+        sm.group(1) + "* EXCEPT(_part_index) FROM " + sub + tail
+      case None => head + "FROM " + sub + tail
+    }
+  }
+
+  /** CH type of a DEFAULT/MATERIALIZED/ALIAS expression: analyze the
+    * translated expression against the columns in scope and run the
+    * CH promotion lattice over the resolved tree (the reference types
+    * implicit columns by the evaluated default expression —
+    * ColumnsDescription / evaluateMissingDefaults). */
+  private[sql] def inferExprChType(spark: SparkSession,
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      exprText: String): Option[String] =
+    try {
+      val df0 = spark.createDataFrame(new java.util.ArrayList[Row](),
+        org.apache.spark.sql.types.StructType(fields))
+      val sel = ChSql.withDialectFunctions(spark) {
+        df0.selectExpr(ChSql.translateScalarExpr(exprText))
+      }
+      val e = sel.queryExecution.analyzed.asInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case x => x
+      }
+      Some(graft.types.ChTypeInfer.infer(e).map(_.render)
+        .getOrElse(graft.types.ChTypes.toChName(e.dataType, e.nullable)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Re-type the TYPELESS defaulted columns of a declaration list by
+    * their expression's CH type, each resolved against the columns
+    * declared before it (`col2 DEFAULT col1 + 1` is UInt64 when col1
+    * is UInt32 — corpus 00079). */
+  private def inferTypelessDefaults(spark: SparkSession,
+      ds: Seq[ChTypes.ColDef], existing: Seq[org.apache.spark.sql.types.StructField] =
+        Seq.empty): Seq[ChTypes.ColDef] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[ChTypes.ColDef]
+    ds.foreach { d =>
+      val d2 =
+        if (d.explicitType || d.defaultExpr.isEmpty) d
+        else inferExprChType(spark, existing ++ acc.map(_.field),
+            d.defaultExpr.get)
+          .map(t => d.copy(field = ChTypes.typedField(d.field.name, t),
+            typeText = t))
+          .getOrElse(d)
+      acc += d2
+    }
+    acc.toSeq
+  }
+
   /** Swap db-qualified names (test.foo) for their temp-view names —
     * anchored so a prefix-sharing name (test.foo vs test.foobar) never
     * mistranslates, and string literals are left untouched. */
@@ -1513,7 +1817,7 @@ object ChDdl {
         rest = m.group(2).trim
         select = Some(
           if (src.equalsIgnoreCase("system.numbers"))
-            "SELECT id AS number FROM range(1) WHERE false"
+            "SELECT ch_type_tag(id, 'UInt64') AS number FROM range(1) WHERE false"
           else {
             val e = tables.getOrElse(src, tables.getOrElse(
               currentDb.map(db => s"$db.$src").getOrElse(src),
@@ -1546,7 +1850,7 @@ object ChDdl {
         case other => throw new IllegalArgumentException(
           s"unsupported CREATE TABLE tail: $other")
       }
-      val colDefs = cols.map(ChTypes.columnDefs)
+      val colDefs = cols.map(ChTypes.columnDefs).map(inferTypelessDefaults(spark, _))
       val parsedCols = colDefs.map(ds =>
         (org.apache.spark.sql.types.StructType(ds.map(_.field)),
           ds.flatMap(d => d.defaultExpr.map(e => d.field.name -> e))))
@@ -1762,7 +2066,10 @@ object ChDdl {
       val casted = c.cast(d)
       when(casted < 0, (casted + lit(BigDecimal(2).pow(64))).cast(d))
         .otherwise(casted)
-    case other => c.cast(other)
+    // cast through the deep-nullable relaxation: Spark refuses casts
+    // that would NARROW containsNull (array<int,true> → array<int,
+    // false>), and the declared types here use containsNull=false
+    case other => c.cast(ChTypes.deepNullable(other))
   }
 
   /** CH zero-date spellings parse as the epoch (ReadHelpers: day/
@@ -1818,6 +2125,13 @@ object ChDdl {
         case other => lit(0).cast(other)
       }
     }
+  }
+
+  /** Client-visible side blocks of an INSERT SELECT — the totals /
+    * extremes rows stream to the client while main rows go to the
+    * table (corpus 00209); consumed by executeRendered. */
+  private val insertSideOut = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
   }
 
   private def insert(spark: SparkSession, stmt: String): Unit = {
@@ -1889,7 +2203,16 @@ object ChDdl {
         // shape is statically knowable (00340/00341's blockSize());
         // anything else invalidates the tracking for this table
         entry.blockSizes = entry.blockSizes.flatMap { prev =>
-          if (rest.trim.toUpperCase.startsWith("VALUES")) None
+          if (rest.trim.toUpperCase.startsWith("VALUES")) {
+            // a VALUES insert arrives as ONE block of its tuples
+            val body = ChSql.mapOutsideQuotes(
+              rest.trim.replaceAll("(?is)^VALUES\\s*", ""))(
+              _.replaceAll("\\)\\s*\\(", "), ("))
+            val n = ChSql.splitTopLevel(body).count(_.trim.nonEmpty)
+            if (n > 0)
+              Some(prev ++ squashBlocks(Vector(n.toLong), rowBytesOf(entry)))
+            else Some(prev)
+          }
           else staticInputBlocks(rest.trim).map(bs =>
             prev ++ squashBlocks(bs, rowBytesOf(entry)))
         }
@@ -1903,7 +2226,62 @@ object ChDdl {
             Formats.parseValues(spark, body, target)
           } else {
             // INSERT INTO t SELECT …: align by position, cast to schema
-            val sel = ChSql(spark, rewriteAll(spark, rest))
+            val sel0 = ChSql(spark, rewriteAll(spark, rest))
+            // a WITH TOTALS select inserts only its MAIN rows, but
+            // the totals block still STREAMS TO THE CLIENT — as does
+            // the extremes block under SETTINGS extremes=1
+            // (corpus 00209); collected below into insertSideOut
+            val sel =
+              if (!sel0.columns.contains("__gid")) sel0
+              else sel0.filter(qcol("__gid") === 0).drop("__gid")
+            val wantExtremes = extremesOn ||
+              "(?i)\\bSETTINGS\\b[^;]*\\bextremes\\s*=\\s*1".r
+                .findFirstIn(rest).isDefined
+            if (sel0.columns.contains("__gid") || wantExtremes) {
+              // each side block = one blank separator line then its
+              // rows, in reference order: totals first, extremes last
+              val lines = scala.collection.mutable.ListBuffer.empty[String]
+              if (sel0.columns.contains("__gid")) {
+                val gid = sel0.columns.indexOf("__gid")
+                val items = ChSql.selectItems(rest)
+                def litOf(e: String): Option[Any] = {
+                  val s = e.trim
+                  if (s.matches("-?\\d+")) Some(s.toLong)
+                  else if (s.matches("-?\\d+\\.\\d+")) Some(s.toDouble)
+                  else if (s.matches("'(?:[^'\\\\]|\\\\.)*'"))
+                    Some(s.substring(1, s.length - 1))
+                  else None
+                }
+                val outIdx = sel0.schema.fields.indices.filter(_ != gid)
+                val tot = sel0.filter(qcol("__gid") =!= 0).collect()
+                if (tot.nonEmpty) {
+                  lines += ""
+                  tot.foreach { r =>
+                    lines += Formats.renderRow(outIdx.zipWithIndex.map {
+                      case (fi, oi) =>
+                        val v = r.get(fi)
+                        if (v != null) v
+                        else items.lift(oi).flatMap(it => litOf(it._2))
+                          .getOrElse(
+                            renderDefault(sel0.schema.fields(fi).dataType))
+                    })
+                  }
+                }
+              }
+              if (wantExtremes) {
+                val mainRows = sel.collect()
+                if (mainRows.nonEmpty) {
+                  val idx = sel.schema.fields.indices
+                  lines += ""
+                  lines += Formats.renderRow(idx.map(i =>
+                    Extremes.pick(mainRows.toSeq.map(_.get(i)), min = true)))
+                  lines += Formats.renderRow(idx.map(i =>
+                    Extremes.pick(mainRows.toSeq.map(_.get(i)), min = false)))
+                }
+              }
+              if (lines.nonEmpty)
+                insertSideOut.set(Some(lines.mkString("\n")))
+            }
             sel.toDF(target.fieldNames.toIndexedSeq: _*)
               .select(target.fields.map(f =>
                 graft.types.ChEnum.encodeCol(qcol(f.name), f)
@@ -1996,7 +2374,8 @@ object ChDdl {
             // A Nested(…) definition flattens to several parallel
             // array columns (corpus 00030) — add each, keeping the
             // AFTER chain so they land adjacent in declared order.
-            val colDefs2 = ChTypes.columnDefs(colDef)
+            val colDefs2 = inferTypelessDefaults(spark,
+              ChTypes.columnDefs(colDef), entry.df.schema.fields.toSeq)
             val addDefs = colDefs2.flatMap(d =>
               d.defaultExpr.map(d.field.name -> _))
             var anchor = after
@@ -2028,6 +2407,8 @@ object ChDdl {
                 entry.defaults = entry.defaults ++
                   addDefs.filter(_._1 == field.name)
                 entry.colTypes += (field.name -> cd.typeText)
+                cd.defaultKind.foreach(k =>
+                  entry.defaultKinds += (field.name -> k))
                 if (!addDefs.exists(_._1 == field.name))
                   entry.virtualDefaults += field.name
                 // withColumn analyzes eagerly — resolve the dialect-text
@@ -2120,8 +2501,22 @@ object ChDdl {
             entry.df = entry.df.filter(
               year(col(dateCol)) * 100 + month(col(dateCol)) =!= yyyymm)
           } else if (up.startsWith("MODIFY COLUMN")) {
-            val cd = ChTypes.columnDefs(
+            val cd0 = ChTypes.columnDefs(
               a.replaceAll("(?i)^MODIFY\\s+COLUMN\\s+", "").trim).head
+            val cd = inferTypelessDefaults(spark, Seq(cd0),
+              entry.df.schema.fields.toSeq).head
+            // an EXPLICIT type over a DEFAULT of a different inferred
+            // type stores the coercion in the declaration:
+            // `MODIFY x UInt16 DEFAULT length(p)` reads back as
+            // `CAST(length(p) AS UInt16)` (AlterCommand::apply
+            // wraps the default in a cast — corpus 00079)
+            val castDefault =
+              if (!cd0.explicitType) None
+              else cd.defaultExpr.filter { e =>
+                !e.matches("(?is)^CAST\\s*\\(.*") &&
+                  !inferExprChType(spark, entry.df.schema.fields.toSeq, e)
+                    .contains(cd.typeText)
+              }.map(e => s"CAST($e AS ${cd.typeText})")
             val field = cd.field
             val oldF = entry.df.schema(field.name)
             // Enum conversions follow the reference's ALTER semantics
@@ -2158,7 +2553,7 @@ object ChDdl {
             // MODIFY replaces the whole declaration: without a DEFAULT
             // clause the old default is dropped (corpus 00061)
             entry.defaults = entry.defaults.filterNot(_._1 == field.name) ++
-              cd.defaultExpr.map(field.name -> _)
+              castDefault.orElse(cd.defaultExpr).map(field.name -> _)
             entry.defaultKinds = entry.defaultKinds - field.name ++
               cd.defaultKind.map(field.name -> _)
           } else throw new IllegalArgumentException(s"unsupported ALTER action: $a")
@@ -2204,6 +2599,10 @@ object ChDdl {
     MergeTreeTable.write(folded, snap, entry.spec,
       org.apache.spark.sql.SaveMode.Overwrite)
     entry.df = withDeclaredMeta(MergeTreeTable.read(spark, snap), entry.colTypes)
+    // the merge leaves ONE part: the block/part structure collapses
+    // to a single run of the full row count (a parquet count is
+    // metadata-only on the snapshot just written)
+    entry.blockSizes = Some(Vector(entry.df.count()))
     entry.df.createOrReplaceTempView(entry.view)
     syncReplicas(entry)
   }

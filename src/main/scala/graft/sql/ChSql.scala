@@ -39,6 +39,7 @@ object ChSql {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     // spark.sql + Bridge.ofRows both analyze eagerly, so the dialect
     // builders that shadow Spark built-ins live only inside this block
+    randConstCache.remove() // one randConstant() value PER QUERY
     withDialectFunctions(spark) {
       val df = spark.sql(translate(chQuery))
       // CH float division is IEEE (1/0 = inf, 0/0 = nan); Spark's
@@ -165,7 +166,7 @@ object ChSql {
     // their separators, `LIMIT 1000` + `UNION` must not glue together
     val trail = level.substring(level.stripTrailing().length)
     lead + t.substring(0, m.start) +
-      s"FROM (SELECT id AS number FROM range(0, $bound, 1, 16))" +
+      s"FROM (SELECT ch_type_tag(id, 'UInt64') AS number FROM range(0, $bound, 1, 16))" +
       t.substring(m.start(1)) + trail
   }
 
@@ -249,8 +250,42 @@ object ChSql {
     // with 16 parallel slices (a 100M-row DISTINCT should use every
     // core; the corpus's largest real read is 10M).
     q = boundNumbers(q)
+    // `SETTINGS max_rows_to_read = N, read_overflow_mode = 'break'`
+    // over system.numbers bounds the generator like the reference's
+    // read quota (Limits.cpp 'break' stops at the block that crosses
+    // N): ceil N up to the level's block size — corpus 00167 reads
+    // 1000-ish rows where the unbounded generator is 100M
+    q = recurseParens(q)(l => mapUnionBranches(l) { level =>
+      // LAST match: statement-level SETTINGS trail the query, and an
+      // already-processed inner level's settings text sits earlier
+      val hasBreak =
+        "(?i)\\bmax_rows_to_read\\s*=\\s*(\\d+)".r.findAllMatchIn(level)
+          .toSeq.lastOption
+          .filter(_ =>
+            "(?i)\\bread_overflow_mode\\s*=\\s*'break'".r
+              .findFirstIn(level).isDefined)
+      hasBreak match {
+        case Some(m)
+            if "(?i)\\bFROM\\s+system\\.numbers(_mt)?\\b".r
+              .findFirstIn(level).isDefined =>
+          val n = m.group(1).toLong
+          val s = "(?i)\\bmax_block_size\\s*=\\s*(\\d+)".r
+            .findAllMatchIn(level).toSeq.lastOption.map(_.group(1).toLong)
+            .getOrElse(ChDdl.currentMaxBlockSize)
+          val bound = ((n + s - 1) / s) * s
+          level.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
+            s"(SELECT ch_type_tag(id, 'UInt64') AS number " +
+              s"FROM range(0, $bound, 1, 16))")
+            // a remote()-expanded numbers fragment (ChDdl rewrote the
+            // table function before translation) carries the wide
+            // default bound — the read quota shrinks it the same way
+            .replace("range(0, 100000000, 1, 16)",
+              s"range(0, $bound, 1, 16)")
+        case _ => level
+      }
+    })
     q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
-      "(SELECT id AS number FROM range(0, 100000000, 1, 16))")
+      "(SELECT ch_type_tag(id, 'UInt64') AS number FROM range(0, 100000000, 1, 16))")
     // CH `LIMIT offset, n` → SQL `LIMIT n OFFSET offset`
     q = q.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
     // LIMIT n BY cols → per-key row_number cap (LimitByBlockInputStream)
@@ -545,6 +580,11 @@ object ChSql {
     // copy a select item into the left join side, where outer aliases
     // aren't visible (00163's `dummy + 2 AS number, number / 2 AS n`)
     q = inlineForwardAliases(q)
+    // a multi-item scalar subquery yields the row as a TUPLE in CH
+    // (interpretSubquery single-row block → tuple; corpus 00211
+    // renders `(SELECT 2 AS x, x)` as (2,2)) — Spark scalar
+    // subqueries are single-column, so wrap the items in struct()
+    q = tupleizeScalarSubqueries(q)
     q = rewriteUsingJoin(q)
     // CH ternary operator `cond ? a : b` (parenthesized form)
     q = ternaryToIf(q)
@@ -580,10 +620,13 @@ object ChSql {
     // block introspection family → row-order windows (after
     // defaultNullsOrdering so the injected OVER(ORDER BY) is untouched)
     q = rewriteBlockFns(q)
-    // table-less `FROM ARRAY JOIN expr AS alias` → explode subquery
-    q = q.replaceAll(
-      "(?is)\\bFROM\\s+ARRAY\\s+JOIN\\s+(.+?)\\s+[Aa][Ss]\\s+(\\w+)\\s*$",
-      "FROM (SELECT explode($1) AS $2)")
+    // table-less `FROM ARRAY JOIN …` — give it a one-row source and
+    // let the ordinary ARRAY JOIN passes (single or lockstep) handle
+    // the clause; covers trailing WHERE and multi-item forms
+    // (corpus 00190)
+    q = mapOutsideQuotes(q)(_.replaceAll(
+      "(?i)\\bFROM\\s+ARRAY\\s+JOIN\\b",
+      "FROM (SELECT 0 AS __ajfl) ARRAY JOIN"))
     // multi-expression ARRAY JOIN (lockstep unnest): posexplode the
     // first array; every further alias becomes positional access into
     // its expression — shared offsets, exactly the Nested semantics
@@ -592,9 +635,9 @@ object ChSql {
     // LEFT ARRAY JOIN ≡ ARRAY JOIN of emptyArrayToSingle: an empty
     // array contributes one row holding the element type's default
     // (NULL when the elements are Nullable — corpus 00452)
-    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+(`[^`]+`|\\[[^\\[\\]]*\\]|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode(emptyArrayToSingle($1)) __aj AS $2")
-    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
+    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+(`[^`]+`|\\[[^\\[\\]]*\\]|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
       "LATERAL VIEW explode($1) __aj AS $2")
     q = rewriteBareArrayJoin(q)
     // FROM-less queries referencing `dummy` implicitly read system.one
@@ -1158,6 +1201,66 @@ object ChSql {
     * see the call site. Aliases whose expression contains arrayJoin
     * are left to the arrayJoin hoist pass (inlining would duplicate
     * the generator); iteration is bounded to break alias cycles. */
+  /** `(SELECT a, b[, …])` used as an EXPRESSION (a select item) →
+    * `(SELECT struct(a, b, …))`: the reference types a multi-column
+    * scalar subquery as the row tuple. Narrow shape: the whole item
+    * is one parenthesized SELECT with ≥ 2 top-level items. */
+  private def tupleizeScalarSubqueries(q: String): String =
+    recurseParens(q)(l => mapUnionBranches(l) { level =>
+      val t = level.trim
+      if (!t.take(6).equalsIgnoreCase("SELECT")) level
+      else {
+        val top = maskTop(t)
+        val end = ("(?i)\\b(FROM|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|" +
+          "ARRAY|UNION|SETTINGS|FORMAT)\\b").r
+          .findFirstMatchIn(top).map(_.start).getOrElse(t.length)
+        val body = t.substring(6, end)
+        val items = splitTopLevel(body)
+        var changed = false
+        val out = items.map { it0 =>
+          val it = it0.trim
+          val isSub = it.startsWith("(") && it.endsWith(")") &&
+            it.substring(1).stripLeading.toUpperCase.startsWith("SELECT")
+          if (!isSub) it0
+          else {
+            val inner = it.substring(1, it.length - 1).trim
+            val innerTop = maskTop(inner)
+            val innerEnd = ("(?i)\\b(FROM|WHERE|GROUP|ORDER|LIMIT|UNION)\\b").r
+              .findFirstMatchIn(innerTop).map(_.start).getOrElse(inner.length)
+            val innerItems = splitTopLevel(inner.substring(6, innerEnd))
+            if (innerItems.length < 2) it0
+            else {
+              changed = true
+              // sibling alias refs must inline — inside one struct()
+              // there is no lateral alias resolution
+              var defined = List.empty[(String, String)]
+              val inlined = innerItems.map { raw =>
+                var e = raw
+                defined.foreach { case (a, ex) =>
+                  val pat = ("(?<![\\w.`'])(?<![Aa][Ss] )" +
+                    java.util.regex.Pattern.quote(a) + "(?![\\w.`'])").r
+                  e = mapOutsideQuotes(e)(seg => pat.replaceAllIn(seg,
+                    java.util.regex.Matcher.quoteReplacement(s"($ex)")))
+                }
+                "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r
+                  .findFirstMatchIn(e.trim).foreach(m =>
+                    defined ::= (m.group(2), m.group(1).trim))
+                e
+              }
+              "(SELECT struct(" + inlined.mkString(", ") + ") " +
+                inner.substring(innerEnd) + ")"
+            }
+          }
+        }
+        if (!changed) level
+        else {
+          val lead = level.substring(0, level.length - level.stripLeading().length)
+          val trail = level.substring(lead.length + t.length)
+          lead + "SELECT " + out.mkString(", ") + " " + t.substring(end) + trail
+        }
+      }
+    })
+
   private def inlineForwardAliases(q: String): String =
     recurseParens(q)(level0 => mapUnionBranches(level0)(inlineForwardLevel))
 
@@ -1173,7 +1276,8 @@ object ChSql {
     if (t.substring(6, end).trim.toUpperCase.startsWith("DISTINCT "))
       return level
     def aliasRe(a: String) =
-      ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(a) + "(?![\\w.`'])").r
+      ("(?<![\\w.`'])(?<![Aa][Ss] )" +
+        java.util.regex.Pattern.quote(a) + "(?![\\w.`'])").r
     // items keep (outputName, currentExpr, hadAlias) — an unaliased
     // item re-renders as its (possibly substituted) expression alone
     var its = items.map { case (n, e) =>
@@ -1188,7 +1292,10 @@ object ChSql {
       (java.util.regex.Pattern.quote(a) + "\\s*->").r
         .findFirstIn(target).isDefined ||
       ("\\(([^()]*)\\)\\s*->").r.findAllMatchIn(target)
-        .exists(m => m.group(1).split(",").map(_.trim).contains(a))
+        .exists(m => m.group(1).split(",").map(_.trim).contains(a)) ||
+      // a sub-SELECT defining its own `AS a` shadows the outer alias
+      // for the whole item (corpus 00211's scalar subquery)
+      hasShadowingSubselect(target, a)
     // under a top-level JOIN Spark's lateral column aliases don't
     // resolve at all (the name searches the join relations only), so
     // BACKWARD references inline there too (00163's
@@ -1235,7 +1342,38 @@ object ChSql {
       }
       (name, e2, al0)
     }
-    if (!hadForward && !aggChanged) return level
+    // BACKWARD refs inside an alias that the GROUP BY names: Spark
+    // rejects GROUP BY over an alias whose definition reads a lateral
+    // alias (`a AS k1, k1 + 1 AS k2 … GROUP BY k1, k2` — corpus
+    // 00223); inline the chain so the grouped alias reads source
+    // columns only
+    var gbChanged = false
+    val gbNames: Set[String] = {
+      val d0 = depths(t)
+      topMatches(t, d0, "GROUP").headOption.map { g =>
+        val gEnd = topMatches(t, d0, "HAVING|ORDER|LIMIT|SETTINGS|UNION")
+          .filter(_ > g).minOption.getOrElse(t.length)
+        splitTopLevel(t.substring(g, gEnd)
+            .replaceAll("(?i)^GROUP\\s+BY\\s*", ""))
+          .map(_.trim).filter(_.matches("[A-Za-z_]\\w*")).toSet
+      }.getOrElse(Set.empty)
+    }
+    if (gbNames.nonEmpty)
+      its = its.zipWithIndex.map { case ((name, expr, al0), i) =>
+        var e2 = expr
+        if (al0 && gbNames.contains(name))
+          its.zipWithIndex.foreach { case ((a, e, al), j) =>
+            if (j < i && substitutable(a, e, al) &&
+                !shadowedByLambda(e2, a) &&
+                aliasRe(a).findFirstIn(maskQuotes(e2)).isDefined) {
+              e2 = mapOutsideQuotes(e2)(seg => aliasRe(a).replaceAllIn(seg,
+                java.util.regex.Matcher.quoteReplacement(s"($e)")))
+              gbChanged = true
+            }
+          }
+        (name, e2, al0)
+      }
+    if (!hadForward && !aggChanged && !gbChanged) return level
     val list = its.map { case (n, e, al) =>
       if (al) s"$e AS $n" else e }.mkString(", ")
     val lead = level.substring(0, level.length - level.stripLeading().length)
@@ -1329,6 +1467,28 @@ object ChSql {
     if (!t.take(6).equalsIgnoreCase("SELECT")) return level
     if (blockFnRe.findFirstIn(maskQuotes(level)).isEmpty) return level
     val s = ChDdl.currentMaxBlockSize
+    // system.numbers source: block identity = number div block_size
+    // (read order IS the ordinal), so the block functions compute as
+    // DISTRIBUTED partition windows, and blockSize() observes the
+    // post-WHERE block population exactly like the reference's
+    // filtered stream (corpus 00167 halves 123-blocks to 61/62).
+    // rowNumberInAllBlocks keeps the generic global-order machinery.
+    if ("(?i)\\bAS\\s+number\\s+FROM\\s+range\\s*\\(".r
+          .findFirstIn(maskQuotes(level)).isDefined &&
+        "(?i)\\browNumberInAllBlocks".r.findFirstIn(level).isEmpty) {
+      val s1 = "(?i)\\bmax_block_size\\s*=\\s*(\\d+)".r
+        .findFirstMatchIn(level).map(_.group(1).toLong).getOrElse(s)
+      val blk = s"(number div $s1)"
+      return mapOutsideQuotes(level)(seg => seg
+        .replaceAll("(?i)\\browNumberInBlock\\s*\\(\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(
+            s"(row_number() OVER (PARTITION BY $blk ORDER BY number) - 1)"))
+        .replaceAll("(?i)\\bblockNumber\\s*\\(\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(blk))
+        .replaceAll("(?i)\\bblockSize\\s*\\(\\s*\\)",
+          java.util.regex.Matcher.quoteReplacement(
+            s"(count(*) OVER (PARTITION BY $blk))")))
+    }
     val rn = "(row_number() OVER (ORDER BY 'b') - 1)"
     val cnt = "(count(*) OVER ())"
     // is any call nested inside an aggregate call's argument list?
@@ -1486,6 +1646,36 @@ object ChSql {
       }
     })
 
+  /** Balanced `(SELECT …)` spans of `s` that contain their OWN
+    * `AS alias` definition — those shadow an outer alias of the same
+    * name, so alias-inlining passes must leave them untouched. */
+  private def shadowingSubselectSpans(s: String, alias: String): Seq[(Int, Int)] = {
+    val defRe = ("(?i)\\bAS\\s+`?" +
+      java.util.regex.Pattern.quote(alias) + "`?(?![\\w])").r
+    val msk = maskQuotes(s)
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (msk.charAt(i) == '(' &&
+          msk.substring(i + 1).stripLeading.toUpperCase.startsWith("SELECT")) {
+        var depth = 1
+        var j = i + 1
+        while (j < s.length && depth > 0) {
+          if (msk.charAt(j) == '(') depth += 1
+          else if (msk.charAt(j) == ')') depth -= 1
+          j += 1
+        }
+        if (defRe.findFirstIn(msk.substring(i, j)).isDefined) {
+          out += ((i, j)); i = j
+        } else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private[sql] def hasShadowingSubselect(s: String, alias: String): Boolean =
+    shadowingSubselectSpans(s, alias).nonEmpty
+
   private def inlineAliasInWhere(q: String): String =
     recurseParens(q)(level0 => mapUnionBranches(level0)(inlineAliasInWhereLevel))
 
@@ -1510,9 +1700,26 @@ object ChSql {
               .filter(_ > w).minOption.getOrElse(level.length)
             var clause = level.substring(w, wEnd)
             aliases.foreach { case (expr, alias) =>
-              val pat = ("(?<![\\w.`'])" + java.util.regex.Pattern.quote(alias) + "(?![\\w.`'])").r
-              val repl = java.util.regex.Matcher.quoteReplacement(s"($expr)")
-              clause = mapOutsideQuotes(clause)(seg => pat.replaceAllIn(seg, repl))
+              // never rewrite an `AS alias` DEFINITION, and leave
+              // sub-SELECTs that REDEFINE the alias alone — their own
+              // definition shadows the outer one (corpus 00211)
+              val pat = ("(?<![\\w.`'])(?<![Aa][Ss] )" +
+                java.util.regex.Pattern.quote(alias) + "(?![\\w.`'])").r
+              val spans = shadowingSubselectSpans(clause, alias)
+              def inShadow(at: Int) = spans.exists(s => at >= s._1 && at < s._2)
+              // match on the masked text (string literals blanked, so
+              // clause-relative offsets line up with the spans)
+              val msk = maskQuotes(clause)
+              val sb = new java.lang.StringBuilder
+              var last = 0
+              pat.findAllMatchIn(msk).foreach { m =>
+                if (!inShadow(m.start)) {
+                  sb.append(clause, last, m.start).append(s"($expr)")
+                  last = m.end
+                }
+              }
+              sb.append(clause.substring(last))
+              clause = sb.toString
             }
             level.substring(0, w) + clause + level.substring(wEnd)
           }
@@ -1587,7 +1794,7 @@ object ChSql {
           t.charAt(p) == '[' || (t.charAt(p) == '(' &&
             !t.substring(p + 1).stripLeading.toUpperCase.startsWith("SELECT"))
         }
-        if (inlineable) out += m.group(1)
+        if (inlineable && !isTypeName(m.group(1))) out += m.group(1)
       }
     out.result()
   }
@@ -1610,7 +1817,10 @@ object ChSql {
       else bare
     }
     val lead = level.substring(0, level.length - level.stripLeading().length)
-    lead + "SELECT " + items.mkString(", ") + " " + t.substring(end)
+    // keep trailing whitespace: a union branch's trim would otherwise
+    // glue its last token to the following UNION keyword
+    val trail = level.substring(lead.length + t.length)
+    lead + "SELECT " + items.mkString(", ") + " " + t.substring(end) + trail
   }
 
   private def inlineLiteralAliases(q: String): String = {
@@ -1947,7 +2157,7 @@ object ChSql {
     q = ("(?is)\\bCAST\\s*\\(\\s*(.+?)\\s+AS\\s+Enum(8|16)\\s*" +
       "\\(([^()]*)\\)\\s*\\)").r.replaceAllIn(q, m => {
       val bits = m.group(2).toInt
-      val id = enumCastDefs.size
+      val id = enumCastIds.getAndIncrement()
       enumCastDefs.put(id, (bits, m.group(3)))
       java.util.regex.Matcher.quoteReplacement(
         s"ch_enum_cast(${m.group(1)}, $id)")
@@ -1955,9 +2165,16 @@ object ChSql {
     q
   }
 
-  /** Entry lists parked for ch_enum_cast (see rewriteEnumCasts). */
+  /** The per-query randConstant() value (see the fns entry). */
+  private val randConstCache = new ThreadLocal[java.lang.Long]()
+
+  /** Entry lists parked for ch_enum_cast (see rewriteEnumCasts). Ids
+    * come from an atomic counter — size-based allocation collides
+    * under concurrent translation and would silently resolve a cast
+    * to the wrong Enum definition. */
   val enumCastDefs =
     scala.collection.concurrent.TrieMap[Int, (Int, String)]()
+  private val enumCastIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** `GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS
     * ((k1, k2), ())`, appending a hidden `grouping_id() AS __gid`
@@ -3204,6 +3421,33 @@ object ChSql {
       org.apache.spark.sql.catalyst.expressions.DateSub(
         org.apache.spark.sql.catalyst.expressions.CurrentDate(None),
         Literal(1)), "Date") },
+    // rand()/rand64() (FunctionsRandom.h): pseudorandom UInt32/UInt64
+    // per row; the type tag matters more than the stream (tests using
+    // the VALUES are nondeterministic and excluded by design)
+    "rand" -> { case Seq() => graft.functions.ChTypeTag(
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+        Cast(Multiply(
+          org.apache.spark.sql.catalyst.expressions.Rand(
+            Literal(scala.util.Random.nextLong()), hideSeed = true),
+          Literal(4294967296.0)), LongType)), "UInt32") },
+    "rand64" -> { case Seq() => graft.functions.ChTypeTag(
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+        Cast(Multiply(Subtract(
+          org.apache.spark.sql.catalyst.expressions.Rand(
+            Literal(scala.util.Random.nextLong()), hideSeed = true),
+          Literal(0.5)), Literal(1.8446744073709552E19)), LongType)),
+      "UInt64") },
+    // randConstant(): ONE pseudorandom UInt32 PER QUERY
+    // (FunctionsRandom.h FunctionRandConstant) — every call site in
+    // the same statement folds to the same literal (00223 compares
+    // two randConstant() ranges for consistency)
+    "randConstant" -> { case Seq() =>
+      val v = Option(randConstCache.get).map(_.longValue).getOrElse {
+        val nv = scala.util.Random.nextLong() & 0xffffffffL
+        randConstCache.set(nv)
+        nv
+      }
+      graft.functions.ChTypeTag(Literal(v), "UInt32") },
     // hasColumnInTable('db','table','col') — catalog probe, resolved
     // to a constant at translate time (FunctionsMiscellaneous.cpp)
     "hasColumnInTable" -> { case Seq(d, t, c)
@@ -3311,7 +3555,12 @@ object ChSql {
     // no-lambda forms test elements for non-zero (FunctionsHigherOrder.h)
     "arrayExists" -> { case Seq(lam, arr) => new ArrayExists(arr, lam)
       case Seq(arr) => new ArrayExists(arr, nonZeroLambda(arr)) },
-    "arrayMap" -> { case Seq(lam, arr) => new ArrayTransform(arr, lam) },
+    "arrayMap" -> {
+      case Seq(lam, arr) => new ArrayTransform(arr, lam)
+      // multi-array arrayMap is a LOCKSTEP map (FunctionsHigherOrder
+      // same-offsets rule) — two arrays are Spark's zip_with
+      case Seq(lam, a, b) =>
+        org.apache.spark.sql.catalyst.expressions.ZipWith(a, b, lam) },
     "arrayFilter" -> { case Seq(lam, arr) => new ArrayFilter(arr, lam) },
     "arrayAll" -> { case Seq(lam, arr) => new ArrayForAll(arr, lam)
       case Seq(arr) => new ArrayForAll(arr, nonZeroLambda(arr)) },
@@ -3503,13 +3752,16 @@ object ChSql {
     // CH range(n) = [0, …, n-1]; arrayEnumerate(arr) = [1, …, len]
     "range" -> { case Seq(n) =>
       val nL = Cast(n, LongType)
-      // tag: range is Array(UInt64) in the reference whatever the
-      // Long storage says (FunctionsArray.h FunctionRange)
+      // the element type is the ARGUMENT's type — range(100) is
+      // Array(UInt8) (FunctionRange::getReturnTypeImpl returns
+      // arg->clone()); unresolvable args fall back to UInt64
+      val elemT = graft.types.ChTypeInfer.infer(n).map(_.base)
+        .getOrElse("UInt64")
       graft.functions.ChTypeTag(
         If(LessThanOrEqual(nL, Literal(0L)),
           Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)),
           new Sequence(Literal(0L), Subtract(nL, Literal(1L)))),
-        "Array(UInt64)") },
+        s"Array($elemT)") },
     "arrayEnumerate" -> { case Seq(arr) =>
       If(LessThanOrEqual(new Size(arr), Literal(0)),
         Literal.create(Seq.empty[Int], ArrayType(IntegerType, containsNull = false)),
@@ -3570,8 +3822,10 @@ object ChSql {
     "IPv4ToIPv6" -> { case Seq(e) =>
       graft.functions.KernelExpr(Cast(e, LongType), "ipv4_to_ipv6") },
     "convertCharset" -> { case Seq(s, f, t) =>
+      // BINARY result: the target charset's bytes are not generally
+      // valid UTF-8 (hex() reads them raw; the renderers print them)
       org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-        classOf[graft.functions.CodingFns.type], StringType, "convertCharset",
+        classOf[graft.functions.CodingFns.type], BinaryType, "convertCharset",
         Seq(Cast(s, BinaryType), f, t),
         Seq(BinaryType, StringType, StringType),
         returnNullable = false) },
@@ -3903,7 +4157,15 @@ object ChSql {
     val exactCount: Seq[Column] => Column =
       es => count_distinct(es.head, es.tail: _*)
     Seq(
-      "uniq" -> viaColumn(exactCount),
+      // uniq is the adaptive-sampling sketch (UniquesHashSet.h), NOT
+      // exact distinct: fixed ≤256 KB state per group at any
+      // cardinality, exact below 2^16 distinct hashes — the corpus
+      // pins only small exact counts, which the sketch reproduces
+      "uniq" -> { args => (args match {
+        case Seq(e) => graft.functions.UniqSketch(e)
+        case es => graft.functions.UniqSketch(
+          graft.functions.UniqVariadicKeyExpr(es, Nil), trivial = true)
+      }).toAggregateExpression() },
       "uniqExact" -> viaColumn(exactCount),
       // single-arg uniqHLL12 is the BIT-EXACT estimator port (16-key
       // small set + 4096-bucket HLL, UniqHLL12.scala — corpus 00212

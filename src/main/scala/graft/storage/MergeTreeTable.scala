@@ -131,6 +131,12 @@ object MergeTreeTable {
       def numeric(dt: org.apache.spark.sql.types.DataType) =
         integral(dt) || dt == org.apache.spark.sql.types.DoubleType ||
           dt == org.apache.spark.sql.types.FloatType
+      // map VALUES must behave as numbers — Date/DateTime do not
+      // (SummingSortedBlockInputStream.cpp:155-159; the
+      // NonArithmeticValueMap case of corpus 00148)
+      def summable(dt: org.apache.spark.sql.types.DataType) =
+        numeric(dt) && dt != org.apache.spark.sql.types.DateType &&
+          dt != org.apache.spark.sql.types.TimestampType
       val mapGroups: Map[String, (Seq[String], Seq[Int])] =
         df.columns.filter(_.contains(".")).groupBy(_.takeWhile(_ != '.'))
           .filter { case (g, ms) =>
@@ -146,7 +152,7 @@ object MergeTreeTable {
             }
             val ok = flags.forall { case (m, _, isKey) =>
               elemType(m).exists(et =>
-                if (isKey) integral(et) else numeric(et))
+                if (isKey) integral(et) else summable(et))
             }
             if (ok && flags.exists(!_._3))
               Some(g -> (ms, flags.filter(_._3).map(_._2)))
@@ -158,10 +164,13 @@ object MergeTreeTable {
         keyNames.contains(c) || sumCols2.contains(c) || mapMembers.contains(c))
       val mapAlias: Map[String, String] =
         mapGroups.keys.zipWithIndex.map { case (g, i) => g -> s"__map$i" }.toMap
-      // min(col) not first(col): first() is pick-any under a shuffle,
-      // min is deterministic regardless of merge order
+      // non-summed columns keep the FIRST merge-order row's value
+      // (SummingSortedBlockInputStream keeps the current row and only
+      // overwrites summed columns); min_by over a per-row insertion
+      // sequence is deterministic under a shuffle where first() is
+      // pick-any, and matches the reference's part order
       val aggs = sumCols2.map(c => sum(col(c)).as(c)) ++
-        others.map(c => min(qcol(c)).as(c)) ++
+        others.map(c => min_by(qcol(c), col("__ins")).as(c)) ++
         mapGroups.map { case (g, (ms, _)) =>
           flatten(collect_list(arrays_zip(ms.map(qcol): _*))).as(mapAlias(g))
         } :+ count(lit(1)).as("__cnt")
@@ -179,7 +188,10 @@ object MergeTreeTable {
       // back. Costs a second partial-aggregated reduce-to-one-row
       // pass; the previous empty-key window forced EVERY folded row
       // through a single partition — a scale-killer.
-      val folded0 = df.groupBy(keys: _*)
+      // per-row insertion sequence: partition ids grow along the
+      // insert-union lineage, so the id is monotone in part order
+      val folded0 = df.withColumn("__ins", monotonically_increasing_id())
+        .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
       // expand the merged maps back into their member columns
       val folded1 = mapGroups.foldLeft(folded0) { case (d, (g, (ms, ki))) =>

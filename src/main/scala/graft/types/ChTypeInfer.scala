@@ -119,6 +119,18 @@ object ChTypeInfer {
   // ---- structural inference ----------------------------------------
 
   /** Inferred CH type of `e`, or None when not provable. */
+  /** exprId → CH type for attributes whose defining Alias lives in
+    * another plan node; see the AttributeReference arm of [[infer]]. */
+  private val scopeTypes = new ThreadLocal[Map[Long, T]] {
+    override def initialValue(): Map[Long, T] = Map.empty
+  }
+
+  def withScope[A](m: Map[Long, T])(f: => A): A = {
+    val old = scopeTypes.get()
+    scopeTypes.set(m)
+    try f finally scopeTypes.set(old)
+  }
+
   def infer(e: Expression): Option[T] = e match {
     case ChTypeTag(c, n) =>
       val t = parse(n)
@@ -138,6 +150,9 @@ object ChTypeInfer {
     // its Enum type (DataTypeEnum), not the replacement's String
     case ec: graft.functions.ChEnumCast =>
       Some(T(ec.enumDef.typeName, nullable = false))
+    // length() returns UInt64 in the reference (FunctionsString.h
+    // FunctionLength), not the replacement Length's Int32
+    case graft.functions.ChLength(c) => Some(T("UInt64", chNullable(c)))
     case r: RuntimeReplaceable => infer(r.replacement)
 
     case Literal(null, NullType) => Some(T("Null", nullable = false))
@@ -152,17 +167,14 @@ object ChTypeInfer {
 
     case a: AttributeReference if a.metadata.contains(MetaKey) =>
       Some(parse(a.metadata.getString(MetaKey)))
-    // the generators we rewrite system tables to: system.numbers'
-    // `number` is UInt64, system.one's `dummy` UInt8
-    // (StorageSystemNumbers.cpp / StorageSystemOne.cpp); the declared
-    // type is erased by the text-level translation
-    case a: AttributeReference
-        if a.name == "number" && a.dataType == LongType && !a.nullable =>
-      Some(T("UInt64", nullable = false))
-    case a: AttributeReference
-        if a.name == "dummy" && !a.nullable &&
-          intType(a.dataType) =>
-      Some(T("UInt8", nullable = false))
+    // attributes born from an alias elsewhere in the plan resolve
+    // through the scope map [[withScope]] (populated per rule
+    // invocation by ChTypeNameResolution) — system.numbers' `number`
+    // arrives here via the ch_type_tag the rewrite plants, NOT by
+    // name, so a user column that happens to be called `number`
+    // keeps its own type
+    case a: AttributeReference if scopeTypes.get.contains(a.exprId.id) =>
+      Some(scopeTypes.get()(a.exprId.id))
 
     case UnaryMinus(c, _) =>
       c match {

@@ -112,7 +112,11 @@ object ChTypes {
     * metadata attached when the type is an EnumN), the CH type text it
     * renders as (DESCRIBE surface), and the default clause if any. */
   final case class ColDef(field: StructField, typeText: String,
-      defaultKind: Option[String], defaultExpr: Option[String])
+      defaultKind: Option[String], defaultExpr: Option[String],
+      // false when the declaration had no type and [[columnDefs]]
+      // guessed one from the default's literal shape — the DDL layer
+      // re-infers through the CH expression lattice then
+      explicitType: Boolean = true)
 
   /** Column list where defs may carry `DEFAULT expr` / `MATERIALIZED
     * expr` / `ALIAS expr` (ColumnsDescription; the expression is
@@ -181,8 +185,17 @@ object ChTypes {
       val tt = renderTypeText(typeText2, p)
       Seq(ColDef(withTypeMeta(withEnumMeta(
         StructField(sp(0), p.dataType, p.nullable), p.enumDef), tt),
-        tt, defaultKind, defaultExpr))
+        tt, defaultKind, defaultExpr, explicitType = typeText.nonEmpty))
     }
+  }
+
+  /** A field typed by a CH type name (with the type-text metadata the
+    * DESCRIBE / toTypeName surface reads back). */
+  def typedField(name: String, chType: String): StructField = {
+    val p = parse(chType)
+    withTypeMeta(withEnumMeta(
+      StructField(name, p.dataType, p.nullable), p.enumDef),
+      renderTypeText(chType, p))
   }
 
   /** Deep-nullable variant of a type (DataType.asNullable is

@@ -18,6 +18,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
   }
 
+  test("q05: the orders date filter pushes to the scan as a range") {
+    val p = plan(graft.queries.CoreQueries.q05(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p)
+    // the PushedFilters display truncates at 100 chars; the upper
+    // bound shows in full in DataFilters
+    assert(p.contains("< 1997-01-01"), p)
+  }
+
+  test("year(d) = N rewrites to a sargable date range (SargableDates rule)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(year(col("o_orderdate")) === 1996)
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p)
+    assert(!p.contains("year("), p)
+  }
+
   test("q04: dimension join is broadcast, not shuffled") {
     val p = plan(graft.queries.CoreQueries.q04(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
