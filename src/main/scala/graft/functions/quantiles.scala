@@ -484,6 +484,19 @@ object QuantileDeterministic {
     }
 
     def mergeFrom(b: Reservoir): Unit = {
+      // merging into a fresh state adopts the partial VERBATIM: the
+      // reference runs single-threaded with ONE state and no merge
+      // at all, so the degenerate single-partial final merge must be
+      // the identity — the `good()` filter below would drop the
+      // insertImpl straggler (the element that triggers a skip-degree
+      // bump is appended without re-checking, see insertImpl) that
+      // the reference's sample legitimately contains (corpus 00273)
+      if (values.isEmpty && skipDegree == 0) {
+        skipDegree = b.skipDegree
+        values = b.values.clone()
+        hashes = b.hashes.clone()
+        return
+      }
       if (b.skipDegree > skipDegree) {
         skipDegree = b.skipDegree
         thinOut()

@@ -169,6 +169,45 @@ object SimilarityQueries {
       |ORDER BY v1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q95 multi-probe LSH ANN — q53 probes only the query's own
+  // bucket, so a true neighbor whose vector sits just across one
+  // hyperplane is unreachable; standard multi-probe LSH (Lv et al.,
+  // VLDB'07) also probes the buckets at Hamming distance 1 (each
+  // single sign-bit flip): 9 of 256 buckets ≈ 3.5% of the data,
+  // recall strictly ≥ single-probe. The probe set broadcasts with
+  // the query vector, so the fact scan stays ONE pass + ONE
+  // broadcast join — not 9 separate probe queries — and at 100 TB
+  // with `bucket` as a partition key it prunes to the 9 partitions.
+  // ---------------------------------------------------------------
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("bucket", expr(bucketE))
+    val probes = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qb"))
+      .select(col("qe"), explode(expr(
+        "transform(sequence(0, 8), i -> CASE WHEN i = 0 THEN qb " +
+          "ELSE int(qb ^ shiftleft(1, i - 1)) END)")).as("probe"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("bucket") === col("probe"))
+      .select(col("vec_id"), cosineCol.as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val q95Sql =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+       |p AS (SELECT unnest([qb, xor(qb,1), xor(qb,2), xor(qb,4), xor(qb,8),
+       |        xor(qb,16), xor(qb,32), xor(qb,64), xor(qb,128)]) AS probe FROM q),
+       |d AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest((SELECT qe FROM q)) AS y
+       |      FROM b e WHERE e.vec_id <> 0 AND e.bucket IN (SELECT probe FROM p))
+       |SELECT vec_id,
+       |  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+       |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+       |     (SELECT sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |      FROM (SELECT unnest(qe) AS v FROM q))), 4) AS cosine
+       |FROM d GROUP BY vec_id ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------
   // q82 element-wise vector aggregation — the -ForEach combinator
   // (AggregateFunctionForEach.cpp: apply an aggregate per array
   // element) in its scalable form: posexplode + groupBy(label, pos),
@@ -201,5 +240,6 @@ object SimilarityQueries {
     QueryDef("q52_lsh_bucket_histogram", q52, Some(q52Sql)),
     QueryDef("q53_ann_lsh_topk", q53, Some(q53Sql)),
     QueryDef("q54_embedding_neardup", q54, Some(q54Sql)),
-    QueryDef("q82_sum_foreach_centroid", q82, Some(q82Sql)))
+    QueryDef("q82_sum_foreach_centroid", q82, Some(q82Sql)),
+    QueryDef("q95_ann_multiprobe", q95, Some(q95Sql)))
 }

@@ -16,6 +16,67 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
+  /** Byte-transparent rendering mode for goldens containing invalid
+    * UTF-8 (00309-class): string data arrives as Array[Byte] (the
+    * executeRendered byte view) and renders via ISO-8859-1 so every
+    * byte survives the String-based comparison pipeline 1:1. Off by
+    * default — ordinary renders decode UTF-8. Thread-local because
+    * test suites share the JVM. */
+  val byteMode: ThreadLocal[Boolean] = ThreadLocal.withInitial(() => false)
+
+  private[graft] def latin1(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Decode raw string bytes for rendering: byte-preserving latin1 in
+    * [[byteMode]], ordinary UTF-8 (with per-byte replacement, like
+    * UTF8String.toString) otherwise. */
+  private[graft] def decodeBin(b: Array[Byte]): String =
+    if (byteMode.get()) latin1(b)
+    else new String(b, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** [[validUtf8]] for renderer output: in byteMode the result must
+    * stay in latin1-byte space (U+FFFD re-encodes to its three UTF-8
+    * bytes) so the byte-level comparison sees what the reference
+    * wrote. */
+  private[graft] def validUtf8Out(b: Array[Byte]): String = {
+    val s = validUtf8(b)
+    if (byteMode.get())
+      latin1(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else s
+  }
+
+  /** The reference's WriteBufferValidUTF8 with group_replacements
+    * (JSON/XML output paths): copy valid UTF-8 sequences through,
+    * collapse each RUN of invalid bytes into a single U+FFFD. */
+  private[graft] def validUtf8(b: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var justReplaced = false
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      val len =
+        if (c < 0x80) 1 else if (c < 0xc0) 0 // bare continuation
+        else if (c < 0xe0) 2 else if (c < 0xf0) 3
+        else if (c < 0xf8) 4 else 0
+      if (len == 0 || i + len > b.length) {
+        if (!justReplaced) { sb.append('�'); justReplaced = true }
+        i += 1
+      } else {
+        val s = new String(b, i, len, java.nio.charset.StandardCharsets.UTF_8)
+        if (s.length == 1 && (s.charAt(0) != '�' || (len == 3 &&
+            c == 0xef && (b(i + 1) & 0xff) == 0xbf && (b(i + 2) & 0xff) == 0xbd))) {
+          sb.append(s); justReplaced = false; i += len
+        } else if (s.length == 2 && Character.isSurrogatePair(s.charAt(0), s.charAt(1))) {
+          sb.append(s); justReplaced = false; i += len
+        } else {
+          if (!justReplaced) { sb.append('�'); justReplaced = true }
+          i += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
   final case class Fmt(source: String, options: Map[String, String])
 
   val registry: Map[String, Fmt] = Map(
@@ -121,16 +182,21 @@ object Formats {
       quote64: Boolean = true,
       extremes: Option[(Seq[Any], Seq[Any])] = None): String = {
     def jsonStr(s: String): String = {
+      // writeJSONString: also escapes '/', renders control chars with
+      // UPPERCASE hex, and spells out U+2028/U+2029
       val sb = new StringBuilder("\"")
       s.foreach {
         case '"' => sb.append("\\\"")
         case '\\' => sb.append("\\\\")
+        case '/' => sb.append("\\/")
         case '\b' => sb.append("\\b")
         case '\f' => sb.append("\\f")
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04X")
+        case c if c == '\u2028' => sb.append("\\u2028")
+        case c if c == '\u2029' => sb.append("\\u2029")
         case c => sb.append(c)
       }
       sb.append('"').toString
@@ -139,6 +205,9 @@ object Formats {
       case null => "null"
       case b: Boolean => if (b) "1" else "0"
       case s: String => jsonStr(s)
+      // JSON output runs through WriteBufferValidUTF8: invalid byte
+      // runs collapse to one U+FFFD before escaping
+      case b: Array[Byte] => jsonStr(validUtf8Out(b))
       case d: java.sql.Date => jsonStr(d.toString)
       // DateTime JSON is SECOND-precision ("yyyy-MM-dd HH:mm:ss" —
       // DataTypeDateTime::serializeTextJSON); Timestamp.toString keeps
@@ -258,7 +327,8 @@ object Formats {
     * `&` and `<` only (writeXMLString). */
   def renderXml(names: Seq[String], chTypes: Seq[String],
       rows: Seq[Seq[Any]], totals: Option[Seq[Any]],
-      extremes: Option[(Seq[Any], Seq[Any])]): String = {
+      extremes: Option[(Seq[Any], Seq[Any])],
+      rowsBeforeLimit: Option[Long] = None): String = {
     def esc(t: String): String = t.replace("&", "&amp;").replace("<", "&lt;")
     def tagOf(n: String): String =
       if (n.matches("[A-Za-z_][A-Za-z0-9_-]*")) n else "field"
@@ -266,6 +336,8 @@ object Formats {
       case null => ""
       // writeXMLString escapes only & and < — newlines stay literal
       case str: String => esc(str)
+      // XML also writes through WriteBufferValidUTF8 (grouped)
+      case b: Array[Byte] => esc(validUtf8Out(b))
       case a: scala.collection.Seq[_] =>
         "<array>" + a.map(e => s"<elem>${xmlVal(e)}</elem>").mkString + "</array>"
       case r: org.apache.spark.sql.Row =>
@@ -305,7 +377,10 @@ object Formats {
         .append("\t\t</max>\n")
         .append("\t</extremes>\n")
     }
-    sb.append("\t<rows>").append(rows.length).append("</rows>\n</result>")
+    sb.append("\t<rows>").append(rows.length).append("</rows>\n")
+    rowsBeforeLimit.foreach(n => sb.append("\t<rows_before_limit_at_least>")
+      .append(n).append("</rows_before_limit_at_least>\n"))
+    sb.append("</result>")
     sb.toString
   }
 
@@ -410,7 +485,7 @@ object Formats {
     df.limit(limit).collect()
       .map(_.toSeq.map {
         case s: String => s
-        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case b: Array[Byte] => decodeBin(b)
         case v => renderValue(v, inArray = false)
       }.mkString("\t"))
       .mkString("\n")
@@ -486,7 +561,8 @@ object Formats {
     // writeEscapedString (TabSeparated): \b \f \n \r \t \0 \' \\ are
     // escaped in String VALUES; strings inside containers also quote
     def escape(s: String): String =
-      s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+      s.replace("\\", "\\\\").replace("\b", "\\b").replace("\f", "\\f")
+        .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
         .replace("\u0000", "\\0").replace("'", "\\'")
     def render(v: Any, inArray: Boolean): String = v match {
       // top-level NULL prints \N; inside containers the reference
@@ -520,11 +596,11 @@ object Formats {
         // the reference prints the plain numeric value ('-1')
         val s = b.stripTrailingZeros
         if (s.scale <= 0) s.toBigInteger.toString else s.toPlainString
-      // raw byte strings (convertCharset output): CH String has no
-      // encoding, print the bytes as-is (valid-UTF-8 goldens only
-      // ever render convertible values; the rest go through hex())
+      // raw byte strings (convertCharset output, or the byteMode view
+      // of String columns): CH String has no encoding — in byteMode
+      // every byte passes through via latin1, otherwise decode UTF-8
       case b: Array[Byte] =>
-        val s = escape(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        val s = escape(decodeBin(b))
         if (inArray) s"'$s'" else s
       case other => other.toString
     }
@@ -617,6 +693,7 @@ object Formats {
       case null => Seq("\\N")
       case r: org.apache.spark.sql.Row => r.toSeq.flatMap(field)
       case s: String => Seq(q(s))
+      case b: Array[Byte] => Seq(q(decodeBin(b)))
       case a: scala.collection.Seq[_] =>
         Seq(q(a.map(renderValue(_, inArray = true)).mkString("[", ",", "]")))
       case d: java.sql.Date => Seq(q(renderValue(d, inArray = false)))
@@ -675,6 +752,11 @@ object Formats {
       case s: String =>
         val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         varint(b.length.toLong); out.write(b)
+      case b: Array[Byte] => // byteMode view of a String column
+        varint(b.length.toLong); out.write(b)
+      // tuples serialize flat, element after element (RowBinary has
+      // no per-row framing at all)
+      case r: org.apache.spark.sql.Row => r.toSeq.foreach(write)
       case a: scala.collection.Seq[_] =>
         varint(a.length.toLong); a.foreach(write)
       case d: java.sql.Date => le(d.toLocalDate.toEpochDay, 2) // UInt16 days

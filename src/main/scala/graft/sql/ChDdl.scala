@@ -633,7 +633,7 @@ object ChDdl {
           val left = Option(m.group(1)).getOrElse("")
           val items = ChSql.splitTopLevel(m.group(2)).map(_.trim)
           val rewritten = items.flatMap { it =>
-            val aliasM = "(?is)^(.*?)\\s+AS\\s+`?(\\w+)`?$".r.findFirstMatchIn(it)
+            val aliasM = "(?is)^(.*?)\\s+AS\\s+`?([\\w.]+)`?$".r.findFirstMatchIn(it)
             val (expr, alias) = aliasM match {
               case Some(am) => (am.group(1).trim, Some(am.group(2)))
               case None => (it, None)
@@ -646,8 +646,16 @@ object ChDdl {
                 scalarSubs(s"$pfx.$leaf") = elemName(col)
                 s"`$col` AS ${elemName(col)}"
               }
-            } else if (dotted.contains(expr) && alias.isEmpty) {
-              scalarSubs(expr) = elemName(expr)
+            } else if (dotted.contains(expr)) {
+              alias match {
+                // bare (or self-aliased): the member is REPLACED by
+                // its element query-wide
+                case None => scalarSubs(expr) = elemName(expr)
+                case Some(a) if a == expr => scalarSubs(expr) = elemName(expr)
+                // a fresh alias names the element; the original
+                // member keeps its whole-array meaning (00261)
+                case Some(a) => scalarSubs(a) = elemName(expr)
+              }
               Seq(s"`$expr` AS ${elemName(expr)}")
             } else Seq(it)
           }
@@ -873,6 +881,13 @@ object ChDdl {
         case _ =>
       }
     }
+    // when the query observes block structure, each shard must stay
+    // an independent stream for the window model — tag branches with
+    // a shard ordinal the block-function windows partition on
+    // (corpus 00167's per-shard 123-blocks halve to 61/62)
+    val wantsBlocks =
+      "(?i)\\b(rowNumberInAllBlocks|rowNumberInBlock|blockNumber|blockSize)\\s*\\(".r
+        .findFirstIn(sql).isDefined
     q = replaceQuoteAware(q, remoteRe)(m => {
       val (db, table) = Option(m.group(3)).orElse(Option(m.group(4))) match {
         case Some(t) => (m.group(2), t)
@@ -882,6 +897,9 @@ object ChDdl {
       val n = remoteShardCount(m.group(1))
       java.util.regex.Matcher.quoteReplacement(
         if (n == 1) frag
+        else if (wantsBlocks)
+          (1 to n).map(i => s"SELECT *, $i AS __shardno FROM $frag")
+            .mkString("(", " UNION ALL ", ")")
         else Seq.fill(n)(s"SELECT * FROM $frag").mkString("(", " UNION ALL ", ")"))
     })
     val shardRe =
@@ -1253,6 +1271,8 @@ object ChDdl {
     // the Raw variants write strings unescaped
     val tsvRaw = "(?i)FORMAT\\s+(?:TabSeparatedRaw|TSVRaw)\\s*$".r
       .findFirstIn(trimmed).isDefined
+    val rowBinaryFmt = "(?i)FORMAT\\s+RowBinary\\s*$".r
+      .findFirstIn(trimmed).isDefined
     val csvFmt = "(?i)FORMAT\\s+CSV(WithNames)?\\s*$".r.findFirstMatchIn(trimmed)
     // The totals side-channel row is NOT subject to LIMIT
     // (TotalsHavingBlockInputStream sits before the limit in the
@@ -1274,9 +1294,18 @@ object ChDdl {
       // BY over a non-selected group key) never render; dropping
       // AFTER the sort keeps row order
       val hid = df0.columns.filter(_.matches("__sort\\d+"))
-      if (hid.isEmpty) df0 else df0.drop(hid.toIndexedSeq: _*)
+      val df1 = if (hid.isEmpty) df0 else df0.drop(hid.toIndexedSeq: _*)
+      // byte-transparent mode: view String data as raw bytes so
+      // invalid UTF-8 survives collect() (Formats.byteMode)
+      if (Formats.byteMode.get()) byteView(df1) else df1
     }.flatMap { df =>
-      if (jsonFmt.isDefined || jsonEachRow || xmlFmt) {
+      if (rowBinaryFmt) {
+        // FORMAT RowBinary: the raw row bytes, latin1-wrapped so the
+        // String pipeline is byte-preserving; no trailing newline
+        val blob = Formats.latin1(Formats.rowBinary(df))
+        if (blob.isEmpty) None else Some(blob)
+      }
+      else if (jsonFmt.isDefined || jsonEachRow || xmlFmt) {
         val compact = jsonFmt.exists(_.equalsIgnoreCase("JSONCompact"))
         val noFmt = trimmed.replaceAll("(?i)\\s+FORMAT\\s+\\w+\\s*$", "")
         val gid = df.columns.indexOf("__gid")
@@ -1331,7 +1360,7 @@ object ChDdl {
           Some(Formats.renderXml(names, chTypes,
             mainRows.map(r => vals(r, totals = false)).toSeq,
             totRows.headOption.map(r => vals(r, totals = true)),
-            extremesJson))
+            extremesJson, rowsBeforeLimit(spark, noFmt)))
         else if (jsonEachRow)
           Some(Formats.renderJsonEachRow(names, chTypes,
             mainRows.map(r => vals(r, totals = false)).toSeq,
@@ -1550,6 +1579,12 @@ object ChDdl {
     * row count. None when no LIMIT exists (the field is omitted). */
   private def rowsBeforeLimit(spark: SparkSession, stmt: String): Option[Long] = {
     if ("(?i)\\bLIMIT\\s+\\d".r.findFirstIn(stmt).isEmpty) None
+    else if ("(?is)\\bFROM\\s+system\\.numbers\\s+LIMIT\\s+\\d+\\s*$".r
+        .findFirstIn(stmt).isDefined)
+      // the numbers generator is limit-pushed (ChSql bounds it to an
+      // n-row range): exactly n rows flow into the limit stream
+      "(?is)\\bLIMIT\\s+(\\d+)\\s*$".r.findFirstMatchIn(stmt)
+        .map(_.group(1).toLong)
     else {
       val top = ChSql.maskTop(stmt)
       "(?i)\\bLIMIT\\s+\\d+(?:\\s*,\\s*\\d+)?\\s*$".r.findFirstMatchIn(top) match {
@@ -1617,6 +1652,31 @@ object ChDdl {
       case n if n.children.length == 1 => uint64Outputs(n.children.head)
       case _ => Set.empty
     }
+
+  /** String→Binary view of every string column (top-level and inside
+    * arrays/tuples/maps) for [[Formats.byteMode]]: UTF8String keeps
+    * raw bytes, but Row.getString decodes with replacement — casting
+    * to binary BEFORE collect() is the byte-preserving path. */
+  private def byteView(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def bin(dt: DataType): DataType = dt match {
+      case StringType => BinaryType
+      case ArrayType(e, n) => ArrayType(bin(e), n)
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = bin(f.dataType))))
+      case MapType(k, v, n) => MapType(bin(k), bin(v), n)
+      case other => other
+    }
+    if (df.schema.fields.forall(f => bin(f.dataType) == f.dataType)) df
+    else {
+      val attrs = df.queryExecution.analyzed.output
+      df.select(attrs.zip(df.schema.fields).map { case (attr, f) =>
+        val c = org.apache.spark.sql.graftbridge.Bridge.column(attr)
+        val t = bin(f.dataType)
+        if (t == f.dataType) c else c.cast(t).as(f.name, f.metadata)
+      }.toIndexedSeq: _*)
+    }
+  }
 
   private def decodeEnums(df: DataFrame): DataFrame = {
     val u64 = uint64Outputs(df.queryExecution.analyzed)
@@ -1718,8 +1778,17 @@ object ChDdl {
     try {
       val df0 = spark.createDataFrame(new java.util.ArrayList[Row](),
         org.apache.spark.sql.types.StructType(fields))
+      // dotted refs to flattened columns need backticks (00261)
+      val quoted = fields.map(_.name).filter(_.contains(".")).foldLeft(exprText) {
+        (q, c) =>
+          val pat = ("(?<![\\w.`])" + c.split('.')
+            .map(java.util.regex.Pattern.quote).mkString("\\s*\\.\\s*") +
+            "(?![\\w.`(])").r
+          ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg,
+            java.util.regex.Matcher.quoteReplacement(s"`$c`")))
+      }
       val sel = ChSql.withDialectFunctions(spark) {
-        df0.selectExpr(ChSql.translateScalarExpr(exprText))
+        df0.selectExpr(ChSql.translateScalarExpr(quoted))
       }
       val e = sel.queryExecution.analyzed.asInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.Project]
@@ -2074,6 +2143,20 @@ object ChDdl {
 
   /** CH zero-date spellings parse as the epoch (ReadHelpers: day/
     * second number 0) — Spark's Date parser rejects '0000-00-00'. */
+  /** DEFAULT/ALIAS expressions may reference flattened dotted columns
+    * (`struct.a2 ALIAS struct.a1`) — backtick them so Spark reads one
+    * identifier, not struct-field access (corpus 00261). */
+  private def quoteDottedRefs(e: String, entry: Entry): String = {
+    val dotted = entry.df.schema.fieldNames.filter(_.contains("."))
+    dotted.foldLeft(e) { (q, c) =>
+      val pat = ("(?<![\\w.`])" + c.split('.')
+        .map(java.util.regex.Pattern.quote).mkString("\\s*\\.\\s*") +
+        "(?![\\w.`(])").r
+      ChSql.mapOutsideQuotes(q)(seg => pat.replaceAllIn(seg,
+        java.util.regex.Matcher.quoteReplacement(s"`$c`")))
+    }
+  }
+
   private def fixZeroDate(e: String, dt: org.apache.spark.sql.types.DataType): String =
     dt match {
       case org.apache.spark.sql.types.DateType =>
@@ -2298,7 +2381,8 @@ object ChDdl {
               ChSql.withDialectFunctions(spark) {
                 df.withColumn(f.name,
                   castCh(org.apache.spark.sql.functions.expr(
-                    fixZeroDate(ChSql.translateScalarExpr(e), f.dataType)),
+                    fixZeroDate(ChSql.translateScalarExpr(
+                      quoteDottedRefs(e, entry)), f.dataType)),
                     f.dataType))
               }
             case None =>
@@ -2395,7 +2479,8 @@ object ChDdl {
                 val value = addDefs.find(_._1 == field.name).map(_._2) match {
                   case Some(e) =>
                     castCh(org.apache.spark.sql.functions.expr(
-                      ChSql.translateScalarExpr(e)), field.dataType)
+                      ChSql.translateScalarExpr(quoteDottedRefs(e, entry))),
+                      field.dataType)
                   case None => (field.dataType, nestedSibling) match {
                     case (org.apache.spark.sql.types.ArrayType(et, _), Some(sib)) =>
                       import org.apache.spark.sql.functions._

@@ -165,8 +165,17 @@ object ChSql {
     // preserve trailing whitespace: union branches are re-joined with
     // their separators, `LIMIT 1000` + `UNION` must not glue together
     val trail = level.substring(level.stripTrailing().length)
+    // system.numbers is a SEQUENTIAL generator in the reference
+    // (StorageSystemNumbers.cpp — one ascending stream; numbers_mt is
+    // the parallel variant): a single slice reproduces its insertion
+    // order, which order-sensitive sampler states observe
+    // (ReservoirSamplerDeterministic's bump-straggler — corpus 00273).
+    // Large bounded reads keep 16 slices: beyond a few million rows
+    // parallelism matters more than order and nothing order-sensitive
+    // is pinned at that size.
+    val slices = if (bound <= 4000000L) 1 else 16
     lead + t.substring(0, m.start) +
-      s"FROM (SELECT ch_type_tag(id, 'UInt64') AS number FROM range(0, $bound, 1, 16))" +
+      s"FROM (SELECT ch_type_tag(id, 'UInt64') AS number FROM range(0, $bound, 1, $slices))" +
       t.substring(m.start(1)) + trail
   }
 
@@ -208,6 +217,53 @@ object ChSql {
     var q = stripComments(ch).trim.stripSuffix(";").trim
     // FORMAT <name> at the end is presentation, not semantics
     q = q.replaceAll("(?i)\\s+FORMAT\\s+[A-Za-z]+\\s*$", "")
+    // `SETTINGS max_rows_to_read = N, read_overflow_mode = 'break'`
+    // over system.numbers bounds the generator like the reference's
+    // read quota (Limits.cpp 'break' stops at the block that crosses
+    // N): ceil N up to the level's block size — corpus 00167 reads
+    // ~1000 rows where the unbounded generator is 100M. MUST run
+    // BEFORE the generic SETTINGS strip below consumes the clause;
+    // the level's max_block_size survives as a comment marker that
+    // the blockSize() model (rewriteBlockFnsLevel) reads back.
+    q = recurseParens(q)(l => mapUnionBranches(l) { level =>
+      // LAST match: statement-level SETTINGS trail the query, and an
+      // already-processed inner level's settings text sits earlier
+      val hasBreak =
+        "(?i)\\bmax_rows_to_read\\s*=\\s*(\\d+)".r.findAllMatchIn(level)
+          .toSeq.lastOption
+          .filter(_ =>
+            "(?i)\\bread_overflow_mode\\s*=\\s*'break'".r
+              .findFirstIn(level).isDefined)
+      hasBreak match {
+        case Some(m)
+            if "(?i)\\bFROM\\s+(`?system`?\\s*\\.\\s*`?numbers(_mt)?`?\\b|\\(SELECT ch_type_tag)".r
+              .findFirstIn(level).isDefined =>
+          val n = m.group(1).toLong
+          val s = "(?i)\\bmax_block_size\\s*=\\s*(\\d+)".r
+            .findAllMatchIn(level).toSeq.lastOption.map(_.group(1).toLong)
+            .getOrElse(ChDdl.currentMaxBlockSize)
+          val bound = ((n + s - 1) / s) * s
+          val slices = if (bound <= 4000000L) 1 else 16
+          level
+            .replaceAll("(?i)`?\\bsystem`?\\s*\\.\\s*`?numbers(_mt)?`?\\b",
+              java.util.regex.Matcher.quoteReplacement(
+                s"(SELECT ch_type_tag(id, 'UInt64') AS number " +
+                  s"FROM range(0, $bound, 1, $slices))"))
+            // a remote()-expanded numbers fragment (ChDdl rewrote the
+            // table function before translation) carries the wide
+            // default bound — the read quota shrinks it the same way
+            .replace("range(0, 100000000, 1, 16)",
+              s"range(0, $bound, 1, $slices)")
+            // drop this level's SETTINGS clause now, keeping the
+            // block size visible for the block-function model
+            .replaceAll(
+              "(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*('[^']*'|[\\w.]+)" +
+                "(\\s*,\\s*\\w+\\s*=\\s*('[^']*'|[\\w.]+))*",
+              java.util.regex.Matcher.quoteReplacement(
+                s" /* max_block_size = $s */ "))
+        case _ => level
+      }
+    })
     // SETTINGS k=v[, …] is an execution hint. Value pattern must not
     // swallow a closing paren or a quoted string's tail — `SETTINGS
     // max_result_rows = 0) GROUP BY` inside a subquery keeps its `)`
@@ -250,40 +306,6 @@ object ChSql {
     // with 16 parallel slices (a 100M-row DISTINCT should use every
     // core; the corpus's largest real read is 10M).
     q = boundNumbers(q)
-    // `SETTINGS max_rows_to_read = N, read_overflow_mode = 'break'`
-    // over system.numbers bounds the generator like the reference's
-    // read quota (Limits.cpp 'break' stops at the block that crosses
-    // N): ceil N up to the level's block size — corpus 00167 reads
-    // 1000-ish rows where the unbounded generator is 100M
-    q = recurseParens(q)(l => mapUnionBranches(l) { level =>
-      // LAST match: statement-level SETTINGS trail the query, and an
-      // already-processed inner level's settings text sits earlier
-      val hasBreak =
-        "(?i)\\bmax_rows_to_read\\s*=\\s*(\\d+)".r.findAllMatchIn(level)
-          .toSeq.lastOption
-          .filter(_ =>
-            "(?i)\\bread_overflow_mode\\s*=\\s*'break'".r
-              .findFirstIn(level).isDefined)
-      hasBreak match {
-        case Some(m)
-            if "(?i)\\bFROM\\s+system\\.numbers(_mt)?\\b".r
-              .findFirstIn(level).isDefined =>
-          val n = m.group(1).toLong
-          val s = "(?i)\\bmax_block_size\\s*=\\s*(\\d+)".r
-            .findAllMatchIn(level).toSeq.lastOption.map(_.group(1).toLong)
-            .getOrElse(ChDdl.currentMaxBlockSize)
-          val bound = ((n + s - 1) / s) * s
-          level.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
-            s"(SELECT ch_type_tag(id, 'UInt64') AS number " +
-              s"FROM range(0, $bound, 1, 16))")
-            // a remote()-expanded numbers fragment (ChDdl rewrote the
-            // table function before translation) carries the wide
-            // default bound — the read quota shrinks it the same way
-            .replace("range(0, 100000000, 1, 16)",
-              s"range(0, $bound, 1, 16)")
-        case _ => level
-      }
-    })
     q = q.replaceAll("(?i)\\bsystem\\.numbers(_mt)?\\b",
       "(SELECT ch_type_tag(id, 'UInt64') AS number FROM range(0, 100000000, 1, 16))")
     // CH `LIMIT offset, n` → SQL `LIMIT n OFFSET offset`
@@ -571,9 +593,11 @@ object ChSql {
         }))
       s
     })
-    // bare USING list → parenthesized
-    q = q.replaceAll("(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
-      "USING ($1)")
+    // bare USING list → parenthesized (never inside string literals —
+    // 00261's '-- … not using the result' captions)
+    q = mapOutsideQuotes(q)(_.replaceAll(
+      "(?i)\\bUSING\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)",
+      "USING ($1)"))
     // USING-join resolution quirks (outer-alias keys, main-table `*`,
     // left-priority ambiguity)
     // sibling-alias inlining must run FIRST: rewriteUsingJoin may
@@ -631,14 +655,24 @@ object ChSql {
     // first array; every further alias becomes positional access into
     // its expression — shared offsets, exactly the Nested semantics
     q = rewriteMultiArrayJoin(q)
+    // `ARRAY JOIN col AS col` — self-alias IS the replace semantics
+    // and the named element would collide with the source column:
+    // drop the alias and let the bare-column pass redirect refs
+    // (corpus 00261)
+    q = mapOutsideQuotes(q)(_.replaceAll(
+      "(?i)\\b(ARRAY\\s+JOIN\\s+)([A-Za-z_]\\w*)\\s+AS\\s+\\2(?![\\w.`])", "$1$2"))
     // ARRAY JOIN clause → LATERAL VIEW explode
     // LEFT ARRAY JOIN ≡ ARRAY JOIN of emptyArrayToSingle: an empty
     // array contributes one row holding the element type's default
     // (NULL when the elements are Nullable — corpus 00452)
-    q = q.replaceAll("(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+(`[^`]+`|\\[[^\\[\\]]*\\]|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
-      "LATERAL VIEW explode(emptyArrayToSingle($1)) __aj AS $2")
-    q = q.replaceAll("(?i)\\bARRAY\\s+JOIN\\s+(`[^`]+`|\\[[^\\[\\]]*\\]|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)",
-      "LATERAL VIEW explode($1) __aj AS $2")
+    q = replaceQuoteAware(q,
+      "(?i)\\bLEFT\\s+ARRAY\\s+JOIN\\s+(`[^`]+`|\\[[^\\[\\]]*\\]|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)".r)(m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"LATERAL VIEW explode(emptyArrayToSingle(${m.group(1)})) __aj AS ${m.group(2)}"))
+    q = replaceQuoteAware(q,
+      "(?i)\\bARRAY\\s+JOIN\\s+(`[^`]+`|\\[[^\\[\\]]*\\]|[A-Za-z_][A-Za-z0-9_]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)".r)(m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"LATERAL VIEW explode(${m.group(1)}) __aj AS ${m.group(2)}"))
     q = rewriteBareArrayJoin(q)
     // FROM-less queries referencing `dummy` implicitly read system.one
     // — at every nesting level and in every UNION branch
@@ -1476,18 +1510,26 @@ object ChSql {
     if ("(?i)\\bAS\\s+number\\s+FROM\\s+range\\s*\\(".r
           .findFirstIn(maskQuotes(level)).isDefined &&
         "(?i)\\browNumberInAllBlocks".r.findFirstIn(level).isEmpty) {
+      // LAST marker wins: an inner subquery's /* max_block_size */
+      // marker precedes the level's own trailing one (00167's nested
+      // break quotas)
       val s1 = "(?i)\\bmax_block_size\\s*=\\s*(\\d+)".r
-        .findFirstMatchIn(level).map(_.group(1).toLong).getOrElse(s)
+        .findAllMatchIn(level).toSeq.lastOption.map(_.group(1).toLong)
+        .getOrElse(s)
       val blk = s"(number div $s1)"
+      // shard-tagged remote() branches are independent streams: the
+      // block windows partition per shard (ChDdl remote expansion)
+      val part = if ("(?i)\\b__shardno\\b".r.findFirstIn(level).isDefined)
+        s"__shardno, $blk" else blk
       return mapOutsideQuotes(level)(seg => seg
         .replaceAll("(?i)\\browNumberInBlock\\s*\\(\\s*\\)",
           java.util.regex.Matcher.quoteReplacement(
-            s"(row_number() OVER (PARTITION BY $blk ORDER BY number) - 1)"))
+            s"(row_number() OVER (PARTITION BY $part ORDER BY number) - 1)"))
         .replaceAll("(?i)\\bblockNumber\\s*\\(\\s*\\)",
           java.util.regex.Matcher.quoteReplacement(blk))
         .replaceAll("(?i)\\bblockSize\\s*\\(\\s*\\)",
           java.util.regex.Matcher.quoteReplacement(
-            s"(count(*) OVER (PARTITION BY $blk))")))
+            s"(count(*) OVER (PARTITION BY $part))")))
     }
     val rn = "(row_number() OVER (ORDER BY 'b') - 1)"
     val cnt = "(count(*) OVER ())"
@@ -1951,10 +1993,26 @@ object ChSql {
     * view under a fresh alias and redirect the query's own (depth-0)
     * `col` references to it — subqueries keep their bindings, so a
     * subquery-produced array still feeds the explode. */
+  /** replaceAllIn skipping matches that START inside a single-quoted
+    * string literal (a match may legally CONTAIN literals — `ARRAY
+    * JOIN ['a','b'] AS x` — which mapOutsideQuotes would split). */
+  private def replaceQuoteAware(q: String,
+      re: scala.util.matching.Regex)(
+      fn: scala.util.matching.Regex.Match => String): String = {
+    val inQuote = new Array[Boolean](q.length + 1)
+    var inQ = false
+    q.indices.foreach { i => inQuote(i) = inQ; if (q(i) == '\'') inQ = !inQ }
+    re.replaceAllIn(q, m =>
+      if (inQuote(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else fn(m))
+  }
+
   private def rewriteBareArrayJoin(q0: String): String = {
     val re = "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+([A-Za-z_]\\w*)\\b".r
     var q = q0
-    var m = re.findFirstMatchIn(q)
+    // match on the quote-masked text: '… array join …' inside a
+    // string literal is data (00261 captions)
+    var m = re.findFirstMatchIn(maskQuotes(q))
     var guard = 0
     while (m.isDefined && guard < 8) {
       val mm = m.get
@@ -1988,7 +2046,7 @@ object ChSql {
       }
       flush(curDepth0)
       q = sb.toString.replace(marker, name)
-      m = re.findFirstMatchIn(q)
+      m = re.findFirstMatchIn(maskQuotes(q))
       guard += 1
     }
     q
@@ -2713,31 +2771,63 @@ object ChSql {
   private def rewriteMultiArrayJoin(q: String): String = {
     // the clause runs to end-of-query or to the next top-level clause
     // keyword (WHERE/GROUP/ORDER/…) — `ARRAY JOIN a AS x, f(a) AS n
-    // ORDER BY x` must not swallow the ORDER BY
-    val re = ("(?is)\\bARRAY\\s+JOIN\\s+(.+?\\s+AS\\s+\\w+\\s*(?:,\\s*.+?\\s+AS\\s+\\w+\\s*)+)" +
-      "(?=(?:WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS)\\b|$)").r
-    re.findFirstMatchIn(q) match {
-      case None => q
-      case Some(m) =>
-        val items = splitTopLevel(m.group(1)).map { it =>
-          val parts = it.split("(?i)\\s+AS\\s+")
-          (parts.dropRight(1).mkString(" AS ").trim, parts.last.trim)
-        }
-        val (e1, a1) = items.head
-        var body = q.substring(0, m.start)
-        var rest = q.substring(m.end)
-        items.tail.foreach { case (ek, ak) =>
-          // quote the alias pattern AND the expression replacement ($
-          // or \ in ek would corrupt the rewrite); never touch string
-          // literals
-          val pat = ("\\b" + java.util.regex.Pattern.quote(ak) + "\\b").r
-          val repl = java.util.regex.Matcher.quoteReplacement(
-            s"charrayelement($ek, __ajpos + 1)")
-          body = mapOutsideQuotes(body)(seg => pat.replaceAllIn(seg, repl))
-          rest = mapOutsideQuotes(rest)(seg => pat.replaceAllIn(seg, repl))
-        }
-        body + s" LATERAL VIEW posexplode($e1) __aj AS __ajpos, $a1 " + rest
+    // ORDER BY x` must not swallow the ORDER BY. Items are
+    // `expr [AS alias]`, mixed freely (ExpressionAnalyzer
+    // getArrayJoinedColumns): an UNALIASED column is REPLACED
+    // query-wide by its element; an aliased one keeps the original
+    // array and the alias names the element (corpus 00261). All
+    // items unnest in LOCKSTEP (shared offsets) — posexplode the
+    // first, positional access for the rest.
+    val re = ("(?is)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)" +
+      "(?=\\s(?:WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS)\\b|$)").r
+    // match on the QUOTE-MASKED text ('… array join …' inside a
+    // string literal must not trigger the rewrite), then cut the
+    // original by the mask's offsets (same length)
+    val m = re.findFirstMatchIn(maskQuotes(q)).getOrElse(return q)
+    val itemsRaw = splitTopLevel(
+      q.substring(m.start(2), m.end(2))).map(_.trim).filter(_.nonEmpty)
+    if (itemsRaw.length < 2) return q // single-item passes handle it
+    val left = m.group(1) != null
+    val items = itemsRaw.map { it =>
+      "(?is)^(.+)\\s+AS\\s+`?([\\w.]+)`?\\s*$".r.findFirstMatchIn(it) match {
+        case Some(am) => (am.group(1).trim, Some(am.group(2)))
+        case None => (it, None)
+      }
     }
+    val bareCol = "^`?[A-Za-z_][\\w.]*`?$"
+    val (e1, a1opt) = items.head
+    // `col AS col` is the unaliased replace semantics, and the alias
+    // would collide with the source column — treat as bare
+    val selfAliased1 =
+      e1.matches(bareCol) && a1opt.contains(e1.replace("`", ""))
+    val name1 =
+      if (selfAliased1) "__ajx_" + e1.replaceAll("[^A-Za-z0-9_]", "_")
+      else a1opt.getOrElse("__ajx_" + e1.replaceAll("[^A-Za-z0-9_]", "_"))
+    var body = q.substring(0, m.start)
+    var rest = q.substring(m.end)
+    def subst(pat: scala.util.matching.Regex, repl: String): Unit = {
+      // quote the replacement ($ or \ in exprs would corrupt it);
+      // never touch string literals
+      val r = java.util.regex.Matcher.quoteReplacement(repl)
+      body = mapOutsideQuotes(body)(seg => pat.replaceAllIn(seg, r))
+      rest = mapOutsideQuotes(rest)(seg => pat.replaceAllIn(seg, r))
+    }
+    def barePat(name: String) =
+      ("(?<![\\w.`])" + java.util.regex.Pattern.quote(name) + "(?![\\w.`(])").r
+    items.tail.foreach { case (ek, akOpt) =>
+      val elem = s"charrayelement($ek, __ajpos + 1)"
+      akOpt match {
+        case Some(ak) => subst(("\\b" +
+          java.util.regex.Pattern.quote(ak) + "\\b").r, elem)
+        case None if ek.matches(bareCol) =>
+          subst(barePat(ek.replace("`", "")), elem)
+        case None => // unaliased non-column expr: nothing can name it
+      }
+    }
+    if ((a1opt.isEmpty || selfAliased1) && e1.matches(bareCol))
+      subst(barePat(e1.replace("`", "")), name1)
+    val src = if (left) s"emptyArrayToSingle($e1)" else e1
+    body + s" LATERAL VIEW posexplode($src) __aj AS __ajpos, $name1 " + rest
   }
 
   /** CH parameterized-aggregate call `fn(p1,…)(a1,…)` → `fn(a1,…,
@@ -3533,6 +3623,14 @@ object ChSql {
       org.apache.spark.sql.catalyst.expressions.DateAdd(
         Literal.create(0, DateType), new Cast(e, IntegerType, None,
           org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+      // a foldable string argument evaluates NOW so the result is a
+      // NON-NULL literal: CH toDate returns Date, never
+      // Nullable(Date) (DataTypeDate — it throws on bad input), and
+      // the nullability shows in WithNamesAndTypes/JSON meta headers
+      case Seq(e) if e.resolved && e.foldable && e.dataType == StringType =>
+        val v = Cast(e, DateType, Some("UTC")).eval(null)
+        if (v != null) Literal(v, DateType)
+        else Cast(e, DateType, Some("UTC"))
       case args => cast(DateType)(args) },
     // FixedString(n): shorter strings zero-pad to n bytes
     // (DataTypeFixedString serialization; corpus 00439)

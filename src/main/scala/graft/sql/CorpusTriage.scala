@@ -29,15 +29,14 @@ object CorpusTriage {
   //  - 00334_column_aggregate_function_limit: GROUP BY + LIMIT 1
   //    without ORDER BY — the answer depends on hash-map iteration
   //    order of the reference; any group is a correct answer.
-  //  - 00273_quantiles: the grouped quantilesDeterministic rows
-  //    differ by ±1 sample: ReservoirSamplerDeterministic.h's
-  //    insertImpl appends the element that TRIGGERS a skip-degree
-  //    bump without re-checking it against the new degree, so the
-  //    final sample holds good-at-final-degree ∪ {that one
-  //    arrival-order-dependent straggler}. Our parallel merge
-  //    converges to exactly good-at-final-degree (verified by
-  //    simulation: single-thread = 7244 samples incl. straggler,
-  //    any partitioned order = 7243). Ungrouped statements match.
+  //  - 00273_quantiles: PINNED round 8 — needed three aligned
+  //    pieces: the bounded system.numbers range runs a SINGLE slice
+  //    (the reference generator is sequential), the object-hash agg
+  //    fallback threshold is raised so per-group input order is
+  //    preserved, and the deterministic reservoir's single-partial
+  //    final merge adopts the state verbatim so the insertImpl
+  //    straggler survives like the reference's merge-free
+  //    single-threaded path.
 
   //  - 00189_time_zones: 129 of 130 lines match; the one diff is
   //    toTime(…, 'Pacific/Pitcairn') — a half-hour-offset zone where
@@ -71,6 +70,10 @@ object CorpusTriage {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // keep TypedImperativeAggregate states hash-aggregated (the
+      // 128-group sort fallback scrambles per-group input order,
+      // which order-sensitive sampler goldens observe — corpus 00273)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.local.dir", localDir.getAbsolutePath)

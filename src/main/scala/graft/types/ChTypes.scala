@@ -150,8 +150,11 @@ object ChTypes {
 
   /** Full parse of a declared column list (DESCRIBE-grade detail). */
   def columnDefs(columns: String): Seq[ColDef] = splitTop(columns).flatMap { c =>
-    val sp = c.trim.split("\\s+", 2)
-    require(sp.length == 2, s"column needs 'name Type': $c")
+    val sp0 = c.trim.split("\\s+", 2)
+    require(sp0.length == 2, s"column needs 'name Type': $c")
+    // declared names may be backtick-quoted (`struct.d1` — flattened
+    // dotted columns MUST be); the FIELD name is the bare text
+    val sp = Array(sp0(0).replace("`", ""), sp0(1))
     val (typeText, defaultKind, defaultExpr) =
       "(?is)^(.*?)\\s*\\b(DEFAULT|MATERIALIZED|ALIAS)\\s+(.+)$".r
         .findFirstMatchIn(sp(1)) match {

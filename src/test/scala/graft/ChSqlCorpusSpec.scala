@@ -236,7 +236,9 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00142_parse_timestamp_as_datetime",
     "00143_number_classification_functions",
     "00144_empty_regexp",
+    "00027_simple_argMinArray",
     "00079_defaulted_columns",
+    "00089_group_by_arrays_of_fixed",
     "00145_empty_likes",
     "00146_summing_merge_tree_nested_map",
     "00147_alter_nested_default",
@@ -259,6 +261,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00165_transform_non_const_default",
     "00166_functions_of_aggregation_states",
     "00169_join_constant_keys",
+    "00167_shard_settings_inside_query",
     "00168_buffer_defaults",
     "00170_lower_upper_utf8",
     "00171_shard_array_of_tuple_remote",
@@ -336,6 +339,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00258_materializing_tuples",
     "00259_hashing_tuples",
     "00260_like_and_curly_braces",
+    "00261_storage_aliases_and_array_join",
     "00262_alter_alias",
     "00263_merge_aggregates_and_overflow",
     "00264_uniq_many_args",
@@ -349,6 +353,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00272_union_all_and_in_subquery",
     "00274_shard_group_array",
     "00275_shard_quantiles_weighted",
+    "00273_quantiles",
     "00276_sample",
     "00277_array_filter",
     "00278_insert_already_sorted",
@@ -517,6 +522,38 @@ class ChSqlCorpusSpec extends SparkSpec {
       if (got != expected)
         assert(got.linesIterator.toSeq.sorted ===
           expected.linesIterator.toSeq.sorted)
+    }
+  }
+
+  // goldens whose bytes are NOT valid UTF-8 (RowBinary blobs,
+  // reinterpretAsString high bytes): run in Formats.byteMode, read
+  // the .reference via latin1 (byte↔char bijection), and concatenate
+  // statement outputs the way the reference client does — binary
+  // formats append with NO separator, text formats end each
+  // statement with a newline
+  private val byteCases: Seq[String] = Seq(
+    "00309_formats")
+
+  byteCases.foreach { name =>
+    test(s"reference stateless test $name (byte-exact)") {
+      graft.sql.ChDdl.resetSettings()
+      graft.sources.Formats.byteMode.set(true)
+      try {
+        val sql = Files.readString(Paths.get(s"$corpus/$name.sql"))
+        val expected = new String(
+          Files.readAllBytes(Paths.get(s"$corpus/$name.reference")),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val got = ChSql.statements(sql).map { st =>
+          val out = graft.sql.ChDdl.executeRendered(spark, st)
+          val isBinary = "(?i)FORMAT\\s+RowBinary\\s*$".r
+            .findFirstIn(st).isDefined
+          out.fold("")(s => if (isBinary) s else s + "\n")
+        }.mkString
+        // byte-level dump for diffing when the assert fires
+        Files.write(Paths.get(s"target/corpus-byte-$name.out"),
+          got.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        assert(got === expected)
+      } finally graft.sources.Formats.byteMode.set(false)
     }
   }
 }

@@ -34,6 +34,10 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // keep TypedImperativeAggregate states hash-aggregated (the
+      // 128-group sort fallback scrambles per-group input order,
+      // which order-sensitive sampler goldens observe — corpus 00273)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.local.dir", localDir)
