@@ -177,6 +177,26 @@ object SystemTables {
       ("UptimeSeconds", up / 1000.0))
       .toDF("metric", "value")
       .createOrReplaceTempView("system_asynchronous_metrics")
+
+    // ---- clusters: the execution topology (StorageSystemClusters.cpp
+    // columns). local[*] is one shard of one cluster; on a real Spark
+    // cluster one row per executor would land here ----
+    val host = java.net.InetAddress.getLocalHost
+    Seq(("default", 1, 1, 1, host.getHostName, host.getHostAddress, 0, 1))
+      .toDF("cluster", "shard_num", "shard_weight", "replica_num",
+        "host_name", "host_address", "port", "is_local")
+      .createOrReplaceTempView("system_clusters")
+
+    // ---- dictionaries: the loaded external dictionaries
+    // (StorageSystemDictionaries.cpp key columns) — the regions
+    // hierarchy is the one this engine ships ----
+    Seq(("regions_hierarchy", "builtin", "Hierarchical", "UInt64",
+      Seq("parent", "type", "population"),
+      Seq("UInt64", "UInt8", "UInt32"),
+      graft.functions.RegionDict.dict.size.toLong))
+      .toDF("name", "origin", "type", "key",
+        "attribute_names", "attribute_types", "element_count")
+      .createOrReplaceTempView("system_dictionaries")
   }
 }
 

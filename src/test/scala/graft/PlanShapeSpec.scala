@@ -66,6 +66,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q95: multi-probe ANN is ONE broadcast join over ONE fact scan, top-k without a global sort") {
+    val p = plan(graft.queries.SimilarityQueries.q95(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the 9 probes broadcast WITH the query vector: exactly one scan
+    // of the fact side, not one scan per probe
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no shuffle on the fact side before the join (broadcast only)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q37: deterministic sample is a pushable scan-level filter, no shuffle before agg") {
     val p = plan(graft.queries.MergeTreeQueries.q37(spark, sfDir))
     // one exchange only (for the final single-group aggregate)

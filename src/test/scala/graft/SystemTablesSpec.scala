@@ -75,6 +75,18 @@ class SystemTablesSpec extends SparkSpec {
     assert(rep.columns.toSeq ===
       Seq("database", "table", "is_leader", "is_readonly", "absolute_delay"))
     assert(rep.count() === 0)
+
+    // clusters: one local shard of the default cluster
+    val clu = spark.sql(
+      "SELECT cluster, shard_num, is_local FROM system_clusters").collect()
+    assert(clu.length === 1 && clu(0).getString(0) === "default" &&
+      clu(0).getInt(2) === 1)
+
+    // dictionaries: the shipped regions hierarchy with its key type
+    val dic = spark.sql(
+      "SELECT name, key, element_count FROM system_dictionaries").collect()
+    assert(dic.exists(r => r.getString(0) == "regions_hierarchy" &&
+      r.getString(1) == "UInt64" && r.getLong(2) > 0))
   }
 
   test("admin verbs: show tables / describe / processlist") {
