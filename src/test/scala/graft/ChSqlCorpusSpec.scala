@@ -236,7 +236,6 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00142_parse_timestamp_as_datetime",
     "00143_number_classification_functions",
     "00144_empty_regexp",
-    "00027_simple_argMinArray",
     "00079_defaulted_columns",
     "00089_group_by_arrays_of_fixed",
     "00145_empty_likes",
@@ -506,7 +505,16 @@ class ChSqlCorpusSpec extends SparkSpec {
     graft.sql.ChDdl.reset(spark)
   }
 
-  cases.foreach { name =>
+  // Guard: ScalaTest ABORTS a whole suite on duplicate test names, so a
+  // duplicated pin would silently skip all 429 corpus tests. Register from
+  // the deduped list (construction can never abort) and surface any
+  // duplicate as an ordinary red test instead.
+  test("corpus pin list has no duplicate entries") {
+    val dups = cases.groupBy(identity).collect { case (n, v) if v.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate corpus pins: ${dups.mkString(", ")}")
+  }
+
+  cases.distinct.foreach { name =>
     test(s"reference stateless test $name") {
       graft.sql.ChDdl.resetSettings() // SET never leaks across files
       val sql = Files.readString(Paths.get(s"$corpus/$name.sql"))
