@@ -108,15 +108,22 @@ object UniqSketchState {
 
 /** The `uniq` aggregate over one column (or a pre-hashed variadic key
   * with `trivial = true`, mirroring
-  * AggregateFunctionUniqUniquesHashSetDataForVariadic's TrivialHash). */
+  * AggregateFunctionUniqUniquesHashSetDataForVariadic's TrivialHash).
+  *
+  * With `asState = true` this is `uniqState`: the result is the
+  * SERIALIZED sketch (≤ ~256 KB regardless of cardinality —
+  * UniquesHashSet::write), not the estimate. The reference stores
+  * exactly this bounded state in AggregateFunction(uniq, T) columns;
+  * an exact distinct set would be O(n) per group at 100 TB. */
 case class UniqSketch(
     child: Expression,
     trivial: Boolean = false,
+    asState: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[UniqSketchState] {
 
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (asState) BinaryType else LongType
   override def nullable: Boolean = false
   override def children: Seq[Expression] = child :: Nil
   override def prettyName: String = "uniq_sketch"
@@ -162,9 +169,34 @@ case class UniqSketch(
     a.merge(b); a
   }
 
-  override def eval(buf: UniqSketchState): Any = buf.estimate()
+  override def eval(buf: UniqSketchState): Any =
+    if (asState) UniqSketchCodec.write(buf) else buf.estimate()
 
-  override def serialize(buf: UniqSketchState): Array[Byte] = {
+  override def serialize(buf: UniqSketchState): Array[Byte] =
+    UniqSketchCodec.write(buf)
+
+  override def deserialize(bytes: Array[Byte]): UniqSketchState =
+    UniqSketchCodec.read(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): UniqSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): UniqSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): UniqSketch =
+    copy(child = newChildren.head)
+}
+
+/** Shared wire codec for [[UniqSketchState]]: skipDegree byte, count,
+  * then the surviving 32-bit hashes. Bounded by construction —
+  * 1 + 4 + 4·2^16 ≈ 256 KB worst case (UNIQUES_HASH_MAX_SIZE), the
+  * same bound the reference's UniquesHashSet::write obeys. Used both
+  * for Spark's internal partial-agg shuffle AND as the stored
+  * AggregateFunction(uniq, T) column value, so a state written by
+  * `uniqState` on one table round-trips through parquet into
+  * `uniqMerge`/`finalizeAggregation` on another. */
+object UniqSketchCodec {
+  def write(buf: UniqSketchState): Array[Byte] = {
     val bb = ByteBuffer.allocate(1 + 4 + 4 * buf.set.size())
     bb.put(buf.skipDegree.toByte).putInt(buf.set.size())
     val it = buf.set.iterator()
@@ -172,7 +204,7 @@ case class UniqSketch(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): UniqSketchState = {
+  def read(bytes: Array[Byte]): UniqSketchState = {
     val bb = ByteBuffer.wrap(bytes)
     val s = new UniqSketchState
     s.skipDegree = bb.get().toInt
@@ -182,11 +214,78 @@ case class UniqSketch(
     s
   }
 
-  override def withNewMutableAggBufferOffset(offset: Int): UniqSketch =
+  /** Decode + estimate — the scalar `finalizeAggregation` kernel over
+    * a stored uniq state (referenced from codegen by class name; not
+    * named `finalize` to avoid the java.lang.Object clash). */
+  def finalizeEstimate(bytes: Array[Byte]): Long = read(bytes).estimate()
+}
+
+/** Scalar `finalizeAggregation` over a stored AggregateFunction
+  * (uniq, T) column — decode the serialized sketch, return the
+  * estimate. Codegen'd static call, stays inside whole-stage codegen. */
+case class UniqStateFinalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "uniq_state_finalize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    UniqSketchCodec.finalizeEstimate(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UniqSketchCodec.finalizeEstimate($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UniqStateFinalize =
+    copy(child = newChild)
+}
+
+/** `uniqMerge` / `uniqMergeState` over a stored AggregateFunction
+  * (uniq, T) column: inputs are serialized sketches; the merge is
+  * UniquesHashSet::merge (max skip-degree, filter, re-thin) — order-
+  * independent, so partial/final two-phase agg is bit-stable. With
+  * `asState = true` the result stays a serialized state
+  * (`uniqMergeState`). */
+case class UniqSketchMerge(
+    child: Expression,
+    asState: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[UniqSketchState] {
+
+  override def dataType: DataType = if (asState) BinaryType else LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = if (asState) "uniq_merge_state" else "uniq_merge"
+
+  override def createAggregationBuffer(): UniqSketchState = new UniqSketchState
+
+  override def update(buf: UniqSketchState, input: InternalRow): UniqSketchState = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(UniqSketchCodec.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: UniqSketchState, b: UniqSketchState): UniqSketchState = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: UniqSketchState): Any =
+    if (asState) UniqSketchCodec.write(buf) else buf.estimate()
+
+  override def serialize(buf: UniqSketchState): Array[Byte] =
+    UniqSketchCodec.write(buf)
+
+  override def deserialize(bytes: Array[Byte]): UniqSketchState =
+    UniqSketchCodec.read(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): UniqSketchMerge =
     copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): UniqSketch =
+  override def withNewInputAggBufferOffset(offset: Int): UniqSketchMerge =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): UniqSketch =
+      newChildren: IndexedSeq[Expression]): UniqSketchMerge =
     copy(child = newChildren.head)
 }

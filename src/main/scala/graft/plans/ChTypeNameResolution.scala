@@ -311,9 +311,18 @@ object ChTypeNameResolution extends Rule[LogicalPlan] {
           If(LessThan(c, Literal(0L)),
             Add(d, Literal(1.8446744073709552e19)), d)
         }
+        // plain uniq state is the serialized sketch → decode+estimate;
+        // the exact-set spellings (uniqExact/HLL12/Combined arrays)
+        // finalize as the set's SIZE
+        case f @ graft.functions.FinalizeAggregation(c)
+            if c.resolved && c.dataType == org.apache.spark.sql.types.BinaryType &&
+              ChTypeInfer.infer(c).exists(t =>
+                t.base.startsWith("AggregateFunction(uniq,")) =>
+          graft.functions.UniqStateFinalize(c)
         case f @ graft.functions.FinalizeAggregation(c)
             if c.resolved && ChTypeInfer.infer(c).exists(t =>
               t.base.startsWith("AggregateFunction(uniq") &&
+                !t.base.startsWith("AggregateFunction(uniq,") &&
                 !t.base.startsWith("AggregateFunction(uniqUpTo")) =>
           org.apache.spark.sql.catalyst.expressions.Cast(
             org.apache.spark.sql.catalyst.expressions.Size(c),

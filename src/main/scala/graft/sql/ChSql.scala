@@ -4282,22 +4282,26 @@ object ChSql {
           graft.functions.UniqVariadicKeyExpr(es, Nil), variadic = true)
           .toAggregateExpression()
       } },
-      // the distinct-set state carries its AggregateFunction(...) CH
-      // type so a downstream finalizeAggregation over the bare COLUMN
-      // knows to finalize as the set's SIZE (corpus 00334)
+      // plain uniqState is the SERIALIZED adaptive sketch (bounded
+      // ≤256 KB per group at any cardinality — UniquesHashSet::write,
+      // the state the reference stores in AggregateFunction(uniq, T)
+      // columns); only the uniqExact* spellings keep the exact
+      // distinct-set array state. The tag tells a downstream
+      // finalizeAggregation over the bare COLUMN which decode to run.
       "uniqState" -> { case Seq(e) =>
         graft.functions.ChTypeTag(
-          viaColumn { case Seq(c) => collect_set(c) }(Seq(e)),
+          graft.functions.UniqSketch(e, asState = true).toAggregateExpression(),
           s"AggregateFunction(uniq, ${graft.types.ChTypeInfer.name(e)})") },
       "uniqExactState" -> { case Seq(e) =>
         graft.functions.ChTypeTag(
           viaColumn { case Seq(c) => collect_set(c) }(Seq(e)),
           s"AggregateFunction(uniqExact, ${graft.types.ChTypeInfer.name(e)})") },
-      "uniqMerge" -> viaColumn { case Seq(s) =>
-        size(distinctSetMerge(s)).cast("long") },
+      "uniqMerge" -> { case Seq(s) =>
+        graft.functions.UniqSketchMerge(s).toAggregateExpression() },
       "uniqExactMerge" -> viaColumn { case Seq(s) =>
         size(distinctSetMerge(s)).cast("long") },
-      "uniqMergeState" -> viaColumn { case Seq(s) => distinctSetMerge(s) },
+      "uniqMergeState" -> { case Seq(s) =>
+        graft.functions.UniqSketchMerge(s, asState = true).toAggregateExpression() },
       "groupUniqArrayMerge" -> viaColumn { case Seq(s) => distinctSetMerge(s) },
       "groupArrayMerge" -> viaColumn { case Seq(s) => flatten(collect_list(s)) },
       // -Array combinators: the aggregate runs over array elements

@@ -251,7 +251,14 @@ object MergeTreeTable {
             kind == "grouparray")
           flatten(collect_list(col(c))).as(c)
         else kind match {
-          case "uniq" | "uniqexact" | "uniqhll12" | "uniqcombined" |
+          // plain uniq states are serialized sketches — merge via
+          // UniquesHashSet::merge, keep the state serialized
+          case "uniq" =>
+            org.apache.spark.sql.graftbridge.Bridge.column(
+              graft.functions.UniqSketchMerge(
+                org.apache.spark.sql.graftbridge.Bridge.expression(col(c)),
+                asState = true).toAggregateExpression()).as(c)
+          case "uniqexact" | "uniqhll12" | "uniqcombined" |
                "groupuniqarray" =>
             array_distinct(flatten(collect_list(col(c)))).as(c)
           case "sum" | "sumif" | "count" => sum(col(c)).as(c)

@@ -79,7 +79,12 @@ object ChTypes {
           case _ => LongType
         }
         agg match {
-          case "uniq" | "uniqexact" | "uniqhll12" | "uniqcombined" |
+          // plain uniq stores the serialized adaptive sketch (bounded
+          // ≤256 KB — UniquesHashSet::write via UniqSketchCodec);
+          // the exact spellings store the distinct-value array
+          case "uniq" if parts.length == 2 =>
+            Parsed(BinaryType, nullable = false)
+          case "uniqexact" | "uniqhll12" | "uniqcombined" |
                "grouparray" | "groupuniqarray" if parts.length == 2 =>
             Parsed(ArrayType(arg.dataType, containsNull = arg.nullable), nullable = false)
           case q if (q.startsWith("quantile") || q.startsWith("median")) &&

@@ -46,8 +46,11 @@ class ChTypesSpec extends AnyFunSuite {
     val e = ChTypes.parse("Enum8('a' = 1, 'b' = 2)")
     assert(e.dataType === ByteType)
     assert(e.enumDef.exists(_.typeName === "Enum8('a' = 1, 'b' = 2)"))
-    // set-state aggregates store the exact distinct-value array
+    // plain uniq stores the serialized bounded sketch; the exact
+    // spellings store the distinct-value array
     assert(ChTypes.parse("AggregateFunction(uniq, UInt64)").dataType ===
+      BinaryType)
+    assert(ChTypes.parse("AggregateFunction(uniqExact, UInt64)").dataType ===
       ArrayType(DecimalType(20, 0), containsNull = false))
     // quantile reservoirs store the collected values
     assert(ChTypes.parse("AggregateFunction(quantiles(0.5, 0.9), UInt64)").dataType ===

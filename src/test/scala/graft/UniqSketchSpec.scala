@@ -63,6 +63,45 @@ class UniqSketchSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) == 1000L)
   }
 
+  test("uniqState stores a BOUNDED serialized sketch, not the distinct set") {
+    import graft.sql.ChSql
+    // one group over 1M distinct ids: an exact-set state would be
+    // O(n) (~8 MB of values); the sketch state must stay in the
+    // ≤256 KB class (1 + 4 + 4·2^16 bytes = 262149 worst case —
+    // UniquesHashSet's UNIQUES_HASH_MAX_SIZE bound)
+    val df = ChSql(spark,
+      "SELECT uniqState(number) AS st FROM " +
+        "(SELECT number FROM system.numbers LIMIT 1000000)")
+    val state = df.collect().head.getAs[Array[Byte]]("st")
+    assert(state.length <= 1 + 4 + 4 * 65536,
+      s"state is ${state.length} bytes — not bounded")
+    // and the stored state finalizes to the same estimate uniq() gives
+    val direct = ChSql(spark,
+      "SELECT uniq(number) FROM (SELECT number FROM system.numbers LIMIT 1000000)")
+      .collect().head.getLong(0)
+    assert(graft.functions.UniqSketchCodec.finalizeEstimate(state) == direct)
+  }
+
+  test("uniqState → uniqMerge two-level rollup equals direct uniq") {
+    import graft.sql.ChSql
+    val merged = ChSql(spark,
+      "SELECT uniqMerge(st) FROM (SELECT number % 13 AS k, " +
+        "uniqState(number) AS st FROM (SELECT number FROM system.numbers " +
+        "LIMIT 100000) GROUP BY k)")
+      .collect().head.getLong(0)
+    val direct = ChSql(spark,
+      "SELECT uniq(number) FROM (SELECT number FROM system.numbers LIMIT 100000)")
+      .collect().head.getLong(0)
+    assert(merged == direct)
+    // exact in the sub-threshold regime (< 2^16 distinct)
+    val small = ChSql(spark,
+      "SELECT uniqMerge(st) FROM (SELECT number % 13 AS k, " +
+        "uniqState(number) AS st FROM (SELECT number FROM system.numbers " +
+        "LIMIT 50000) GROUP BY k)")
+      .collect().head.getLong(0)
+    assert(small == 50000L)
+  }
+
   test("dialect uniq over strings and variadic keys stays exact at small N") {
     import graft.sql.ChSql
     val one = ChSql(spark,
