@@ -187,6 +187,36 @@ object SystemTables {
         "host_name", "host_address", "port", "is_local")
       .createOrReplaceTempView("system_clusters")
 
+    // ---- graphite: registered rollup schemes, one row per
+    // retention rung (StorageSystemGraphite.cpp:114-121) ----
+    graft.storage.GraphiteRollup.systemRows
+      .toDF("config_name", "regexp", "function", "age", "precision",
+        "priority", "is_default")
+      .createOrReplaceTempView("system_graphite")
+
+    // ---- replication_queue: this engine has no replication layer,
+    // so the queue is structurally empty; the reference's key columns
+    // exist for compatibility (StorageSystemReplicationQueue.cpp:23-45) ----
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("database", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("table", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("replica_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("position", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("node_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("create_time", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("required_quorum", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source_replica", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("new_part_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("parts_to_merge",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("is_currently_executing", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("num_tries", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_exception", org.apache.spark.sql.types.StringType))))
+      .createOrReplaceTempView("system_replication_queue")
+
     // ---- dictionaries: the loaded external dictionaries
     // (StorageSystemDictionaries.cpp key columns) — the regions
     // hierarchy is the one this engine ships ----

@@ -2083,6 +2083,19 @@ object ChDdl {
             f.name -> base.toLowerCase
         }.toMap
         Spec(fullKey, None, graft.storage.MergeTreeTable.Aggregating(states))
+      case "GraphiteMergeTree" =>
+        // old syntax: (date, (path, time), granularity,
+        // 'config_element_name') — the trailing quoted string names a
+        // registered rollup scheme (StorageFactory.cpp:796-805)
+        val confName = parts.lastOption.map(_.replace("'", "").trim)
+          .getOrElse("graphite_rollup")
+        val params = graft.storage.GraphiteRollup.get(confName).getOrElse(
+          throw new IllegalArgumentException(
+            s"no registered graphite rollup config: $confName"))
+        val dropConf = core.filterNot(_.contains("'"))
+        val key = dropConf.drop(1).dropRight(1).flatMap(keyElems)
+        Spec(dropConf.headOption.toSeq ++ key, None,
+          graft.storage.MergeTreeTable.Graphite(params))
       case "MergeTree" =>
         Spec(core.headOption.toSeq ++ sortKey, None, Plain)
       case _ => Spec(Seq.empty, None, Plain) // Memory / TinyLog / Log / Null

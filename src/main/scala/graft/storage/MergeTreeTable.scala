@@ -41,6 +41,12 @@ object MergeTreeTable {
     * `stateCols` maps state column name → lowercased aggregate base
     * name from the declared AggregateFunction(...) type. */
   final case class Aggregating(stateCols: Map[String, String]) extends Engine
+  /** GraphiteMergeTree: config-driven retention rollup
+    * ([[GraphiteRollup]]). `timeOfMerge` pins the age reference point
+    * (epoch seconds); None = wall clock at fold time. */
+  final case class Graphite(
+      params: GraphiteRollup.Params,
+      timeOfMerge: Option[Long] = None) extends Engine
 
   final case class Spec(
       sortKey: Seq[String],
@@ -237,6 +243,9 @@ object MergeTreeTable {
         .withColumn(sign, col("__signsum").cast("int"))
         .drop("__rn", "__signsum")
         .select(df.columns.map(col).toIndexedSeq: _*)
+    case Graphite(params, timeOfMerge) =>
+      GraphiteRollup.rollup(df, params,
+        timeOfMerge.getOrElse(System.currentTimeMillis() / 1000L))
     case Aggregating(stateCols) =>
       // Merge equal-key rows by re-aggregating each state under its
       // declared aggregate's -Merge rule (AggregatingSortedBlockInputStream
