@@ -5,11 +5,16 @@
 # Usage: scripts/green_gate.sh   (run from repo root; exits 0 only on green)
 set -uo pipefail
 cd "$(dirname "$0")/.."
+mkdir -p target
 LOG=target/green_gate_test.log
 sbt -batch test 2>&1 | tee "$LOG"
 code=${PIPESTATUS[0]}
 if [ "$code" -ne 0 ]; then
   echo "GREEN_GATE: sbt test exit $code — RED, do not snapshot" >&2
+  exit 1
+fi
+if [ ! -s "$LOG" ]; then
+  echo "GREEN_GATE: test log missing/empty — RED, do not snapshot" >&2
   exit 1
 fi
 if grep -q "ABORTED" "$LOG"; then

@@ -49,7 +49,13 @@ object Bench {
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"errors":${failed.size},"sf":"$sfDir","detail":"$detail"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"errors":${failed.size},"sf":"$sfDir","detail":"$detail"}"""
+    // the exact stdout summary line also lands in its own file so the
+    // round artifact can parse it without scraping the sbt log tail
+    val sw = new java.io.PrintWriter(
+      new java.io.File("bench_summary.json").getAbsolutePath, "UTF-8")
+    try sw.println(line) finally sw.close()
+    println(line)
     spark.stop()
   }
 }

@@ -128,8 +128,9 @@ object UnicodeCompression {
     * the 128-block. */
   private def bocu1Prev(c: Int): Int =
     if (c >= 0x3040 && c <= 0x309F) 0x3070
-    // CJK: 0x4E00 - BOCU1_REACH_NEG_2 where REACH_NEG_2 = -64 - 43*243,
-    // i.e. 0x7711 — so the whole Unihan block is reachable in 2 bytes
+    // CJK: prev = 0x4E00 - BOCU1_REACH_NEG_2, where REACH_NEG_2 =
+    // -64 - 43*243 = -10513, so prev = 0x4E00 + 10513 = 0x7711 — the
+    // whole Unihan block is then reachable in 2 bytes
     else if (c >= 0x4E00 && c <= 0x9FA5) 0x4E00 + (64 + 43 * 243)
     // Hangul: the (floor) middle of the block, 0xC1D1
     else if (c >= 0xAC00 && c <= 0xD7A3) (0xAC00 + 0xD7A3) / 2

@@ -24,6 +24,31 @@ class AnnRecallSpec extends SparkSpec {
       s"multi-probe recall $rMulti < single-probe recall $rSingle")
   }
 
+  test("query-directed multi-probe: numeric recall@5 floors on the sf0.1 vectors") {
+    // Numeric floors so bucket-width / probe-set changes can't
+    // silently degrade recall. WHY NOT 0.8: the sf0.1 vectors are
+    // near-isotropic — the true top-5 cosines are only 0.33–0.41, so
+    // each LSH hyperplane bit disagrees with the query with
+    // p = acos(cos)/π ≈ 0.37, and ANY 8-bit signature scheme needs
+    // >50% of the data probed to reach 0.8 (measured: the 5 true
+    // neighbors sit at Hamming 1–4 of 8). At that similarity level
+    // brute force (q50) IS the correct plan; the LSH floor pins what
+    // sublinear probing can honestly deliver on this data:
+    // query-directed T=32 probes ≈ 12% of the rows → 0.50 average
+    // recall over 50 query points (5× the blind 1-bit-flip set).
+    val dir = "/root/testdata/sf0.1"
+    val truth = ids(SimilarityQueries.q50(spark, dir)).take(5).toSet
+    val qd = ids(SimilarityQueries.q96(spark, dir)).toSet
+    assert(truth.size === 5)
+    val recall = (truth & qd).size.toDouble / truth.size
+    assert(recall >= 0.4, s"query-directed recall@5 $recall < 0.4")
+    // and it must never fall below the blind 1-bit-flip probe set
+    val multi = ids(SimilarityQueries.q95(spark, dir)).toSet
+    val rMulti = (truth & multi).size.toDouble / truth.size
+    assert(recall >= rMulti,
+      s"query-directed recall $recall < blind multi-probe recall $rMulti")
+  }
+
   test("multi-probe candidates strictly contain the single-probe bucket") {
     // every vector q53 can see, q95 can see too (probe set includes
     // the query's own bucket)
