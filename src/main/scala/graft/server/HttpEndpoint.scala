@@ -104,7 +104,7 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
   private def contentTypeOf(format: String): String = format.toLowerCase match {
     case "json" | "jsoncompact" | "jsoneachrow" => "application/json; charset=UTF-8"
     case "xml" => "application/xml; charset=UTF-8"
-    case "rowbinary" => "application/octet-stream"
+    case "rowbinary" | "odbcdriver" => "application/octet-stream"
     case "csv" | "csvwithnames" => "text/csv; charset=UTF-8"
     case _ => "text/tab-separated-values; charset=UTF-8"
   }
@@ -113,6 +113,7 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
   private def render(df: DataFrame, format: String): Array[Byte] =
     format.toLowerCase match {
       case "rowbinary" => Formats.rowBinary(df)
+      case "odbcdriver" => Formats.odbcDriver(df)
       case other =>
         val s = other match {
           case "tabseparated" | "tsv" => Formats.tabSeparated(df)

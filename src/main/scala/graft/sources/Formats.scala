@@ -767,6 +767,38 @@ object Formats {
     out.toByteArray
   }
 
+  /** ODBCDriver — the binary format the reference's ODBC driver
+    * consumes (ODBCDriverBlockOutputStream.cpp): varint column count,
+    * then (name, CH type name) as varint-length-prefixed strings,
+    * then EVERY value as its plain-text rendering, also
+    * varint-length-prefixed. No row framing, no footer. */
+  def odbcDriver(df: DataFrame, limit: Int = 1000000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(n0: Long): Unit = {
+      var n = n0
+      while ((n & ~0x7fL) != 0) { out.write(((n & 0x7f) | 0x80).toInt); n >>>= 7 }
+      out.write(n.toInt)
+    }
+    def strBin(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      varint(b.length.toLong); out.write(b)
+    }
+    varint(df.columns.length.toLong)
+    df.schema.fields.foreach { f =>
+      strBin(f.name)
+      strBin(graft.types.ChTypes.toChName(f.dataType, f.nullable))
+    }
+    // serializeText semantics: top-level strings UNESCAPED (the
+    // length prefix frames them); containers keep their literal form
+    df.limit(limit).collect().foreach(r =>
+      r.toSeq.foreach {
+        case s: String => strBin(s)
+        case b: Array[Byte] => strBin(decodeBin(b))
+        case v => strBin(renderValue(v, inArray = false))
+      })
+    out.toByteArray
+  }
+
   /** Pretty — the reference's boxed table output (PrettyBlockOutputStream). */
   def pretty(df: DataFrame, limit: Int = 50): String = {
     val cols = df.columns

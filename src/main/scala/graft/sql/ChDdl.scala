@@ -1273,6 +1273,8 @@ object ChDdl {
       .findFirstIn(trimmed).isDefined
     val rowBinaryFmt = "(?i)FORMAT\\s+RowBinary\\s*$".r
       .findFirstIn(trimmed).isDefined
+    val odbcFmt = "(?i)FORMAT\\s+ODBCDriver\\s*$".r
+      .findFirstIn(trimmed).isDefined
     val csvFmt = "(?i)FORMAT\\s+CSV(WithNames)?\\s*$".r.findFirstMatchIn(trimmed)
     // The totals side-channel row is NOT subject to LIMIT
     // (TotalsHavingBlockInputStream sits before the limit in the
@@ -1304,6 +1306,10 @@ object ChDdl {
         // String pipeline is byte-preserving; no trailing newline
         val blob = Formats.latin1(Formats.rowBinary(df))
         if (blob.isEmpty) None else Some(blob)
+      }
+      else if (odbcFmt) {
+        // FORMAT ODBCDriver: header + text values, varint-framed
+        Some(Formats.latin1(Formats.odbcDriver(df)))
       }
       else if (jsonFmt.isDefined || jsonEachRow || xmlFmt) {
         val compact = jsonFmt.exists(_.equalsIgnoreCase("JSONCompact"))

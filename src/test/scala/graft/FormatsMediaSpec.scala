@@ -77,6 +77,26 @@ class FormatsMediaSpec extends SparkSpec {
     val bin = Formats.rowBinary(df)
     assert(bin.take(5).toSeq === Seq[Byte](1, 0, 0, 0, 3), bin.take(8).toSeq)
     assert(new String(bin.slice(5, 8), "UTF-8") === "x\ty")
+    // ODBCDriver: varint column count, (name, CH type) string pairs,
+    // then each value text-rendered with a varint length prefix
+    // (ODBCDriverBlockOutputStream.cpp) — decode the whole stream back
+    val odbc = Formats.odbcDriver(df)
+    var pos = 0
+    def readStr(): String = {
+      var len = 0L; var shift = 0
+      var b = 0
+      do { b = odbc(pos) & 0xff; pos += 1
+        len |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      val s = new String(odbc, pos, len.toInt, "UTF-8"); pos += len.toInt; s
+    }
+    assert((odbc(pos) & 0xff) === 2); pos += 1 // column count varint
+    assert(readStr() === "a"); assert(readStr() === "Int32")
+    assert(readStr() === "b"); assert(readStr() === "String")
+    // serializeText writes strings raw — the length prefix frames
+    // them, so the tab is NOT escaped
+    assert(Seq(readStr(), readStr(), readStr(), readStr()) ===
+      Seq("1", "x\ty", "2", "z"))
+    assert(pos === odbc.length) // no footer, no row framing
   }
 
   test("media table schema and deterministic features") {
@@ -92,6 +112,54 @@ class FormatsMediaSpec extends SparkSpec {
       .select(col("media_id"), col("features")).limit(5).collect()
     assert(feats.map(_.getSeq[Float](1)).toSeq === feats2.map(_.getSeq[Float](1)).toSeq)
     assert(feats.forall(_.getSeq[Float](1).forall(f => f >= -1f && f <= 1f)))
+  }
+
+  test("real media decode: PNG luminance grid and WAV amplitude buckets") {
+    // a genuine 8x8 PNG — left half white, right half black — built
+    // with the same JDK codec the decoder uses
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xffffff else 0x000000)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    // a genuine 16-bit PCM WAV — first half silence, second half loud
+    val samples = 800
+    val pcm = new Array[Byte](samples * 2)
+    for (i <- samples / 2 until samples) {
+      val v: Short = 12000
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+
+    val media = Seq(
+      (1L, "image", pngOut.toByteArray),
+      (2L, "audio", wavOut.toByteArray),
+      (3L, "video", "not a real codec payload".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "content")
+    val out = Media.decodeMediaFeatures(spark, media, dim = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getSeq[Float](3))).toMap
+
+    // image: 2x2 grid — cells (0,0)/(1,0) white → +1, (0,1)/(1,1)... the
+    // grid splits x then y: lanes 0,2 cover the left (white) half
+    val (imgOk, imgF) = out(1L)
+    assert(imgOk)
+    assert(imgF(0) > 0.9f && imgF(2) > 0.9f, imgF.toList)
+    assert(imgF(1) < -0.9f && imgF(3) < -0.9f, imgF.toList)
+    // audio: buckets 0-1 silent → -1, buckets 2-3 loud → > silent
+    val (audOk, audF) = out(2L)
+    assert(audOk)
+    assert(audF(0) === -1f && audF(1) === -1f, audF.toList)
+    assert(audF(2) > -0.5f && audF(3) > -0.5f, audF.toList)
+    // undecodable bytes: deterministic fallback, flagged not-decoded
+    val (vidOk, vidF) = out(3L)
+    assert(!vidOk && vidF.length === 4 && vidF.forall(f => f >= -1f && f <= 1f))
   }
 
   test("frame sampling emits the arithmetic frame count") {
