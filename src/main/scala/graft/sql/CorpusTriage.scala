@@ -16,19 +16,25 @@ import graft.sources.Formats
 object CorpusTriage {
   private val corpus = "/root/reference/dbms/tests/queries/0_stateless"
 
-  // Documented divergences (not skip-marked, recorded here):
+  // Documented divergences (recorded here; re-triaged round 10):
   //  - 00395_nullable: the has()/arrayElement() blocks over
   //    Array(Nullable(String)) expect the reference's off-by-one
   //    null-map read (FunctionsArray.h ArrayIndexStringImpl /
   //    ArrayElementStringImpl: `k = current_offset + j - 1` indexes
   //    the PREVIOUS global element's null flag, leaking null state
   //    across rows). We implement the declared semantics instead of
-  //    the bug; 27 of its 330 output lines differ, all in those
-  //    blocks. Numeric arrays use the correct `current_offset + j`
-  //    in the reference and match.
+  //    the bug; 18 of its 330 output lines differ positionally, all
+  //    in those blocks. Numeric arrays use the correct
+  //    `current_offset + j` in the reference and match. PINNED round
+  //    10 as a divergence-masked test (ChSqlCorpusSpec.maskedCases):
+  //    every non-bug line compares exactly.
   //  - 00334_column_aggregate_function_limit: GROUP BY + LIMIT 1
   //    without ORDER BY — the answer depends on hash-map iteration
   //    order of the reference; any group is a correct answer.
+  //    Re-confirmed round 10 (sketch-state uniqState): our LIMIT 1
+  //    lands on a 48-distinct group, the reference golden on a
+  //    94-distinct one; both are valid answers of the query, so the
+  //    file stays unpinned by construction, not by gap.
   //  - 00273_quantiles: PINNED round 8 — needed three aligned
   //    pieces: the bounded system.numbers range runs a SINGLE slice
   //    (the reference generator is sequential), the object-hash agg
@@ -42,7 +48,9 @@ object CorpusTriage {
   //    toTime(…, 'Pacific/Pitcairn') — a half-hour-offset zone where
   //    the reference's DateLUT day-anchoring renders 01:30 for a
   //    wall-time of 01:00. Real java.time zone rules disagree with
-  //    the LUT artifact; we keep the rules.
+  //    the LUT artifact; we keep the rules. PINNED round 10 as a
+  //    divergence-masked test (line 25 excluded, everything else
+  //    exact — ChSqlCorpusSpec.maskedCases).
 
   //  - 00062_replicated_merge_tree_alter_zookeeper: 231 of 232 lines
   //    match; the one diff renders UInt32 100500 as DateTime — the

@@ -533,6 +533,43 @@ class ChSqlCorpusSpec extends SparkSpec {
     }
   }
 
+  // Divergence-masked pins: files that match the reference on every
+  // line EXCEPT those reproducing a documented reference bug/artifact
+  // (CorpusTriage.scala divergence notes). Compared POSITIONALLY with
+  // the listed 1-based lines excluded, and the total line count
+  // pinned — a regression anywhere else still fails.
+  private val maskedCases: Map[String, Set[Int]] = Map(
+    // line 25 = toTime(..., 'Pacific/Pitcairn'): the reference's
+    // DateLUT day-anchoring renders 01:30 for a wall time of 01:00 in
+    // a half-hour-offset zone; java.time's real zone rules disagree
+    // with the LUT artifact and we keep the rules
+    "00189_time_zones" -> Set(25),
+    // the has()/arrayElement() blocks over Array(Nullable(String)):
+    // the reference's ArrayIndexStringImpl/ArrayElementStringImpl
+    // read the PREVIOUS element's null flag (`current_offset + j - 1`),
+    // leaking null state across rows; we implement the declared
+    // semantics. 18 of 330 lines sit in those blocks.
+    "00395_nullable" -> Set(174, 175, 176, 195, 204, 238, 241, 247,
+      253, 255, 268, 270, 271, 272, 274, 275, 276, 277))
+
+  maskedCases.foreach { case (name, excluded) =>
+    test(s"reference stateless test $name (documented lines masked)") {
+      graft.sql.ChDdl.resetSettings()
+      val sql = Files.readString(Paths.get(s"$corpus/$name.sql"))
+      val expected = Files.readString(Paths.get(s"$corpus/$name.reference"))
+        .stripLineEnd.linesIterator.toSeq
+      val got = ChSql.statements(sql)
+        .flatMap(st => graft.sql.ChDdl.executeRendered(spark, st))
+        .mkString("\n").linesIterator.toSeq
+      assert(got.length === expected.length)
+      val mismatched = got.zip(expected).zipWithIndex.collect {
+        case ((g, e), i) if g != e && !excluded.contains(i + 1) => i + 1
+      }
+      assert(mismatched.isEmpty,
+        s"non-masked lines diverge: ${mismatched.mkString(", ")}")
+    }
+  }
+
   // goldens whose bytes are NOT valid UTF-8 (RowBinary blobs,
   // reinterpretAsString high bytes): run in Formats.byteMode, read
   // the .reference via latin1 (byte↔char bijection), and concatenate
