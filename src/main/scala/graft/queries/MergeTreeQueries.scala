@@ -152,7 +152,63 @@ object MergeTreeQueries {
       |  count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY yyyymm""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q97 GraphiteMergeTree retention rollup
+  // (GraphiteRollupSortedBlockInputStream.h:29-82) — the events table
+  // viewed as a (Path, Time, Value, Version) series: click/purchase
+  // metrics roll up under `max`, everything else under `min`, with a
+  // two-rung age ladder (hour/2-hour buckets for data younger than 45
+  // days at merge time, day buckets beyond). The merge reference time
+  // is max(Time) + 30 days, so the ladder boundary falls mid-data and
+  // BOTH tiers appear in the result. The single-row max(Time) lookup
+  // mirrors the reference's time_of_merge scalar (a merge-job
+  // parameter, not a per-row value); the rollup itself is the
+  // two-hash-agg GraphiteRollup fold — no windows, no driver state.
+  // Version = event_id, so the max-version dedup of second-resolution
+  // collisions is deterministic in both engines.
+  // ---------------------------------------------------------------
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.storage.GraphiteRollup
+    val series = t(s, dir, "events").select(
+      col("event_type").as("Path"),
+      col("ts").cast("long").as("Time"),
+      col("value").as("Value"),
+      col("event_id").cast("long").as("Version"))
+    val tMerge = series.agg(max(col("Time"))).collect()(0).getLong(0) + 2592000L
+    val params = GraphiteRollup.Params(
+      pathCol = "Path", timeCol = "Time", valueCol = "Value",
+      versionCol = "Version",
+      patterns = Seq(
+        GraphiteRollup.Pattern(Some("^(click|purchase)"), "max",
+          Seq(GraphiteRollup.Retention(0, 3600),
+            GraphiteRollup.Retention(3888000, 86400))),
+        GraphiteRollup.Pattern(None, "min",
+          Seq(GraphiteRollup.Retention(0, 7200),
+            GraphiteRollup.Retention(3888000, 86400)))))
+    GraphiteRollup.rollup(series, params, tMerge)
+      .select(col("Path").as("path"), col("Time").as("time"),
+        col("Value").as("value"))
+      .orderBy(col("path"), col("time"))
+  }
+
+  private val q97Sql =
+    """WITH base AS (
+      |  SELECT event_type AS path, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |    arg_max(value, event_id) AS value
+      |  FROM events GROUP BY 1, 2),
+      |tm AS (SELECT max(t) + 2592000 AS tmerge FROM base),
+      |r AS (SELECT path, value,
+      |    CASE WHEN (SELECT tmerge FROM tm) - t >= 3888000 THEN t - t % 86400
+      |         WHEN regexp_matches(path, '^(click|purchase)') THEN t - t % 3600
+      |         ELSE t - t % 7200 END AS time,
+      |    regexp_matches(path, '^(click|purchase)') AS is_max
+      |  FROM base)
+      |SELECT path, time,
+      |  CASE WHEN bool_and(is_max) THEN max(value) ELSE min(value) END AS value
+      |FROM r GROUP BY path, time ORDER BY path, time""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q97_graphite_rollup", q97, Some(q97Sql)),
     QueryDef("q34_replacing_final", q34, Some(q34Sql)),
     QueryDef("q35_summing_merge", q35, Some(q35Sql)),
     QueryDef("q36_collapsing_sign", q36, Some(q36Sql)),

@@ -127,6 +127,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(calls === 1, s"q47 signature kernel appears $calls times:\n$p")
   }
 
+  test("q97: graphite rollup is two keyed aggregations — no windows, 2 keyed shuffles") {
+    val p = plan(graft.queries.MergeTreeQueries.q97(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    // dedup pair (SortAggregate — max_by carries a struct buffer; the
+    // reference's own merge is a sorted stream) + rollup pair
+    // (HashAggregate), each partial/final
+    assert("(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(p).size >= 4, p)
+    // exactly the two keyed exchanges (dedup key, rounded rollup key);
+    // the only other exchange is the presentation ORDER BY range
+    assert("hashpartitioning".r.findAllIn(p).size === 2, p)
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))
