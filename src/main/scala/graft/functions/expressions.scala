@@ -113,6 +113,62 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** The 8 deterministic-hyperplane projections of a 64-d float
+  * embedding (the q96 LSH signature): proj_i = Σ_j s(i,j)·x_j with
+  * s(i,j) = ±1 from bit 16 of an integer LCG of (plane, 1-based dim).
+  * A single codegen'd static call replacing an 8×64 interpreted
+  * higher-order-lambda plan; additions run in ascending-j order, so
+  * results are bit-identical to the declarative spelling (and to the
+  * DuckDB oracle's grouped sum over the same sign matrix). */
+object HyperplaneProj {
+  private val signs: Array[Double] = {
+    val a = new Array[Double](8 * 64)
+    var i = 0
+    while (i < 8) {
+      var j = 1
+      while (j <= 64) {
+        val h = ((i * 73 + j * 179).toLong * 2654435761L) % 4294967296L
+        a(i * 64 + j - 1) = if (((h >> 16) & 1L) == 1L) 1.0 else -1.0
+        j += 1
+      }
+      i += 1
+    }
+    a
+  }
+
+  def proj(emb: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = math.min(emb.numElements(), 64)
+    val out = new Array[Double](8)
+    var i = 0
+    while (i < 8) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += signs(i * 64 + j) * emb.getFloat(j).toDouble
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class HyperplaneProjExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hyperplane_proj"
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneProj.proj(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneProj.proj($c)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProjExpr =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling hash over the raw bytes
   * (TextKernels.rollingFingerprint) — order-sensitive content digest. */
 case class RollingFingerprintExpr(child: Expression)

@@ -223,13 +223,15 @@ object SimilarityQueries {
   // scan + ONE broadcast join, and `bucket` partition-prunes to 32
   // of 256 partitions at 100 TB.
   // ---------------------------------------------------------------
-  /** 8 full-dimension hyperplane projections; sign s(i,j) is bit 16
-    * of an integer LCG of (plane i, 1-based dim j) — exact in both
-    * Spark and DuckDB integer arithmetic. */
-  private val projE =
-    "transform(sequence(0, 7), i -> aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), " +
-      "(acc, j) -> acc + IF(shiftright(CAST((i*73 + j*179) * 2654435761 AS BIGINT) % 4294967296, 16) % 2 = 1, " +
-      "CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)) * CAST(element_at(embedding, j) AS DOUBLE)))"
+  /** 8 full-dimension hyperplane projections — the codegen'd
+    * [[graft.functions.HyperplaneProjExpr]] kernel (one static call
+    * per row; an equivalent higher-order-lambda spelling is
+    * interpreted per element in Spark and cost ~4 s at sf0.1). Sign
+    * s(i,j) is bit 16 of an integer LCG of (plane i, 1-based dim j) —
+    * exact in both JVM and DuckDB integer arithmetic, and the kernel
+    * adds in ascending-j order so the doubles match the oracle's
+    * grouped sum bit-for-bit. */
+  private val projE = "hyperplane_proj(embedding)"
 
   private val bucketFromProjE =
     "aggregate(sequence(0, 7), 0, (acc, i) -> acc + IF(element_at(proj, i+1) > CAST(0.0 AS DOUBLE), shiftleft(1, i), 0))"
