@@ -23,17 +23,15 @@ object SimilarityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Σ aᵢbᵢ with float→double promotion, folded in array order (the
-    * same order DuckDB's list aggregation uses → bit-identical). */
-  private def dotE(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-
   private def norm2E(a: String): String =
     s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
 
+  /** round(cosine, 4) via the codegen'd [[graft.functions.CosineSimExpr]]
+    * kernel — one static call per pair; accumulators add in ascending
+    * index order, bit-identical to the former
+    * `aggregate(zip_with(...))` spelling and the DuckDB oracles. */
   private def cosineCol: Column =
-    round(expr(dotE("embedding", "qe")) /
-      (sqrt(expr(norm2E("embedding"))) * sqrt(expr(norm2E("qe")))), 4)
+    round(expr("cosine_sim(embedding, qe)"), 4)
 
   /** Sign-bit LSH bucket from the first 8 dimensions (hyperplanes =
     * coordinate axes; deterministic, no stored model). */
