@@ -34,9 +34,13 @@ object SimilarityQueries {
     round(expr("cosine_sim(embedding, qe)"), 4)
 
   /** Sign-bit LSH bucket from the first 8 dimensions (hyperplanes =
-    * coordinate axes; deterministic, no stored model). */
+    * coordinate axes; deterministic, no stored model). Unrolled to a
+    * straight-line CASE chain — fully inside whole-stage codegen,
+    * where an aggregate() lambda would evaluate interpreted per bit. */
   private val bucketE =
-    "aggregate(sequence(1, 8), 0, (acc, i) -> acc + CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) > 0.0 THEN shiftleft(1, i - 1) ELSE 0 END)"
+    (1 to 8).map(i =>
+      s"CASE WHEN CAST(element_at(embedding, $i) AS DOUBLE) > 0.0 THEN ${1 << (i - 1)} ELSE 0 END")
+      .mkString("(", " + ", ")")
 
   private val bucketSql =
     """(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
@@ -232,22 +236,33 @@ object SimilarityQueries {
   private val projE = "hyperplane_proj(embedding)"
 
   private val bucketFromProjE =
-    "aggregate(sequence(0, 7), 0, (acc, i) -> acc + IF(element_at(proj, i+1) > CAST(0.0 AS DOUBLE), shiftleft(1, i), 0))"
+    (1 to 8).map(i =>
+      s"CASE WHEN element_at(proj, $i) > CAST(0.0 AS DOUBLE) THEN ${1 << (i - 1)} ELSE 0 END")
+      .mkString("(", " + ", ")")
 
   def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = t(s, dir, "embeddings")
       .withColumn("proj", expr(projE))
       .withColumn("bucket", expr(bucketFromProjE))
-    val probes = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("bucket").as("qb"),
-        col("proj").as("qproj"))
-      .select(col("qe"), explode(expr(
-        "transform(slice(array_sort(transform(sequence(0, 255), m -> " +
-          "struct(aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, i) -> " +
-          "acc + IF(shiftright(m, i) % 2 = 1, abs(element_at(qproj, i+1)), CAST(0.0 AS DOUBLE))) AS score, " +
-          "m AS m))), 1, 32), p -> int(qb ^ p.m))")).as("probe"))
+    // probe-set construction is QUERY PLANNING, not a scan: fetch the
+    // one query row, rank the 256 perturbation masks by summed
+    // flipped-bit margin on the driver (the step an ANN index does at
+    // query time), and broadcast the 32 winning buckets with the
+    // query vector. The fact side stays one scan + one broadcast join
+    // with zero lambdas.
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("proj"), col("bucket")).collect()(0)
+    val qe = q.getSeq[Float](0)
+    val margins = q.getSeq[Double](1).map(math.abs)
+    val qb = q.getInt(2)
+    val probeSet = (0 until 256)
+      .sortBy(m => ((0 until 8).collect {
+        case i if (m >> i & 1) == 1 => margins(i) }.sum, m))
+      .take(32).map(m => qb ^ m)
+    val probes = broadcast(probeSet.map(p => (qe, p)).toDF("qe", "probe"))
     e.filter(col("vec_id") =!= 0)
-      .join(broadcast(probes), col("bucket") === col("probe"))
+      .join(probes, col("bucket") === col("probe"))
       .select(col("vec_id"), cosineCol.as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(5)

@@ -93,7 +93,15 @@ class PlanShapeSpec extends SparkSpec {
       "q46" -> graft.queries.TextQueries.q46(spark, sfDir),
       "q47" -> graft.queries.TextQueries.q47(spark, sfDir),
       "q48" -> graft.queries.TextQueries.q48(spark, sfDir),
-      "q49" -> graft.queries.TextQueries.q49(spark, sfDir)
+      "q49" -> graft.queries.TextQueries.q49(spark, sfDir),
+      // similarity scans: cosine + hyperplane signature are native
+      // kernels (CosineSimExpr / HyperplaneProjExpr) — an interpreted
+      // per-element lambda here is the per-row hot path of the whole
+      // 100 TB brute-force/ANN scan (6× at sf0.1 for q96)
+      "q50" -> graft.queries.SimilarityQueries.q50(spark, sfDir),
+      "q53" -> graft.queries.SimilarityQueries.q53(spark, sfDir),
+      "q54" -> graft.queries.SimilarityQueries.q54(spark, sfDir),
+      "q96" -> graft.queries.SimilarityQueries.q96(spark, sfDir)
     ).foreach { case (name, df) =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("lambdafunction"),
