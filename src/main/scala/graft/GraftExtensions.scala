@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -156,6 +156,11 @@ object GraftFunctions {
       case Seq(a, b) => CosineSimExpr(a, b)
       case other => throw new IllegalArgumentException(
         s"cosine_sim(a, b) expected, got $other")
+    }),
+    (FunctionIdentifier("vec_norm2"), info("vec_norm2"), {
+      case Seq(a) => VecNorm2Expr(a)
+      case other => throw new IllegalArgumentException(
+        s"vec_norm2(a) expected, got $other")
     }),
     (FunctionIdentifier("rolling_fingerprint"), info("rolling_fingerprint"), {
       case Seq(e) => RollingFingerprintExpr(e)

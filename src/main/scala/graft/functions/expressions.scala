@@ -162,6 +162,18 @@ object HyperplaneProj {
   * order, so the doubles are bit-identical to the declarative
   * `aggregate(zip_with(...))` spelling and to DuckDB's list sums. */
 object CosineSim {
+  /** Σ xᵢ², ascending index — the vec_norm2 kernel (q51). */
+  def norm2(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x; i += 1
+    }
+    acc
+  }
+
   def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -175,6 +187,19 @@ object CosineSim {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+}
+
+case class VecNorm2Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm2"
+  override protected def nullSafeEval(a: Any): Any =
+    CosineSim.norm2(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.CosineSim.norm2($a)")
+  override protected def withNewChildInternal(newChild: Expression): VecNorm2Expr =
+    copy(child = newChild)
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)

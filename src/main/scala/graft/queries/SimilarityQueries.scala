@@ -23,9 +23,6 @@ object SimilarityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  private def norm2E(a: String): String =
-    s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-
   /** round(cosine, 4) via the codegen'd [[graft.functions.CosineSimExpr]]
     * kernel — one static call per pair; accumulators add in ascending
     * index order, bit-identical to the former
@@ -84,7 +81,7 @@ object SimilarityQueries {
   def q51(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("label"),
-        sqrt(expr(norm2E("embedding"))).cast(DecimalType(18, 6)).as("nrm"))
+        sqrt(expr("vec_norm2(embedding)")).cast(DecimalType(18, 6)).as("nrm"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("nrm")).cast("double").as("sum_norm"))

@@ -99,6 +99,7 @@ class PlanShapeSpec extends SparkSpec {
       // per-element lambda here is the per-row hot path of the whole
       // 100 TB brute-force/ANN scan (6× at sf0.1 for q96)
       "q50" -> graft.queries.SimilarityQueries.q50(spark, sfDir),
+      "q51" -> graft.queries.SimilarityQueries.q51(spark, sfDir),
       "q53" -> graft.queries.SimilarityQueries.q53(spark, sfDir),
       "q54" -> graft.queries.SimilarityQueries.q54(spark, sfDir),
       "q96" -> graft.queries.SimilarityQueries.q96(spark, sfDir)
