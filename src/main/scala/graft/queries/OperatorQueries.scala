@@ -73,7 +73,41 @@ object OperatorQueries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q98 gap-based sessionization (batch spelling of the
+  // flatMapGroupsWithState streaming operator, streaming/Sessionize
+  // .scala) — per-user activity sessions with a 10-minute gap: two
+  // window functions over ONE keyed partitioning (lag → session-break
+  // flag → running sum = session id), then one aggregate. DECIMAL
+  // sums keep total_value exact and order-independent; the gap test
+  // compares floor-epoch seconds in both engines.
+  // ---------------------------------------------------------------
+  def q98(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.sessionsBatch(
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v")),
+      "user_id", "ts", "v", gapSeconds = 600)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value").cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q98Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(floor(epoch(ts)) AS BIGINT)
+      |         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 600
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_asof_join", q84, Some(q84Sql)),
-    QueryDef("q85_salted_join", q85, Some(q85Sql)))
+    QueryDef("q85_salted_join", q85, Some(q85Sql)),
+    QueryDef("q98_sessionize", q98, Some(q98Sql)))
 }

@@ -186,6 +186,53 @@ class StorageStreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:10:00.0") === ((1L, 10.0)))
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on watermark timeout") {
+    import graft.streaming.Sessionize
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = Sessionize.sessions(spark,
+      mem.toDF().toDF("user", "ts", "v"),
+      "user", "ts", "v", gapSeconds = 600, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // user 1: two events 5 min apart (one session); user 2: one event
+    mem.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (2L, ts(1), 9.0))
+    q.processAllAvailable()
+    // an in-batch >gap jump closes the first session immediately
+    mem.addData((1L, ts(40), 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to time out everything open
+    mem.addData((3L, ts(59), 0.0))
+    q.processAllAvailable()
+    mem.addData((3L, ts(59), 0.0)) // one more batch so timeouts fire
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select("key", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.stripSuffix(".0"),
+        r.getTimestamp(2).toString.stripSuffix(".0"), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0)), rows)
+    assert(rows.contains((2L, "2024-01-01 10:01:00", "2024-01-01 10:01:00", 1L, 9.0)), rows)
+    assert(rows.contains((1L, "2024-01-01 10:40:00", "2024-01-01 10:40:00", 1L, 5.0)), rows)
+  }
+
+  test("batch sessionization matches the streaming semantics") {
+    import graft.streaming.Sessionize
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(40), 5.0),
+      (2L, ts(1), 9.0))
+      .toDF("user", "ts", "v")
+    val got = Sessionize.sessionsBatch(df, "user", "ts", "v", gapSeconds = 600)
+      .select("user", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 3.0), (1L, 1L, 5.0), (2L, 1L, 9.0)))
+  }
+
   test("buffer forwards micro-batches to a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
