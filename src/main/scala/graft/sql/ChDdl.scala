@@ -466,6 +466,30 @@ object ChDdl {
         Some(names.toDF("name"))
       }
     }
+    else if (up.startsWith("EXISTS TABLE") || up.matches("EXISTS\\s+[^(].*")) {
+      // InterpreterExistsQuery: one row, UInt8 0/1 named `result`
+      val name = stmt.replaceAll("(?i)^EXISTS\\s+(?:TABLE\\s+)?", "")
+        .replace("`", "").trim
+      val qualified = currentDb.filter(_ => !name.contains("."))
+        .map(db => s"$db.$name").getOrElse(name)
+      val found = tables.contains(name) || tables.contains(qualified)
+      Some(spark.sql(s"SELECT CAST(${if (found) 1 else 0} AS INT) AS result"))
+    }
+    else if (up.startsWith("SHOW PROCESSLIST")) {
+      // InterpreterShowProcesslistQuery → the live job table the
+      // system.processes view reads (StorageSystemProcesses)
+      graft.core.SystemTables.register(spark)
+      Some(spark.table("system_processes"))
+    }
+    else if (up.startsWith("KILL QUERY")) {
+      // InterpreterKillQueryQuery: cancel by query_id. Spark's unit of
+      // cancellation is the job group — queries tagged with
+      // setJobGroup(query_id, …) cancel here; an untagged id is a
+      // no-op, like killing a finished query in the reference.
+      "(?i)query_id\\s*=\\s*'([^']*)'".r.findFirstMatchIn(stmt)
+        .foreach(m => spark.sparkContext.cancelJobGroup(m.group(1)))
+      None
+    }
     else if (up.startsWith("OPTIMIZE TABLE")) { optimizeTable(spark, stmt); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(spark, stmt); None }
     else if (up.startsWith("RENAME TABLE")) { renameTable(spark, stmt); None }

@@ -212,4 +212,22 @@ class ChDdlSpec extends SparkSpec {
     Seq("mm_all", "me_all", "me_m1").foreach(t =>
       ChDdl.execute(spark, s"DROP TABLE $t"))
   }
+
+  test("admin surface: EXISTS TABLE / SHOW PROCESSLIST / KILL QUERY") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark, "CREATE TABLE adm (x Int32) ENGINE = Memory")
+    // EXISTS [TABLE] name → one 0/1 row (InterpreterExistsQuery)
+    assert(ChDdl.execute(spark, "EXISTS TABLE adm").get
+      .collect()(0).getInt(0) === 1)
+    assert(ChDdl.execute(spark, "EXISTS adm").get.collect()(0).getInt(0) === 1)
+    assert(ChDdl.execute(spark, "EXISTS TABLE no_such_table").get
+      .collect()(0).getInt(0) === 0)
+    // SHOW PROCESSLIST resolves to the live job table (may be empty)
+    val pl = ChDdl.execute(spark, "SHOW PROCESSLIST").get
+    assert(pl.columns.toSeq === Seq("job_id", "status"))
+    // KILL QUERY on an unknown query_id is a no-op, like the reference
+    assert(ChDdl.execute(spark,
+      "KILL QUERY WHERE query_id = 'no-such-query'") === None)
+    ChDdl.execute(spark, "DROP TABLE adm")
+  }
 }
