@@ -33,6 +33,9 @@ object ChDdl {
       // Replicated* engines: the ZooKeeper path identifying the
       // replication group — replicas of one path share data
       var zkPath: Option[String] = None,
+      // the replica name (second quoted engine arg) — the zk subtree
+      // system.zookeeper exposes parts under
+      var zkReplica: Option[String] = None,
       // block structure of the table's data as written (sizes of the
       // squashed insert blocks, in order) — the blockSize() family
       // reads it; None once an insert couldn't be modeled statically
@@ -52,6 +55,114 @@ object ChDdl {
     * checksum dedup; corpus 00226). */
   private val insertedBlockHashes =
     scala.collection.concurrent.TrieMap[String, scala.collection.mutable.Set[String]]()
+
+  /** One written part of a replication group: reference part naming
+    * minDate_maxDate_minBlock_maxBlock_level over the block's rows.
+    * `active` flips on DETACH/ATTACH — system.parts and ATTACH PART
+    * address parts by these names. */
+  final case class PartInfo(
+      name: String, yyyymm: Int, df: DataFrame, var active: Boolean = true)
+
+  /** Parts per replication group (zk path), in write order. */
+  private val groupParts =
+    scala.collection.concurrent.TrieMap[String, Vector[PartInfo]]()
+
+  /** Next block number per (group, partition): the reference reserves
+    * 0..199 for unreal parts (StorageReplicatedMergeTree
+    * RESERVED_BLOCK_NUMBERS = 200), so real inserts start at 200. */
+  private val blockCounters =
+    scala.collection.concurrent.TrieMap[(String, Int), Int]()
+
+  /** Register the parts a replicated insert block writes: the block
+    * splits per partition month; each slice becomes one part named
+    * from its min/max date and the group's next block number. */
+  private def registerZkParts(zk: String, entry: Entry, block: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val dateCol = entry.spec.sortKey.headOption.getOrElse(return)
+    if (!block.columns.contains(dateCol)) return
+    if (block.schema(dateCol).dataType != org.apache.spark.sql.types.DateType) return
+    val fmtDf = block.groupBy(
+      (year(qcol(dateCol)) * 100 + month(qcol(dateCol))).as("__ym"))
+      .agg(date_format(min(qcol(dateCol)), "yyyyMMdd").as("__min"),
+        date_format(max(qcol(dateCol)), "yyyyMMdd").as("__max"))
+      .collect()
+    fmtDf.sortBy(_.getInt(0)).foreach { r =>
+      val ym = r.getInt(0)
+      val blk = blockCounters.getOrElse((zk, ym), 200)
+      blockCounters.put((zk, ym), blk + 1)
+      val nm = s"${r.getString(1)}_${r.getString(2)}_${blk}_${blk}_0"
+      val slice = block.filter(
+        year(qcol(dateCol)) * 100 + month(qcol(dateCol)) === ym)
+      groupParts.put(zk,
+        groupParts.getOrElse(zk, Vector.empty) :+ PartInfo(nm, ym, slice))
+    }
+  }
+
+  /** The reference's ColumnsDescription text — the value of a part's
+    * `columns` znode ("columns format version: 1", count, then one
+    * backticked `name` Type line per column, trailing newline). */
+  private def columnsZnodeText(entry: Entry): String = {
+    val fields = entry.df.schema.fields.toSeq
+    val lines = fields.map(f =>
+      s"`${f.name}` ${entry.colTypes.getOrElse(f.name, ChTypes.toChName(f))}")
+    s"columns format version: 1\n${fields.size} columns:\n" +
+      lines.mkString("", "\n", "\n")
+  }
+
+  /** Registered on demand (refreshSystemViews): the zk subtree the
+    * reference's system.zookeeper exposes for replicated parts —
+    * child rows (name, value, path) under .../replicas/<r>/parts
+    * (StorageSystemZooKeeper). */
+  private def registerZookeeperView(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val rows = tables.values.toSeq.flatMap { e =>
+      (e.zkPath, e.zkReplica) match {
+        case (Some(zk0), Some(r)) =>
+          val zk = zk0.stripSuffix("/")
+          val parts = groupParts.getOrElse(zk0, groupParts.getOrElse(zk, Vector.empty))
+          val base = s"$zk/replicas/$r/parts"
+          parts.filter(_.active).flatMap { p =>
+            Seq((p.name, "", base),
+              ("columns", columnsZnodeText(e), s"$base/${p.name}"),
+              ("checksums", "", s"$base/${p.name}"))
+          }
+        case _ => Seq.empty
+      }
+    }
+    rows.toDF("name", "value", "path").createOrReplaceTempView("system_zookeeper")
+  }
+
+  /** Catalog-aware system.parts rows (database, table, partition,
+    * name, active) for replicated in-memory tables — every replica of
+    * a group lists the group's parts (StorageSystemParts). */
+  private def registerPartsView(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val rows = tables.values.toSeq.flatMap { e =>
+      e.zkPath.toSeq.flatMap { zk =>
+        val (db, bare) = e.name.split("\\.", 2) match {
+          case Array(d, t) => (d, t)
+          case _ => (currentDb.getOrElse("default"), e.name)
+        }
+        // detached parts leave the listing entirely (the reference
+        // moves them to detached/); `active` stays 1 — merged-away
+        // inactive parts aren't modeled (OPTIMIZE leaves one part)
+        groupParts.getOrElse(zk, Vector.empty).filter(_.active).map(p =>
+          (db, bare, p.yyyymm.toString, p.name, true))
+      }
+    }
+    rows.toDF("database", "table", "partition", "name", "active")
+      .createOrReplaceTempView("system_parts")
+  }
+
+  /** State-dependent system views refresh lazily, only when the
+    * statement references them (like refreshMergeTables). */
+  private def refreshSystemViews(spark: SparkSession, sql: String): Unit = {
+    if ("(?i)system[._]zookeeper".r.findFirstIn(sql).isDefined)
+      registerZookeeperView(spark)
+    if ("(?i)system[._]parts".r.findFirstIn(sql).isDefined &&
+        tables.values.exists(_.zkPath.isDefined))
+      registerPartsView(spark)
+  }
 
   /** Block structure recorded for a view, for the blockSize() family
     * (translator-side lookup). */
@@ -228,6 +339,13 @@ object ChDdl {
   @volatile private var jsonQuote64: Boolean = true
   /** output_format_pretty_max_rows (Pretty* formats). */
   @volatile private var prettyMaxRows: Long = 10000L
+  /** Parallel-replica read slicing (Settings.h parallel_replicas_count
+    * / parallel_replica_offset): with count C > 1, every read of a
+    * SAMPLED MergeTree table returns only the offset-th of C equal
+    * sampling-hash ranges (MergeTreeDataSelectExecutor.cpp:279-437 —
+    * the replica subdivision applies even without a SAMPLE clause). */
+  @volatile private var parallelReplicasCount: Int = 0
+  @volatile private var parallelReplicaOffset: Int = 0
 
   /** Per-test-file settings reset (the reference runner starts a new
     * client per file, so SET never leaks across files). */
@@ -246,6 +364,8 @@ object ChDdl {
     extremesOn = false
     jsonQuote64 = true
     prettyMaxRows = 10000L
+    parallelReplicasCount = 0
+    parallelReplicaOffset = 0
   }
 
   /** hasColumnInTable support: does `db.table` declare `col` (flattened
@@ -286,6 +406,10 @@ object ChDdl {
         .foreach(m => minInsertRows = m.group(1).toLong)
       "(?i)min_insert_block_size_bytes\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
         .foreach(m => minInsertBytes = m.group(1).toLong)
+      "(?i)parallel_replicas_count\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => parallelReplicasCount = m.group(1).toInt)
+      "(?i)parallel_replica_offset\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => parallelReplicaOffset = m.group(1).toInt)
       "(?i)\\bextremes\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
         .foreach(m => extremesOn = m.group(1) != "0")
       "(?i)output_format_json_quote_64bit_integers\\s*=\\s*(\\d+)".r
@@ -1011,10 +1135,14 @@ object ChDdl {
 
   private def rewriteAll(spark: SparkSession, sql: String): String = {
     refreshMergeTables(spark, sql)
+    refreshSystemViews(spark, sql)
     sampleSelectsNothing.set(false)
+    // catalog-state system tables resolve to their registered views
+    val sql2 = sql.replaceAll(
+      "(?i)\\bsystem\\s*\\.\\s*`?(zookeeper|parts)`?\\b", "system_$1")
     rewriteRefs(rewriteInSet(rewriteFinal(spark,
       rewriteNested(rewriteTableFunctions(spark,
-        expandStarOverMat(rewriteSample(sql)))))))
+        expandStarOverMat(rewriteSample(rewriteParallelReplicas(sql2))))))))
   }
 
   // ------------------------------------------------------------------
@@ -1166,12 +1294,45 @@ object ChDdl {
     * predicate lands inside the subquery, so Spark pushes it to the
     * parquet scan — at scale the sampled read prunes like the
     * reference's index range restriction. */
+  /** Parallel-replica slicing WITHOUT a SAMPLE clause: with session
+    * parallel_replicas_count = C > 1, a read of any table carrying a
+    * sampling expression becomes the offset-th of C equal hash-range
+    * slices (SAMPLE 1 subdivided — the reference applies the replica
+    * subdivision to every read of a sampled table). */
+  private def rewriteParallelReplicas(sql: String): String = {
+    if (parallelReplicasCount <= 1) return sql
+    if (!"(?is)^\\s*(SELECT|WITH|INSERT)\\b".r.findFirstIn(sql).isDefined) return sql
+    val re = "(?is)(\\bFROM\\s+)(`?[\\w.]+`?)(?!\\s+SAMPLE)(?![\\w.`])".r
+    val masked = ChSql.maskQuotes(sql)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      val target = sql.substring(m.start(2), m.end(2)).replace("`", "")
+      val entry = tables.get(target)
+        .orElse(currentDb.flatMap(db => tables.get(s"$db.$target")))
+      val sub = entry.filter(e => samplingExprOf(e).isDefined).flatMap(e =>
+        sampleMemberSubquery(e, (BigInt(1), BigInt(1)), (BigInt(0), BigInt(1)),
+          parallelReplicasCount, parallelReplicaOffset, needFactor = false))
+      sub match {
+        case Some(s) =>
+          sb.append(sql.substring(last, m.start))
+            .append(sql.substring(m.start(1), m.end(1)))
+            .append("(").append(s).append(")")
+          last = m.end
+        case None => // not a sampled catalog table: leave untouched
+      }
+    }
+    sb.append(sql.substring(last)).toString
+  }
+
   private def rewriteSample(sql: String): String = {
     if ("(?i)\\bSAMPLE\\s".r.findFirstIn(sql).isEmpty) return sql
     val pcount = "(?i)parallel_replicas_count\\s*=\\s*(\\d+)".r
-      .findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(1)
+      .findFirstMatchIn(sql).map(_.group(1).toInt)
+      .getOrElse(parallelReplicasCount max 1)
     val poffset = "(?i)parallel_replica_offset\\s*=\\s*(\\d+)".r
-      .findFirstMatchIn(sql).map(_.group(1).toInt).getOrElse(0)
+      .findFirstMatchIn(sql).map(_.group(1).toInt)
+      .getOrElse(parallelReplicaOffset)
     val needFactor = sql.contains("_sample_factor")
     val numP = "[0-9]+(?:\\.[0-9]*)?(?:[eE][+-]?[0-9]+)?"
     val ratP = s"$numP(?:\\s*/\\s*$numP)?"
@@ -1972,14 +2133,15 @@ object ChDdl {
       // Replicated<X> = X plus a replication group: the leading
       // ('/zk/path', 'replica') args identify the group; the rest is
       // the plain engine spec (StorageReplicatedMergeTree)
-      val (engine2, engineArgs2, zkPath) =
+      val (engine2, engineArgs2, zkPath, zkReplica) =
         if (engine.startsWith("Replicated")) {
           val ps = engineArgs.map(splitArgs).getOrElse(Seq.empty).map(_.trim)
           val (quoted, rest2) = ps.span(_.startsWith("'"))
           (engine.stripPrefix("Replicated"),
             if (rest2.isEmpty) None else Some(rest2.mkString(", ")),
-            quoted.headOption.map(_.stripPrefix("'").stripSuffix("'")))
-        } else (engine, engineArgs, None)
+            quoted.headOption.map(_.stripPrefix("'").stripSuffix("'")),
+            quoted.lift(1).map(_.stripPrefix("'").stripSuffix("'")))
+        } else (engine, engineArgs, None, None)
       val spec = engineSpec(engine2, engineArgs2, initial.schema)
       if (engine == "Set") setTables.put(name, ())
       // ENGINE = Merge(db, 'regex') reads the union of the matching
@@ -2014,6 +2176,7 @@ object ChDdl {
           .getOrElse(Map.empty))
       entry.engineText = engine + engineArgs.map(a => s"($a)").getOrElse("")
       entry.zkPath = zkPath
+      entry.zkReplica = zkReplica
       // `AS other.table` copies the DESCRIBE surface too (declared
       // type texts and defaults — corpus 00168 Buffer AS mt)
       asSrcEntry.foreach { src =>
@@ -2157,6 +2320,8 @@ object ChDdl {
         if (!tables.values.exists(_.zkPath.contains(zk))) {
           insertedBlockHashes.remove(zk)
           detachedParts.keys.filter(_._1 == zk).foreach(detachedParts.remove)
+          groupParts.remove(zk)
+          blockCounters.keys.filter(_._1 == zk).foreach(blockCounters.remove)
         }
       }
     }
@@ -2461,6 +2626,10 @@ object ChDdl {
         entry.df = withDeclaredMeta(entry.df, entry.colTypes)
         entry.df.createOrReplaceTempView(entry.view)
         syncReplicas(entry)
+        // replicated inserts register their part names (min/max date +
+        // group block number) for system.parts / system.zookeeper /
+        // ATTACH PART
+        entry.zkPath.foreach(zk => registerZkParts(zk, entry, sorted))
         // buffers over this destination see the new data immediately
         tables.values.filter(e =>
           bufferDest.get(e.name).contains(entry.name)).foreach { b =>
@@ -2591,7 +2760,9 @@ object ChDdl {
             }
           } else if (up.startsWith("DETACH PARTITION")) {
             // park the month's rows aside; ATTACH restores them
-            // (PartsCleaner `detached/` directory semantics)
+            // (PartsCleaner `detached/` directory semantics). On a
+            // replicated table the part registry tracks the move
+            // part-by-part so ATTACH PART can restore one at a time.
             import org.apache.spark.sql.functions._
             val yyyymm = a.replaceAll("(?i)^DETACH\\s+PARTITION\\s+", "")
               .replace("'", "").trim.toInt
@@ -2600,14 +2771,38 @@ object ChDdl {
             val key = (entry.zkPath.getOrElse(entry.name), yyyymm)
             val isMonth =
               year(col(dateCol)) * 100 + month(col(dateCol)) === yyyymm
-            detachedParts.put(key, entry.df.filter(isMonth))
+            entry.zkPath.flatMap(groupParts.get) match {
+              case Some(parts) if parts.exists(_.yyyymm == yyyymm) =>
+                parts.filter(_.yyyymm == yyyymm).foreach(_.active = false)
+              case _ => detachedParts.put(key, entry.df.filter(isMonth))
+            }
             entry.df = entry.df.filter(!isMonth)
           } else if (up.startsWith("ATTACH PARTITION")) {
             val yyyymm = a.replaceAll("(?i)^ATTACH\\s+PARTITION\\s+", "")
               .replace("'", "").trim.toInt
             val key = (entry.zkPath.getOrElse(entry.name), yyyymm)
-            detachedParts.remove(key).foreach { parked =>
-              entry.df = entry.df.unionByName(parked)
+            entry.zkPath.flatMap(groupParts.get) match {
+              case Some(parts) if parts.exists(p => p.yyyymm == yyyymm && !p.active) =>
+                parts.filter(p => p.yyyymm == yyyymm && !p.active).foreach { p =>
+                  entry.df = entry.df.unionByName(p.df)
+                  p.active = true
+                }
+              case _ =>
+                detachedParts.remove(key).foreach { parked =>
+                  entry.df = entry.df.unionByName(parked)
+                }
+            }
+          } else if (up.startsWith("ATTACH PART ") || up.startsWith("ATTACH PART'")) {
+            // ATTACH PART '<name>' — restore ONE detached part by its
+            // reference name (StorageReplicatedMergeTree::attachPartition)
+            val partName = a.replaceAll("(?i)^ATTACH\\s+PART\\s+", "")
+              .replace("'", "").trim
+            entry.zkPath.flatMap(groupParts.get)
+              .flatMap(_.find(p => p.name == partName && !p.active)) match {
+              case Some(p) =>
+                entry.df = entry.df.unionByName(p.df)
+                p.active = true
+              case None => // unknown/already-attached part: no-op
             }
           } else if (up.startsWith("MODIFY PRIMARY KEY")) {
             // re-keying only changes the physical sort/prune layout —
@@ -2743,6 +2938,8 @@ object ChDdl {
     mergeSpecs.clear()
     setTables.clear()
     detached.clear()
+    groupParts.clear()
+    blockCounters.clear()
     currentDb = None
   }
 }

@@ -57,7 +57,18 @@ object CorpusTriage {
   //    reference goldens were produced on a Europe/Moscow server
   //    (epoch 100500 → "06:55"), while this engine runs UTC ("03:55").
   //    Every parse+render round-trip cancels the zone, so only this
-  //    absolute-epoch render differs.
+  //    absolute-epoch render differs. PINNED round 10 as a
+  //    divergence-masked test (ChSqlCorpusSpec.maskedCases line 212).
+  //
+  // Round 10 closed the rest of the previously-unpinned set:
+  //  - 00121/00296 (zookeeper): pinned exactly — replicated inserts
+  //    now register reference-named parts (min/max date + per-
+  //    partition block numbers from 200, RESERVED_BLOCK_NUMBERS),
+  //    backing system.parts, system.zookeeper and ATTACH PART.
+  //  - 00193_parallel_replicas: pinned exactly — SET
+  //    parallel_replicas_count/offset slice every read of a sampled
+  //    table through the SAMPLE hash-range machinery.
+  //  Only 00334 remains unpinned (order-dependent by construction).
 
   // features we knowingly don't support in the translator yet, plus
   // tests that are nondeterministic by construction (now()/rand) or

@@ -227,6 +227,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00132_sets",
     "00134_aggregation_by_fixed_string_of_size_1_2_4_8",
     "00135_duplicate_group_by_keys_segfault",
+    "00121_drop_column_zookeeper",
     "00136_duplicate_order_by_elems",
     "00137_in_constants",
     "00138_table_aliases",
@@ -282,6 +283,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00190_non_constant_array_of_constant_data",
     "00191_aggregating_merge_tree_and_final",
     "00192_least_greatest",
+    "00193_parallel_replicas",
     "00194_identity",
     "00195_shard_union_all_and_global_in",
     "00196_float32_formatting",
@@ -372,6 +374,7 @@ class ChSqlCorpusSpec extends SparkSpec {
     "00293_shard_max_subquery_depth",
     "00294_enums",
     "00295_global_in_one_shard_rows_before_limit",
+    "00296_multiple_attaches_zookeeper",
     "00296_url_parameters",
     "00298_enum_width_and_cast",
     "00299_stripe_log_multiple_inserts",
@@ -550,7 +553,13 @@ class ChSqlCorpusSpec extends SparkSpec {
     // leaking null state across rows; we implement the declared
     // semantics. 18 of 330 lines sit in those blocks.
     "00395_nullable" -> Set(174, 175, 176, 195, 204, 238, 241, 247,
-      253, 255, 268, 270, 271, 272, 274, 275, 276, 277))
+      253, 255, 268, 270, 271, 272, 274, 275, 276, 277),
+    // line 212 renders the UInt32 literal 100500 as DateTime: the
+    // goldens came from a Europe/Moscow server (epoch 100500 →
+    // "06:55"); this engine runs UTC ("03:55"). Every parse+render
+    // round-trip cancels the zone — only this absolute-epoch render
+    // differs (215 of 216 lines exact).
+    "00062_replicated_merge_tree_alter_zookeeper" -> Set(212))
 
   maskedCases.foreach { case (name, excluded) =>
     test(s"reference stateless test $name (documented lines masked)") {
