@@ -33,8 +33,12 @@ object CorpusTriage {
   //    order of the reference; any group is a correct answer.
   //    Re-confirmed round 10 (sketch-state uniqState): our LIMIT 1
   //    lands on a 48-distinct group, the reference golden on a
-  //    94-distinct one; both are valid answers of the query, so the
-  //    file stays unpinned by construction, not by gap.
+  //    94-distinct one; both are valid answers of the query. PINNED
+  //    round 10 as a semantic membership test
+  //    (ChSqlCorpusSpec "00334 ... membership pin"): the output must
+  //    be the uniq count of SOME group, and the reference's 94 must
+  //    itself be a member of that set — uniq parity on the group the
+  //    reference picked, without pretending the order is defined.
   //  - 00273_quantiles: PINNED round 8 — needed three aligned
   //    pieces: the bounded system.numbers range runs a SINGLE slice
   //    (the reference generator is sequential), the object-hash agg
@@ -68,7 +72,8 @@ object CorpusTriage {
   //  - 00193_parallel_replicas: pinned exactly — SET
   //    parallel_replicas_count/offset slice every read of a sampled
   //    table through the SAMPLE hash-range machinery.
-  //  Only 00334 remains unpinned (order-dependent by construction).
+  //  00334 is pinned semantically (membership, see above) — every
+  //  one of the 436 stateless files now executes under a pin.
 
   // features we knowingly don't support in the translator yet, plus
   // tests that are nondeterministic by construction (now()/rand) or

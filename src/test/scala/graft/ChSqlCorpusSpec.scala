@@ -579,6 +579,40 @@ class ChSqlCorpusSpec extends SparkSpec {
     }
   }
 
+  // 00334_column_aggregate_function_limit is GROUP BY + LIMIT 1 with
+  // no ORDER BY: which group survives depends on the engine's hash
+  // iteration order, so the golden ("94") cannot be compared
+  // positionally. Pin the semantics instead: the output must be the
+  // uniq count of SOME (FlightDate, Carrier) group, and the
+  // reference's 94 must itself be a member of that set — i.e. our
+  // uniqState/finalizeAggregation agrees with the reference on the
+  // group it happened to pick.
+  test("reference stateless test 00334_column_aggregate_function_limit (order-dependent; membership pin)") {
+    graft.sql.ChDdl.resetSettings()
+    val sql = Files.readString(
+      Paths.get(s"$corpus/00334_column_aggregate_function_limit.sql"))
+    var picked: Option[String] = None
+    var valid: Set[String] = Set.empty
+    ChSql.statements(sql).foreach { st =>
+      val isSelect = st.trim.toUpperCase.startsWith("SELECT")
+      val out = graft.sql.ChDdl.executeRendered(spark, st)
+      if (isSelect) {
+        picked = out
+        // same query without LIMIT = every group's finalized uniq
+        valid = graft.sql.ChDdl.executeRendered(spark,
+          "SELECT finalizeAggregation(Users) FROM (SELECT FlightDate, " +
+            "Carrier, uniqState(FlightNum) AS Users FROM test.ontime " +
+            "GROUP BY FlightDate, Carrier)")
+          .fold(Set.empty[String])(_.linesIterator.toSet)
+      }
+    }
+    assert(picked.exists(p => p.linesIterator.size == 1))
+    assert(valid.contains(picked.get.trim),
+      "LIMIT 1 output must be one group's uniq count")
+    assert(valid.contains("94"),
+      "the reference golden 94 must be a valid group uniq count")
+  }
+
   // goldens whose bytes are NOT valid UTF-8 (RowBinary blobs,
   // reinterpretAsString high bytes): run in Formats.byteMode, read
   // the .reference via latin1 (byte↔char bijection), and concatenate
