@@ -106,8 +106,61 @@ object OperatorQueries {
       |  count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q99 near-dup CLUSTERING — the transitive-closure step a dedup
+  // pipeline needs after pair finding: similar pairs (exact n-gram
+  // Jaccard ≥ 0.2 on consecutive docs, the oracle-checkable analog of
+  // the q47 LSH candidates) become edges; ConnectedComponents
+  // (large-star/small-star) folds chains of pairwise-similar docs
+  // into clusters; the smallest doc_id is kept as canonical. The
+  // DuckDB oracle recomputes the components with a recursive CTE.
+  // ---------------------------------------------------------------
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val a = d.select((col("doc_id") + 1).as("pair"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("pair"), col("text").as("text_b"))
+    val edges = a.join(b, "pair")
+      .where(round(expr("ngram_jaccard(text_a, text_b, 5)"), 4) >= 0.2)
+      .select((col("pair") - 1).as("d1"), col("pair").as("d2"))
+    val comp = graft.operators.ConnectedComponents(edges, "d1", "d2")
+      .withColumnRenamed("node", "doc_id")
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("keep", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q99Sql =
+    """WITH RECURSIVE sh AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(length(text) - 4, 1)),
+      |      i -> substr(text, i, 5)))) AS g
+      |  FROM documents),
+      |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM inter
+      |  JOIN c ca ON ca.doc_id = d1 JOIN c cb ON cb.doc_id = d2
+      |  WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) >= 0.2),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT u, u AS comp FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.u),
+      |cc AS (SELECT u AS doc_id, min(comp) AS cluster FROM reach GROUP BY u)
+      |SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
+      |  COALESCE(cc.cluster, d.doc_id) = d.doc_id AS keep
+      |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_asof_join", q84, Some(q84Sql)),
     QueryDef("q85_salted_join", q85, Some(q85Sql)),
-    QueryDef("q98_sessionize", q98, Some(q98Sql)))
+    QueryDef("q98_sessionize", q98, Some(q98Sql)),
+    QueryDef("q99_neardup_clusters", q99, Some(q99Sql)))
 }

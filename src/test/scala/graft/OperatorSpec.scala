@@ -38,4 +38,52 @@ class OperatorSpec extends SparkSpec {
       .executedPlan.toString
     assert(plan.contains("__graft_salt"), plan)
   }
+
+  // ---- ConnectedComponents (large-star / small-star) ----
+
+  import graft.operators.ConnectedComponents
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** local union-find oracle */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("ConnectedComponents merges transitive chains to the min id") {
+    // two chains and one isolated edge: {1,2,3,4} {10,11} {20,21,22}
+    val got = cc(Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (21L, 20L), (21L, 22L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("ConnectedComponents handles a long chain (worst case for label propagation)") {
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size === 201 && got.values.forall(_ == 0L))
+  }
+
+  test("ConnectedComponents ignores self-loops and duplicate edges") {
+    val got = cc(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)))
+    assert(got === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("ConnectedComponents matches a union-find oracle on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(edges) === unionFind(edges))
+  }
 }
