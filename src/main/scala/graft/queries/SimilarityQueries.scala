@@ -324,7 +324,66 @@ object SimilarityQueries {
       |WHERE pos <= 8
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q100 IVF ANN (operators/IvfAnn.scala) — the coarse-quantizer
+  // index structure (faiss IndexIVFFlat shape): vectors are assigned
+  // to their nearest of 16 coarse centroids, the query probes its 4
+  // nearest cells, exact cosine only inside them (~25% of the data
+  // before any ranking). The deterministic data-sampled quantizer
+  // (vectors 1..16) keeps the whole path DuckDB-reproducible; the
+  // MLlib-trained quantizer (IvfAnn.train) is the production variant,
+  // recall-pinned in AnnRecallSpec. Plan: ONE scan, narrow codegen'd
+  // assignment (16 cosine_sim kernel calls), literal IN probe filter
+  // decided at query-planning time, TakeOrderedAndProject — no
+  // shuffle, no join; `ivf_cell` partition-prunes at rest at 100 TB.
+  // ---------------------------------------------------------------
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.IvfAnn.sampled(
+      e.filter(col("vec_id").between(1, 16)), "vec_id", "embedding", 16)
+    val qe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    graft.operators.IvfAnn.topK(
+      e.filter(col("vec_id") =!= 0), "embedding", model, qe,
+      k = 10, nProbe = 4)
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cosine"))
+  }
+
+  private val q100Sql =
+    """WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+      |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |ac AS (SELECT vec_id, cid,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cs
+      |  FROM (SELECT e.vec_id, c.cid,
+      |          CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |          CAST(unnest(c.ce) AS DOUBLE) AS y
+      |        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0)
+      |  GROUP BY vec_id, cid),
+      |cell AS (SELECT vec_id, (array_agg(cid ORDER BY cs DESC, cid))[1] AS cell
+      |  FROM ac GROUP BY vec_id),
+      |qc AS (SELECT cid,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cs
+      |  FROM (SELECT c.cid, CAST(unnest((SELECT qe FROM q)) AS DOUBLE) AS y,
+      |          CAST(unnest(c.ce) AS DOUBLE) AS x
+      |        FROM cent c)
+      |  GROUP BY cid ORDER BY cs DESC, cid LIMIT 4),
+      |d AS (SELECT e.vec_id, unnest(e.embedding) AS x,
+      |        unnest((SELECT qe FROM q)) AS y
+      |      FROM embeddings e JOIN cell ON cell.vec_id = e.vec_id
+      |      WHERE e.vec_id <> 0 AND cell.cell IN (SELECT cid FROM qc))
+      |SELECT vec_id,
+      |  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+      |    (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+      |     (SELECT sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+      |      FROM (SELECT unnest(qe) AS v FROM q))), 4) AS cosine
+      |FROM d GROUP BY vec_id ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_ivf_ann", q100, Some(q100Sql)),
     QueryDef("q50_cosine_brute_topk", q50, Some(q50Sql)),
     QueryDef("q51_norm_by_label", q51, Some(q51Sql)),
     QueryDef("q52_lsh_bucket_histogram", q52, Some(q52Sql)),

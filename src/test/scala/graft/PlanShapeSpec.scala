@@ -77,6 +77,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q100: IVF ANN probe is ONE shuffle-free scan — assignment narrow, probe set literal, top-k local") {
+    val p = plan(graft.queries.SimilarityQueries.q100(spark, sfDir))
+    // the probe cells are decided at query-planning time from the
+    // driver-side centroid model: the fact side is scan → codegen'd
+    // cell assignment → literal IN filter → TakeOrderedAndProject,
+    // with NO exchange and NO join anywhere
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+  }
+
   test("q37: deterministic sample is a pushable scan-level filter, no shuffle before agg") {
     val p = plan(graft.queries.MergeTreeQueries.q37(spark, sfDir))
     // one exchange only (for the final single-group aggregate)
