@@ -233,6 +233,39 @@ class StorageStreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 3.0), (1L, 1L, 5.0), (2L, 1L, 9.0)))
   }
 
+  test("streaming dedup drops in-window duplicates, evicts state past the watermark") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamDedup.byContent(
+      mem.toDF().toDF("id", "ts", "text"), "text", "ts", "5 minutes")
+    val base = Files.createTempDirectory("sdedup").toString
+    val q = deduped.writeStream.format("memory")
+      .queryName("sdedup_out").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+
+    // batch 1: duplicate content inside one batch → one survivor
+    mem.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"), (3L, ts(1), "beta"))
+    q.processAllAvailable()
+    // batch 2: near-in-time duplicate across batches is still caught
+    mem.addData((4L, ts(2), "alpha"))
+    q.processAllAvailable()
+    assert(spark.table("sdedup_out").select("id").as[Long].collect().toSet
+      === Set(1L, 3L))
+
+    // batch 3: advance the watermark far past ts(2)+5min → digest
+    // state evicted; the same content re-admits (downstream batch
+    // dedup folds it)
+    mem.addData((5L, ts(50), "gamma"))
+    q.processAllAvailable()
+    mem.addData((6L, ts(51), "alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup_out").select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 5L, 6L), ids.toString)
+  }
+
   test("buffer forwards micro-batches to a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
