@@ -28,7 +28,8 @@ object Registry {
       queries.MultimodalQueries.defs ++
       queries.StatsQueries.defs ++
       queries.OperatorQueries.defs ++
-      queries.HashQueries.defs
+      queries.HashQueries.defs ++
+      queries.PipelineQueries.defs
 
   lazy val queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(_.fnTuple).toMap
