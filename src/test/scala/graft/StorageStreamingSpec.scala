@@ -266,6 +266,47 @@ class StorageStreamingSpec extends SparkSpec {
     assert(ids === Set(1L, 3L, 5L, 6L), ids.toString)
   }
 
+  test("streaming near-dup flags LSH-colliding docs in-window, evicts buckets after") {
+    import graft.streaming.StreamNearDup
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and again!"
+    val far = "completely different content with no shared shingles at all zzz"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val cands = StreamNearDup.candidates(
+      spark, mem.toDF().toDF("id", "ts", "text"),
+      "id", "ts", "text", watermarkDelay = "1 minute", windowMs = 5 * 60 * 1000L)
+    val base = Files.createTempDirectory("sneardup").toString
+    val q = cands.writeStream.format("memory")
+      .queryName("sneardup_out").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+
+    def pairs(): Set[(Long, Long)] =
+      spark.table("sneardup_out").select("doc_id", "dup_of")
+        .as[(Long, Long)].collect().toSet
+
+    // near-identical docs collide in at least one band; the distinct
+    // doc collides in none
+    mem.addData((1L, ts(0), txt))
+    q.processAllAvailable()
+    mem.addData((2L, ts(1), near), (3L, ts(1), far))
+    q.processAllAvailable()
+    assert(pairs() === Set((2L, 1L)))
+
+    // two quiet batches walk the watermark past the bucket's
+    // last-activity + window -> state evicted
+    mem.addData((4L, ts(60), "unrelated corpus of legal boilerplate paragraphs here"))
+    q.processAllAvailable()
+    mem.addData((5L, ts(61), "numeric tables 12345 67890 54321 with nothing in common"))
+    q.processAllAvailable()
+    // the same text re-arrives far outside the window: no pair
+    mem.addData((6L, ts(62), txt))
+    q.processAllAvailable()
+    q.stop()
+    assert(pairs() === Set((2L, 1L)), pairs().toString)
+  }
+
   test("buffer forwards micro-batches to a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
