@@ -1092,6 +1092,14 @@ object ChDdl {
     * IN, and the set persists across DETACH/ATTACH (the reference
     * writes it to disk; here the detached stash holds the frame). */
   private val setTables = scala.collection.concurrent.TrieMap[String, Unit]()
+
+  // ENGINE = Join(ANY, kind, k1[, k2…]) tables fold at INSERT time:
+  // the reference's Join::insertFromBlock (Interpreters/Join.cpp)
+  // keeps the FIRST row per key under ANY strictness and ignores
+  // later ones — later SELECT joins see the prebuilt map, not the
+  // raw inserts. Maps table name → join key columns.
+  private val joinAnyTables =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
   private val detached = scala.collection.concurrent.TrieMap[String, Entry]()
 
   private def mergeUnion(db: String, re: String, cols: Seq[String]): DataFrame = {
@@ -2144,6 +2152,12 @@ object ChDdl {
         } else (engine, engineArgs, None, None)
       val spec = engineSpec(engine2, engineArgs2, initial.schema)
       if (engine == "Set") setTables.put(name, ())
+      if (engine == "Join") {
+        val ps = engineArgs.map(splitArgs).getOrElse(Seq.empty).map(_.trim)
+        // Join(strictness, kind, keys…)
+        if (ps.headOption.exists(_.equalsIgnoreCase("ANY")) && ps.length > 2)
+          joinAnyTables.put(name, ps.drop(2).map(_.replace("`", "")))
+      }
       // ENGINE = Merge(db, 'regex') reads the union of the matching
       // tables (StorageMerge; corpus 00270/00401) — the declared
       // column list only fixes the projection. The member set and
@@ -2328,6 +2342,7 @@ object ChDdl {
     viewDefs.remove(name)
     mergeSpecs.remove(name)
     setTables.remove(name)
+    joinAnyTables.remove(name)
     detached.remove(name)
     bufferDest.remove(name)
   }
@@ -2620,7 +2635,18 @@ object ChDdl {
           if (entry.spec.sortKey.isEmpty) incoming
           else incoming.coalesce(1)
             .sortWithinPartitions(entry.spec.sortKey.map(qcol).toIndexedSeq: _*)
-        entry.df = entry.df.unionByName(sorted)
+        // Join(ANY, …) folds at insert: a key already in the prebuilt
+        // map keeps its FIRST row; within the incoming block the
+        // first occurrence wins (block is a single in-order partition)
+        joinAnyTables.get(entry.name) match {
+          case Some(keys) =>
+            val firstPerBlock = sorted.coalesce(1).dropDuplicates(keys)
+            entry.df = entry.df.unionByName(
+              firstPerBlock.join(entry.df.select(keys.map(qcol).toIndexedSeq: _*),
+                keys.toIndexedSeq, "left_anti"))
+          case None =>
+            entry.df = entry.df.unionByName(sorted)
+        }
         // StorageSet::insertBlock folds each block into a unique set
         if (setTables.contains(entry.name)) entry.df = entry.df.distinct()
         entry.df = withDeclaredMeta(entry.df, entry.colTypes)
@@ -2898,6 +2924,7 @@ object ChDdl {
           val to = if (to0.contains(".")) to0
             else currentDb.map(db => s"$db.$to0").getOrElse(to0)
           if (setTables.remove(from).isDefined) setTables.put(to, ())
+          joinAnyTables.remove(from).foreach(joinAnyTables.put(to, _))
           val e = tables.remove(from).getOrElse(
             throw new IllegalArgumentException(s"unknown table: $from"))
           spark.catalog.dropTempView(e.view)
@@ -2937,6 +2964,7 @@ object ChDdl {
     viewDefs.clear()
     mergeSpecs.clear()
     setTables.clear()
+    joinAnyTables.clear()
     detached.clear()
     groupParts.clear()
     blockCounters.clear()

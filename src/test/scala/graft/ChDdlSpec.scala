@@ -230,4 +230,24 @@ class ChDdlSpec extends SparkSpec {
       "KILL QUERY WHERE query_id = 'no-such-query'") === None)
     ChDdl.execute(spark, "DROP TABLE adm")
   }
+
+  test("Join(ANY, …) engine folds at INSERT: first row per key wins") {
+    ChDdl.reset(spark)
+    ChDdl.execute(spark,
+      "CREATE TABLE ja (k UInt32, v String) ENGINE = Join(ANY, LEFT, k)")
+    ChDdl.execute(spark, "INSERT INTO ja VALUES (1, 'a')")
+    // later insert of an existing key is ignored (Join::insertFromBlock
+    // under ANY strictness); within one block the first occurrence wins
+    ChDdl.execute(spark, "INSERT INTO ja VALUES (1, 'b'), (2, 'c'), (2, 'd')")
+    val got = ChDdl.execute(spark, "SELECT k, v FROM ja ORDER BY k").get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(got === List(1L -> "a", 2L -> "c"))
+    // ALL strictness keeps every row — no fold
+    ChDdl.execute(spark,
+      "CREATE TABLE jall (k UInt32, v String) ENGINE = Join(ALL, LEFT, k)")
+    ChDdl.execute(spark, "INSERT INTO jall VALUES (1, 'a'), (1, 'b')")
+    assert(ChDdl.execute(spark, "SELECT count() FROM jall").get
+      .collect()(0).getLong(0) === 2L)
+    Seq("ja", "jall").foreach(t => ChDdl.execute(spark, s"DROP TABLE $t"))
+  }
 }
