@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, BloomContainsAnyExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -172,6 +172,23 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"char_weighted_fingerprint(text) expected, got $other")
     }),
+    (FunctionIdentifier("repetition_stats"), info("repetition_stats"), {
+      case Seq(e) => RepetitionStatsExpr(e)
+      case other => throw new IllegalArgumentException(
+        s"repetition_stats(text) expected, got $other")
+    }),
+    (FunctionIdentifier("token_ngram_hashes"), info("token_ngram_hashes"), {
+      case Seq(e, Literal(n: Int, _)) => TokenNgramHashesExpr(e, n)
+      case other => throw new IllegalArgumentException(
+        s"token_ngram_hashes(text, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("bloom_contains_any"), info("bloom_contains_any"), {
+      case Seq(e, b) if b.foldable &&
+          b.dataType == org.apache.spark.sql.types.BinaryType =>
+        BloomContainsAnyExpr(e, b.eval(null).asInstanceOf[Array[Byte]])
+      case other => throw new IllegalArgumentException(
+        s"bloom_contains_any(array<long>, bloomBytes literal) expected, got $other")
+    }),
     // sequenceMatch('pat')(ts, cond…) — full pattern DSL including
     // (?t<=N) time conditions (AggregateFunctionSequenceMatch.h)
     (FunctionIdentifier("sequence_match"), info("sequence_match"), {
@@ -226,7 +243,8 @@ object GraftFunctions {
       "unhex_ch", "bitmask_to_array", "bitmask_to_list",
       "extract_url_parameter_names", "url_path_hierarchy",
       "ipv6_num_to_string", "ipv6_string_to_num", "ipv4_to_ipv6",
-      "uuid_num_to_string", "uuid_string_to_num", "to_string_cut_to_zero")
+      "uuid_num_to_string", "uuid_string_to_num", "to_string_cut_to_zero",
+      "normalize_for_dedup")
       .map(k => (FunctionIdentifier(k), info(k), graft.functions.KernelExpr.builder(k)))
 
   // reinterpretAs* (FunctionsReinterpret.h) — registered under the CH

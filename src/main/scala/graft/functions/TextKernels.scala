@@ -150,6 +150,116 @@ object TextKernels {
     h
   }
 
+  /** Lowercased alphanumeric word tokens — the exact list the SQL form
+    * `list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')`
+    * produces (tokens are ASCII `[a-z0-9]+` runs, so Java UTF-16 length
+    * and SQL code-point length agree on every token). */
+  private def tokenize(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** q103 kernel: per-document repetition statistics (the Gopher
+    * repetition quality signals, Rae et al. 2021 §A1.1), one pass, all
+    * exact integers so the DuckDB oracle hash-matches bit-for-bit:
+    *
+    *   0 n_tokens           total word tokens
+    *   1 n_distinct_tokens  distinct word tokens
+    *   2 dup_token_chars    Σ over tokens seen k>1 times of (k-1)·len
+    *   3 total_token_chars  Σ token lengths
+    *   4 top2_chars         max over bigrams  of count·(len a + len b)
+    *   5 top3_chars         trigram analog
+    *   6 top4_chars         4-gram analog
+    *
+    * The fractions Gopher thresholds on (dup_token_chars /
+    * total_token_chars, topN_chars / total_token_chars) are a cheap
+    * downstream division; keeping numerator and denominator exact
+    * avoids float-compare drift between engines. One kernel call per
+    * row — a 100 TB corpus computes this as a narrow projection, no
+    * token explode, no shuffle. */
+  def repetitionStats(text: String): Array[Long] = {
+    val toks = tokenize(text)
+    val counts = new java.util.HashMap[String, Long](toks.length * 2)
+    var totalChars = 0L
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, _ + _)
+      totalChars += toks(i).length
+      i += 1
+    }
+    var dupChars = 0L
+    counts.forEach((tok, c) => if (c > 1) dupChars += (c - 1) * tok.length)
+    def topN(n: Int): Long = {
+      if (toks.length < n) return 0L
+      val m = new java.util.HashMap[String, Long](toks.length * 2)
+      var j = 0
+      while (j + n <= toks.length) {
+        // key carries n-1 single-space separators; charlen = len - (n-1)
+        val sb = new java.lang.StringBuilder(toks(j))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(j + k)); k += 1 }
+        m.merge(sb.toString, 1L, _ + _)
+        j += 1
+      }
+      var best = 0L
+      m.forEach((g, c) => {
+        val covered = c * (g.length - (n - 1))
+        if (covered > best) best = covered
+      })
+      best
+    }
+    Array(toks.length.toLong, counts.size.toLong, dupChars, totalChars,
+      topN(2), topN(3), topN(4))
+  }
+
+  /** ArrayData bridge for the codegen'd repetition_stats call. */
+  def repetitionStatsArray(text: String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(repetitionStats(text))
+
+  /** q104 kernel: the DISTINCT word n-gram shingle hashes of a
+    * document (SipHash-2-4 of the space-joined gram), sorted for
+    * determinism. One call per row — the decontamination check scans
+    * the corpus as a narrow projection; the only exploded rows are the
+    * few candidate documents that survive the Bloom prefilter. */
+  def tokenNgramHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val set = new java.util.HashSet[java.lang.Long](toks.length * 2)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      set.add(SipHash64.hash(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** q105 kernel: canonical form for exact-duplicate detection —
+    * Unicode NFC, lowercase, every non-alphanumeric run collapsed to
+    * one space, trimmed; one pass per document instead of a chain of
+    * three regex projections. Equals the SQL
+    * `trim(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9]+', ' ', 'g'))`
+    * on any input whose post-lowercase letters are ASCII (locale-edge
+    * code points like U+0130 lowercase differently across engines,
+    * but every such char is swallowed by the `[^a-z0-9]` collapse
+    * unless it lowers INTO ascii — the one known divergence, Turkish
+    * dotted capital I, is documented here rather than papered over). */
+  def normalizeForDedup(text: String): String =
+    java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ")
+      .trim
+
+  /** ArrayData bridge for the codegen'd token_ngram_hashes call. */
+  def tokenNgramHashesArray(text: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(tokenNgramHashes(text, n))
+
   /** q49 kernel: position-weighted code-point sum Σ cp_i·i (1-based) —
     * the oracle-verifiable fingerprint (`ord(substr(text,i,1))·i` on
     * both engines), computed in one pass instead of a per-character

@@ -334,6 +334,9 @@ object KernelExpr {
     "to_string_cut_to_zero" -> Spec(BinaryType, StringType,
       c => s"$U8(graft.functions.CodingFns.toStringCutToZero($c))",
       a => u8(CodingFns.toStringCutToZero(bytes(a)))),
+    "normalize_for_dedup" -> Spec(StringType, StringType,
+      c => s"$U8(graft.functions.TextKernels.normalizeForDedup($c.toString()))",
+      a => u8(TextKernels.normalizeForDedup(str(a)))),
     // reinterpretAs* family (FunctionsReinterpret.h): memcpy
     // little-endian reads; UInt64 shares Long's 64 bits (values with
     // the top bit set render negative — documented UInt64 caveat)
@@ -568,6 +571,91 @@ case class CharWeightedFingerprintExpr(child: Expression)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextKernels.charWeightedFingerprint($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): CharWeightedFingerprintExpr =
+    copy(child = newChild)
+}
+
+/** Per-document repetition statistics (TextKernels.repetitionStats) —
+  * the Gopher repetition quality signals as ONE codegen'd call per
+  * row returning 7 exact-integer metrics; replaces a token-explode +
+  * three n-gram-explode aggregations (4 shuffles) with a narrow
+  * projection. */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStatsArray(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.repetitionStatsArray($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingle hashes of a document
+  * (TextKernels.tokenNgramHashes) — the per-row unit of the
+  * decontamination check (q104): corpus side stays a narrow
+  * projection; only Bloom-prefilter survivors ever explode. */
+case class TokenNgramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "token_ngram_hashes: n must be >= 1")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ngram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenNgramHashesArray(input.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.tokenNgramHashesArray($c.toString(), $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgramHashesExpr =
+    copy(child = newChild)
+}
+
+/** `bloom_contains_any(array<long>, bloomBytes)` — true iff ANY
+  * element might be in the serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]]. The filter is built
+  * once from the (small, by definition) benchmark shingle set and
+  * rides into codegen as a referenced object — each executor
+  * deserializes it once, then the probe is a tight in-loop
+  * mightContainLong. This is the scale shape for decontaminating a
+  * 100 TB corpus: a narrow boolean filter, no join, no explode; the
+  * exact verification join downstream only touches the (tiny)
+  * candidate set, so Bloom false positives never reach the output. */
+case class BloomContainsAnyExpr(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  override def inputTypes = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains_any"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (bloom.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      s"""
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($bloomRef.mightContainLong($arr.getLong($i))) {
+         |    ${ev.value} = true;
+         |    break;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsAnyExpr =
     copy(child = newChild)
 }
 

@@ -94,7 +94,199 @@ object PipelineQueries {
       |       ELSE 'test' END AS split
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q103 repetition quality stats — the Gopher repetition signals
+  // (Rae et al. 2021 §A1.1: duplicate-token fraction, top n-gram
+  // character coverage) that gate documents out of a training corpus.
+  //
+  // Scale shape: ONE codegen'd kernel call per document
+  // (repetition_stats, TextKernels.repetitionStats) — a narrow
+  // projection, where the naive plan is a token explode plus three
+  // n-gram explodes and four hash aggregates. Numerators and
+  // denominators stay exact integers; the thresholded fractions are
+  // a downstream division.
+  // ---------------------------------------------------------------
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("repetition_stats(text)").as("r"))
+      .select(col("doc_id"),
+        col("r").getItem(0).as("n_tokens"),
+        col("r").getItem(1).as("n_distinct_tokens"),
+        col("r").getItem(2).as("dup_token_chars"),
+        col("r").getItem(3).as("total_token_chars"),
+        col("r").getItem(4).as("top2_chars"),
+        col("r").getItem(5).as("top3_chars"),
+        col("r").getItem(6).as("top4_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q103Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY ALL),
+      |s1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+      |    CAST(sum((c-1) * length(tok)) AS BIGINT) AS dup_token_chars,
+      |    CAST(sum(c * length(tok)) AS BIGINT) AS total_token_chars
+      |  FROM c1 GROUP BY 1),
+      |g2 AS (SELECT doc_id, count(*) AS c, length(g) - 1 AS glen FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      |    FROM t, unnest(range(1, len(w))) AS u(i)) GROUP BY doc_id, g),
+      |m2 AS (SELECT doc_id, CAST(max(c * glen) AS BIGINT) AS top2_chars FROM g2 GROUP BY 1),
+      |g3 AS (SELECT doc_id, count(*) AS c, length(g) - 2 AS glen FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |    FROM t, unnest(range(1, len(w) - 1)) AS u(i)) GROUP BY doc_id, g),
+      |m3 AS (SELECT doc_id, CAST(max(c * glen) AS BIGINT) AS top3_chars FROM g3 GROUP BY 1),
+      |g4 AS (SELECT doc_id, count(*) AS c, length(g) - 3 AS glen FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+      |    FROM t, unnest(range(1, len(w) - 2)) AS u(i)) GROUP BY doc_id, g),
+      |m4 AS (SELECT doc_id, CAST(max(c * glen) AS BIGINT) AS top4_chars FROM g4 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+      |  coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+      |  coalesce(dup_token_chars, 0) AS dup_token_chars,
+      |  coalesce(total_token_chars, 0) AS total_token_chars,
+      |  coalesce(top2_chars, 0) AS top2_chars,
+      |  coalesce(top3_chars, 0) AS top3_chars,
+      |  coalesce(top4_chars, 0) AS top4_chars
+      |FROM documents d LEFT JOIN s1 USING(doc_id) LEFT JOIN m2 USING(doc_id)
+      |  LEFT JOIN m3 USING(doc_id) LEFT JOIN m4 USING(doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q104 test-set decontamination — flag corpus documents sharing any
+  // word 4-gram with a held-out benchmark set (here: doc_id % 29 = 0
+  // stands in for the benchmark; production uses 8-13-grams per
+  // GPT-3/PaLM decontamination, the n is a literal parameter).
+  //
+  // Scale shape, the part that matters at 100 TB:
+  //   1. benchmark shingle hashes (small by definition) -> a driver
+  //      Bloom filter, shipped into codegen as one referenced object;
+  //   2. the corpus scan is a NARROW boolean prefilter
+  //      (bloom_contains_any) — no join, no explode, no shuffle for
+  //      the ~100% of documents that are clean;
+  //   3. only Bloom survivors explode their shingles into the exact
+  //      verification broadcast-join, so false positives are removed
+  //      and the output is exact.
+  // ---------------------------------------------------------------
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), expr("token_ngram_hashes(text, 4)").as("gs"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(29)) === 0)
+      .select(explode(col("gs")).as("g")).distinct()
+    // the benchmark set is tiny relative to the corpus: counting it
+    // to size the Bloom filter is two jobs over a few documents
+    val nBench = bench.count()
+    val bloom = bench.stat.bloomFilter("g", math.max(nBench, 64L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hex = java.util.HexFormat.of().formatHex(bos.toByteArray)
+    val cand = grams.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+      .filter(expr(s"bloom_contains_any(gs, unhex('$hex'))"))
+    cand.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q104Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+      |  FROM t, unnest(range(1, len(w) - 2)) AS u(i)),
+      |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+      |FROM g JOIN b USING(g) WHERE doc_id % 29 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q105 normalization dedup — exact duplicates that differ only in
+  // case, punctuation, whitespace, or Unicode composition form are
+  // the most common near-dups in a crawled corpus and don't need
+  // MinHash: canonicalize (NFC + lower + collapse non-alnum runs),
+  // digest, and pick min(doc_id) per digest as the canonical copy.
+  //
+  // Scale shape: the canonical form is ONE kernel call per row
+  // (normalize_for_dedup, replacing a 3-regex projection chain), the
+  // digest a codegen'd md5, then a single shuffle on the digest. The
+  // group sizes are duplicate-cluster sizes — naturally tiny — so no
+  // skew handling is needed.
+  // ---------------------------------------------------------------
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("digest"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(expr("normalize_for_dedup(text)").cast("binary")).as("digest"))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q105Sql =
+    """WITH n AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9]+', ' ', 'g'))) AS digest
+      |  FROM documents)
+      |SELECT doc_id, digest,
+      |  min(doc_id) OVER (PARTITION BY digest) AS canonical_doc_id
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q106 stratified corpus mixing — per-source sampling rates (the
+  // "domain mixing weights" step of corpus assembly: upsample books,
+  // downsample web). The keep/drop decision is a pure function of
+  // the document identity (md5 bucket, as q102) against the source's
+  // rate, so the mix is reproducible across runs and engines and can
+  // be re-derived for any doc without a stored sample table.
+  //
+  // Scale shape: rates are a BROADCAST dim (a handful of sources);
+  // the corpus side is a narrow projection + filter — no shuffle at
+  // all except the presentation sort.
+  // ---------------------------------------------------------------
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // demo rates ladder: src<k> keeps (1 + k%4) * 25% — production
+    // supplies a real (source, rate) table in its place
+    val rates = docs.select(col("source")).distinct()
+      .withColumn("rate_bp",
+        (lit(1L) + pmod(regexp_extract(col("source"), "(\\d+)$", 1)
+          .cast("long"), lit(4L))) * lit(2500L))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(rates), "source")
+      .where(col("bucket") * lit(10000L) < col("rate_bp") * lit(65536L))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q106Sql =
+    """WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      |b AS (SELECT doc_id, source,
+      |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+      |       + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+      |       + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS bucket
+      |  FROM h),
+      |r AS (SELECT source,
+      |    CAST((1 + CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4) * 2500 AS BIGINT) AS rate_bp
+      |  FROM (SELECT DISTINCT source FROM documents))
+      |SELECT doc_id, b.source AS source, bucket, rate_bp
+      |FROM b JOIN r USING(source)
+      |WHERE bucket * 10000 < rate_bp * 65536
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_sequence_packing", q101, Some(q101Sql)),
-    QueryDef("q102_hash_split", q102, Some(q102Sql)))
+    QueryDef("q102_hash_split", q102, Some(q102Sql)),
+    QueryDef("q103_repetition_stats", q103, Some(q103Sql)),
+    QueryDef("q104_decontaminate", q104, Some(q104Sql)),
+    QueryDef("q105_normalize_dedup", q105, Some(q105Sql)),
+    QueryDef("q106_stratified_mix", q106, Some(q106Sql)))
 }

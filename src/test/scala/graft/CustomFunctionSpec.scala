@@ -228,6 +228,72 @@ class CustomFunctionSpec extends SparkSpec {
     assert(got(3L) === ((0, 0L)))
   }
 
+  test("repetition_stats: hand-computed Gopher repetition signals") {
+    graft.GraftFunctions.register(spark)
+    // tokens: [the, cat, sat, the, cat, sat, again]
+    val r = spark.sql(
+      "SELECT repetition_stats('The cat sat. the cat sat, again!') AS r")
+      .head().getSeq[Long](0)
+    assert(r(0) === 7L, "n_tokens")
+    assert(r(1) === 4L, "n_distinct_tokens")
+    // the/cat/sat each twice: (2-1)*3 three times
+    assert(r(2) === 9L, "dup_token_chars")
+    assert(r(3) === 23L, "total_token_chars")
+    // "the cat" x2 covering 2*(3+3)
+    assert(r(4) === 12L, "top2_chars")
+    // "the cat sat" x2 covering 2*9
+    assert(r(5) === 18L, "top3_chars")
+    // all 4-grams unique; widest is "the cat sat again" = 14 chars
+    assert(r(6) === 14L, "top4_chars")
+    // empty text: all zeros, no division-by-zero landmine
+    val z = spark.sql("SELECT repetition_stats('') AS r").head().getSeq[Long](0)
+    assert(z === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("token_ngram_hashes: distinct, sorted, SipHash of the joined gram") {
+    graft.GraftFunctions.register(spark)
+    // 7 bigram positions, 5 distinct ("a b" and "b c" repeat)
+    val hs = spark.sql(
+      "SELECT token_ngram_hashes('a b c a b c d e', 2) AS h")
+      .head().getSeq[Long](0)
+    assert(hs.length === 5)
+    assert(hs === hs.sorted)
+    assert(hs.contains(SipHash64.hash("a b".getBytes("UTF-8"))))
+    assert(hs.contains(SipHash64.hash("d e".getBytes("UTF-8"))))
+    // shorter than n -> empty, not null
+    val e = spark.sql("SELECT token_ngram_hashes('one two', 3) AS h")
+      .head().getSeq[Long](0)
+    assert(e.isEmpty)
+  }
+
+  test("bloom_contains_any: probes the serialized filter, no false negatives") {
+    graft.GraftFunctions.register(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(11L, 22L, 33L).foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hex = java.util.HexFormat.of().formatHex(bos.toByteArray)
+    def probe(arr: String): Boolean =
+      spark.sql(s"SELECT bloom_contains_any($arr, unhex('$hex')) AS b")
+        .head().getBoolean(0)
+    assert(probe("array(1L, 22L)"), "member must hit")
+    assert(probe("array(33L)"), "member must hit")
+    assert(!probe("array(CAST(-987654321 AS BIGINT))"), "1% fpp: this non-member stays out")
+    assert(!probe("array_remove(array(5L), 5L)"), "empty array is clean")
+  }
+
+  test("normalize_for_dedup: NFC + lower + collapse, composition-form-insensitive") {
+    graft.GraftFunctions.register(spark)
+    def n(sql: String): String =
+      spark.sql(s"SELECT normalize_for_dedup($sql)").head().getString(0)
+    assert(n("'  The QUICK--brown,fox! '") === "the quick brown fox")
+    // decomposed e + U+0301 and precomposed U+00E9 canonicalize alike:
+    // NFC composes first, then the non-ascii char collapses to a space
+    assert(n("'café x'") === n("'café x'"))
+    assert(n("'café x'") === "caf x")
+    assert(n("''") === "")
+  }
+
   test("siphash64 null propagates") {
     GraftFunctions.register(spark)
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")

@@ -160,6 +160,41 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
+  test("q103: repetition stats is an explode-free narrow projection") {
+    // the naive plan is a token explode + three n-gram explodes and
+    // four hash aggregates; the kernel form must stay one codegen'd
+    // call per document
+    val p = plan(graft.queries.PipelineQueries.q103(spark, sfDir))
+    assert(p.contains("repetition_stats"), p)
+    assert(!p.contains("Generate"), s"q103 explodes rows:\n$p")
+    assert(!p.contains("HashAggregate"), s"q103 aggregates:\n$p")
+  }
+
+  test("q104: decontamination is a narrow Bloom prefilter; only candidates explode") {
+    val p = plan(graft.queries.PipelineQueries.q104(spark, sfDir))
+    // corpus scan carries the codegen'd Bloom probe as a plain Filter
+    assert(p.contains("bloom_contains_any"), p)
+    // exact verification joins the (tiny) benchmark side broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly two Generates: the benchmark-side shingle explode and
+    // the candidate-side explode — no explode of the full clean corpus
+    assert("Generate".r.findAllIn(p).size === 2, p)
+  }
+
+  test("q105: normalize-dedup is one kernel call + ONE digest shuffle") {
+    val p = plan(graft.queries.PipelineQueries.q105(spark, sfDir))
+    assert(p.contains("normalize_for_dedup"), p)
+    assert("hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q106: stratified mix broadcasts the rates dim — corpus side never shuffles") {
+    val p = plan(graft.queries.PipelineQueries.q106(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // only the tiny rates-dim DISTINCT shuffles; the corpus side is a
+    // narrow projection + filter straight into the broadcast join
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))
