@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, BloomContainsAnyExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, BloomContainsAnyExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, L2SqExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -156,6 +156,11 @@ object GraftFunctions {
       case Seq(a, b) => CosineSimExpr(a, b)
       case other => throw new IllegalArgumentException(
         s"cosine_sim(a, b) expected, got $other")
+    }),
+    (FunctionIdentifier("l2sq"), info("l2sq"), {
+      case Seq(a, b) => L2SqExpr(a, b)
+      case other => throw new IllegalArgumentException(
+        s"l2sq(a, b) expected, got $other")
     }),
     (FunctionIdentifier("vec_norm2"), info("vec_norm2"), {
       case Seq(a) => VecNorm2Expr(a)

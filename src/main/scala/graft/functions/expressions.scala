@@ -187,6 +187,22 @@ object CosineSim {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Σ (xᵢ−yᵢ)², ascending index — the PQ subspace distance
+    * (operators/PqAnn.scala); sequential order matches the SQL
+    * `sum((x−y)·(x−y))` over a lockstep unnest. */
+  def l2sq(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 case class VecNorm2Expr(child: Expression)
@@ -216,6 +232,26 @@ case class CosineSimExpr(left: Expression, right: Expression)
       s"graft.functions.CosineSim.cosine($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance of two float vectors (CosineSim.l2sq) — the
+  * per-subspace distance of product quantization; codegen'd, so the
+  * m·ks encode calls per row stay inside whole-stage codegen. */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.l2sq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSim.l2sq($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -382,8 +382,61 @@ object SimilarityQueries {
       |      FROM (SELECT unnest(qe) AS v FROM q))), 4) AS cosine
       |FROM d GROUP BY vec_id ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q107 product-quantization ANN (operators/PqAnn.scala) — vectors
+  // stored as m=8 centroid ids over 16-entry per-subspace codebooks;
+  // the query scores rows by ADC: 8 integer lookups + adds per row
+  // against a driver-built LUT. Codebooks here are the deterministic
+  // sampled quantizer (subvector slices of vec_id 1..16) so DuckDB
+  // reproduces encode and ADC bit-for-bit; distances are ×10⁴
+  // integers end-to-end, so no float-order drift can break the
+  // oracle. One narrow scan + TakeOrderedAndProject — no shuffle.
+  // ---------------------------------------------------------------
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val model = graft.operators.PqAnn.sampled(
+      e.filter(col("vec_id").between(1, 16)), "vec_id", "embedding",
+      m = 8, ks = 16)
+    val qe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    graft.operators.PqAnn.topK(
+      e.filter(col("vec_id") =!= 0), "embedding", model, qe)
+      .orderBy(col("adc_x1e4").asc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("adc_x1e4"))
+  }
+
+  private val q107Sql =
+    """WITH cb AS (SELECT vec_id AS c, j, embedding[j*8+1 : j*8+8] AS ce
+      |  FROM embeddings, unnest(range(0, 8)) AS u(j)
+      |  WHERE vec_id BETWEEN 1 AND 16),
+      |q AS (SELECT j, embedding[j*8+1 : j*8+8] AS qs
+      |  FROM embeddings, unnest(range(0, 8)) AS u(j) WHERE vec_id = 0),
+      |fd AS (SELECT vec_id, j, c,
+      |    CAST(round(sum((x - y) * (x - y)) * 10000, 0) AS BIGINT) AS d
+      |  FROM (SELECT e.vec_id, cb.j, cb.c,
+      |          CAST(unnest(e.embedding[cb.j*8+1 : cb.j*8+8]) AS DOUBLE) AS x,
+      |          CAST(unnest(cb.ce) AS DOUBLE) AS y
+      |        FROM embeddings e CROSS JOIN cb WHERE e.vec_id <> 0)
+      |  GROUP BY vec_id, j, c),
+      |enc AS (SELECT vec_id, j, (array_agg(c ORDER BY d, c))[1] AS code
+      |  FROM fd GROUP BY vec_id, j),
+      |lut AS (SELECT j, c,
+      |    CAST(round(sum((x - y) * (x - y)) * 10000, 0) AS BIGINT) AS d
+      |  FROM (SELECT cb.j, cb.c,
+      |          CAST(unnest(q.qs) AS DOUBLE) AS x,
+      |          CAST(unnest(cb.ce) AS DOUBLE) AS y
+      |        FROM cb JOIN q ON q.j = cb.j)
+      |  GROUP BY j, c)
+      |SELECT enc.vec_id, CAST(sum(lut.d) AS BIGINT) AS adc_x1e4
+      |FROM enc JOIN lut ON lut.j = enc.j AND lut.c = enc.code
+      |GROUP BY enc.vec_id
+      |ORDER BY adc_x1e4, vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_ivf_ann", q100, Some(q100Sql)),
+    QueryDef("q107_pq_ann", q107, Some(q107Sql)),
     QueryDef("q50_cosine_brute_topk", q50, Some(q50Sql)),
     QueryDef("q51_norm_by_label", q51, Some(q51Sql)),
     QueryDef("q52_lsh_bucket_histogram", q52, Some(q52Sql)),

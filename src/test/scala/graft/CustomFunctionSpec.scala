@@ -282,6 +282,15 @@ class CustomFunctionSpec extends SparkSpec {
     assert(!probe("array_remove(array(5L), 5L)"), "empty array is clean")
   }
 
+  test("l2sq: hand-computed squared L2, codegen and interpreted agree") {
+    graft.GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT l2sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(6.0 AS FLOAT)))")
+      .head().getDouble(0)
+    assert(d === 25.0) // 3² + 4²
+  }
+
   test("normalize_for_dedup: NFC + lower + collapse, composition-form-insensitive") {
     graft.GraftFunctions.register(spark)
     def n(sql: String): String =

@@ -195,6 +195,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q107: PQ encode + ADC is ONE narrow scan — no shuffle, no join, local top-k") {
+    val p = plan(graft.queries.SimilarityQueries.q107(spark, sfDir))
+    assert(p.contains("l2sq"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))
