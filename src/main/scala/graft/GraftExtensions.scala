@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, BloomContainsAnyExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, L2SqExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, BloomContainsAnyExpr, BpeEncodeExpr, BpeTokenCountExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, L2SqExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -186,6 +186,20 @@ object GraftFunctions {
       case Seq(e, Literal(n: Int, _)) => TokenNgramHashesExpr(e, n)
       case other => throw new IllegalArgumentException(
         s"token_ngram_hashes(text, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("bpe_token_count"), info("bpe_token_count"), {
+      case Seq(e, s) if s.foldable &&
+          s.dataType == org.apache.spark.sql.types.StringType =>
+        BpeTokenCountExpr(e, s.eval(null).toString)
+      case other => throw new IllegalArgumentException(
+        s"bpe_token_count(text, mergeSpec literal) expected, got $other")
+    }),
+    (FunctionIdentifier("bpe_encode"), info("bpe_encode"), {
+      case Seq(e, s) if s.foldable &&
+          s.dataType == org.apache.spark.sql.types.StringType =>
+        BpeEncodeExpr(e, s.eval(null).toString)
+      case other => throw new IllegalArgumentException(
+        s"bpe_encode(text, mergeSpec literal) expected, got $other")
     }),
     (FunctionIdentifier("bloom_contains_any"), info("bloom_contains_any"), {
       case Seq(e, b) if b.foldable &&

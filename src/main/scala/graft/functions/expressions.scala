@@ -695,6 +695,43 @@ case class BloomContainsAnyExpr(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** BPE token count under a plan-literal merge table (Bpe.tokenCount)
+  * — the scalable half of the tokenizer: one codegen'd call per
+  * document; the merge ranks compile once per executor. */
+case class BpeTokenCountExpr(child: Expression, spec: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  @transient private lazy val specRef = spec
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.tokenCount(input.asInstanceOf[UTF8String].toString, spec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("bpeSpec", specRef, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.tokenCount($c.toString(), $s)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
+/** The document's BPE token sequence (Bpe.encode) as array<string> —
+  * same kernel shape as [[BpeTokenCountExpr]]. */
+case class BpeEncodeExpr(child: Expression, spec: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  @transient private lazy val specRef = spec
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.encodeArray(input.asInstanceOf[UTF8String].toString, spec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("bpeSpec", specRef, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.encodeArray($c.toString(), $s)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
 /** CH `length` works on String AND Array/Map (FunctionsString.h
   * length / FunctionsArray.h arrayLength share the name); Spark
   * splits them as length()/size(). Dispatch on the resolved child

@@ -282,7 +282,38 @@ object PipelineQueries {
       |WHERE bucket * 10000 < rate_bp * 65536
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q108 BPE tokenization — train a merge table on a deterministic
+  // corpus sample (tokenizer training is inherently sample-based:
+  // real tokenizers fit a few GB of a multi-TB corpus on one node),
+  // then count each document's subword tokens with ONE codegen'd
+  // kernel call per row; the merge table rides into codegen as a
+  // plan literal and compiles to rank lookups once per executor.
+  // No DuckDB oracle — BPE application is not SQL-expressible — so
+  // this is a rows-only query; BpeSpec pins the algorithm against
+  // the hand-computed ACL'16 example and pins kernel output ==
+  // driver-side encoder on real documents.
+  // ---------------------------------------------------------------
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val sample = docs.orderBy(col("doc_id")).limit(64)
+      .select(col("text")).collect().map(_.getString(0))
+    val wordFreq = sample.toSeq
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val spec = graft.functions.Bpe.render(
+      graft.functions.Bpe.train(wordFreq, nMerges = 64))
+    docs.select(col("doc_id"),
+      expr(s"bpe_token_count(text, '$spec')").as("n_bpe_tokens"),
+      expr("size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))")
+        .cast("long").as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q108_bpe_tokenize", q108, None),
     QueryDef("q101_sequence_packing", q101, Some(q101Sql)),
     QueryDef("q102_hash_split", q102, Some(q102Sql)),
     QueryDef("q103_repetition_stats", q103, Some(q103Sql)),
