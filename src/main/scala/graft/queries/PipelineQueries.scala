@@ -312,8 +312,62 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // q109 epoch replication — the UP-sampling half of corpus mixing
+  // (q106 is the down-sampling half): a source with rate 2.25×
+  // contributes 2 copies of every document plus a third copy of a
+  // deterministic 25% subset. Copy counts are a pure md5 function of
+  // the doc identity, so the replicated corpus is reproducible and
+  // the "which docs got the extra epoch" subset is re-derivable.
+  //
+  // Scale shape: broadcast rates dim + a narrow generate whose
+  // expand factor IS the mixing rate (the intended output size);
+  // no shuffle except the presentation sort.
+  // ---------------------------------------------------------------
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // demo ladder: src<k> replicates at (1 + k%4) * 0.75 epochs
+    val rates = docs.select(col("source")).distinct()
+      .withColumn("rate_bp",
+        (lit(1L) + pmod(regexp_extract(col("source"), "(\\d+)$", 1)
+          .cast("long"), lit(4L))) * lit(7500L))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(rates), "source")
+      .withColumn("n_copies",
+        expr("rate_bp div 10000") +
+          when(col("bucket") * lit(10000L) <
+            pmod(col("rate_bp"), lit(10000L)) * lit(65536L), 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  private val q109Sql =
+    """WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      |b AS (SELECT doc_id, source,
+      |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+      |       + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+      |       + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS bucket
+      |  FROM h),
+      |r AS (SELECT source,
+      |    CAST((1 + CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4) * 7500 AS BIGINT) AS rate_bp
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT doc_id, b.source AS source,
+      |    rate_bp // 10000
+      |      + CASE WHEN bucket * 10000 < (rate_bp % 10000) * 65536 THEN 1 ELSE 0 END AS n_copies
+      |  FROM b JOIN r USING(source))
+      |SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy
+      |FROM n, unnest(range(0, n_copies)) AS u(c)
+      |ORDER BY doc_id, copy""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_bpe_tokenize", q108, None),
+    QueryDef("q109_epoch_replication", q109, Some(q109Sql)),
     QueryDef("q101_sequence_packing", q101, Some(q101Sql)),
     QueryDef("q102_hash_split", q102, Some(q102Sql)),
     QueryDef("q103_repetition_stats", q103, Some(q103Sql)),
