@@ -434,9 +434,77 @@ object SimilarityQueries {
       |GROUP BY enc.vec_id
       |ORDER BY adc_x1e4, vec_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q110 corpus cartography — profile embedding-space clusters by
+  // document metadata: assign every vector to its nearest coarse
+  // centroid (the deterministic sampled IVF quantizer, so DuckDB
+  // reproduces the assignment), join the documents table on id, and
+  // report per-cell document counts, total chars, and the dominant
+  // source. The "what is actually IN each region of my corpus"
+  // report that guides mixing and filtering decisions.
+  //
+  // Scale shape: assignment is a narrow projection (16 codegen'd
+  // cosine kernels per row); the embeddings-documents join shuffles
+  // both sides on the id — the one legitimately unavoidable shuffle
+  // (bucketed storage co-locates it at rest); the per-cell rollups
+  // are partial/final aggregations over 16·|sources| groups.
+  // ---------------------------------------------------------------
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.IvfAnn.sampled(
+      e.filter(col("vec_id").between(1, 16)), "vec_id", "embedding", 16)
+    val cells = e
+      .withColumn("cell",
+        graft.operators.IvfAnn.cellCol(model, "embedding").cast("long"))
+      .select(col("vec_id"), col("cell"))
+    val j = cells.join(docs, cells("vec_id") === docs("doc_id"))
+      .select(col("cell"), col("source"), col("n_chars"))
+    val bySource = j.groupBy(col("cell"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    // dominant source: max (count, source) struct — ties take the
+    // lexicographically greatest source, mirrored in the oracle
+    val top = bySource.groupBy(col("cell"))
+      .agg(max(struct(col("cnt"), col("source"))).as("m"))
+      .select(col("cell"), col("m.source").as("top_source"),
+        col("m.cnt").as("top_source_docs"))
+    val tot = j.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    tot.join(top, "cell")
+      .select(col("cell"), col("n_docs"), col("sum_chars"),
+        col("top_source"), col("top_source_docs"))
+      .orderBy(col("cell"))
+  }
+
+  private val q110Sql =
+    """WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+      |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      |ac AS (SELECT vec_id, cid,
+      |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cs
+      |  FROM (SELECT e.vec_id, c.cid,
+      |          CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |          CAST(unnest(c.ce) AS DOUBLE) AS y
+      |        FROM embeddings e CROSS JOIN cent c)
+      |  GROUP BY vec_id, cid),
+      |cell AS (SELECT vec_id, (array_agg(cid ORDER BY cs DESC, cid))[1] AS cell
+      |  FROM ac GROUP BY vec_id),
+      |j AS (SELECT cell.cell, d.source, d.n_chars
+      |  FROM cell JOIN documents d ON d.doc_id = cell.vec_id),
+      |sc AS (SELECT cell, source, count(*) AS cnt FROM j GROUP BY 1, 2),
+      |top AS (SELECT cell,
+      |    (array_agg(source ORDER BY cnt DESC, source DESC))[1] AS top_source,
+      |    CAST((array_agg(cnt ORDER BY cnt DESC, source DESC))[1] AS BIGINT) AS top_source_docs
+      |  FROM sc GROUP BY 1),
+      |tot AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM j GROUP BY 1)
+      |SELECT tot.cell AS cell, n_docs, sum_chars, top_source, top_source_docs
+      |FROM tot JOIN top ON top.cell = tot.cell ORDER BY cell""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_ivf_ann", q100, Some(q100Sql)),
     QueryDef("q107_pq_ann", q107, Some(q107Sql)),
+    QueryDef("q110_corpus_cartography", q110, Some(q110Sql)),
     QueryDef("q50_cosine_brute_topk", q50, Some(q50Sql)),
     QueryDef("q51_norm_by_label", q51, Some(q51Sql)),
     QueryDef("q52_lsh_bucket_histogram", q52, Some(q52Sql)),
