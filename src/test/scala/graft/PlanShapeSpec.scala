@@ -204,6 +204,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("q109: epoch replication is broadcast-rates + ONE narrow generate") {
+    val p = plan(graft.queries.PipelineQueries.q109(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Generate".r.findAllIn(p).size === 1, p)
+    // only the tiny rates-dim DISTINCT shuffles + the output sort
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q110: cartography joins once on the id; rollups are partial/final") {
+    val p = plan(graft.queries.SimilarityQueries.q110(spark, sfDir))
+    // cell assignment is narrow: the cosine kernel appears, no Generate
+    assert(p.contains("cosine_sim"), p)
+    assert(!p.contains("Generate"), p)
+    // map-side partial aggregation before each exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))

@@ -307,6 +307,43 @@ class StorageStreamingSpec extends SparkSpec {
     assert(pairs() === Set((2L, 1L)), pairs().toString)
   }
 
+  test("intake pipeline: dedup + quality gate + decontamination in one stream") {
+    import graft.streaming.IntakeGate
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+    // static benchmark: one held-out "eval" document
+    val bench = Seq("the secret eval answer is forty two exactly here today ok")
+      .toDF("text")
+    val bloom = IntakeGate.benchmarkBloom(bench, "text", n = 4)
+
+    val clean = "many different words appear in this reasonably varied sentence structure"
+    val repetitive = "spam spam spam spam spam spam spam spam spam spam spam spam"
+    val contaminated = "prefix words then the secret eval answer is forty two leaked"
+    val short = "too short"
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = IntakeGate.intake(
+      mem.toDF().toDF("id", "ts", "text"), "text", "ts",
+      dedupDelay = "5 minutes", bloomBytes = bloom, n = 4,
+      minTokens = 5L, maxDupTokenFrac = 0.6, maxTop2Frac = 0.5)
+    val base = Files.createTempDirectory("intake").toString
+    val q = out.writeStream.format("memory")
+      .queryName("intake_out").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+
+    mem.addData(
+      (1L, ts(0), clean),
+      (2L, ts(1), clean),        // exact duplicate  → dedup drops
+      (3L, ts(1), repetitive),   // dup-token frac 11/12 → quality drops
+      (4L, ts(2), contaminated), // shares 4-grams with bench → bloom drops
+      (5L, ts(2), short))        // < 5 tokens → quality drops
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("intake_out").select("id").as[Long].collect().toSet
+    assert(ids === Set(1L), ids.toString)
+  }
+
   test("buffer forwards micro-batches to a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
