@@ -365,9 +365,43 @@ object PipelineQueries {
       |FROM n, unnest(range(0, n_copies)) AS u(c)
       |ORDER BY doc_id, copy""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q111 incremental dedup against history — the ingestion-time
+  // variant of exact dedup (q42 self-dedups a corpus; this drops an
+  // incoming batch's documents whose NORMALIZED content already
+  // exists in the corpus at rest). Demo split: doc_id < 250 is the
+  // historical corpus, the rest is the incoming batch. The shape
+  // (history → Bloom → narrow batch prefilter → candidates broadcast
+  // into a history semi-join → anti-join the tiny hit set) lives in
+  // operators.IncrementalDedup — history is scanned once, never
+  // shuffled, never broadcast.
+  // ---------------------------------------------------------------
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val digested = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(expr("normalize_for_dedup(text)").cast("binary")).as("digest"))
+    graft.operators.IncrementalDedup(
+      digested.filter(col("doc_id") >= 250),
+      digested.filter(col("doc_id") < 250),
+      "digest")
+      .select(col("doc_id"), col("source"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q111Sql =
+    """WITH n AS (SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9]+', ' ', 'g'))) AS digest
+      |  FROM documents),
+      |hist AS (SELECT DISTINCT digest FROM n WHERE doc_id < 250)
+      |SELECT doc_id, source, digest FROM n
+      |WHERE doc_id >= 250 AND digest NOT IN (SELECT digest FROM hist)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_bpe_tokenize", q108, None),
     QueryDef("q109_epoch_replication", q109, Some(q109Sql)),
+    QueryDef("q111_dedup_against_history", q111, Some(q111Sql)),
     QueryDef("q101_sequence_packing", q101, Some(q101Sql)),
     QueryDef("q102_hash_split", q102, Some(q102Sql)),
     QueryDef("q103_repetition_stats", q103, Some(q103Sql)),

@@ -80,6 +80,26 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("IncrementalDedup drops exact-history digests, keeps new ones, survives fpp") {
+    import graft.operators.IncrementalDedup
+    import spark.implicits._
+    // history has digests d1,d2 (d2 twice — Bloom insert idempotent)
+    val history = Seq("d1", "d2", "d2").toDF("digest")
+    val batch = Seq(
+      (10L, "d1"),  // true dup -> dropped
+      (11L, "d3"),  // new -> kept
+      (12L, "d2"),  // true dup -> dropped
+      (13L, "d4"))  // new -> kept
+      .toDF("id", "digest")
+    val out = IncrementalDedup(batch, history, "digest")
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(11L, 13L))
+    // empty history keeps everything; empty batch stays empty
+    assert(IncrementalDedup(batch, Seq.empty[String].toDF("digest"), "digest")
+      .count() === 4L)
+    assert(IncrementalDedup(batch.limit(0), history, "digest").count() === 0L)
+  }
+
   test("ConnectedComponents matches a union-find oracle on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
