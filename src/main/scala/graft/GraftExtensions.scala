@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, BloomContainsAnyExpr, BpeEncodeExpr, BpeTokenCountExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, L2SqExpr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, BloomContainsAnyExpr, BpeEncodeExpr, BpeTokenCountExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, L2SqExpr, PHash64Expr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -161,6 +161,11 @@ object GraftFunctions {
       case Seq(a, b) => L2SqExpr(a, b)
       case other => throw new IllegalArgumentException(
         s"l2sq(a, b) expected, got $other")
+    }),
+    (FunctionIdentifier("phash64"), info("phash64"), {
+      case Seq(a) => PHash64Expr(a)
+      case other => throw new IllegalArgumentException(
+        s"phash64(features) expected, got $other")
     }),
     (FunctionIdentifier("vec_norm2"), info("vec_norm2"), {
       case Seq(a) => VecNorm2Expr(a)

@@ -255,6 +255,27 @@ case class L2SqExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit perceptual difference-hash over a feature vector
+  * (multimodal.Media.perceptualHash64) — codegen'd so the media
+  * near-dup scan stays one narrow pass. */
+case class PHash64Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash64"
+  private def floats(a: Any): Array[Float] = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    arr.toFloatArray()
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    graft.multimodal.Media.perceptualHash64(floats(a))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.multimodal.Media.perceptualHash64($a.toFloatArray())")
+  override protected def withNewChildInternal(newChild: Expression): PHash64Expr =
+    copy(child = newChild)
+}
+
 case class HyperplaneProjExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType))

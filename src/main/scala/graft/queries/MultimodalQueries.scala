@@ -71,8 +71,33 @@ object MultimodalQueries {
       |      FROM documents)
       |GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q112 media near-dup by perceptual hash — decode (real JDK path,
+  // fallback features for the synthetic payloads), 64-bit dHash, LSH
+  // band bucketing, Hamming verify (Media.nearDupCandidates — the
+  // image analog of the q47 text path). Output: every item's phash
+  // plus how many near-dup candidates it hit. Rows-only (the phash
+  // rides on the JVM decoder); FormatsMediaSpec pins the semantics on
+  // genuine PNGs (one-pixel-edit pairs flagged, distinct images not).
+  // ---------------------------------------------------------------
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val m = media(s, dir)
+    val pairs = Media.nearDupCandidates(s, m, dim = 64, maxHamming = 6)
+    val hits = pairs.select(col("id_a").as("media_id"))
+      .unionAll(pairs.select(col("id_b").as("media_id")))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_candidates"))
+    Media.decodeMediaFeatures(s, m, dim = 64)
+      .select(col("media_id"), expr("phash64(features)").as("ph"))
+      .join(hits, Seq("media_id"), "left")
+      .select(col("media_id"), col("ph"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("media_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q71_media_metadata", q71, Some(q71Sql)),
     QueryDef("q72_media_features_stub", q72, None),
-    QueryDef("q73_media_frame_sampling", q73, Some(q73Sql)))
+    QueryDef("q73_media_frame_sampling", q73, Some(q73Sql)),
+    QueryDef("q112_media_neardup_phash", q112, None))
 }

@@ -162,6 +162,37 @@ class FormatsMediaSpec extends SparkSpec {
     assert(!vidOk && vidF.length === 4 && vidF.forall(f => f >= -1f && f <= 1f))
   }
 
+  test("perceptual near-dup: one-pixel edits collide, distinct images do not") {
+    def png(pixels: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, pixels(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // deterministic gradient; B flips ONE pixel; C is a different pattern
+    def grad(x: Int, y: Int): Int = { val v = (x * 32 + y * 3) & 0xff; (v << 16) | (v << 8) | v }
+    val a = png(grad)
+    val b = png((x, y) => if (x == 3 && y == 3) 0xffffff else grad(x, y))
+    val c = png((x, y) => { val v = ((x * 97 + y * 41) * 31) & 0xff; (v << 16) | (v << 8) | v })
+    val media = Seq((1L, "image", a), (2L, "image", b), (3L, "image", c))
+      .toDF("media_id", "kind", "content")
+    val pairs = Media.nearDupCandidates(spark, media, dim = 64, maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"one-pixel edit must collide: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"distinct image flagged: $pairs")
+    // dHash brightness invariance: a globally brightened copy hashes identically
+    val bright = png((x, y) => { val v = math.min((grad(x, y) & 0xff) + 40, 255); (v << 16) | (v << 8) | v })
+    val ph = Media.decodeMediaFeatures(
+      spark, Seq((1L, "image", a), (4L, "image", bright)).toDF("media_id", "kind", "content"), 64)
+      .selectExpr("media_id", "phash64(features) AS ph")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(4L)) <= 4,
+      s"brightness shift moved the phash ${java.lang.Long.bitCount(ph(1L) ^ ph(4L))} bits")
+  }
+
   test("frame sampling emits the arithmetic frame count") {
     val media = Seq((1L, "video", Array.fill[Byte](200)(7))).toDF("media_id", "kind", "content")
     val frames = Media.sampleFrames(spark, media, stride = 64, frameLen = 32)
