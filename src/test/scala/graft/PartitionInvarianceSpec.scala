@@ -16,6 +16,7 @@ class PartitionInvarianceSpec extends SparkSpec {
   private val names = Seq(
     "q01_agg_pricing_summary",
     "q42_exact_dedup",
+    "q47_neardup_minhash_lsh", // hot buckets are SKIPPED not truncated, so the cap is order-free
     "q99_neardup_clusters",
     "q103_repetition_stats",
     "q104_decontaminate",
