@@ -74,6 +74,57 @@ object OperatorQueries {
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q113 retention cohorts — the classic product-analytics rollup the
+  // reference's event workloads are built around: users grouped by
+  // first-activity week (their cohort), then per (cohort, week-offset)
+  // counts of users still active, alongside the cohort size.
+  //
+  // Scale shape: weekly activity de-dups per (user, week) FIRST (the
+  // big reduction — events collapse to at most users×weeks rows
+  // before anything joins), then the cohort join and the rollup
+  // co-partition on user_id / (cohort, offset). Day-level event
+  // volume never reaches the join.
+  // ---------------------------------------------------------------
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val activity = t(s, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      // date rendered as a string: the oracle comparator stringifies
+      // frames, and pandas renders SQL DATE as a midnight timestamp
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q113Sql =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY 1),
+      |c AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM f GROUP BY 1),
+      |j AS (SELECT f.cohort_week,
+      |    CAST((a.wk - f.cohort_week) // 7 AS BIGINT) AS week_offset
+      |  FROM a JOIN f USING(user_id)),
+      |r AS (SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+      |  FROM j GROUP BY 1, 2)
+      |SELECT CAST(r.cohort_week AS VARCHAR) AS cohort_week,
+      |  week_offset, n_active, cohort_size
+      |FROM r JOIN c ON c.cohort_week = r.cohort_week
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---------------------------------------------------------------
   // q98 gap-based sessionization (batch spelling of the
   // flatMapGroupsWithState streaming operator, streaming/Sessionize
   // .scala) — per-user activity sessions with a 10-minute gap: two
@@ -162,5 +213,6 @@ object OperatorQueries {
     QueryDef("q84_asof_join", q84, Some(q84Sql)),
     QueryDef("q85_salted_join", q85, Some(q85Sql)),
     QueryDef("q98_sessionize", q98, Some(q98Sql)),
+    QueryDef("q113_retention_cohorts", q113, Some(q113Sql)),
     QueryDef("q99_neardup_clusters", q99, Some(q99Sql)))
 }
