@@ -179,11 +179,81 @@ object StatsQueries {
     """SELECT CAST(sum(CAST(user_id AS DECIMAL(20,0))) AS VARCHAR) AS sum_uint64, count(*) AS cnt
       |FROM events""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q114 cumulative distinct users by day — the running-total-of-
+  // uniques idiom, computed the scalable way: cumulative distinct =
+  // running sum of FIRST-APPEARANCE counts (one groupBy(user) for
+  // first days, one groupBy(day), then a window over the ~#days
+  // aggregate — the global-order window runs over day rows, never
+  // event rows, so the single-partition sort is O(#days)).
+  // ---------------------------------------------------------------
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .select(col("day").cast("string").as("day"),
+        col("new_users"), col("cumulative_users"))
+      .orderBy(col("day"))
+  }
+
+  private val q114Sql =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+      |SELECT CAST(day AS VARCHAR) AS day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cumulative_users
+      |FROM d ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q115 DAU/WAU via per-day state merge — the AggregatingMergeTree
+  // pattern at event scale: raw events reduce ONCE into a per-day
+  // exact distinct-user state (the uniqExactState layout, q79); DAU
+  // reads each state's size, WAU merges the trailing 7 days' states
+  // through a range join over the DAY table (30 rows), never
+  // rescanning events. At 100 TB the day-state table is what makes
+  // sliding uniques tractable — each event is touched exactly once.
+  // ---------------------------------------------------------------
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(collect_set(col("user_id")).as("state"))
+    val spine = daily.select(col("day").as("wday"))
+    val wau = spine.join(daily,
+        datediff(col("wday"), col("day")).between(0, 6))
+      .groupBy(col("wday"))
+      .agg(size(array_distinct(flatten(collect_list(col("state")))))
+        .cast("long").as("wau"))
+    daily.select(col("day"), size(col("state")).cast("long").as("dau"))
+      .join(wau, col("day") === col("wday"))
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  private val q115Sql =
+    """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+      |w AS (SELECT s.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+      |  FROM (SELECT DISTINCT day FROM a) s
+      |  JOIN a ON a.day BETWEEN s.day - 6 AND s.day
+      |  GROUP BY 1)
+      |SELECT CAST(d.day AS VARCHAR) AS day, dau, wau
+      |FROM d JOIN w ON w.day = d.day ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_uint64_decimal_sum", q83, Some(q83Sql)),
     QueryDef("q74_join_full_outer", q74, Some(q74Sql)),
     QueryDef("q75_stats_aggregates", q75, Some(q75Sql)),
     QueryDef("q76_intersect_except", q76, Some(q76Sql)),
     QueryDef("q77_array_combinator_enum", q77, Some(q77Sql)),
-    QueryDef("q78_geo_formatting", q78, Some(q78Sql)))
+    QueryDef("q78_geo_formatting", q78, Some(q78Sql)),
+    QueryDef("q114_cumulative_users", q114, Some(q114Sql)),
+    QueryDef("q115_dau_wau_state_merge", q115, Some(q115Sql)))
 }
