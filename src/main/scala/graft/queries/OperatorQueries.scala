@@ -125,6 +125,55 @@ object OperatorQueries {
       |ORDER BY cohort_week, week_offset""".stripMargin
 
   // ---------------------------------------------------------------
+  // q116 funnel conversion — view → click → purchase, each step the
+  // EARLIEST qualifying event after the previous step and inside a
+  // 24-hour window from the funnel start (the min-timestamp-chain
+  // semantics of a windowFunnel; the reference's sequenceMatch q65
+  // answers per-user pattern existence, this answers the per-step
+  // conversion rollup).
+  //
+  // Scale shape: three conditional min-aggregations co-partitioned on
+  // user_id (the step joins reuse the same key), then one global
+  // 3-counter fold — event volume collapses to one row per user
+  // after the first aggregation.
+  // ---------------------------------------------------------------
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .where(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t1, "user_id").join(t2, "user_id")
+      .where(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked"),
+        count(col("t3")).as("n_purchased"))
+  }
+
+  private val q116Sql =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(ts) AS t2
+      |  FROM events e JOIN t1 USING(user_id)
+      |  WHERE event_type = 'click' AND ts > t1
+      |    AND ts <= t1 + INTERVAL 24 HOURS GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(ts) AS t3
+      |  FROM events e JOIN t1 USING(user_id) JOIN t2 USING(user_id)
+      |  WHERE event_type = 'purchase' AND ts > t2
+      |    AND ts <= t1 + INTERVAL 24 HOURS GROUP BY 1)
+      |SELECT CAST(count(t1.t1) AS BIGINT) AS n_viewed,
+      |  CAST(count(t2.t2) AS BIGINT) AS n_clicked,
+      |  CAST(count(t3.t3) AS BIGINT) AS n_purchased
+      |FROM t1 LEFT JOIN t2 USING(user_id) LEFT JOIN t3 USING(user_id)""".stripMargin
+
+  // ---------------------------------------------------------------
   // q98 gap-based sessionization (batch spelling of the
   // flatMapGroupsWithState streaming operator, streaming/Sessionize
   // .scala) — per-user activity sessions with a 10-minute gap: two
@@ -214,5 +263,6 @@ object OperatorQueries {
     QueryDef("q85_salted_join", q85, Some(q85Sql)),
     QueryDef("q98_sessionize", q98, Some(q98Sql)),
     QueryDef("q113_retention_cohorts", q113, Some(q113Sql)),
+    QueryDef("q116_funnel_conversion", q116, Some(q116Sql)),
     QueryDef("q99_neardup_clusters", q99, Some(q99Sql)))
 }

@@ -25,7 +25,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q108_bpe_tokenize",
     "q109_epoch_replication",
     "q110_corpus_cartography",
-    "q111_dedup_against_history")
+    "q111_dedup_against_history",
+    "q113_retention_cohorts",
+    "q114_cumulative_users",
+    "q115_dau_wau_state_merge",
+    "q116_funnel_conversion")
 
   test("query results are invariant under a different shuffle width") {
     val key = "spark.sql.shuffle.partitions"
