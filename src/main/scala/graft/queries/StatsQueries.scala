@@ -247,6 +247,54 @@ object StatsQueries {
       |SELECT CAST(d.day AS VARCHAR) AS day, dau, wau
       |FROM d JOIN w ON w.day = d.day ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q117 volume anomaly flags — per (event_type, day) counts compared
+  // to the trailing 7 days: a day is anomalous when its count exceeds
+  // 2× the trailing mean or falls under half of it. The comparison is
+  // pure integers (7·n vs 2·trailing_sum), so no float/stddev
+  // algorithm drift can split the engines; days without a full
+  // 7-day history emit flag -1 (an integer sentinel: a nullable
+  // boolean column round-trips differently through the comparator's
+  // pandas frames on the two engines).
+  //
+  // Scale shape: events reduce to (type, day) counts first — the
+  // window pass runs over ~types×days rows, partitioned by type.
+  // ---------------------------------------------------------------
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("trailing_sum", sum(col("n")).over(w))
+      .withColumn("trailing_n", count(col("n")).over(w))
+      .withColumn("anomaly",
+        when(col("trailing_n") < 7, lit(-1L))
+          .otherwise((col("n") * 7 > col("trailing_sum") * 4 ||
+            col("n") * 14 < col("trailing_sum")).cast("long")))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n"), coalesce(col("trailing_sum"), lit(0L)).as("trailing_sum"),
+        col("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q117Sql =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, day, n,
+      |    CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trailing_sum,
+      |    count(n) OVER w AS trailing_n
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, n, trailing_sum,
+      |  CASE WHEN trailing_n < 7 THEN -1
+      |       ELSE CAST(n * 7 > trailing_sum * 4 OR n * 14 < trailing_sum AS BIGINT)
+      |       END AS anomaly
+      |FROM t ORDER BY event_type, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_uint64_decimal_sum", q83, Some(q83Sql)),
     QueryDef("q74_join_full_outer", q74, Some(q74Sql)),
@@ -255,5 +303,6 @@ object StatsQueries {
     QueryDef("q77_array_combinator_enum", q77, Some(q77Sql)),
     QueryDef("q78_geo_formatting", q78, Some(q78Sql)),
     QueryDef("q114_cumulative_users", q114, Some(q114Sql)),
-    QueryDef("q115_dau_wau_state_merge", q115, Some(q115Sql)))
+    QueryDef("q115_dau_wau_state_merge", q115, Some(q115Sql)),
+    QueryDef("q117_volume_anomaly", q117, Some(q117Sql)))
 }

@@ -29,7 +29,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q113_retention_cohorts",
     "q114_cumulative_users",
     "q115_dau_wau_state_merge",
-    "q116_funnel_conversion")
+    "q116_funnel_conversion",
+    "q117_volume_anomaly")
 
   test("query results are invariant under a different shuffle width") {
     val key = "spark.sql.shuffle.partitions"
