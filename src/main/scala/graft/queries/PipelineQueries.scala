@@ -398,8 +398,49 @@ object PipelineQueries {
       |WHERE doc_id >= 250 AND digest NOT IN (SELECT digest FROM hist)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q118 vocabulary rollup — top-5 tokens per source with counts,
+  // ties broken lexicographically. The corpus-vocabulary report that
+  // sits behind stopword lists, tokenizer sanity checks, and
+  // contamination heuristics.
+  //
+  // Scale shape: the token explode is inherent to a vocabulary
+  // rollup, but map-side PARTIAL aggregation collapses it inside the
+  // generate stage — the shuffle carries the per-partition partial
+  // vocabulary (bounded by |vocab|·partitions), never the raw token
+  // stream; the top-5 window then runs over per-source vocab rows.
+  // ---------------------------------------------------------------
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok"))
+    t(s, dir, "documents")
+      .select(col("source"), explode(
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("tok"), col("cnt"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val q118Sql =
+    """WITH tok AS (SELECT source, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY 1, 2),
+      |r AS (SELECT source, tok, cnt,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, tok) AS BIGINT) AS rk
+      |  FROM c)
+      |SELECT source, rk, tok, cnt FROM r WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_bpe_tokenize", q108, None),
+    QueryDef("q118_vocabulary_rollup", q118, Some(q118Sql)),
     QueryDef("q109_epoch_replication", q109, Some(q109Sql)),
     QueryDef("q111_dedup_against_history", q111, Some(q111Sql)),
     QueryDef("q101_sequence_packing", q101, Some(q101Sql)),

@@ -221,6 +221,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("q118: vocabulary rollup partial-aggregates inside the generate stage") {
+    val p = plan(graft.queries.PipelineQueries.q118(spark, sfDir))
+    assert(p.contains("Generate"), p)
+    // map-side partial + final: the shuffle carries partial vocabulary
+    // counts, never the raw token stream
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))
