@@ -18,6 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fail FAST and by name on a null oracle string (a Scala
+    // val-initialization-order bug puts null into a QueryDef whose
+    // `defs` val precedes its SQL val) — the NPE otherwise fires
+    // after all queries ran, while dumping oracle_sql.json, and takes
+    // the whole correctness artifact down with it
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      require(v != null, s"oracle SQL for $k is null — QueryDef built before its SQL val (move defs below the SQL vals)")
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -21,4 +21,16 @@ class RegistrySpec extends AnyFunSuite {
   test("names follow the qNN_slug convention") {
     assert(Registry.all.forall(_.name.matches("q\\d+_[a-z0-9_]+")))
   }
+
+  test("no oracle SQL is null or blank (val-initialization-order guard)") {
+    // a QueryDef list declared ABOVE its SQL vals captures null — it
+    // surfaced as an NPE inside Verify's json dump, which would have
+    // zeroed the whole correctness artifact
+    Registry.all.foreach { d =>
+      d.oracle.foreach { sql =>
+        assert(sql != null && sql.trim.nonEmpty, s"${d.name} oracle is null/blank")
+      }
+      assert(d.fn != null, s"${d.name} query fn is null")
+    }
+  }
 }
