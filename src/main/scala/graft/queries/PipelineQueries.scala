@@ -438,9 +438,60 @@ object PipelineQueries {
       |SELECT source, rk, tok, cnt FROM r WHERE rk <= 5
       |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q119 PII scrubbing — mask emails, IPv4s, phone numbers, and long
+  // digit runs before a corpus ships to training. All four patterns
+  // sit in the Java-regex ∩ RE2 common subset (no lookaround, no
+  // backrefs) so Spark and DuckDB replace identically; masking
+  // applies in a fixed order (email → ip → phone → digit-run),
+  // counts are taken on the ORIGINAL text per category.
+  //
+  // Scale shape: pure codegen'd built-ins (regexp_count /
+  // regexp_replace chain) — a narrow projection, no kernel, no UDF,
+  // no shuffle. The synthetic corpus has no PII (all-zero counts and
+  // digest == md5(text) are the CORRECT answer, oracle-verified);
+  // CustomFunctionSpec pins the masking itself on synthetic vectors.
+  // ---------------------------------------------------------------
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhone = "\\+\\d[\\d()\\- ]{7,}\\d"
+  val piiDigits = "\\b\\d{12,19}\\b"
+
+  /** The masking chain, reused by q119 and the spec vectors. */
+  def maskPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val e = regexp_replace(c, piiEmail, "<EMAIL>")
+    val i = regexp_replace(e, piiIpv4, "<IP>")
+    val p = regexp_replace(i, piiPhone, "<PHONE>")
+    regexp_replace(p, piiDigits, "<NUM>")
+  }
+
+  def q119(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(piiEmail)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(piiIpv4)).cast("long").as("n_ipv4"),
+        regexp_count(col("text"), lit(piiPhone)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(piiDigits)).cast("long").as("n_digit_runs"),
+        md5(maskPii(col("text")).cast("binary")).as("masked_digest"))
+      .orderBy(col("doc_id"))
+
+  private val q119Sql =
+    """SELECT doc_id,
+      |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |  CAST(length(regexp_extract_all(text, '\+\d[\d()\- ]{7,}\d')) AS BIGINT) AS n_phones,
+      |  CAST(length(regexp_extract_all(text, '\b\d{12,19}\b')) AS BIGINT) AS n_digit_runs,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+\d[\d()\- ]{7,}\d', '<PHONE>', 'g'),
+      |    '\b\d{12,19}\b', '<NUM>', 'g')) AS masked_digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_bpe_tokenize", q108, None),
     QueryDef("q118_vocabulary_rollup", q118, Some(q118Sql)),
+    QueryDef("q119_pii_scrub", q119, Some(q119Sql)),
     QueryDef("q109_epoch_replication", q109, Some(q109Sql)),
     QueryDef("q111_dedup_against_history", q111, Some(q111Sql)),
     QueryDef("q101_sequence_packing", q101, Some(q101Sql)),

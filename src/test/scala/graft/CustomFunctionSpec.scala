@@ -303,6 +303,23 @@ class CustomFunctionSpec extends SparkSpec {
     assert(n("''") === "")
   }
 
+  test("PII masking: synthetic vectors mask exactly (q119 chain)") {
+    import graft.queries.PipelineQueries.maskPii
+    val rows = Seq(
+      ("reach me at jane.doe+x@sub.example.org today",
+        "reach me at <EMAIL> today"),
+      ("server 192.168.001.1 and 10.0.0.255 down",
+        "server <IP> and <IP> down"),
+      ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+      ("card 4111111111111111 leaked", "card <NUM> leaked"),
+      // order: email wins over its digit tail; untouched text survives
+      ("a1@b.co 123456789012", "<EMAIL> <NUM>"),
+      ("plain text, no pii 42", "plain text, no pii 42"))
+      .toDF("text", "expected")
+    val got = rows.select(maskPii(col("text")).as("m"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("siphash64 null propagates") {
     GraftFunctions.register(spark)
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")
