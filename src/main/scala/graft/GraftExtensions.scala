@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AnyHeavy, BloomContainsAnyExpr, BpeEncodeExpr, BpeTokenCountExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, L2SqExpr, PHash64Expr, VecNorm2Expr, MinHashSigExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
+import graft.functions.{AnyHeavy, BloomContainsAnyExpr, BpeEncodeExpr, BpeTokenCountExpr, CharWeightedFingerprintExpr, CosineSimExpr, HyperplaneProjExpr, L2SqExpr, PHash64Expr, VecNorm2Expr, MinHashSigExpr, NGramContainmentExpr, NGramDistinctCountExpr, NGramJaccardExpr, QuantileTDigest, QuantileTiming, RepetitionStatsExpr, RollingFingerprintExpr, SimHashExpr, SipHash64Expr, TokenNgramHashesExpr, UniqUpTo, UniqUpToMerge, UniqUpToState}
 
 /** Function-surface extension (the analog of the reference's
   * FunctionFactory / AggregateFunctionFactory registration,
@@ -136,6 +136,11 @@ object GraftFunctions {
       case Seq(a, b, Literal(n: Int, _)) => NGramJaccardExpr(a, b, n)
       case other => throw new IllegalArgumentException(
         s"ngram_jaccard(a, b, N literal) expected, got $other")
+    }),
+    (FunctionIdentifier("ngram_containment"), info("ngram_containment"), {
+      case Seq(a, b, Literal(n: Int, _)) => NGramContainmentExpr(a, b, n)
+      case other => throw new IllegalArgumentException(
+        s"ngram_containment(a, b, N literal) expected, got $other")
     }),
     (FunctionIdentifier("minhash_sig"), info("minhash_sig"), {
       case Seq(e, Literal(k: Int, _), Literal(n: Int, _)) => MinHashSigExpr(e, k, n)

@@ -240,6 +240,21 @@ object TextKernels {
     out
   }
 
+  /** q120 kernel: n-gram CONTAINMENT |A∩B| / |A| (Broder 1997's
+    * asymmetric companion to Jaccard) — the quote/subset detector:
+    * a short document fully quoted inside a long one scores ~1.0
+    * here while its Jaccard stays near |A|/|B|. Same single-pass
+    * shingle sets as ngramJaccard. */
+  def ngramContainment(a: String, b: String, n: Int): Double = {
+    val sa = shingleSet(a, n)
+    if (sa.isEmpty) return 0.0
+    val sb = shingleSet(b, n)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / sa.size
+  }
+
   /** q105 kernel: canonical form for exact-duplicate detection —
     * Unicode NFC, lowercase, every non-alphanumeric run collapsed to
     * one space, trimmed; one pass per document instead of a chain of

@@ -79,6 +79,24 @@ case class NGramJaccardExpr(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** Asymmetric n-gram containment |A∩B|/|A|
+  * (TextKernels.ngramContainment) — quote/subset detection on
+  * candidate pairs; one codegen'd call per pair. */
+case class NGramContainmentExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_containment"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.ngramContainment(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.ngramContainment($a.toString(), $b.toString(), $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramContainmentExpr =
+    copy(left = l, right = r)
+}
+
 /** k-permutation MinHash signature over char n-gram shingles
   * (TextKernels.minHashSig): signature computed per document in one
   * pass — replaces the explode + 16-min-aggregate plan (no shuffle). */

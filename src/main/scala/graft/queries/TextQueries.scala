@@ -186,6 +186,41 @@ object TextQueries {
       .orderBy(col("d1"))
   }
 
+  // ---------------------------------------------------------------
+  // q120 n-gram containment — the ASYMMETRIC companion of q46's
+  // Jaccard (Broder 1997): containment(a in b) = |A∩B| / |A| scores
+  // ~1.0 when a short document is quoted inside a long one, where
+  // Jaccard stays near |A|/|B| and misses it. The quote/subset
+  // detector of the dedup suite; same pair source and ONE codegen'd
+  // kernel call per pair as q46.
+  // ---------------------------------------------------------------
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val a = d.select((col("doc_id") + 1).as("pair"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("pair"), col("text").as("text_b"))
+    a.join(b, "pair")
+      .select((col("pair") - 1).as("d1"), col("pair").as("d2"),
+        round(expr("ngram_containment(text_a, text_b, 5)"), 4).as("containment"))
+      .filter(col("containment") >= 0.1)
+      .orderBy(col("d1"))
+  }
+
+  private val q120Sql =
+    """WITH sh AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(length(text) - 4, 1)),
+      |      i -> substr(text, i, 5)))) AS g
+      |  FROM documents),
+      |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, round(CAST(i AS DOUBLE) / ca.n, 4) AS containment
+      |FROM inter JOIN c ca ON ca.doc_id = d1
+      |WHERE round(CAST(i AS DOUBLE) / ca.n, 4) >= 0.1
+      |ORDER BY d1""".stripMargin
+
   private val q46Sql =
     """WITH sh AS (SELECT doc_id,
       |    unnest(list_distinct(list_transform(
@@ -287,6 +322,7 @@ object TextQueries {
     QueryDef("q44_shingle_stats", q44, Some(q44Sql)),
     QueryDef("q45_minhash_signature", q45, None),
     QueryDef("q46_ngram_jaccard", q46, Some(q46Sql)),
+    QueryDef("q120_ngram_containment", q120, Some(q120Sql)),
     QueryDef("q47_neardup_minhash_lsh", q47, None),
     QueryDef("q48_simhash", q48, None),
     QueryDef("q49_doc_fingerprint", q49, Some(q49Sql)))
