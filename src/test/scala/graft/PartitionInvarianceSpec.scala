@@ -30,7 +30,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q114_cumulative_users",
     "q115_dau_wau_state_merge",
     "q116_funnel_conversion",
-    "q117_volume_anomaly")
+    "q117_volume_anomaly",
+    "q118_vocabulary_rollup",
+    "q119_pii_scrub",
+    "q120_ngram_containment")
 
   test("query results are invariant under a different shuffle width") {
     val key = "spark.sql.shuffle.partitions"
