@@ -488,10 +488,74 @@ object PipelineQueries {
       |    '\b\d{12,19}\b', '<NUM>', 'g')) AS masked_digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q121 corpus CUBE report — doc counts and exact char totals per
+  // (source, lang) with all subtotals in one pass (GROUP BY CUBE; the
+  // reference's WITH TOTALS generalized to every dimension subset —
+  // same GROUPING SETS machinery `sql/TotalsHaving` builds on). NULL
+  // dimension slots render as 'ALL' so the subtotal rows are
+  // first-class values on both engines.
+  //
+  // Scale shape: Catalyst expands CUBE into one Expand + partial/
+  // final aggregation — a single shuffle carrying 4x the group rows
+  // (the subset lattice), not 4 scans.
+  // ---------------------------------------------------------------
+  def q121(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  private val q121Sql =
+    """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE(source, lang)
+      |ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q122 deterministic per-source sampling without replacement — keep
+  // the k=10 smallest md5-priorities per source (the hash-priority
+  // form of reservoir sampling: stable across runs, engines, and
+  // partitionings; re-derivable for any doc). The "give me a
+  // reproducible 10-doc sample of every source for eyeballing" op.
+  //
+  // Scale shape: one shuffle on source + a top-k window — and because
+  // k is constant, a production variant swaps the window for
+  // LimitBy/TakeOrdered per group.
+  // ---------------------------------------------------------------
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string").cast("binary")).as("priority"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("priority"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val q122Sql =
+    """WITH p AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS priority
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, priority,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY priority, doc_id) AS BIGINT) AS rk
+      |  FROM p)
+      |SELECT source, rk, doc_id, priority FROM r WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_bpe_tokenize", q108, None),
     QueryDef("q118_vocabulary_rollup", q118, Some(q118Sql)),
     QueryDef("q119_pii_scrub", q119, Some(q119Sql)),
+    QueryDef("q121_corpus_cube", q121, Some(q121Sql)),
+    QueryDef("q122_deterministic_sample", q122, Some(q122Sql)),
     QueryDef("q109_epoch_replication", q109, Some(q109Sql)),
     QueryDef("q111_dedup_against_history", q111, Some(q111Sql)),
     QueryDef("q101_sequence_packing", q101, Some(q101Sql)),

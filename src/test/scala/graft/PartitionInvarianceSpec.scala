@@ -33,7 +33,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q117_volume_anomaly",
     "q118_vocabulary_rollup",
     "q119_pii_scrub",
-    "q120_ngram_containment")
+    "q120_ngram_containment",
+    "q121_corpus_cube",
+    "q122_deterministic_sample")
 
   test("query results are invariant under a different shuffle width") {
     val key = "spark.sql.shuffle.partitions"
