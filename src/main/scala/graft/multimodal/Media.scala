@@ -201,10 +201,20 @@ object Media {
     * codegen'd bit_count(xor). A 100 TB media corpus compares only
     * items that already agree on 16 perceptual bits. */
   def nearDupCandidates(spark: SparkSession, media: DataFrame,
-      dim: Int = 64, maxHamming: Int = 6): DataFrame = {
+      dim: Int = 64, maxHamming: Int = 6): DataFrame =
+    nearDupFromPhashes(phashes(spark, media, dim), maxHamming)
+
+  /** Decode + dHash once — (media_id, ph); feed [[nearDupFromPhashes]]
+    * and any per-item reporting from the SAME frame so the decode pass
+    * (the expensive part) runs once, not once per consumer. */
+  def phashes(spark: SparkSession, media: DataFrame, dim: Int = 64): DataFrame = {
     graft.GraftFunctions.register(spark)
-    val hashed = decodeMediaFeatures(spark, media, dim)
+    decodeMediaFeatures(spark, media, dim)
       .select(col("media_id"), expr("phash64(features)").as("ph"))
+  }
+
+  /** LSH band bucketing + Hamming verify over precomputed phashes. */
+  def nearDupFromPhashes(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
     val banded = hashed.select(col("media_id"), col("ph"),
       explode(expr(
         "transform(sequence(0, 3), b -> named_struct(" +

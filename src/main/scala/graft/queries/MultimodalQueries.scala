@@ -82,13 +82,14 @@ object MultimodalQueries {
   // ---------------------------------------------------------------
   def q112(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
-    val m = media(s, dir)
-    val pairs = Media.nearDupCandidates(s, m, dim = 64, maxHamming = 6)
+    // ONE decode pass: the hashed frame feeds both the candidate
+    // pairing and the per-item report (decode is the expensive side)
+    val hashed = Media.phashes(s, media(s, dir), dim = 64)
+    val pairs = Media.nearDupFromPhashes(hashed, maxHamming = 6)
     val hits = pairs.select(col("id_a").as("media_id"))
       .unionAll(pairs.select(col("id_b").as("media_id")))
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_candidates"))
-    Media.decodeMediaFeatures(s, m, dim = 64)
-      .select(col("media_id"), expr("phash64(features)").as("ph"))
+    hashed
       .join(hits, Seq("media_id"), "left")
       .select(col("media_id"), col("ph"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
