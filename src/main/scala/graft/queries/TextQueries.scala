@@ -292,6 +292,45 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q123 SimHash near-dup pairing — the Manku, Jarlin & Sarma
+  // (WWW'07, "Detecting Near-Duplicates for Web Crawling") design
+  // that q48's fingerprints feed: band the 64 SimHash bits into four
+  // 16-bit keys; by pigeonhole, any pair within Hamming distance 3
+  // agrees on at least one full band, so bucketing on (band, key)
+  // finds ALL such pairs with ONE shuffle and the Hamming verify is
+  // a codegen'd bit_count(xor) inside buckets — never all-pairs.
+  // Rows-only: SimHash is the library's own kernel (spec-pinned in
+  // MinHashPropertySpec / here by the q48 oracle-adjacent tests);
+  // output is every doc's simhash + its near-dup candidate count.
+  // ---------------------------------------------------------------
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"), expr("simhash64(text)").as("sh"))
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> named_struct(" +
+          "'band', b, 'key', CAST(shiftright(sh, b * 16) & 65535 AS INT)))"))
+        .as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .where(expr("bit_count(sh_a ^ sh_b)") <= 3)
+      .select(col("id_a"), col("id_b")).distinct()
+    val hits = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    hashed.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sh"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
   // q49 document fingerprint — position-weighted rolling digest
   // Σ ord(c_i)·i: order-sensitive (anagram-proof), exact integer
   // arithmetic so it is oracle-verifiable cross-engine.
@@ -323,6 +362,7 @@ object TextQueries {
     QueryDef("q45_minhash_signature", q45, None),
     QueryDef("q46_ngram_jaccard", q46, Some(q46Sql)),
     QueryDef("q120_ngram_containment", q120, Some(q120Sql)),
+    QueryDef("q123_simhash_neardup", q123, None),
     QueryDef("q47_neardup_minhash_lsh", q47, None),
     QueryDef("q48_simhash", q48, None),
     QueryDef("q49_doc_fingerprint", q49, Some(q49Sql)))

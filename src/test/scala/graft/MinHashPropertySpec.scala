@@ -42,6 +42,31 @@ class MinHashPropertySpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.25, s"estimate $est vs exact $exact")
   }
 
+  test("simhash banding (q123 shape): one-token edits collide, disjoint texts do not") {
+    import graft.functions.TextKernels
+    // Hamming distance tracks the CHANGED-TOKEN FRACTION: one token
+    // of ~40 flips ~1 bit (measured); one of 13 flips ~5 — too far
+    // for the <= 3 gate, which is WHY short near-dups belong to the
+    // MinHash path (q47) and simhash banding to long documents
+    val a = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "on the green hills and rivers flow past old stone bridges toward " +
+      "distant villages where people gather every market day to trade " +
+      "grain wool and bright copper pots"
+    val b = a.replace("copper", "silver")
+    val c = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo " +
+      "nnnn mmmm llll kkkk jjjj iiii hhhh gggg ffff"
+    val (ha, hb, hc) = (TextKernels.simHash64(a), TextKernels.simHash64(b),
+      TextKernels.simHash64(c))
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 3,
+      s"near-dup pair at Hamming ${java.lang.Long.bitCount(ha ^ hb)}")
+    assert(java.lang.Long.bitCount(ha ^ hc) > 3,
+      s"disjoint pair too close: ${java.lang.Long.bitCount(ha ^ hc)}")
+    // pigeonhole: Hamming <= 3 over 4 bands must share a full band
+    val bandsA = (0 until 4).map(k => (ha >>> (k * 16)) & 0xffff)
+    val bandsB = (0 until 4).map(k => (hb >>> (k * 16)) & 0xffff)
+    assert(bandsA.zip(bandsB).exists { case (x, y) => x == y })
+  }
+
   test("text kernels: SQL expressions match the JVM kernels") {
     GraftFunctions.register(spark)
     val txt = "abcabcabc xyz abcabc"

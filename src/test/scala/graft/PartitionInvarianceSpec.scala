@@ -35,7 +35,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q119_pii_scrub",
     "q120_ngram_containment",
     "q121_corpus_cube",
-    "q122_deterministic_sample")
+    "q122_deterministic_sample",
+    "q123_simhash_neardup")
 
   test("query results are invariant under a different shuffle width") {
     val key = "spark.sql.shuffle.partitions"
