@@ -305,29 +305,30 @@ object TextQueries {
   // ---------------------------------------------------------------
   def q123(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
-    val hashed = t(s, dir, "documents")
+    // q47's bucket-aggregate shape: ONE kernel call site by
+    // construction (a band self-JOIN would recompute the simhash
+    // scan on each side); buckets over 64 docs are skipped like q47's
+    // hot-bucket cap
+    val banded = t(s, dir, "documents")
       .select(col("doc_id"), expr("simhash64(text)").as("sh"))
-    val banded = hashed.select(col("doc_id"), col("sh"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> named_struct(" +
-          "'band', b, 'key', CAST(shiftright(sh, b * 16) & 65535 AS INT)))"))
-        .as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .where(expr("bit_count(sh_a ^ sh_b)") <= 3)
-      .select(col("id_a"), col("id_b")).distinct()
-    val hits = pairs.select(col("id_a").as("doc_id"))
-      .unionAll(pairs.select(col("id_b").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-    hashed.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sh"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
-      .orderBy(col("doc_id"))
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct(" +
+            "'band', b, 'key', CAST(shiftright(sh, b * 16) & 65535 AS INT)))"))
+          .as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("docs"))
+      .filter(size(col("docs")).between(2, 64))
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ---------------------------------------------------------------

@@ -229,6 +229,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q123: simhash banding bucket-joins — one kernel site, no cartesian product") {
+    val p = plan(graft.queries.TextQueries.q123(spark, sfDir))
+    assert("simhash64".r.findAllIn(p).size === 1,
+      s"simhash recomputed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q123 went all-pairs:\n$p")
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))
