@@ -187,28 +187,39 @@ case class UniqSketch(
     copy(child = newChildren.head)
 }
 
-/** Shared wire codec for [[UniqSketchState]]: skipDegree byte, count,
-  * then the surviving 32-bit hashes. Bounded by construction —
-  * 1 + 4 + 4·2^16 ≈ 256 KB worst case (UNIQUES_HASH_MAX_SIZE), the
-  * same bound the reference's UniquesHashSet::write obeys. Used both
-  * for Spark's internal partial-agg shuffle AND as the stored
+/** Shared wire codec for [[UniqSketchState]] — byte-for-byte the
+  * reference's UniquesHashSet::write layout
+  * (AggregateFunctions/UniquesHashSet.h:373-390): skip_degree as one
+  * byte (UInt8 via writeIntBinary), the surviving-hash count as a
+  * VarUInt (LEB128: 7 data bits per byte low-first, high bit =
+  * continuation), then each 32-bit hash little-endian. Bounded by
+  * construction — ≈256 KB worst case (UNIQUES_HASH_MAX_SIZE = 2^16
+  * hashes), the same bound the reference obeys. Used both for
+  * Spark's internal partial-agg shuffle AND as the stored
   * AggregateFunction(uniq, T) column value, so a state written by
   * `uniqState` on one table round-trips through parquet into
   * `uniqMerge`/`finalizeAggregation` on another. */
 object UniqSketchCodec {
   def write(buf: UniqSketchState): Array[Byte] = {
-    val bb = ByteBuffer.allocate(1 + 4 + 4 * buf.set.size())
-    bb.put(buf.skipDegree.toByte).putInt(buf.set.size())
+    val n = buf.set.size()
+    val bb = ByteBuffer.allocate(1 + 5 + 4 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(buf.skipDegree.toByte)
+    var v = n
+    while ((v & ~0x7f) != 0) { bb.put(((v & 0x7f) | 0x80).toByte); v >>>= 7 }
+    bb.put(v.toByte)
     val it = buf.set.iterator()
     while (it.hasNext) bb.putInt(it.next())
-    bb.array()
+    java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
   def read(bytes: Array[Byte]): UniqSketchState = {
-    val bb = ByteBuffer.wrap(bytes)
+    val bb = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val s = new UniqSketchState
-    s.skipDegree = bb.get().toInt
-    val n = bb.getInt
+    s.skipDegree = bb.get() & 0xff
+    var n = 0; var shift = 0; var b = 0
+    while ({ b = bb.get() & 0xff; n |= (b & 0x7f) << shift; shift += 7
+             (b & 0x80) != 0 }) ()
     var i = 0
     while (i < n) { s.set.add(bb.getInt); i += 1 }
     s

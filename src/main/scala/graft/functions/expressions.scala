@@ -734,6 +734,65 @@ case class BloomContainsAnyExpr(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Executor-side cache of deserialized Bloom filters keyed by
+  * broadcast id — [[BloomContainsAnyBcExpr]] instances (one per task)
+  * share one decode of the broadcast bytes per executor. */
+object BloomBcCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long, org.apache.spark.util.sketch.BloomFilter]()
+  def get(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : org.apache.spark.util.sketch.BloomFilter =
+    cache.computeIfAbsent(bc.id, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value)))
+}
+
+/** [[BloomContainsAnyExpr]] with the filter bytes shipped as a Spark
+  * BROADCAST instead of a plan literal: an MB-class benchmark filter
+  * embedded in the plan bloats every plan copy, task binary, and
+  * explain string, and defeats codegen caching — the broadcast moves
+  * once per executor over the torrent protocol and the plan carries
+  * only the handle. Probe loop and codegen shape are identical. */
+case class BloomContainsAnyBcExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val bloom = BloomBcCache.get(bc)
+  override def inputTypes = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains_any_bc"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (bloom.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bloomVar = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "bloomFromBc",
+      v => s"$v = graft.functions.BloomBcCache.get(" +
+        s"(org.apache.spark.broadcast.Broadcast) $bcRef);")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      s"""
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($bloomVar.mightContainLong($arr.getLong($i))) {
+         |    ${ev.value} = true;
+         |    break;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsAnyBcExpr =
+    copy(child = newChild)
+}
+
 /** BPE token count under a plan-literal merge table (Bpe.tokenCount)
   * — the scalable half of the tokenizer: one codegen'd call per
   * document; the merge ranks compile once per executor. */

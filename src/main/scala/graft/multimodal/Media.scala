@@ -213,25 +213,45 @@ object Media {
       .select(col("media_id"), expr("phash64(features)").as("ph"))
   }
 
-  /** LSH band bucketing + Hamming verify over precomputed phashes. */
-  def nearDupFromPhashes(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val banded = hashed.select(col("media_id"), col("ph"),
+  /** Band buckets over precomputed phashes: each item fans out to 4
+    * (band, 16-bit key) rows, then ONE shuffle keyed (band, key)
+    * aggregates bucket membership as a collect_list — the q47/q123
+    * bucket-aggregate shape. EVERY item lands in exactly one bucket
+    * per band (no size filter here), so band 0's buckets recover the
+    * full per-item phash frame; consumers that reuse this frame for
+    * both pairing and reporting share the SAME exchange, so the
+    * decode pipeline below it runs once (a band self-JOIN instead
+    * recomputed the whole decode scan on each side — r10 verdict). */
+  def bandBuckets(hashed: DataFrame): DataFrame =
+    hashed.select(col("media_id"), col("ph"),
       explode(expr(
         "transform(sequence(0, 3), b -> named_struct(" +
           "'band', b, 'key', CAST(shiftright(ph, b * 16) & 65535 AS INT)))"))
         .as("bk"))
       .select(col("media_id"), col("ph"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"),
-      col("media_id").as("id_a"), col("ph").as("ph_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("media_id").as("id_b"), col("ph").as("ph_b"))
-    a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("media_id"), col("ph"))).as("items"))
+
+  /** Candidate pairs from [[bandBuckets]]: pairs via a bounded nested
+    * explode INSIDE each bucket, Hamming-verified by a codegen'd
+    * bit_count(xor) — never all-pairs. Hot-bucket cap: a degenerate
+    * corpus (boilerplate images, silent audio) piles n items into one
+    * (band, key) bucket and pairing would go quadratic; buckets
+    * larger than 64 are skipped (the q47 cap), singletons pair with
+    * nothing. */
+  def pairsFromBuckets(buckets: DataFrame, maxHamming: Int = 6): DataFrame =
+    buckets.filter(size(col("items")).between(2, 64))
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .where(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("CAST(bit_count(a.ph ^ b.ph) AS INT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-  }
+
+  /** LSH band bucketing + Hamming verify over precomputed phashes. */
+  def nearDupFromPhashes(hashed: DataFrame, maxHamming: Int = 6): DataFrame =
+    pairsFromBuckets(bandBuckets(hashed), maxHamming)
 
   /** Frame/sample extraction stub via mapPartitions — the imperative
     * per-partition batch shape (decoder state reused across rows in a

@@ -40,21 +40,26 @@ object IncrementalDedup {
     val s = batch.sparkSession
     graft.GraftFunctions.register(s)
     val histDigests = history.select(col(digestCol))
-    val n = if (expectedHistory >= 0) expectedHistory else histDigests.count()
-    // empty history: nothing can be a duplicate. Spark's bloomFilter
-    // NPEs on zero rows, so that case (counted OR a wrong
-    // expectedHistory over an actually-empty table) returns early.
-    if (n == 0) return batch
-    val bloom =
-      try histDigests
-        .selectExpr(s"siphash64(CAST($digestCol AS BINARY)) AS h")
-        .stat.bloomFilter("h", math.max(n, 64L), fpp)
-      catch { case _: NullPointerException => return batch }
+      .where(col(digestCol).isNotNull)
+    // empty history — or one whose digests are all null — holds
+    // nothing to be a duplicate OF. Spark's bloomFilter NPEs on zero
+    // input rows, so detect the case explicitly (limit(1) short-
+    // circuits the scan); catching the NPE instead would silently
+    // disable dedup on ANY unexpected Bloom-build failure.
+    if (expectedHistory == 0 || histDigests.limit(1).isEmpty) return batch
+    val n = if (expectedHistory > 0) expectedHistory else histDigests.count()
+    val bloom = histDigests
+      .selectExpr(s"siphash64(CAST($digestCol AS BINARY)) AS h")
+      .stat.bloomFilter("h", math.max(n, 64L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    val hex = java.util.HexFormat.of().formatHex(bos.toByteArray)
-    val mightDup = expr(
-      s"bloom_contains_any(array(siphash64(CAST($digestCol AS BINARY))), unhex('$hex'))")
+    // a billion-digest history means an MB-to-GB-class filter: ship it
+    // as a broadcast (once per executor), never as a plan literal
+    val bc = s.sparkContext.broadcast(bos.toByteArray)
+    val mightDup = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BloomContainsAnyBcExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          expr(s"array(siphash64(CAST($digestCol AS BINARY)))")), bc))
     val cand = batch.where(mightDup)
     // exact verification: candidates broadcast INTO the history scan;
     // the hit set that comes back is at most the candidate set

@@ -183,9 +183,14 @@ object PipelineQueries {
     val bloom = bench.stat.bloomFilter("g", math.max(nBench, 64L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    val hex = java.util.HexFormat.of().formatHex(bos.toByteArray)
+    // filter bytes ride a BROADCAST, not a plan literal: an MB-class
+    // benchmark filter as a hex literal bloats every plan copy and
+    // task binary; the broadcast ships once per executor
+    val bc = s.sparkContext.broadcast(bos.toByteArray)
     val cand = grams.filter(pmod(col("doc_id"), lit(29)) =!= 0)
-      .filter(expr(s"bloom_contains_any(gs, unhex('$hex'))"))
+      .filter(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.BloomContainsAnyBcExpr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("gs")), bc)))
     cand.select(col("doc_id"), explode(col("gs")).as("g"))
       .join(broadcast(bench), "g")
       .groupBy(col("doc_id"))

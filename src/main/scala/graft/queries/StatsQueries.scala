@@ -212,26 +212,29 @@ object StatsQueries {
       |FROM d ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------
-  // q115 DAU/WAU via per-day state merge — the AggregatingMergeTree
-  // pattern at event scale: raw events reduce ONCE into a per-day
-  // exact distinct-user state (the uniqExactState layout, q79); DAU
-  // reads each state's size, WAU merges the trailing 7 days' states
-  // through a range join over the DAY table (30 rows), never
-  // rescanning events. At 100 TB the day-state table is what makes
-  // sliding uniques tractable — each event is touched exactly once.
+  // q115 DAU/WAU over a sliding window, exactly, with BOUNDED state:
+  // raw events reduce ONCE into the distinct (day, user) frame; DAU
+  // is a count per day; WAU replicates each (day, user) row onto the
+  // ≤7 window days it serves (a range join against the ~30-row day
+  // spine, broadcast) and counts distinct per window day — Spark
+  // plans that as a two-phase keyed aggregate, so no task ever holds
+  // a day's full user set. The r10 spelling collected each day's
+  // users into ONE collect_set row (~800 MB for a 10⁸-user day — the
+  // supernode OOM the ConnectedComponents doc warns about); ≤7× row
+  // replication is the price of exactness, and the reference's own
+  // approximate spelling (uniqState per day + merge) is q79's path.
   // ---------------------------------------------------------------
   def q115(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
+    val a = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
-      .groupBy(col("day")).agg(collect_set(col("user_id")).as("state"))
-    val spine = daily.select(col("day").as("wday"))
-    val wau = spine.join(daily,
+    val dau = a.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val spine = dau.select(col("day").as("wday"))
+    val wau = a.join(broadcast(spine),
         datediff(col("wday"), col("day")).between(0, 6))
       .groupBy(col("wday"))
-      .agg(size(array_distinct(flatten(collect_list(col("state")))))
-        .cast("long").as("wau"))
-    daily.select(col("day"), size(col("state")).cast("long").as("dau"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau
       .join(wau, col("day") === col("wday"))
       .select(col("day").cast("string").as("day"), col("dau"), col("wau"))
       .orderBy(col("day"))

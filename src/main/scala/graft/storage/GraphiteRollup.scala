@@ -200,17 +200,20 @@ object GraphiteRollup {
 
     // stage 1 — max-version dedup per exact (path, time); ties keep
     // the later part (max insertion order, the reference's last-row
-    // rule), via one max_by over a (version, ins) pair
+    // rule), via one max_by over a (version, ins) pair. The ORIGINAL
+    // pre-shuffle __ins rides through the max_by payload into stage 2
+    // — regenerating it after the shuffle would make any/anylast
+    // rollups depend on nondeterministic partition assignment, where
+    // the reference's merge order is stable for a given part layout
     val keyCols = Seq(p.pathCol, p.timeCol)
-    val payload = df.columns.filterNot(keyCols.contains)
+    val payload = df.columns.filterNot(keyCols.contains) :+ "__ins"
     val deduped = df
       .withColumn("__ins", monotonically_increasing_id())
       .groupBy(path, col(p.timeCol))
       .agg(max_by(struct(payload.map(col).toIndexedSeq: _*),
         struct(col(p.versionCol), col("__ins"))).as("__row"))
       .select(Seq(path, col(p.timeCol)) ++
-        payload.filterNot(_ == "__ins").map(c => col(s"__row.$c").as(c)): _*)
-      .withColumn("__ins", monotonically_increasing_id())
+        payload.map(c => col(s"__row.$c").as(c)): _*)
       .withColumn("__pat", patIdx)
 
     // stage 2 — rounded-time rollup for pattern-matched rows

@@ -58,9 +58,13 @@ object IntakeGate {
   def decontaminate(docs: DataFrame, textCol: String,
       bloomBytes: Array[Byte], n: Int = 8): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
-    val hex = java.util.HexFormat.of().formatHex(bloomBytes)
-    docs.where(!expr(
-      s"bloom_contains_any(token_ngram_hashes($textCol, $n), unhex('$hex'))"))
+    // broadcast, not a plan literal — the filter bytes ship once per
+    // executor and the streaming plan carries only the handle
+    val bc = docs.sparkSession.sparkContext.broadcast(bloomBytes)
+    docs.where(!org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BloomContainsAnyBcExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          expr(s"token_ngram_hashes($textCol, $n)")), bc)))
   }
 
   /** Build the benchmark Bloom filter from a STATIC benchmark table —

@@ -16,17 +16,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * primitive of a training-data pipeline (rate limiting, engagement
   * slicing) and of the reference's visit/session analytics.
   *
-  * Scale shape: state is O(1) per ACTIVE key (start/last/count/sum —
-  * no event buffer), keyed state lives in the state store (RocksDB at
-  * cluster scale), and closure is driven by watermark timeouts, not a
-  * per-batch scan of all keys. Late events beyond the watermark are
-  * dropped by the watermark operator itself — the at-most-once reopen
-  * problem the reference's visit engine punts to offline merge.
+  * Scale shape: state is O(#open sessions) per ACTIVE key, each O(1)
+  * (start/last/count/sum — no event buffer; the open count is bounded
+  * by watermarkDelay/gap since older sessions close), keyed state
+  * lives in the state store (RocksDB at cluster scale), and closure
+  * is driven by watermark timeouts, not a per-batch scan of all keys.
+  * Late events beyond the watermark are dropped by the watermark
+  * operator itself — the at-most-once reopen problem the reference's
+  * visit engine punts to offline merge.
+  *
+  * Out-of-order correctness: an on-time event may arrive for ANY
+  * still-open span — older than the newest session, before an open
+  * session's start, or bridging two open sessions. So the state keeps
+  * every not-yet-closable session; an event folds into the session
+  * whose [start-gap, last+gap] span covers it (extending start
+  * backwards when t < start), a fold that bridges two sessions merges
+  * them, and a session EMITS only once the watermark passes
+  * last + gap — never merely because a later event jumped the gap
+  * in-batch (a late-but-on-time event could still fill that gap).
   */
 object Sessionize {
 
   final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
+
+  final case class OpenSessions(sessions: List[SessionState])
 
   final case class Session(
       key: Long, session_start: java.sql.Timestamp,
@@ -53,42 +67,56 @@ object Sessionize {
       .as[(Long, java.sql.Timestamp, Double)]
 
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key, rows, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last + gap: the session can no longer
-            // be extended by on-time data — close and clear
-            val s = state.get
-            state.remove()
-            Iterator(Session(key, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n, s.total))
-          } else {
-            // fold this batch's events (in event-time order) into the
-            // open session, closing any session a >gap jump ends
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
-            sorted.foreach { case (_, ts, v) =>
+        (key, rows, state: GroupState[OpenSessions]) =>
+          def emit(s: SessionState) = Session(key,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.total)
+          // emit sessions the watermark has passed (no on-time event
+          // can extend them), keep the rest open with the next timeout
+          // clamped ABOVE the watermark (Spark rejects a timeout at or
+          // before it)
+          def drain(sessions: List[SessionState]): Iterator[Session] = {
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = sessions.partition(_.last + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(OpenSessions(open))
+              state.setTimeoutTimestamp(
+                math.max(open.map(_.last + gapMs).min, wm + 1))
+            }
+            closed.sortBy(_.start).map(emit).iterator
+          }
+          if (state.hasTimedOut) drain(state.get.sessions)
+          else {
+            var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+            rows.foreach { case (_, ts, v) =>
               val t = ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
+              // fold into the open session whose gap-padded span
+              // covers t (extending start backwards for late events),
+              // else open a new one
+              sessions.indexWhere(s =>
+                t >= s.start - gapMs && t <= s.last + gapMs) match {
+                case -1 => sessions = SessionState(t, t, 1, v) :: sessions
+                case i =>
+                  val s = sessions(i)
+                  sessions = sessions.updated(i, SessionState(
+                    math.min(s.start, t), math.max(s.last, t),
                     s.n + 1, s.total + v))
-                case Some(s) =>
-                  closed += Session(key, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, v))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, v))
+              }
+              // an extended session may now bridge a neighbor: merge
+              // any two open sessions within gap of each other
+              val sorted = sessions.sortBy(_.start)
+              sessions = sorted.tail.foldLeft(List(sorted.head)) { (acc, s) =>
+                val h = acc.head
+                if (s.start - h.last <= gapMs)
+                  SessionState(h.start, math.max(h.last, s.last),
+                    h.n + s.n, h.total + s.total) :: acc.tail
+                else s :: acc
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // fires once the event-time watermark passes this point
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.result().iterator
+            drain(sessions)
           }
       }
   }

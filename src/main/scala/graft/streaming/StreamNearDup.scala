@@ -77,17 +77,25 @@ object StreamNearDup {
             // deterministic in-batch order: by event time then id
             rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach {
               case (id, ts, band, _) =>
+                // EVERY arrival is bucket activity — a re-seen doc id
+                // must still push the eviction horizon, else a batch
+                // of only already-seen ids computes a timeout at or
+                // below the watermark (which Spark rejects, killing
+                // the query)
+                lastMs = math.max(lastMs, ts.getTime)
                 if (!docs.contains(id)) {
                   docs.foreach(prior =>
                     out += Candidate(id, prior, ts, band))
                   if (docs.size < maxBucket) docs = id :: docs
-                  lastMs = math.max(lastMs, ts.getTime)
                 }
             }
             state.update(BucketState(lastMs, docs))
             // evict the whole bucket once the watermark passes its
-            // last activity + window
-            state.setTimeoutTimestamp(lastMs + windowMs)
+            // last activity + window; clamped above the current
+            // watermark — late-but-on-time rows can land with
+            // lastMs + windowMs already behind it
+            state.setTimeoutTimestamp(math.max(lastMs + windowMs,
+              state.getCurrentWatermarkMs() + 1))
             out.result()
           }
         })

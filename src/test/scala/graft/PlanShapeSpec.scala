@@ -237,6 +237,40 @@ class PlanShapeSpec extends SparkSpec {
       s"q123 went all-pairs:\n$p")
   }
 
+  test("q112: media near-dup decodes ONCE — bucket-aggregate, no self-join recompute") {
+    // r10 ran the decode mapPartitions on BOTH sides of a band
+    // self-join plus a third time for the report join. The bucket-
+    // aggregate shape plans the (band,key) exchange — with the decode
+    // below it — in exactly two places whose subtrees are CANONICALLY
+    // IDENTICAL, which is the property AQE's stage cache keys on: at
+    // runtime the second occurrence reuses the first's shuffle output
+    // and the decode executes once.
+    // with AQE off the static ReuseExchange rule proves the property
+    // structurally: the second (band,key) exchange plans as a
+    // ReusedExchange, leaving exactly ONE decode MapPartitions
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.queries.MultimodalQueries.q112(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val decodes = "MapPartitions".r.findAllIn(p).size
+      assert(decodes === 1, s"q112 decode pass appears $decodes times:\n$p")
+      assert(p.contains("ReusedExchange"), s"bucket exchange not reused:\n$p")
+      // bucketed pairing, never all-pairs
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"q112 went all-pairs:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q115: no unbounded per-day user set — exact WAU via spine join") {
+    // the r10 spelling collected each day's users into ONE
+    // collect_set row (a supernode OOM at 10⁸ users/day); the exact
+    // spelling replicates (day,user) ≤7× and counts distinct per
+    // window day — two-phase keyed aggregation, bounded buffers
+    val p = plan(graft.queries.StatsQueries.q115(spark, sfDir))
+    assert(!p.contains("collect_set"), s"q115 reintroduced collect_set:\n$p")
+    assert(p.contains("count("), p)
+  }
+
   test("no scalar UDF boundaries anywhere in the registered queries") {
     Registry.all.foreach { q =>
       val p = plan(q.fn(spark, sfDir))
