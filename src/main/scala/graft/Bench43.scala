@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own 43 published benchmark queries
+  * (dbms/benchmark/clickhouse/queries.sql:1-43) run VERBATIM through
+  * the ChSql dialect over a synthetic web-analytics `hits` table
+  * (93 columns, dbms/benchmark/greenplum/schema.sql:1) — the direct
+  * BASELINE comparison point the shape-analogy bench lacked.
+  *
+  * `main` generates the table if absent (deterministic, pure column
+  * expressions over spark.range — no driver data), executes each
+  * query 1 cold + 2 warm runs through graft.sql.ChDdl.execute with a
+  * noop sink (the reference benchmark's FORMAT Null), and writes
+  * bench_43.json: per-query best-warm seconds, the published
+  * ClickHouse 10M-row warm seconds (website/benchmark.html:421-474,
+  * min of the two warm runs), and the ratio.
+  */
+object Bench43 {
+
+  /** Published ClickHouse warm times (s), 10M rows, FORMAT Null —
+    * website/benchmark.html "data_size": 10000000 block, min of the
+    * second and third run per query. */
+  val baselineWarm: Seq[Double] = Seq(
+    0.003, 0.003, 0.009, 0.008, 0.031, 0.047, 0.006, 0.004, 0.123,
+    0.131, 0.026, 0.028, 0.090, 0.103, 0.101, 0.083, 0.210, 0.114,
+    0.346, 0.006, 0.072, 0.097, 0.206, 0.211, 0.037, 0.032, 0.038,
+    0.110, 0.171, 0.462, 0.096, 0.132, 0.533, 0.332, 0.321, 0.124,
+    0.143, 0.051, 0.044, 0.224, 0.013, 0.013, 0.012)
+
+  val queriesFile = "/root/reference/dbms/benchmark/clickhouse/queries.sql"
+
+  /** Deterministic synthetic hits table, ClickBench-ish marginals:
+    * CounterID 34 ~5% of rows, SearchPhrase ~10% non-empty, AdvEngineID
+    * ~2% non-zero, URL ~8% containing 'metrika', Title ~2% containing
+    * 'Яндекс', EventDate spanning 2013-07-01..31, UserID drawn from
+    * ~1.7M 64-bit values, and a 0.1% slice of RefererHash/URLHash
+    * pinned to halfMD5('http://example.ru/') so queries 41/42 select
+    * rows. Everything is a codegen'd expression over spark.range —
+    * generation is one narrow pass, writes partitioned parquet. */
+  def generate(spark: SparkSession, path: String, rows: Long): Unit = {
+    val exampleRuHash = functions.HashFns.halfMD5(
+      "http://example.ru/".getBytes("UTF-8"))
+    def h(k: Int) = expr(s"xxhash64(id, $k)")
+    def p(k: Int, m: Long) = pmod(h(k), lit(m))
+    val df = spark.range(0, rows, 1, 32)
+      .withColumn("WatchID", h(1))
+      .withColumn("JavaEnable", p(2, 2).cast("int"))
+      .withColumn("Title",
+        when(p(3, 100) < 2, concat(lit("Яндекс страница "), p(4, 100000)))
+          .otherwise(concat(lit("Title "), p(4, 100000))))
+      .withColumn("GoodEvent", lit(1))
+      .withColumn("EventTime", to_timestamp(lit("2013-07-01 00:00:00"))
+        + make_dt_interval(lit(0), lit(0), lit(0), p(5, 31L * 86400).cast("double")))
+      .withColumn("EventDate", to_date(col("EventTime")))
+      .withColumn("CounterID", when(p(6, 100) < 5, 34L).otherwise(p(7, 5000)))
+      .withColumn("ClientIP", p(8, 1L << 32))
+      .withColumn("RegionID", p(9, 1000))
+      .withColumn("UserID", expr("xxhash64(pmod(xxhash64(id, 10), 1700000))"))
+      .withColumn("CounterClass", lit(0))
+      .withColumn("OS", p(11, 100).cast("int"))
+      .withColumn("UserAgent", p(12, 100).cast("int"))
+      .withColumn("URL",
+        when(p(13, 100) < 8,
+          concat(lit("http://yandex.ru/metrika/page/"), p(14, 100000)))
+          .when(p(13, 100) < 13,
+            concat(lit("http://m.yandex.ru/page/"), p(14, 1000000)))
+          .when(p(13, 100) < 14, lit(""))
+          .otherwise(concat(lit("http://example.com/page/"), p(14, 1000000))))
+      .withColumn("Referer",
+        when(p(15, 2) === 0, lit(""))
+          .otherwise(concat(lit("http://www.r"), p(16, 100000),
+            lit(".example.org/ref/"), p(17, 1000))))
+      .withColumn("Refresh", (p(18, 50) === 0).cast("int"))
+      .withColumn("RefererCategoryID", p(19, 100).cast("int"))
+      .withColumn("RefererRegionID", p(20, 1000))
+      .withColumn("URLCategoryID", p(21, 100).cast("int"))
+      .withColumn("URLRegionID", p(22, 1000))
+      .withColumn("ResolutionWidth", element_at(
+        array(Seq(1366, 1920, 1280, 1024, 768, 360, 1440, 1600).map(lit): _*),
+        (p(23, 8) + 1).cast("int")).cast("int"))
+      .withColumn("ResolutionHeight", element_at(
+        array(Seq(768, 1080, 800, 768, 1024, 640, 900, 1200).map(lit): _*),
+        (p(23, 8) + 1).cast("int")).cast("int"))
+      .withColumn("ResolutionDepth", lit(24))
+      .withColumn("FlashMajor", p(24, 12).cast("int"))
+      .withColumn("FlashMinor", p(25, 10).cast("int"))
+      .withColumn("FlashMinor2", lit(""))
+      .withColumn("NetMajor", lit(0)).withColumn("NetMinor", lit(0))
+      .withColumn("UserAgentMajor", p(26, 30).cast("int"))
+      .withColumn("CookieEnable", lit(1))
+      .withColumn("JavascriptEnable", lit(1))
+      .withColumn("IsMobile", (p(27, 4) === 0).cast("int"))
+      .withColumn("MobilePhone", p(28, 10).cast("int"))
+      .withColumn("MobilePhoneModel",
+        when(p(29, 100) < 5, element_at(
+          array(lit("iPhone 5"), lit("Galaxy S4"), lit("Lumia 920"), lit("Nexus 4")),
+          (p(30, 4) + 1).cast("int"))).otherwise(lit("")))
+      .withColumn("Params", lit(""))
+      .withColumn("IPNetworkID", p(31, 100000))
+      .withColumn("TraficSourceID", (p(32, 12) - 1).cast("int"))
+      .withColumn("SearchEngineID", p(33, 50).cast("int"))
+      .withColumn("SearchPhrase",
+        when(p(34, 100) < 10, concat(lit("search phrase "), p(35, 100000)))
+          .otherwise(lit("")))
+      .withColumn("AdvEngineID",
+        when(p(36, 100) < 2, (p(37, 20) + 1).cast("int")).otherwise(lit(0)))
+      .withColumn("IsArtifical", (p(38, 100) === 0).cast("int"))
+      .withColumn("WindowClientWidth", element_at(
+        array(Seq(1366, 1903, 1263, 1008, 751, 360, 1423, 1583).map(lit): _*),
+        (p(23, 8) + 1).cast("int")).cast("int"))
+      .withColumn("WindowClientHeight", element_at(
+        array(Seq(667, 955, 700, 668, 923, 560, 800, 1100).map(lit): _*),
+        (p(23, 8) + 1).cast("int")).cast("int"))
+      .withColumn("ClientTimeZone", lit(-180))
+      .withColumn("ClientEventTime", col("EventTime"))
+      .withColumn("SilverlightVersion1", lit(0))
+      .withColumn("SilverlightVersion2", lit(0))
+      .withColumn("SilverlightVersion3", lit(0L))
+      .withColumn("SilverlightVersion4", lit(0))
+      .withColumn("PageCharset", lit("utf-8"))
+      .withColumn("CodeVersion", p(39, 1000))
+      .withColumn("IsLink", (p(40, 10) === 0).cast("int"))
+      .withColumn("IsDownload", (p(41, 100) === 0).cast("int"))
+      .withColumn("IsNotBounce", (p(42, 3) === 0).cast("int"))
+      .withColumn("FUniqID", h(43))
+      .withColumn("OriginalURL", lit(""))
+      .withColumn("HID", h(44))
+      .withColumn("IsOldCounter", lit(0))
+      .withColumn("IsEvent", lit(0))
+      .withColumn("IsParameter", lit(0))
+      .withColumn("DontCountHits", (p(45, 20) === 0).cast("int"))
+      .withColumn("WithHash", lit(0))
+      .withColumn("HitColor", element_at(
+        array(lit("K"), lit("G"), lit("P")), (p(46, 3) + 1).cast("int")))
+      .withColumn("LocalEventTime", col("EventTime"))
+      .withColumn("Age", p(47, 80).cast("int"))
+      .withColumn("Sex", p(48, 2).cast("int"))
+      .withColumn("Income", p(49, 10).cast("int"))
+      .withColumn("Interests", p(50, 1000).cast("int"))
+      .withColumn("Robotness", (p(51, 50) === 0).cast("int"))
+      .withColumn("RemoteIP", p(52, 1L << 32))
+      .withColumn("WindowName", lit(-1))
+      .withColumn("OpenerName", lit(-1))
+      .withColumn("HistoryLength", p(53, 30).cast("int"))
+      .withColumn("SocialNetwork", lit(""))
+      .withColumn("SocialAction", lit(""))
+      .withColumn("HTTPError", lit(0))
+      .withColumn("SendTiming", p(54, 1000))
+      .withColumn("DNSTiming", p(55, 200))
+      .withColumn("ConnectTiming", p(56, 300))
+      .withColumn("ResponseStartTiming", p(57, 800))
+      .withColumn("ResponseEndTiming", p(58, 1500))
+      .withColumn("FetchTiming", p(59, 2000))
+      .withColumn("SocialSourceNetworkID", lit(0))
+      .withColumn("SocialSourcePage", lit(""))
+      .withColumn("ParamPrice", lit(0))
+      .withColumn("ParamOrderID", lit(""))
+      .withColumn("OpenstatServiceName", lit(""))
+      .withColumn("OpenstatCampaignID", lit(""))
+      .withColumn("OpenstatAdID", lit(""))
+      .withColumn("OpenstatSourceID", lit(""))
+      .withColumn("UTMSource", lit(""))
+      .withColumn("UTMMedium", lit(""))
+      .withColumn("UTMCampaign", lit(""))
+      .withColumn("UTMContent", lit(""))
+      .withColumn("UTMTerm", lit(""))
+      .withColumn("FromTag", lit(""))
+      .withColumn("HasGCLID", lit(0))
+      .withColumn("RefererHash",
+        when(p(60, 1000) === 0, lit(exampleRuHash)).otherwise(h(61)))
+      .withColumn("URLHash",
+        when(p(62, 1000) === 0, lit(exampleRuHash)).otherwise(h(63)))
+      .withColumn("CLID", p(64, 100000))
+      .drop("id")
+    df.write.mode("overwrite").parquet(path)
+  }
+
+  def loadQueries(): Seq[String] =
+    scala.io.Source.fromFile(queriesFile)("UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty)
+      .map(_.replace("{table}", "hits")).toSeq
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rows = sys.env.getOrElse("HITS_ROWS", "10000000").toLong
+    val path = sys.env.getOrElse("HITS_PATH", "target/hits10m.parquet")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(path).exists()) {
+      System.err.println(s"[bench43] generating $rows rows at $path ...")
+      generate(spark, path, rows)
+    }
+    spark.read.parquet(path).createOrReplaceTempView("hits")
+    val qs = loadQueries()
+    def once(q: String): Double = {
+      val t0 = System.nanoTime()
+      graft.sql.ChDdl.execute(spark, q) match {
+        case Some(df) => df.write.format("noop").mode("overwrite").save()
+        case None => ()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = qs.zipWithIndex.map { case (q, i) =>
+      try {
+        once(q) // cold
+        val warm = math.min(once(q), once(q))
+        System.err.println(f"[bench43] q${i + 1}%02d ${warm}%.3f s")
+        (i + 1, warm, None: Option[String])
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench43] q${i + 1} FAILED: ${e.getMessage}")
+        (i + 1, -1.0, Some(Option(e.getMessage).getOrElse("?").take(160)))
+      }
+    }
+    val ok = results.filter(_._2 >= 0)
+    val ratios = ok.map { case (i, t, _) => t / baselineWarm(i - 1) }
+    val geomean =
+      if (ratios.isEmpty) -1.0
+      else math.exp(ratios.map(math.log).sum / ratios.size)
+    val perQ = results.map { case (i, t, err) =>
+      val base = baselineWarm(i - 1)
+      val r = if (t >= 0) f"${t / base}%.2f" else "null"
+      val e = err.map(m => s""","error":"${m.replace("\"", "'")}"""").getOrElse("")
+      f"""{"q":$i,"sec":$t%.3f,"baseline_sec":$base,"ratio":$r$e}"""
+    }.mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"bench43_geomean_ratio","value":$geomean%.3f,"rows":$rows,"errors":${results.size - ok.size},"queries":$perQ}"""
+    val w = new java.io.PrintWriter("bench_43.json", "UTF-8")
+    try w.println(line) finally w.close()
+    println(line)
+    spark.stop()
+  }
+}

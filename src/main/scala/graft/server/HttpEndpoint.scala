@@ -66,14 +66,30 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
       }.toMap
 
   private val formatRe = "(?is)\\s+FORMAT\\s+([A-Za-z]+)\\s*;?\\s*$".r
+  // an INSERT whose statement ends at `FORMAT <name>`: everything
+  // after that line is raw ROW DATA, not SQL (HTTPHandler passes the
+  // rest of the body to the format's BlockInputStream)
+  private val insertDataRe =
+    "(?is)^\\s*(INSERT\\s+INTO\\s+[^\\n]*?FORMAT\\s+[A-Za-z]+)\\s*\\n(.*)$".r
 
   private def handle(ex: HttpExchange): Unit =
     try {
       val path = ex.getRequestURI.getPath
       val params = queryParams(ex)
+      // add_http_cors_header=1 + an Origin request header → CORS `*`
+      // (HTTPHandler.cpp cors; 00372_cors_header.sh)
+      if (params.get("add_http_cors_header").contains("1") &&
+        ex.getRequestHeaders.containsKey("Origin"))
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val queryParam = params.getOrElse("query", "")
       val full = (if (queryParam.nonEmpty) queryParam + "\n" else "") + body
+      params.get("input_format_allow_errors_num")
+        .foreach(v => ChDdl.inputAllowErrorsNum = v.toLong)
+      params.get("input_format_allow_errors_ratio")
+        .foreach(v => ChDdl.inputAllowErrorsRatio = v.toDouble)
+      params.get("input_format_skip_unknown_fields")
+        .foreach(v => ChDdl.inputSkipUnknownFields = v != "0")
 
       if (full.trim.isEmpty) {
         // health probe: `GET /` or `GET /ping` → "Ok." (HTTPHandler.cpp:444)
@@ -81,19 +97,25 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
           respond(ex, 200, "Ok.\n".getBytes(UTF_8), "text/html; charset=UTF-8")
         else respond(ex, 404, s"There is no handle $path\n".getBytes(UTF_8),
           "text/plain; charset=UTF-8")
-      } else {
-        val format = formatRe.findFirstMatchIn(full).map(_.group(1))
-          .orElse(params.get("default_format"))
-          .getOrElse("TabSeparated")
-        var last: Option[DataFrame] = None
-        graft.sql.ChSql.statements(full).foreach { stmt =>
-          last = ChDdl.execute(spark, stmt)
-        }
-        val bytes: Array[Byte] = last match {
-          case None => Array.emptyByteArray
-          case Some(df) => render(df, format)
-        }
-        respond(ex, 200, bytes, contentTypeOf(format))
+      } else full match {
+        case insertDataRe(stmt, data)
+            if !"(?is)\\bFORMAT\\s+Values\\s*$".r.findFirstIn(stmt).isDefined ||
+              data.trim.nonEmpty =>
+          ChDdl.insertWithData(spark, stmt, data)
+          respond(ex, 200, Array.emptyByteArray, "text/plain; charset=UTF-8")
+        case _ =>
+          val format = formatRe.findFirstMatchIn(full).map(_.group(1))
+            .orElse(params.get("default_format"))
+            .getOrElse("TabSeparated")
+          var last: Option[DataFrame] = None
+          graft.sql.ChSql.statements(full).foreach { stmt =>
+            last = ChDdl.execute(spark, stmt)
+          }
+          val bytes: Array[Byte] = last match {
+            case None => Array.emptyByteArray
+            case Some(df) => render(df, format)
+          }
+          respond(ex, 200, bytes, contentTypeOf(format))
       }
     } catch {
       case t: Throwable =>
@@ -104,8 +126,12 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
   private def contentTypeOf(format: String): String = format.toLowerCase match {
     case "json" | "jsoncompact" | "jsoneachrow" => "application/json; charset=UTF-8"
     case "xml" => "application/xml; charset=UTF-8"
-    case "rowbinary" | "odbcdriver" => "application/octet-stream"
+    case "rowbinary" | "odbcdriver" | "native" => "application/octet-stream"
     case "csv" | "csvwithnames" => "text/csv; charset=UTF-8"
+    // Pretty*/Vertical are human-readable text, not TSV
+    // (getContentType in FormatFactory — 00265_content_type.sh)
+    case f if f.startsWith("pretty") || f.startsWith("vertical") =>
+      "text/plain; charset=UTF-8"
     case _ => "text/tab-separated-values; charset=UTF-8"
   }
 
@@ -114,6 +140,19 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
     format.toLowerCase match {
       case "rowbinary" => Formats.rowBinary(df)
       case "odbcdriver" => Formats.odbcDriver(df)
+      case "native" =>
+        // the engine's columnar native layout is parquet (Formats
+        // registry); serve the single-file encoding of the result
+        val dir = java.nio.file.Files.createTempDirectory("native_out")
+        try {
+          df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+          val part = java.nio.file.Files.list(dir).toArray.map(_.toString)
+            .find(p => p.endsWith(".parquet")).get
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(part))
+        } finally {
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
       case other =>
         val s = other match {
           case "tabseparated" | "tsv" => Formats.tabSeparated(df)

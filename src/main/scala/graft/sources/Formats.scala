@@ -643,6 +643,12 @@ object Formats {
     case a: scala.collection.Seq[_] => a.map(jsonString).mkString("[", ",", "]")
     case r: org.apache.spark.sql.Row => r.toSeq.map(jsonString).mkString("[", ",", "]")
     case d: Double => renderDouble(d)
+    // 64-bit integers quote (output_format_json_quote_64bit_integers
+    // defaults true — JS consumers lose precision past 2^53); dates /
+    // datetimes render their text form quoted (00407's JSONEachRow)
+    case l: java.lang.Long => "\"" + l + "\""
+    case d: java.sql.Date => jsonString(renderValue(d, inArray = false))
+    case t: java.sql.Timestamp => jsonString(renderValue(t, inArray = false))
     case other: java.lang.Number => other.toString
     case other => jsonString(other.toString)
   }

@@ -259,6 +259,9 @@ object ChDdl {
 
   private val tables = scala.collection.concurrent.TrieMap[String, Entry]()
 
+  /** Registered dialect-catalog table names (debug/introspection). */
+  private[graft] def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
   /** View definitions in CH-SQL text: substituted inline at query
     * rewrite so every read re-evaluates against the CURRENT source
     * data (InterpreterSelectQuery view expansion; a Memory-table
@@ -326,6 +329,11 @@ object ChDdl {
   // dropped keys fold into an "overflow row" that before_having /
   // after_having_inclusive (and auto, by ratio) include.
   @volatile private var totalsMode: String = "before_having"
+  // input-format tolerance/laxness (ReadHelpers / BlockInputStreams
+  // settings; exercised by the .sh corpus: 00374, 00418)
+  @volatile private[graft] var inputAllowErrorsNum: Long = 0L
+  @volatile private[graft] var inputAllowErrorsRatio: Double = 0.0
+  @volatile private[graft] var inputSkipUnknownFields: Boolean = false
   @volatile private var totalsAutoThreshold: Double = 0.5
   @volatile private var maxRowsToGroupBy: Long = 0L
   @volatile private var maxBlockSize: Long = 65536L
@@ -366,6 +374,9 @@ object ChDdl {
     prettyMaxRows = 10000L
     parallelReplicasCount = 0
     parallelReplicaOffset = 0
+    inputAllowErrorsNum = 0L
+    inputAllowErrorsRatio = 0.0
+    inputSkipUnknownFields = false
   }
 
   /** hasColumnInTable support: does `db.table` declare `col` (flattened
@@ -398,6 +409,12 @@ object ChDdl {
         .foreach(m => totalsAutoThreshold = m.group(1).toDouble)
       "(?i)max_rows_to_group_by\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
         .foreach(m => maxRowsToGroupBy = m.group(1).toLong)
+      "(?i)input_format_allow_errors_num\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => inputAllowErrorsNum = m.group(1).toLong)
+      "(?i)input_format_allow_errors_ratio\\s*=\\s*([\\d.]+)".r.findFirstMatchIn(stmt)
+        .foreach(m => inputAllowErrorsRatio = m.group(1).toDouble)
+      "(?i)input_format_skip_unknown_fields\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
+        .foreach(m => inputSkipUnknownFields = m.group(1) != "0")
       "(?i)max_block_size\\s*=\\s*(\\d+)".r.findFirstMatchIn(stmt)
         .foreach(m => maxBlockSize = m.group(1).toLong)
       "(?i)group_by_overflow_mode\\s*=\\s*'?(\\w+)'?".r.findFirstMatchIn(stmt)
@@ -1102,7 +1119,8 @@ object ChDdl {
     scala.collection.concurrent.TrieMap[String, Seq[String]]()
   private val detached = scala.collection.concurrent.TrieMap[String, Entry]()
 
-  private def mergeUnion(db: String, re: String, cols: Seq[String]): DataFrame = {
+  private def mergeUnion(db: String, re: String, cols: Seq[String],
+      withTable: Boolean = false): DataFrame = {
     val rx = re.r
     val matching = dbTables(db)
       .filter { case (bare, _) => rx.findFirstIn(bare).isDefined }
@@ -1110,7 +1128,14 @@ object ChDdl {
         mergeSpecs.contains(s"$db.$bare") } // a Merge never reads itself
       .sortBy(_._1)
     require(matching.nonEmpty, s"Merge($db, '$re'): no tables match")
-    matching.map(_._2.df.select(cols.map(qcol): _*)).reduce(_ unionByName _)
+    matching.map { case (bare, e) =>
+      val base = e.df.select(cols.map(qcol): _*)
+      // `_table` is VIRTUAL (StorageMerge.cpp): materialized into the
+      // union only when the reading query mentions it
+      if (withTable)
+        base.withColumn("_table", org.apache.spark.sql.functions.lit(bare))
+      else base
+    }.reduce(_ unionByName _)
   }
 
   /** Rebind every Merge table to its members' CURRENT DataFrames —
@@ -1134,7 +1159,9 @@ object ChDdl {
               java.util.regex.Pattern.quote(e.name.split("\\.").last) + "\\b").r
               .findFirstIn(sql).isDefined)
         if (referenced) {
-          val fresh = mergeUnion(db, re, cols)
+          val wantsTable = "(?i)(?<![\\w.`])_table(?![\\w.`])".r
+            .findFirstIn(sql).isDefined
+          val fresh = mergeUnion(db, re, cols, wantsTable)
           e.df = fresh
           fresh.createOrReplaceTempView(e.view)
         }
@@ -2168,7 +2195,11 @@ object ChDdl {
       val backing = if (engine == "Merge") {
         val ps = engineArgs.map(splitArgs).getOrElse(Seq.empty)
         require(ps.length == 2, s"Merge(db, 'regex') expected: $stmt")
+        // the db argument may be an identifier OR a string literal —
+        // Merge(test, …) and Merge('test', …) are both accepted
+        // (00421_storage_merge__table_index.sh uses the quoted form)
         val db = ps.head.replace("`", "").trim
+          .stripPrefix("'").stripSuffix("'")
         // CH string-literal unescape: '\\d' in DDL text is regex \d
         val re = ps(1).trim.stripPrefix("'").stripSuffix("'")
           .replace("\\\\", "\\")
@@ -2440,7 +2471,16 @@ object ChDdl {
     override def initialValue(): Option[String] = None
   }
 
-  private def insert(spark: SparkSession, stmt: String): Unit = {
+  /** INSERT whose row data arrives OUT OF BAND (the HTTP protocol's
+    * `?query=INSERT+INTO+t+FORMAT+CSV` + body, or a piped client
+    * payload): `stmt` ends in `FORMAT <name>`, `data` is the raw
+    * client text parsed by [[graft.sources.InputFormats]] under the
+    * current input_format_* settings. */
+  def insertWithData(spark: SparkSession, stmt: String, data: String): Unit =
+    insert(spark, stmt, Some(data))
+
+  private def insert(spark: SparkSession, stmt: String,
+      data: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     // the column list admits dotted names — flattened Nested leaves
     // (`INSERT INTO t (x, n.e) VALUES …`, corpus 00392)
@@ -2523,7 +2563,16 @@ object ChDdl {
             prev ++ squashBlocks(bs, rowBytesOf(entry)))
         }
         val partial =
-          if (rest.trim.toUpperCase.startsWith("VALUES")) {
+          if (rest.trim.toUpperCase.startsWith("FORMAT") && data.isDefined) {
+            val fmt = rest.trim.split("\\s+")(1)
+            graft.sources.InputFormats.parse(spark, fmt, data.get, target,
+              graft.sources.InputFormats.Tolerance(
+                inputAllowErrorsNum, inputAllowErrorsRatio),
+              inputSkipUnknownFields)
+              .select(target.fields.map(f =>
+                graft.types.ChEnum.encodeCol(qcol(f.name), f)
+                  .cast(ChTypes.deepNullable(f.dataType)).as(f.name)).toIndexedSeq: _*)
+          } else if (rest.trim.toUpperCase.startsWith("VALUES")) {
             // CH permits space-separated tuples: VALUES (…) (…)
             val body = ChSql.bracketLiteralsToArray(
               ChSql.mapOutsideQuotes(
@@ -2854,6 +2903,47 @@ object ChDdl {
               a.replaceAll("(?i)^MODIFY\\s+COLUMN\\s+", "").trim).head
             val cd = inferTypelessDefaults(spark, Seq(cd0),
               entry.df.schema.fields.toSeq).head
+            // key-column guard (AlterCommands::validate via
+            // MergeTreeData::checkAlter, 00427_alter_primary_key.sh):
+            // the partitioning DATE column can never change type; a
+            // column referenced inside a key EXPRESSION cannot change;
+            // a plain key column may only take a binary-compatible
+            // type (Enum value extension, DateTime <-> UInt32)
+            "(?is)^\\w*MergeTree\\s*\\((.*)\\)\\s*$".r
+              .findFirstMatchIn(entry.engineText).foreach { em =>
+                val args = splitArgs(em.group(1))
+                val colName = cd.field.name
+                val dateCol = args.headOption.map(_.trim).getOrElse("")
+                val keyArgs = args.drop(1).flatMap { arg =>
+                  val t = arg.trim
+                  val body = if (t.startsWith("(") && t.endsWith(")"))
+                    t.substring(1, t.length - 1) else t
+                  splitArgs(body).map(_.trim)
+                }
+                val oldCh = entry.colTypes.getOrElse(colName, "")
+                val newCh = cd.typeText
+                def binCompatible: Boolean =
+                  oldCh == newCh ||
+                    (oldCh.startsWith("Enum") && newCh.startsWith(
+                      oldCh.takeWhile(_ != '(')) &&
+                      // extension: every old entry present in the new list
+                      "'[^']*'\\s*=\\s*-?\\d+".r.findAllIn(
+                        oldCh.dropWhile(_ != '(')).forall(e =>
+                        newCh.replaceAll("\\s", "").contains(e.replaceAll("\\s", "")))) ||
+                    Set(Set(oldCh, newCh)).contains(Set("DateTime", "UInt32"))
+                if (colName == dateCol)
+                  throw new IllegalArgumentException(
+                    s"Trying to ALTER key column $colName " +
+                      "(MergeTree date column)")
+                if (keyArgs.exists(k => k != colName &&
+                    k.matches(s".*\\b${java.util.regex.Pattern.quote(colName)}\\b.*")))
+                  throw new IllegalArgumentException(
+                    s"Trying to ALTER column $colName used in a key expression")
+                if (keyArgs.contains(colName) && !binCompatible)
+                  throw new IllegalArgumentException(
+                    s"Trying to ALTER key column $colName: $oldCh -> $newCh " +
+                      "is not binary-compatible")
+              }
             // an EXPLICIT type over a DEFAULT of a different inferred
             // type stores the coercion in the declaration:
             // `MODIFY x UInt16 DEFAULT length(p)` reads back as

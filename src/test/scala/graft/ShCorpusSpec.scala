@@ -1,0 +1,265 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.types._
+
+import graft.server.HttpEndpoint
+import graft.sources.{Formats, InputFormats}
+import graft.sql.ChDdl
+
+/** Pins for the ENGINE-RELEVANT `.sh` reference tests
+  * (dbms/tests/queries/0_stateless, the shell-driven cases) — those exercise
+  * input-format tolerance, the HTTP protocol, and ALTER/engine flows
+  * the `.sql` corpus cannot reach (their data arrives as client
+  * bytes). Each test reproduces the script's data flow through the
+  * library surfaces and compares against the `.reference` output.
+  *
+  * The remaining `.sh` cases are triaged in COVERAGE.md (client-only
+  * behavior, concurrency stress, or server-process features).
+  */
+class ShCorpusSpec extends SparkSpec {
+
+  private val corpus = "/root/reference/dbms/tests/queries/0_stateless"
+  private def ref(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$corpus/$name.reference")), UTF_8)
+
+  private def tsv(df: org.apache.spark.sql.DataFrame): String =
+    Formats.tabSeparated(df) + "\n"
+
+  // ----- input formats ----------------------------------------------
+
+  test("00301_csv.sh: CSV quirks — quotes, doubled quotes, multiline, trailing comma, quoted numbers") {
+    val schema = StructType(Seq(
+      StructField("s", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    val data =
+      "\"Hello, world\", 123, \"2016-01-01\"\n" +
+        "\"Hello, \"\"world\"\"\", \"456\", 2016-01-02,\n" +
+        "Hello \"world\", 789 ,2016-01-03\n" +
+        "\"Hello\n world\", 100, 2016-01-04,\n"
+    val df = InputFormats.parseCsv(spark, data, schema).orderBy("d")
+    assert(tsv(df) === ref("00301_csv"))
+  }
+
+  test("00310_tskv.sh: TSKV input — unordered keys, tskv marker, defaults, \\0 escapes") {
+    ChDdl.execute(spark, "DROP TABLE IF EXISTS test.tskv")
+    ChDdl.execute(spark,
+      "CREATE TABLE test.tskv (tskv_format String, timestamp DateTime, " +
+        "timezone String, text String, binary_data String) ENGINE = Memory")
+    val data =
+      "tskv\ttskv_format=custom-service-log\ttimestamp=2013-01-01 00:00:00\t" +
+        "timezone=+0400\ttext=multiline\\ntext\tbinary_data=can contain \\0 symbol\n" +
+        "binary_data=abc\ttext=Hello, world\n" +
+        "binary_data=def\ttext=\n" +
+        "tskv\n" +
+        "\n"
+    ChDdl.insertWithData(spark, "INSERT INTO test.tskv FORMAT TSKV", data)
+    val df = ChDdl.execute(spark,
+      "SELECT * FROM test.tskv ORDER BY binary_data").get
+    assert(tsv(df) === ref("00310_tskv"))
+    ChDdl.execute(spark, "DROP TABLE test.tskv")
+  }
+
+  test("00374_json_each_row_input_with_noisy_fields.sh: skip_unknown_fields over nested junk") {
+    ChDdl.execute(spark, "DROP TABLE IF EXISTS test.json_noisy")
+    ChDdl.execute(spark,
+      "CREATE TABLE test.json_noisy (d1 UInt8, d2 String) ENGINE = Memory")
+    ChDdl.execute(spark, "SET input_format_skip_unknown_fields = 1")
+    val data =
+      """{"d1" : 1, "d2" : "ok"}
+        |{ }
+        |{"t1" : 0, "t2":true,"t3":false, "t4":null,"t5":[],"t6":"trash" }
+        |{"d2":"ok","t1":[[[]],true, null, false, "1","2",9.03,101], "t2":[["1","2"]], "d1":"1"}
+        |{"d2":"ok","t1":[[[]],true, null, false, "1","2", 0.03, 1], "d1":"1", "t2":["1","2"]}""".stripMargin
+    ChDdl.insertWithData(spark, "INSERT INTO test.json_noisy FORMAT JSONEachRow", data)
+    val df = ChDdl.execute(spark, "SELECT * FROM test.json_noisy").get
+    assert(tsv(df) === ref("00374_json_each_row_input_with_noisy_fields"))
+    ChDdl.execute(spark, "DROP TABLE IF EXISTS test.json_noisy")
+    ChDdl.resetSettings()
+  }
+
+  test("00407_parsing_nulls.sh: \\N / NULL parsing across TSV, CSV, JSONEachRow inputs and outputs") {
+    val schema = StructType(Seq(
+      StructField("s", StringType, nullable = true),
+      StructField("x", LongType, nullable = true),
+      StructField("t", TimestampType, nullable = true)))
+    val tsvIn = "\\tHello\t123\t\\N\n\\N\t\t2000-01-01 00:00:00\n"
+    val csvIn = "Hello,123,\\N\n\\N,0,\"2000-01-01 00:00:00\""
+    val csvIn2 = "\"\\Hello\",123,\\N\n\"\\N\",0,\"2000-01-01 00:00:00\""
+    val jsonIn = "{\"s\" : null, \"x\" : 123}, {\"s\" : \"\\N\", \"t\":\"2000-01-01 00:00:00\"}"
+    val dfs = Seq(
+      InputFormats.parseTsv(spark, tsvIn, schema),
+      InputFormats.parseCsv(spark, csvIn, schema),
+      InputFormats.parseCsv(spark, csvIn2, schema),
+      InputFormats.parseJsonEachRow(spark, jsonIn, schema))
+    val lines = ref("00407_parsing_nulls").split("\n", -1).toSeq
+    // reference layout: per OUTPUT format [TSV, CSV, JSONEachRow,
+    // Values], a block of 2 rows per input [TSV, CSV, CSV-escaped,
+    // JSONEachRow] then 3 rows for the Values input. The Values-input
+    // rows (and Values output) are covered by parseValues' own corpus
+    // pins; the reference's `'\N'`-inside-quoted-Values edge is
+    // documented divergence (its escaped-string reader drops \N).
+    def block(outIdx: Int, inIdx: Int): Seq[String] =
+      lines.slice(outIdx * 11 + inIdx * 2, outIdx * 11 + inIdx * 2 + 2)
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      assert(Formats.tabSeparated(df).split("\n", -1).toSeq === block(0, i),
+        s"TSV out, input #$i")
+      assert(Formats.csv(df).split("\n", -1).toSeq === block(1, i),
+        s"CSV out, input #$i")
+      assert(Formats.jsonEachRow(df).split("\n", -1).toSeq === block(2, i),
+        s"JSONEachRow out, input #$i")
+    }
+  }
+
+  test("00418_input_format_allow_errors.sh: row-error tolerance num/ratio semantics") {
+    ChDdl.execute(spark, "DROP TABLE IF EXISTS test.formats_test")
+    ChDdl.execute(spark,
+      "CREATE TABLE test.formats_test (x UInt64, s String) ENGINE = Memory")
+    def ins(num: Long, ratio: Double, data: String): Boolean = {
+      ChDdl.inputAllowErrorsNum = num
+      ChDdl.inputAllowErrorsRatio = ratio
+      try { ChDdl.insertWithData(spark,
+        "INSERT INTO test.formats_test FORMAT TSV", data); true }
+      catch { case _: Exception => false }
+    }
+    def select(): String = tsv(ChDdl.execute(spark,
+      "SELECT * FROM test.formats_test").get)
+    val good = "1\tHello\n \n3\tGoodbye\n"
+    val bad = "1\tHello\n2\n3\tGoodbye\n\n"
+    assert(ins(1, 0.1, good), "1 error of 3 rows within num=1")
+    assert(select() === "1\tHello\n3\tGoodbye\n")
+    assert(!ins(1, 0.1, bad), "2 errors of 4 rows exceeds num=1, ratio=0.1")
+    assert(select() === "1\tHello\n3\tGoodbye\n", "failed insert lands nothing")
+    assert(ins(2, 0.1, bad), "2 errors within num=2")
+    assert(select() === "1\tHello\n3\tGoodbye\n" * 2)
+    assert(!ins(1, 0.4, bad), "ratio 2/4 exceeds 0.4")
+    assert(ins(1, 0.6, bad), "ratio 2/4 within 0.6")
+    assert(select() === "1\tHello\n3\tGoodbye\n" * 3)
+    ChDdl.execute(spark, "DROP TABLE test.formats_test")
+    ChDdl.resetSettings()
+  }
+
+  // ----- engine flows ------------------------------------------------
+
+  test("00421_storage_merge__table_index.sh: Merge engine _table LIKE pruning") {
+    (0 to 20 by 2).foreach { i =>
+      val n = f"$i%02d"
+      ChDdl.execute(spark, s"DROP TABLE IF EXISTS test.merge_item_$n")
+      ChDdl.execute(spark,
+        s"CREATE TABLE test.merge_item_$n (d Int8) ENGINE = Memory")
+      ChDdl.execute(spark, s"INSERT INTO test.merge_item_$n VALUES ($n)")
+    }
+    ChDdl.execute(spark, "DROP TABLE IF EXISTS test.merge_storage")
+    ChDdl.execute(spark,
+      "CREATE TABLE test.merge_storage (d Int8) ENGINE = Merge('test', '^merge_item_')")
+    val df = ChDdl.execute(spark,
+      "SELECT _table, d FROM test.merge_storage " +
+        "WHERE _table LIKE 'merge_item_1%' ORDER BY _table").get
+    assert(tsv(df) === ref("00421_storage_merge__table_index"))
+    ChDdl.execute(spark, "DROP TABLE IF EXISTS test.merge_storage")
+    (0 to 20 by 2).foreach(i =>
+      ChDdl.execute(spark, f"DROP TABLE IF EXISTS test.merge_item_$i%02d"))
+  }
+
+  test("00427_alter_primary_key.sh: key columns reject incompatible MODIFY") {
+    val out = Seq.newBuilder[String]
+    // the script goes through clickhouse-client, i.e. the RENDERED
+    // output path (enum values print as their names)
+    def perform(q: String): Unit =
+      try ChDdl.executeRendered(spark, q).foreach(s =>
+        s.split("\n").filter(_.nonEmpty).foreach(out += _))
+      catch { case _: Exception => out += "query failed" }
+    perform("DROP TABLE IF EXISTS test.alter")
+    perform("CREATE TABLE test.alter (d Date, a Enum8('foo'=1), b DateTime, " +
+      "c DateTime) ENGINE=MergeTree(d, (a, b, toTime(c)), 8192)")
+    perform("INSERT INTO test.alter VALUES ('2017-02-09', 'foo', " +
+      "'2017-02-09 00:00:00', '2017-02-09 00:00:00')")
+    // must fail: d is the MergeTree date column
+    perform("ALTER TABLE test.alter MODIFY COLUMN d UInt16")
+    // allowed: Enum value extension / DateTime <-> UInt32
+    perform("ALTER TABLE test.alter MODIFY COLUMN a Enum8('foo'=1, 'bar'=2)")
+    perform("ALTER TABLE test.alter MODIFY COLUMN b UInt32")
+    // must fail: c is inside the key expression toTime(c)
+    perform("ALTER TABLE test.alter MODIFY COLUMN c UInt32")
+    perform("INSERT INTO test.alter VALUES ('2017-02-09', 'bar', 1486598400, " +
+      "'2017-02-09 00:00:00')")
+    perform("SELECT d FROM test.alter WHERE a = 'bar'")
+    perform("SELECT a, b, b = toUnixTimestamp(c) FROM test.alter ORDER BY a FORMAT TSV")
+    perform("DROP TABLE test.alter")
+    assert(out.result().mkString("\n") + "\n" === ref("00427_alter_primary_key"))
+  }
+
+  // ----- HTTP protocol -----------------------------------------------
+
+  private lazy val endpoint = new HttpEndpoint(spark, port = 0)
+  private lazy val port = { endpoint.start(); endpoint.boundPort }
+  private val http = HttpClient.newHttpClient()
+
+  private def post(pathAndQuery: String, body: String,
+      headers: Seq[(String, String)] = Seq.empty): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port$pathAndQuery"))
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString(UTF_8))
+  }
+
+  test("00265_content_type.sh: Content-Type per wire format") {
+    def ct(q: String, pathAndQuery: String = "/"): String = {
+      val r = post(pathAndQuery, q)
+      assert(r.statusCode() === 200, r.body())
+      r.headers().firstValue("Content-Type").orElse("")
+    }
+    assert(ct("SELECT 1", "/?default_format=JSONCompact") === "application/json; charset=UTF-8")
+    assert(ct("SELECT 1 FORMAT JSON") === "application/json; charset=UTF-8")
+    assert(ct("SELECT 1") === "text/tab-separated-values; charset=UTF-8")
+    assert(ct("SELECT 1 FORMAT TabSeparated") === "text/tab-separated-values; charset=UTF-8")
+    assert(ct("SELECT 1 FORMAT Vertical") === "text/plain; charset=UTF-8")
+    assert(ct("SELECT 1 FORMAT Native") === "application/octet-stream")
+    assert(ct("SELECT 1 FORMAT RowBinary") === "application/octet-stream")
+  }
+
+  test("00372_cors_header.sh: CORS header only with add_http_cors_header=1 + Origin") {
+    def cors(pathAndQuery: String, origin: Boolean): Boolean =
+      post(pathAndQuery, "SELECT 1",
+        if (origin) Seq("Origin" -> "smi2.ru") else Seq.empty)
+        .headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*"
+    assert(cors("/?add_http_cors_header=1", origin = true))
+    assert(!cors("/?add_http_cors_header=0", origin = true))
+    assert(!cors("/", origin = true))
+    assert(!cors("/?add_http_cors_header=1", origin = false))
+  }
+
+  test("00335_bom.sh: UTF-8 BOM stripped from HTTP CSV insert data") {
+    post("/", "DROP TABLE IF EXISTS test.bom")
+    assert(post("/",
+      "CREATE TABLE test.bom (a UInt8, b UInt8, c UInt8) ENGINE = Memory")
+      .statusCode() === 200)
+    assert(post("/?query=INSERT+INTO+test.bom+FORMAT+CSV", "1,2,3\n")
+      .statusCode() === 200)
+    assert(post("/?query=INSERT+INTO+test.bom+FORMAT+CSV", "\uFEFF4,5,6\n")
+      .statusCode() === 200)
+    val r = post("/", "SELECT * FROM test.bom ORDER BY a")
+    assert(r.body() === ref("00335_bom"))
+    post("/", "DROP TABLE test.bom")
+  }
+
+  test("00039_inserts_through_http.sh (bounded): TSV data body via ?query=INSERT") {
+    post("/", "DROP TABLE IF EXISTS test.long_insert")
+    assert(post("/",
+      "CREATE TABLE test.long_insert (a String) ENGINE = Memory")
+      .statusCode() === 200)
+    // one rung of the script's ladder: 26 strings of length 100
+    val payload = ('a' to 'z').map(c => c.toString * 100).mkString("\n") + "\n"
+    assert(post("/?query=INSERT+INTO+test.long_insert+FORMAT+TabSeparated",
+      payload).statusCode() === 200)
+    val r = post("/",
+      "SELECT substring(a, 1, 1) AS c, length(a) AS l FROM test.long_insert ORDER BY c, l")
+    assert(r.body() === ('a' to 'z').map(c => s"$c\t100").mkString("\n") + "\n")
+    post("/", "DROP TABLE test.long_insert")
+  }
+}
