@@ -14,6 +14,10 @@ Test / fork := true
 // checkpoints and temp views
 Test / parallelExecution := false
 run / fork := true
+// forked run output goes STRAIGHT to stdout (no sbt `[info] ` log
+// prefix) so the one-line bench/verify JSON on stdout stays
+// machine-parseable by the round driver
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,6 +124,80 @@ class AnnRecallSpec extends SparkSpec {
     assert(r100 >= r50, "candidate sets are nested")
   }
 
+  test("clustered vectors: q96 / q100 / q107 recall floors >= 0.8") {
+    // The sf0.1 embeddings are near-isotropic, which caps HONEST
+    // sublinear recall (see the floor notes above). On CLUSTERED data
+    // — the regime ANN indexes exist for — the same three paths must
+    // deliver >= 0.8: 16 well-separated unit centers, 250 members per
+    // cluster at noise sigma 0.1 (same-cluster cosine ~0.99,
+    // cross-cluster ~0.12), written as a drop-in embeddings table.
+    // vec_id % 16 == cluster, so the quantizer sample rows 1..16 span
+    // every cluster and vec 0 (the query) sits in cluster 0.
+    val dim = 64; val nC = 16; val per = 250
+    val rnd = new scala.util.Random(12345)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(nC)(
+      normalize(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val vecs = (0 until nC * per).map { id =>
+      val c = id % nC
+      (id.toLong,
+        normalize(centers(c).map(x =>
+          x + 0.1f * rnd.nextGaussian().toFloat)).toSeq, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("clustered_emb").toString
+    spark.createDataFrame(vecs).toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val q = vecs(0)._2.map(_.toDouble).toArray
+    def cos(v: Seq[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { d += q(i) * v(i); i += 1 }
+      d // all vectors are unit-norm
+    }
+    def l2(v: Seq[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = q(i) - v(i); d += t * t; i += 1 }
+      d
+    }
+    val byCos = vecs.drop(1).sortBy(r => (-cos(r._2), r._1)).map(_._1)
+    val top5 = byCos.take(5).toSet
+    val top10 = byCos.take(10).toSet
+    val l2Top5 = vecs.drop(1).sortBy(r => (l2(r._2), r._1)).map(_._1)
+      .take(5).toSet
+
+    val r96 = (top5 & ids(SimilarityQueries.q96(spark, dir)).toSet)
+      .size.toDouble / 5
+    assert(r96 >= 0.8, s"q96 clustered recall@5 $r96 < 0.8")
+    val r100 = (top10 & ids(SimilarityQueries.q100(spark, dir)).toSet)
+      .size.toDouble / 10
+    assert(r100 >= 0.8, s"q100 clustered recall@10 $r100 < 0.8")
+    // PQ: on tight clusters every same-cluster member encodes to the
+    // SAME code, so ADC cannot order WITHIN the cluster (top-10 by
+    // ADC is a vec_id tie-break lottery). The PQ contract is the
+    // candidate PREFILTER (re-rank exact downstream): pin that the
+    // ADC candidate set at the cluster size captures the true top-5,
+    // and that the ADC top-10 is pure cluster-0 (precision 1.0).
+    graft.GraftFunctions.register(spark)
+    val e = graft.core.Tables(spark, dir, "embeddings")
+    val model = graft.operators.PqAnn.sampled(
+      e.filter(col("vec_id").between(1, 16)), "vec_id", "embedding",
+      m = 8, ks = 16)
+    val scored = graft.operators.PqAnn.topK(
+      e.filter(col("vec_id") =!= 0), "embedding", model,
+      vecs(0)._2.toIndexedSeq)
+      .orderBy(col("adc_x1e4").asc, col("vec_id"))
+    val cand = scored.limit(per).select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val r107 = (l2Top5 & cand).size.toDouble / 5
+    assert(r107 >= 0.8, s"q107 clustered candidate recall@5-in-$per $r107 < 0.8")
+    val prec = ids(scored.limit(10)).count(_ % nC == 0).toDouble / 10
+    assert(prec >= 0.8, s"q107 clustered ADC top-10 cluster precision $prec < 0.8")
+  }
+
   test("multi-probe candidates strictly contain the single-probe bucket") {
     // every vector q53 can see, q95 can see too (probe set includes
     // the query's own bucket)
