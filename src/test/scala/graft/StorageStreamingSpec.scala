@@ -220,6 +220,80 @@ class StorageStreamingSpec extends SparkSpec {
     assert(rows.contains((1L, "2024-01-01 10:40:00", "2024-01-01 10:40:00", 1L, 5.0)), rows)
   }
 
+  test("sessionization folds late-but-on-time events backwards and bridge-merges sessions") {
+    import graft.streaming.Sessionize
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = Sessionize.sessions(spark,
+      mem.toDF().toDF("user", "ts", "v"),
+      "user", "ts", "v", gapSeconds = 600, watermarkDelay = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    // two events 16 min apart: two OPEN sessions (>gap), neither
+    // emitted yet — a late event could still bridge them
+    mem.addData((1L, ts(0), 1.0), (1L, ts(16), 2.0))
+    q.processAllAvailable()
+    // the late-but-on-time bridge arrives in a LATER batch: within
+    // gap of BOTH sessions, so all three events merge into ONE
+    // session (the r10 code folded late events into the newest
+    // session without moving session_start, splitting this history)
+    mem.addData((1L, ts(8), 4.0))
+    q.processAllAvailable()
+    // walk the watermark past last+gap so the merged session closes
+    mem.addData((2L, ts(59), 0.0))
+    q.processAllAvailable()
+    mem.addData((2L, ts(59), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_late_out")
+      .select("key", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.stripSuffix(".0"),
+        r.getTimestamp(2).toString.stripSuffix(".0"), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:16:00", 3L, 7.0)),
+      rows.toString)
+  }
+
+  test("streaming near-dup survives a batch of only re-seen doc ids after the watermark moved") {
+    // r10 advanced the bucket's last-activity only for UNSEEN ids, so
+    // a batch containing only already-seen ids computed an event-time
+    // timeout at/below the watermark — which Spark rejects, killing
+    // the whole query (advisor finding). The re-send below must flow
+    // through without error and without duplicate candidate pairs.
+    import graft.streaming.StreamNearDup
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val cands = StreamNearDup.candidates(
+      spark, mem.toDF().toDF("id", "ts", "text"),
+      "id", "ts", "text", watermarkDelay = "1 minute", windowMs = 60 * 60 * 1000L)
+    val base = Files.createTempDirectory("sneardup_reseen").toString
+    val q = cands.writeStream.format("memory")
+      .queryName("sneardup_reseen_out").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    mem.addData((1L, ts(0), txt))
+    q.processAllAvailable()
+    // unrelated docs walk the watermark forward (but stay inside the
+    // 60-min window so the bucket is NOT evicted)
+    mem.addData((2L, ts(20), "unrelated corpus of legal boilerplate paragraphs here"))
+    q.processAllAvailable()
+    mem.addData((3L, ts(40), "numeric tables 12345 67890 54321 with nothing in common"))
+    q.processAllAvailable()
+    // doc 1 re-arrives: every band bucket it hits holds ONLY the
+    // already-seen id 1 — with the stale lastMs this batch crashed
+    mem.addData((1L, ts(41), txt))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, q.exception.toString)
+    val pairs = spark.table("sneardup_reseen_out").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set.empty, pairs.toString)
+  }
+
   test("batch sessionization matches the streaming semantics") {
     import graft.streaming.Sessionize
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
