@@ -156,7 +156,19 @@ object ChDdl {
 
   /** State-dependent system views refresh lazily, only when the
     * statement references them (like refreshMergeTables). */
+  private val systemViewsRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   private def refreshSystemViews(spark: SparkSession, sql: String): Unit = {
+    // first touch of any system.* table in a session registers the
+    // whole system catalog (idempotent; the reference's system
+    // database simply exists) — system.numbers/one have their own
+    // generator rewrite and need no views
+    if ("(?i)\\bsystem\\s*[._]\\s*(?!numbers|one\\b)\\w+".r
+        .findFirstIn(sql).isDefined &&
+        systemViewsRegistered.add(spark))
+      graft.core.SystemTables.register(spark)
     if ("(?i)system[._]zookeeper".r.findFirstIn(sql).isDefined)
       registerZookeeperView(spark)
     if ("(?i)system[._]parts".r.findFirstIn(sql).isDefined &&
