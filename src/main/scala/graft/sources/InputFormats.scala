@@ -150,6 +150,21 @@ object InputFormats {
     * a single tab, `\N` = NULL, C escapes in values. A line with the
     * wrong field count or an unparseable value is a row ERROR,
     * tolerated per [[Tolerance]]. */
+  /** One TSV line → Row (throws on malformed — callers apply the
+    * tolerance policy). Serializable row-level routine shared by the
+    * driver-side [[parseTsv]] and the distributed [[scan]]. */
+  private[sources] def tsvRow(line: String, schema: StructType): Row = {
+    val fields = line.split("\t", -1)
+    require(fields.length == schema.length,
+      s"expected ${schema.length} fields, got ${fields.length}")
+    Row.fromSeq(fields.zip(schema.fields).map { case (f, sf) =>
+      if (f == "\\N") {
+        require(sf.nullable, s"NULL into non-nullable ${sf.name}")
+        null
+      } else convert(unescape(f), sf.dataType)
+    }.toIndexedSeq)
+  }
+
   def parseTsv(spark: SparkSession, data: String, schema: StructType,
       tol: Tolerance = Tolerance()): DataFrame = {
     var errors = 0L
@@ -157,17 +172,8 @@ object InputFormats {
     val rows = Seq.newBuilder[Row]
     splitLines(stripBom(data)).foreach { line =>
       total += 1
-      try {
-        val fields = line.split("\t", -1)
-        require(fields.length == schema.length,
-          s"expected ${schema.length} fields, got ${fields.length}")
-        rows += Row.fromSeq(fields.zip(schema.fields).map { case (f, sf) =>
-          if (f == "\\N") {
-            require(sf.nullable, s"NULL into non-nullable ${sf.name}")
-            null
-          } else convert(unescape(f), sf.dataType)
-        }.toIndexedSeq)
-      } catch { case e: Exception =>
+      try rows += tsvRow(line, schema)
+      catch { case e: Exception =>
         errors += 1
         if (errors > tol.num && errors > tol.ratio * total)
           throw new IllegalArgumentException(
@@ -251,29 +257,34 @@ object InputFormats {
     * skipped; keys absent from a line take the column default; values
     * unescape like TSV (incl. `\0`). An empty line is a full-defaults
     * row (TSKVRowInputStream — 00310_tskv.sh). */
+  /** One TSKV line → Row (shared by [[parseTskv]] and [[scan]]). */
+  private[sources] def tskvRow(line: String, schema: StructType,
+      idx: Map[String, Int]): Row = {
+    val vals = new Array[Any](schema.length)
+    schema.fields.zipWithIndex.foreach { case (sf, j) =>
+      vals(j) = typeDefault(sf.dataType, sf.nullable)
+    }
+    if (line.nonEmpty) line.split("\t", -1).foreach { tok =>
+      val eq = tok.indexOf('=')
+      if (eq >= 0) {
+        val key = unescape(tok.substring(0, eq))
+        idx.get(key).foreach { j =>
+          val sf = schema.fields(j)
+          val raw = tok.substring(eq + 1)
+          vals(j) =
+            if (raw == "\\N" && sf.nullable) null
+            else convert(unescape(raw), sf.dataType)
+        }
+      } // a key-less token (the leading `tskv` marker) is skipped
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
   def parseTskv(spark: SparkSession, data: String, schema: StructType): DataFrame = {
     val idx = schema.fieldNames.zipWithIndex.toMap
     val rows = Seq.newBuilder[Row]
-    splitLines(stripBom(data)).foreach { line =>
-      val vals = new Array[Any](schema.length)
-      schema.fields.zipWithIndex.foreach { case (sf, j) =>
-        vals(j) = typeDefault(sf.dataType, sf.nullable)
-      }
-      if (line.nonEmpty) line.split("\t", -1).foreach { tok =>
-        val eq = tok.indexOf('=')
-        if (eq >= 0) {
-          val key = unescape(tok.substring(0, eq))
-          idx.get(key).foreach { j =>
-            val sf = schema.fields(j)
-            val raw = tok.substring(eq + 1)
-            vals(j) =
-              if (raw == "\\N" && sf.nullable) null
-              else convert(unescape(raw), sf.dataType)
-          }
-        } // a key-less token (the leading `tskv` marker) is skipped
-      }
-      rows += Row.fromSeq(vals.toIndexedSeq)
-    }
+    splitLines(stripBom(data)).foreach(line =>
+      rows += tskvRow(line, schema, idx))
     toDf(spark, rows.result(), schema)
   }
 
@@ -362,6 +373,56 @@ object InputFormats {
     * parsed and discarded whatever their nesting; numeric columns
     * accept quoted numbers; null / missing keys take the column
     * default. */
+  /** One parsed JSON object → Row (shared by [[parseJsonEachRow]] and
+    * [[scan]]). */
+  private def jsonObjRow(obj: scala.collection.Map[String, Any],
+      schema: StructType, idx: Map[String, Int], skipUnknown: Boolean): Row = {
+    val vals = new Array[Any](schema.length)
+    schema.fields.zipWithIndex.foreach { case (sf, j) =>
+      vals(j) = typeDefault(sf.dataType, sf.nullable)
+    }
+    obj.foreach { case (k, v) =>
+      idx.get(k) match {
+        case Some(j) =>
+          val sf = schema.fields(j)
+          vals(j) = v match {
+            case null => typeDefault(sf.dataType, sf.nullable)
+            case s: String if sf.dataType != StringType => convert(s, sf.dataType)
+            case s: String => s
+            case d: Double => sf.dataType match {
+              case LongType => d.toLong
+              case IntegerType => d.toInt
+              case ShortType => d.toShort
+              case ByteType => d.toByte
+              case FloatType => d.toFloat
+              case DoubleType => d
+              case StringType => Formats.renderDouble(d)
+              case other => convert(d.toString, other)
+            }
+            case b: Boolean => sf.dataType match {
+              case BooleanType => b
+              case StringType => b.toString
+              case _ => convert(if (b) "1" else "0", sf.dataType)
+            }
+            case other =>
+              throw new IllegalArgumentException(
+                s"JSONEachRow: bad value for ${sf.name}: $other")
+          }
+        case None =>
+          if (!skipUnknown)
+            throw new IllegalArgumentException(s"JSONEachRow: unknown field $k")
+      }
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  private def parseOneObject(text: String): scala.collection.Map[String, Any] =
+    new JsonCursor(text).parseValue() match {
+      case m: scala.collection.Map[String @unchecked, Any @unchecked] => m
+      case other =>
+        throw new IllegalArgumentException(s"JSONEachRow: not an object: $other")
+    }
+
   def parseJsonEachRow(spark: SparkSession, data: String, schema: StructType,
       skipUnknown: Boolean = true): DataFrame = {
     val cur = new JsonCursor(stripBom(data))
@@ -375,45 +436,56 @@ object InputFormats {
           case other =>
             throw new IllegalArgumentException(s"JSONEachRow: not an object: $other")
         }
-        val vals = new Array[Any](schema.length)
-        schema.fields.zipWithIndex.foreach { case (sf, j) =>
-          vals(j) = typeDefault(sf.dataType, sf.nullable)
-        }
-        obj.foreach { case (k, v) =>
-          idx.get(k) match {
-            case Some(j) =>
-              val sf = schema.fields(j)
-              vals(j) = v match {
-                case null => typeDefault(sf.dataType, sf.nullable)
-                case s: String if sf.dataType != StringType => convert(s, sf.dataType)
-                case s: String => s
-                case d: Double => sf.dataType match {
-                  case LongType => d.toLong
-                  case IntegerType => d.toInt
-                  case ShortType => d.toShort
-                  case ByteType => d.toByte
-                  case FloatType => d.toFloat
-                  case DoubleType => d
-                  case StringType => Formats.renderDouble(d)
-                  case other => convert(d.toString, other)
-                }
-                case b: Boolean => sf.dataType match {
-                  case BooleanType => b
-                  case StringType => b.toString
-                  case _ => convert(if (b) "1" else "0", sf.dataType)
-                }
-                case other =>
-                  throw new IllegalArgumentException(
-                    s"JSONEachRow: bad value for ${sf.name}: $other")
-              }
-            case None =>
-              if (!skipUnknown)
-                throw new IllegalArgumentException(s"JSONEachRow: unknown field $k")
-          }
-        }
-        rows += Row.fromSeq(vals.toIndexedSeq)
+        rows += jsonObjRow(obj, schema, idx, skipUnknown)
       }
     }
     toDf(spark, rows.result(), schema)
+  }
+
+  // ----- distributed scan --------------------------------------------
+
+  /** Distributed LINE-format load: the same row-level routines as the
+    * driver-side `parse*` entry points, but running inside a
+    * `spark.read.textFile` scan — the 100 TB path for bulk file
+    * ingestion (TSV / TSKV / JSONEachRow are newline-delimited, so
+    * Spark's line splitter partitions them freely; CSV is NOT served
+    * here because its quoted fields may span lines — route CSV files
+    * through the per-payload [[parseCsv]]).
+    *
+    * Error tolerance applies PER PARTITION (each task tracks its own
+    * error/row counts against the same num/ratio thresholds — a
+    * global count would serialize the scan; the reference streams
+    * block-local counts the same way). */
+  def scan(spark: SparkSession, path: String, format: String,
+      schema: StructType, tol: Tolerance = Tolerance(),
+      skipUnknown: Boolean = false): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    val fmt = format.toLowerCase
+    require(Set("tabseparated", "tsv", "tskv", "jsoneachrow").contains(fmt),
+      s"scan: line-delimited formats only, got $format")
+    val lines = spark.read.textFile(path)
+    lines.mapPartitions { it =>
+      var errors = 0L
+      var total = 0L
+      it.flatMap { line0 =>
+        val line = stripBom(line0) // first line of the first file
+        total += 1
+        try Iterator.single(fmt match {
+          case "tskv" => tskvRow(line, schema, idx)
+          case "jsoneachrow" =>
+            jsonObjRow(parseOneObject(line), schema, idx, skipUnknown)
+          case _ => tsvRow(line, schema)
+        })
+        catch { case e: Exception =>
+          errors += 1
+          if (errors > tol.num && errors > tol.ratio * total)
+            throw new IllegalArgumentException(
+              s"$format scan: $errors errors in $total rows of a partition " +
+                s"(allow num=${tol.num} ratio=${tol.ratio}): ${e.getMessage}")
+          Iterator.empty
+        }
+      }
+    }(enc)
   }
 }

@@ -538,6 +538,14 @@ object ChDdl {
       // defaults of non-String columns coerced: CAST('…' AS Type).
       val name = stmt.replaceAll("(?i)^DESC(?:RIBE)?\\s+(?:TABLE\\s+)?", "")
         .replace("`", "").trim
+      // system.one is a generator, not a catalog entry: one UInt8
+      // `dummy` column (StorageSystemOne — 00415's DESCRIBE rung)
+      if (name.equalsIgnoreCase("system.one")) {
+        import org.apache.spark.sql.functions.lit
+        return Some(spark.range(1).select(
+          lit("dummy").as("name"), lit("UInt8").as("type"),
+          lit("").as("default_type"), lit("").as("default_expression")))
+      }
       val entry = lookupTable(name)
       val exprs = entry.defaults.toMap
       // ordinary (incl. DEFAULT) columns first, then MATERIALIZED,
@@ -1478,6 +1486,26 @@ object ChDdl {
     * side-channel row; the translator models it as GROUPING SETS with
     * a hidden grouping_id marker). */
   def executeRendered(spark: SparkSession, stmtRaw: String): Option[String] = {
+    // SELECT … INTO OUTFILE 'path' [FORMAT f]: the rendered result
+    // goes to the file, nothing to the client (ASTSelectQuery
+    // out_file; 00415_into_outfile.sh). Only the top-level tail
+    // position is legal — `INTO OUTFILE … UNION ALL …` is a parse
+    // error in the reference and here.
+    val outfileTail =
+      "(?is)\\bINTO\\s+OUTFILE\\s+'([^']+)'(\\s+FORMAT\\s+\\w+)?\\s*;?\\s*$".r
+    outfileTail.findFirstMatchIn(stmtRaw) match {
+      case Some(m) =>
+        val rest = stmtRaw.substring(0, m.start) +
+          Option(m.group(2)).getOrElse("")
+        val text = executeRendered(spark, rest).getOrElse("")
+        val w = new java.io.PrintWriter(m.group(1), "UTF-8")
+        try w.println(text) finally w.close()
+        return None
+      case None =>
+        if ("(?i)\\bINTO\\s+OUTFILE\\b".r.findFirstIn(stmtRaw).isDefined)
+          throw new IllegalArgumentException(
+            "INTO OUTFILE is only allowed at the end of the top-level SELECT")
+    }
     insertSideOut.set(None)
     val hasTotals = "(?is)\\bWITH\\s+TOTALS\\b".r.findFirstIn(stmtRaw).isDefined
     // BlockTabSeparated prints COLUMNS as lines (values tab-joined)

@@ -194,6 +194,84 @@ class ShCorpusSpec extends SparkSpec {
     assert(out.result().mkString("\n") + "\n" === ref("00427_alter_primary_key"))
   }
 
+  test("00415_into_outfile.sh: INTO OUTFILE writes the rendered result; tail position only") {
+    val out = Seq.newBuilder[String]
+    def perform(testId: String, q: String): Unit = {
+      out += s"performing test: $testId"
+      val f = java.nio.file.Files.createTempDirectory("outfile")
+        .resolve(s"$testId.out").toString
+      try {
+        ChDdl.executeRendered(spark, q.replace("{f}", f))
+        out ++= new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), UTF_8).split("\n").filter(_.nonEmpty)
+      } catch { case _: Exception => out += "query failed" }
+    }
+    perform("select", "SELECT 1, 2, 3 INTO OUTFILE '{f}'")
+    perform("union_all",
+      "SELECT 1, 2 UNION ALL SELECT 3, 4 INTO OUTFILE '{f}' FORMAT TSV")
+    perform("bad_union_all",
+      "SELECT 1, 2 INTO OUTFILE '{f}' UNION ALL SELECT 3, 4")
+    perform("describe_table", "DESCRIBE TABLE system.one INTO OUTFILE '{f}'")
+    // the clickhouse-local rung: TSV stdin + --structure is
+    // InputFormats + a registered view
+    out += "performing test: clickhouse-local"
+    InputFormats.parseTsv(spark, "1\t2\n", StructType(Seq(
+      StructField("col1", LongType, nullable = false),
+      StructField("col2", LongType, nullable = false))))
+      .createOrReplaceTempView("table_stdin")
+    val f = java.nio.file.Files.createTempDirectory("outfile")
+      .resolve("local.out").toString
+    ChDdl.executeRendered(spark,
+      s"SELECT col1 + 1, col2 + 1 FROM table_stdin INTO OUTFILE '$f'")
+    out ++= new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), UTF_8).split("\n").filter(_.nonEmpty)
+    // the union_all rung pipes through `sort --numeric-sort`; our
+    // UNION ALL branch order is already ascending, and the reference
+    // masks order anyway — compare after the same normalization
+    val got = out.result()
+    val want = ref("00415_into_outfile").split("\n").toSeq
+      .filterNot(_.startsWith("performing test: http")) // server-process case
+      .filter(_.nonEmpty)
+    assert(got.filterNot(_ == "query failed").toSet ===
+      want.filterNot(_ == "query failed").toSet, got.mkString("|"))
+    assert(got.count(_ == "query failed") === 1, got.mkString("|")) // bad_union_all
+  }
+
+  test("InputFormats.scan: distributed line-format load matches the driver parse") {
+    val schema = StructType(Seq(
+      StructField("x", LongType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    val dir = java.nio.file.Files.createTempDirectory("informats_scan")
+    val f = dir.resolve("data.tsv")
+    val body = (1 to 500).map(i => s"$i\tv$i").mkString("", "\n", "\n") +
+      "oops\n" // one malformed row
+    java.nio.file.Files.write(f, body.getBytes(UTF_8))
+    // zero tolerance → the scan fails on the malformed row
+    intercept[org.apache.spark.SparkException] {
+      InputFormats.scan(spark, f.toString, "TSV", schema).count()
+    }
+    // tolerance 1 → 500 good rows, the bad one skipped
+    val df = InputFormats.scan(spark, f.toString, "TSV", schema,
+      InputFormats.Tolerance(num = 1))
+    assert(df.count() === 500)
+    assert(df.agg(org.apache.spark.sql.functions.sum("x")).collect()(0).getLong(0)
+      === (1 to 500).map(_.toLong).sum)
+    // TSKV + JSONEachRow line routes agree with the driver parsers
+    val tskv = dir.resolve("data.tskv")
+    java.nio.file.Files.write(tskv, "s=a\tx=1\nx=2\ts=b\n".getBytes(UTF_8))
+    assert(InputFormats.scan(spark, tskv.toString, "TSKV", schema)
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    val jer = dir.resolve("data.jsonl")
+    java.nio.file.Files.write(jer,
+      "{\"x\": 1, \"s\": \"a\", \"junk\": [1,{}]}\n{\"s\": \"b\", \"x\": \"2\"}\n"
+        .getBytes(UTF_8))
+    assert(InputFormats.scan(spark, jer.toString, "JSONEachRow", schema,
+      skipUnknown = true)
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+
   // ----- HTTP protocol -----------------------------------------------
 
   private lazy val endpoint = new HttpEndpoint(spark, port = 0)
