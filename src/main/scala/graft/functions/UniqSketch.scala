@@ -34,10 +34,104 @@ import org.apache.spark.unsafe.types.UTF8String
   * key — the reason the reference defaults uniq to this sketch and
   * the right default at 100 TB.
   */
+/** Primitive open-addressing int hash set — the reference's
+  * UniquesHashSet table layout: zero lives out-of-band (an empty
+  * slot IS 0), Fibonacci-scattered linear probing (the stored values
+  * are already hashes, but thinning keeps only multiples of
+  * 2^skip_degree whose LOW bits are zero, so the raw value cannot
+  * index the table — the reference shifts the skip bits away, we
+  * remix). Replaces java.util.HashSet[Integer], whose per-row boxing
+  * dominated the 10M-row uniq update path (bench43 q5/q9-q14). */
+final class IntHashSet private (initialPow2: Int) {
+  def this() = this(1 << 10)
+  private var table = new Array[Int](initialPow2)
+  private var shift = Integer.numberOfLeadingZeros(table.length - 1)
+  private var n = 0
+  private var hasZero = false
+
+  @inline private def slot(h: Int): Int = (h * 0x9E3779B9) >>> shift
+
+  def add(h: Int): Unit = {
+    if (h == 0) {
+      if (!hasZero) { hasZero = true; n += 1 }
+    } else {
+      var i = slot(h)
+      var c = table(i)
+      while (c != 0 && c != h) { i = (i + 1) & (table.length - 1); c = table(i) }
+      if (c == 0) {
+        table(i) = h
+        n += 1
+        if ((n - (if (hasZero) 1 else 0)) * 2 > table.length) grow()
+      }
+    }
+  }
+
+  private def grow(): Unit = {
+    val old = table
+    table = new Array[Int](old.length << 1)
+    shift = Integer.numberOfLeadingZeros(table.length - 1)
+    var j = 0
+    while (j < old.length) {
+      val h = old(j)
+      if (h != 0) {
+        var i = slot(h)
+        while (table(i) != 0) i = (i + 1) & (table.length - 1)
+        table(i) = h
+      }
+      j += 1
+    }
+  }
+
+  /** Drop every element failing `p` (0 always kept by its callers:
+    * 0 is divisible by any power of two). */
+  def retain(p: Int => Boolean): Unit = {
+    val old = table
+    table = new Array[Int](old.length)
+    n = if (hasZero) 1 else 0
+    var j = 0
+    while (j < old.length) {
+      val h = old(j)
+      if (h != 0 && p(h)) {
+        var i = slot(h)
+        while (table(i) != 0) i = (i + 1) & (table.length - 1)
+        table(i) = h
+        n += 1
+      }
+      j += 1
+    }
+  }
+
+  def size(): Int = n
+
+  def foreach(f: Int => Unit): Unit = {
+    if (hasZero) f(0)
+    var j = 0
+    while (j < table.length) {
+      if (table(j) != 0) f(table(j))
+      j += 1
+    }
+  }
+
+  def toSortedArray: Array[Int] = {
+    val out = new Array[Int](n)
+    var k = 0
+    foreach { h => out(k) = h; k += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case s: IntHashSet =>
+      n == s.n && java.util.Arrays.equals(toSortedArray, s.toSortedArray)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(toSortedArray)
+}
+
 final class UniqSketchState {
   /** Hashes (UInt32 in an Int) divisible by 2^skipDegree; the
     * reference's has_zero is just membership of 0 here. */
-  var set: java.util.HashSet[Integer] = new java.util.HashSet[Integer]()
+  var set: IntHashSet = new IntHashSet()
   var skipDegree: Int = 0
 
   @inline private def good(h: Int): Boolean =
@@ -46,8 +140,7 @@ final class UniqSketchState {
   private def thinIfNeeded(): Unit =
     while (set.size() > UniqSketchState.MaxSize) {
       skipDegree += 1
-      val it = set.iterator()
-      while (it.hasNext) if (!good(it.next())) it.remove()
+      set.retain(good)
     }
 
   def insertHash(h: Int): Unit =
@@ -56,12 +149,9 @@ final class UniqSketchState {
   def merge(other: UniqSketchState): Unit = {
     if (other.skipDegree > skipDegree) {
       skipDegree = other.skipDegree
-      val it = set.iterator()
-      while (it.hasNext) if (!good(it.next())) it.remove()
+      set.retain(good)
     }
-    val it = other.set.iterator()
-    while (it.hasNext) {
-      val h = it.next()
+    other.set.foreach { h =>
       if (good(h)) { set.add(h); thinIfNeeded() }
     }
   }
@@ -152,16 +242,64 @@ case class UniqSketch(
     case _ => false
   }
 
-  override def update(buf: UniqSketchState, input: InternalRow): UniqSketchState = {
-    val v = child.eval(input)
-    if (v != null) {
-      val key =
-        if (isTimestamp) Math.floorDiv(v.asInstanceOf[Long], 1000000L)
-        else keyOf(v)
-      // variadic mode: the key IS the hash (TrivialHash), truncated
-      val h = if (trivial) key.toInt else UniqSketchState.intHash64(key).toInt
-      buf.insertHash(h)
+  @inline private def putKey(buf: UniqSketchState, key: Long): Unit = {
+    // variadic mode: the key IS the hash (TrivialHash), truncated
+    val h = if (trivial) key.toInt else UniqSketchState.intHash64(key).toInt
+    buf.insertHash(h)
+  }
+
+  /** Unboxed per-row updater: when the child is a plain bound column
+    * of a primitive/string type (the overwhelmingly common case once
+    * the aggregate is bound to its input), read it with the typed
+    * InternalRow accessor — `child.eval` boxes every value, and that
+    * boxing dominated the 10M-row uniq update path. Falls back to
+    * the generic eval for computed children and exotic types. */
+  @transient private lazy val updater: (UniqSketchState, InternalRow) => Unit =
+    child match {
+      case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+        val ord = b.ordinal
+        b.dataType match {
+          case LongType =>
+            (buf, row) => if (!row.isNullAt(ord)) putKey(buf, row.getLong(ord))
+          case IntegerType | DateType =>
+            (buf, row) => if (!row.isNullAt(ord)) putKey(buf, row.getInt(ord).toLong)
+          case ShortType =>
+            (buf, row) => if (!row.isNullAt(ord)) putKey(buf, row.getShort(ord).toLong)
+          case ByteType =>
+            (buf, row) => if (!row.isNullAt(ord)) putKey(buf, row.getByte(ord).toLong)
+          case BooleanType =>
+            (buf, row) => if (!row.isNullAt(ord))
+              putKey(buf, if (row.getBoolean(ord)) 1L else 0L)
+          case FloatType =>
+            (buf, row) => if (!row.isNullAt(ord)) putKey(buf,
+              java.lang.Float.floatToRawIntBits(row.getFloat(ord)).toLong & 0xffffffffL)
+          case DoubleType =>
+            (buf, row) => if (!row.isNullAt(ord)) putKey(buf,
+              java.lang.Double.doubleToRawLongBits(row.getDouble(ord)))
+          case _: TimestampType | TimestampNTZType =>
+            (buf, row) => if (!row.isNullAt(ord))
+              putKey(buf, Math.floorDiv(row.getLong(ord), 1000000L))
+          case StringType =>
+            (buf, row) => if (!row.isNullAt(ord))
+              putKey(buf, HashFns.cityHash64(row.getUTF8String(ord).getBytes))
+          case _ => genericUpdate
+        }
+      case _ => genericUpdate
     }
+
+  private def genericUpdate: (UniqSketchState, InternalRow) => Unit =
+    (buf, input) => {
+      val v = child.eval(input)
+      if (v != null) {
+        val key =
+          if (isTimestamp) Math.floorDiv(v.asInstanceOf[Long], 1000000L)
+          else keyOf(v)
+        putKey(buf, key)
+      }
+    }
+
+  override def update(buf: UniqSketchState, input: InternalRow): UniqSketchState = {
+    updater(buf, input)
     buf
   }
 
@@ -208,8 +346,7 @@ object UniqSketchCodec {
     var v = n
     while ((v & ~0x7f) != 0) { bb.put(((v & 0x7f) | 0x80).toByte); v >>>= 7 }
     bb.put(v.toByte)
-    val it = buf.set.iterator()
-    while (it.hasNext) bb.putInt(it.next())
+    buf.set.foreach(h => { bb.putInt(h); () })
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
