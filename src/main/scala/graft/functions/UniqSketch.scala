@@ -43,7 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * remix). Replaces java.util.HashSet[Integer], whose per-row boxing
   * dominated the 10M-row uniq update path (bench43 q5/q9-q14). */
 final class IntHashSet private (initialPow2: Int) {
-  def this() = this(1 << 10)
+  // small initial table: ObjectHashAggregate holds ONE buffer per
+  // in-memory group, so a grouped uniq over many keys multiplies
+  // this allocation; growth to 2^17 slots costs 11 amortized rehashes
+  def this() = this(1 << 6)
   private var table = new Array[Int](initialPow2)
   private var shift = Integer.numberOfLeadingZeros(table.length - 1)
   private var n = 0

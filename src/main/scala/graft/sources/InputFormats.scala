@@ -469,7 +469,11 @@ object InputFormats {
       var errors = 0L
       var total = 0L
       it.flatMap { line0 =>
-        val line = stripBom(line0) // first line of the first file
+        // the file head's BOM arrives as the first line's first char;
+        // partitions can't see file offsets, so EVERY line sheds a
+        // leading U+FEFF — also a zero-width no-break space, which no
+        // line-oriented format legitimately starts a value with
+        val line = stripBom(line0)
         total += 1
         try Iterator.single(fmt match {
           case "tskv" => tskvRow(line, schema, idx)
