@@ -84,13 +84,32 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val queryParam = params.getOrElse("query", "")
       val full = (if (queryParam.nonEmpty) queryParam + "\n" else "") + body
+      // URL-parameter settings are PER QUERY in the reference
+      // (Context::setSetting from HTMLForm) — snapshot and restore so
+      // one request's tolerance doesn't leak into the next (the
+      // endpoint is serial, so the save/restore pair is race-free)
+      val saved = (ChDdl.inputAllowErrorsNum, ChDdl.inputAllowErrorsRatio,
+        ChDdl.inputSkipUnknownFields)
       params.get("input_format_allow_errors_num")
         .foreach(v => ChDdl.inputAllowErrorsNum = v.toLong)
       params.get("input_format_allow_errors_ratio")
         .foreach(v => ChDdl.inputAllowErrorsRatio = v.toDouble)
       params.get("input_format_skip_unknown_fields")
         .foreach(v => ChDdl.inputSkipUnknownFields = v != "0")
+      try handleBody(ex, path, params, full)
+      finally {
+        ChDdl.inputAllowErrorsNum = saved._1
+        ChDdl.inputAllowErrorsRatio = saved._2
+        ChDdl.inputSkipUnknownFields = saved._3
+      }
+    } catch {
+      case t: Throwable =>
+        val msg = s"Code: 1000. Exception: ${Option(t.getMessage).getOrElse(t.toString)}\n"
+        respond(ex, 500, msg.getBytes(UTF_8), "text/plain; charset=UTF-8")
+    }
 
+  private def handleBody(ex: HttpExchange, path: String,
+      params: Map[String, String], full: String): Unit = {
       if (full.trim.isEmpty) {
         // health probe: `GET /` or `GET /ping` → "Ok." (HTTPHandler.cpp:444)
         if (path == "/" || path == "/ping")
@@ -117,11 +136,7 @@ final class HttpEndpoint(spark: SparkSession, port: Int = 8123) {
           }
           respond(ex, 200, bytes, contentTypeOf(format))
       }
-    } catch {
-      case t: Throwable =>
-        val msg = s"Code: 1000. Exception: ${Option(t.getMessage).getOrElse(t.toString)}\n"
-        respond(ex, 500, msg.getBytes(UTF_8), "text/plain; charset=UTF-8")
-    }
+  }
 
   private def contentTypeOf(format: String): String = format.toLowerCase match {
     case "json" | "jsoncompact" | "jsoneachrow" => "application/json; charset=UTF-8"

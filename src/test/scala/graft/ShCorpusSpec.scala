@@ -312,6 +312,21 @@ class ShCorpusSpec extends SparkSpec {
     assert(!cors("/?add_http_cors_header=1", origin = false))
   }
 
+  test("HTTP input_format_* URL settings are per-request (no leak into later requests)") {
+    ChDdl.resetSettings()
+    post("/", "DROP TABLE IF EXISTS test.tolreq")
+    post("/", "CREATE TABLE test.tolreq (x UInt64, s String) ENGINE = Memory")
+    assert(post(
+      "/?input_format_allow_errors_num=5&query=INSERT+INTO+test.tolreq+FORMAT+TabSeparated",
+      "1\thello\nbad\n").statusCode() === 200)
+    // the per-request tolerance must NOT survive the request
+    assert(ChDdl.inputAllowErrorsNum === 0L)
+    // so the same malformed payload without the parameter fails
+    assert(post("/?query=INSERT+INTO+test.tolreq+FORMAT+TabSeparated",
+      "1\thello\nbad\n").statusCode() === 500)
+    post("/", "DROP TABLE test.tolreq")
+  }
+
   test("00335_bom.sh: UTF-8 BOM stripped from HTTP CSV insert data") {
     post("/", "DROP TABLE IF EXISTS test.bom")
     assert(post("/",
