@@ -44,7 +44,13 @@ object Bench43 {
       "http://example.ru/".getBytes("UTF-8"))
     def h(k: Int) = expr(s"xxhash64(id, $k)")
     def p(k: Int, m: Long) = pmod(h(k), lit(m))
-    val df = spark.range(0, rows, 1, 32)
+    // 128 files + 5k-row parquet pages = the MergeTree-granule analog:
+    // the page index lets a row_index-pushed fetch (late
+    // materialization, q24) skip straight to the ~n pages holding the
+    // top-n rows instead of decoding whole files
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.page.row.count.limit", 5000)
+    val df = spark.range(0, rows, 1, 128)
       .withColumn("WatchID", h(1))
       .withColumn("JavaEnable", p(2, 2).cast("int"))
       .withColumn("Title",
@@ -182,10 +188,17 @@ object Bench43 {
       .map(_.trim).filter(_.nonEmpty)
       .map(_.replace("{table}", "hits")).toSeq
 
+  /** Isolation protocol (benchmark-new.sh semantics): `generate` as a
+    * SEPARATE JVM invocation first — generating 1.4 GB of parquet in
+    * the measuring JVM leaves GC/page-cache/compile debris that
+    * inflates subsequent query timings 5-10× (the r11 artifact had
+    * q24 at 24.4 s vs 9.9 s isolated). The measuring run records the
+    * full cold+warm+warm triple per query and scores min-of-warm. */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rows = sys.env.getOrElse("HITS_ROWS", "10000000").toLong
     val path = sys.env.getOrElse("HITS_PATH", "target/hits10m.parquet")
+    val outFile = sys.env.getOrElse("BENCH43_OUT", "bench_43.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -194,10 +207,15 @@ object Bench43 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val genOnly = args.contains("generate")
     if (!new java.io.File(path).exists()) {
       System.err.println(s"[bench43] generating $rows rows at $path ...")
       generate(spark, path, rows)
+      if (!genOnly) System.err.println(
+        "[bench43] WARNING: generated in the measuring JVM — timings " +
+          "are load-contaminated; run `Bench43 generate` separately first")
     }
+    if (genOnly) { spark.stop(); return }
     spark.read.parquet(path).createOrReplaceTempView("hits")
     val qs = loadQueries()
     def once(q: String): Double = {
@@ -210,29 +228,31 @@ object Bench43 {
     }
     val results = qs.zipWithIndex.map { case (q, i) =>
       try {
-        once(q) // cold
-        val warm = math.min(once(q), once(q))
-        System.err.println(f"[bench43] q${i + 1}%02d ${warm}%.3f s")
-        (i + 1, warm, None: Option[String])
+        val runs = Seq(once(q), once(q), once(q)) // cold + 2 warm
+        val warm = runs.tail.min
+        System.err.println(f"[bench43] q${i + 1}%02d ${warm}%.3f s " +
+          runs.map(t => f"$t%.3f").mkString("(", "/", ")"))
+        (i + 1, warm, runs, None: Option[String])
       } catch { case e: Throwable =>
         System.err.println(s"[bench43] q${i + 1} FAILED: ${e.getMessage}")
-        (i + 1, -1.0, Some(Option(e.getMessage).getOrElse("?").take(160)))
+        (i + 1, -1.0, Nil, Some(Option(e.getMessage).getOrElse("?").take(160)))
       }
     }
     val ok = results.filter(_._2 >= 0)
-    val ratios = ok.map { case (i, t, _) => t / baselineWarm(i - 1) }
+    val ratios = ok.map { case (i, t, _, _) => t / baselineWarm(i - 1) }
     val geomean =
       if (ratios.isEmpty) -1.0
       else math.exp(ratios.map(math.log).sum / ratios.size)
-    val perQ = results.map { case (i, t, err) =>
+    val perQ = results.map { case (i, t, runs, err) =>
       val base = baselineWarm(i - 1)
       val r = if (t >= 0) f"${t / base}%.2f" else "null"
+      val rs = runs.map(x => f"$x%.3f").mkString("[", ",", "]")
       val e = err.map(m => s""","error":"${m.replace("\"", "'")}"""").getOrElse("")
-      f"""{"q":$i,"sec":$t%.3f,"baseline_sec":$base,"ratio":$r$e}"""
+      f"""{"q":$i,"sec":$t%.3f,"baseline_sec":$base,"ratio":$r,"runs":$rs$e}"""
     }.mkString("[", ",", "]")
     val line =
       f"""{"metric":"bench43_geomean_ratio","value":$geomean%.3f,"rows":$rows,"errors":${results.size - ok.size},"queries":$perQ}"""
-    val w = new java.io.PrintWriter("bench_43.json", "UTF-8")
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
     println(line)
     spark.stop()

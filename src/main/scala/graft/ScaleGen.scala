@@ -40,13 +40,23 @@ object ScaleGen {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
 
+    // ONE stride shared by every offset column across every table:
+    // an FK (o_custkey, l_partkey, ...) must shift by exactly the
+    // same amount as the PK it references or copies 1..N-1 point at
+    // dangling/wrong-copy dim rows. Global max over all key columns,
+    // rounded up to a multiple of 1392, guarantees both referential
+    // integrity per copy and disjoint key ranges between copies.
+    val globalMaxKey = offsetCols.collect { case (name, keys) if keys.nonEmpty =>
+      val base = graft.core.Tables(spark, src, name)
+      base.agg(greatest(keys.map(k => max(col(k))): _*)).collect()(0).getLong(0)
+    }.max
+    val stride = ((globalMaxKey / 1392) + 1) * 1392
+
     offsetCols.foreach { case (name, keys) =>
       val base = graft.core.Tables(spark, src, name)
       val scaled =
         if (keys.isEmpty) base
         else {
-          val maxKey = base.agg(max(col(keys.head))).collect()(0).getLong(0)
-          val stride = ((maxKey / 1392) + 1) * 1392
           (0 until copies).map { i =>
             keys.foldLeft(base)((df, k) =>
               df.withColumn(k, col(k) + lit(i * stride)))

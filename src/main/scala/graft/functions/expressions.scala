@@ -736,15 +736,38 @@ case class BloomContainsAnyExpr(child: Expression, bloomBytes: Array[Byte])
 
 /** Executor-side cache of deserialized Bloom filters keyed by
   * broadcast id — [[BloomContainsAnyBcExpr]] instances (one per task)
-  * share one decode of the broadcast bytes per executor. */
+  * share one decode of the broadcast bytes per executor.
+  *
+  * Bounded LRU: a long-running incremental-dedup stream creates a
+  * fresh MB-class broadcast per micro-batch, and an unbounded map
+  * would pin every decoded filter for the life of the executor even
+  * after ContextCleaner reclaims the broadcasts. Only the most recent
+  * few filters are ever live at once, so a small LRU loses nothing. */
 object BloomBcCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    java.lang.Long, org.apache.spark.util.sketch.BloomFilter]()
+  private final val MaxEntries = 4
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        java.lang.Long, org.apache.spark.util.sketch.BloomFilter](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.lang.Long,
+            org.apache.spark.util.sketch.BloomFilter]): Boolean =
+        size() > MaxEntries
+    })
   def get(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
       : org.apache.spark.util.sketch.BloomFilter =
-    cache.computeIfAbsent(bc.id, _ =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bc.value)))
+    cache.synchronized {
+      val hit = cache.get(bc.id)
+      if (hit != null) hit
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        cache.put(bc.id, bf)
+        bf
+      }
+    }
+  /** Visible for tests. */
+  private[graft] def size: Int = cache.synchronized(cache.size())
 }
 
 /** [[BloomContainsAnyExpr]] with the filter bytes shipped as a Spark

@@ -226,6 +226,15 @@ object InputFormats {
           fields += ((data.substring(start, end), false))
         }
         skipSpaces()
+        // after a (quoted) field, only the delimiter or the row end
+        // may follow — `"a"x,1` is a parse error, not a 2-field row
+        // (CSVRowInputStream assertChar semantics). The unquoted scan
+        // stops AT the delimiter/row end, so this can only trip for
+        // junk after a closing quote.
+        if (!atRowEnd && data.charAt(i) != delimiter)
+          throw new IllegalArgumentException(
+            s"CSV: expected '$delimiter' or end of line after a quoted " +
+              s"field, found '${data.charAt(i)}' at offset $i")
         if (!atRowEnd && data.charAt(i) == delimiter) {
           i += 1
           // trailing delimiter immediately before the row end closes
@@ -452,10 +461,16 @@ object InputFormats {
     * here because its quoted fields may span lines — route CSV files
     * through the per-payload [[parseCsv]]).
     *
-    * Error tolerance applies PER PARTITION (each task tracks its own
-    * error/row counts against the same num/ratio thresholds — a
-    * global count would serialize the scan; the reference streams
-    * block-local counts the same way). */
+    * Error tolerance applies PER PARTITION: each task tracks its own
+    * error/row counts against the same num/ratio thresholds, so a
+    * file split into P partitions tolerates up to P·num absolute
+    * errors. This deliberately differs from the reference, whose
+    * BlockInputStreamFromRowInputStream budget is CUMULATIVE per
+    * input stream — a global count here would serialize the scan
+    * through a shared accumulator check. Callers that need the
+    * stream-wide semantics should divide `num` by the expected
+    * partition count (the ratio threshold is scale-free and applies
+    * unchanged). */
   def scan(spark: SparkSession, path: String, format: String,
       schema: StructType, tol: Tolerance = Tolerance(),
       skipUnknown: Boolean = false): DataFrame = {

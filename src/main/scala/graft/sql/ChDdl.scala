@@ -673,7 +673,8 @@ object ChDdl {
         val res =
           if (TotalsHaving.applies(rewritten, th))
             Some(TotalsHaving.run(spark, rewritten, th))
-          else Some(ChSql(spark, rewritten))
+          else Some(graft.operators.LateMaterialization.maybeRewrite(
+            spark, ChSql(spark, rewritten)))
         // a SAMPLE whose key range is empty reads zero parts: the
         // whole query emits nothing, even a keyless aggregate
         if (sampleWasEmpty) res.map(_.limit(0)) else res
@@ -1498,7 +1499,21 @@ object ChDdl {
         val rest = stmtRaw.substring(0, m.start) +
           Option(m.group(2)).getOrElse("")
         val text = executeRendered(spark, rest).getOrElse("")
-        val w = new java.io.PrintWriter(m.group(1), "UTF-8")
+        // the reference opens O_WRONLY|O_EXCL|O_CREAT: writing over an
+        // existing file is a query error, never a silent truncate
+        // (00415 removes the target up front for exactly this reason)
+        val target = java.nio.file.Paths.get(m.group(1))
+        val w = new java.io.PrintWriter(
+          try java.nio.file.Files.newBufferedWriter(target,
+            java.nio.charset.StandardCharsets.UTF_8,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new IllegalArgumentException(
+                s"Cannot open file ${m.group(1)}, errno: 17: file exists " +
+                  "(INTO OUTFILE refuses to overwrite)")
+          })
         try w.println(text) finally w.close()
         return None
       case None =>
@@ -1583,7 +1598,8 @@ object ChDdl {
             (items.map(_._1), items.map(_._2))
           else (outFields.map(_.name), outFields.map(_.name))
         val chTypes = exprs.zip(outFields).map { case (e, f) => chJsonType(e, f) }
-        val rowsAll = df.collect()
+        // same 1 M-row render bound as every other renderer (Formats.*)
+        val rowsAll = df.limit(1000000).collect()
         val (totRows, main0) =
           if (gid >= 0) rowsAll.partition(_.getAs[Number](gid).longValue != 0L)
           else (Array.empty[Row], rowsAll)

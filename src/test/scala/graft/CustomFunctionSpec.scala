@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.SipHash64
+import graft.functions.{BloomBcCache, SipHash64}
 
 class CustomFunctionSpec extends SparkSpec {
   import spark.implicits._
@@ -325,5 +325,21 @@ class CustomFunctionSpec extends SparkSpec {
     val r = Seq[(String, Int)](("x", 1)).toDF("s", "i")
       .selectExpr("siphash64(CAST(NULL AS STRING)) AS h").collect()(0)
     assert(r.isNullAt(0))
+  }
+
+  test("BloomBcCache stays bounded across many per-batch broadcasts") {
+    def mkBloom(): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      bf.putLong(42L)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    // a long-running incremental-dedup stream creates one broadcast
+    // per micro-batch; the decode cache must not pin them all
+    (1 to 10).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(mkBloom())
+      assert(BloomBcCache.get(bc).mightContainLong(42L))
+    }
+    assert(BloomBcCache.size <= 4, s"cache grew to ${BloomBcCache.size}")
   }
 }

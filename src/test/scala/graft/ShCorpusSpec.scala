@@ -46,6 +46,19 @@ class ShCorpusSpec extends SparkSpec {
     assert(tsv(df) === ref("00301_csv"))
   }
 
+  test("CSV: junk after a closing quote is a parse error (assertChar semantics)") {
+    val schema = StructType(Seq(
+      StructField("s", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val e = intercept[IllegalArgumentException] {
+      InputFormats.parseCsv(spark, "\"a\"x,1\n", schema).collect()
+    }
+    assert(e.getMessage.contains("after a quoted"), e.getMessage)
+    // whitespace between the quote and the delimiter stays legal
+    val ok = InputFormats.parseCsv(spark, "\"a\"  ,1\n", schema).collect()
+    assert(ok.head.getString(0) === "a" && ok.head.getLong(1) === 1L)
+  }
+
   test("00310_tskv.sh: TSKV input — unordered keys, tskv marker, defaults, \\0 escapes") {
     ChDdl.execute(spark, "DROP TABLE IF EXISTS test.tskv")
     ChDdl.execute(spark,
@@ -206,6 +219,13 @@ class ShCorpusSpec extends SparkSpec {
           java.nio.file.Paths.get(f)), UTF_8).split("\n").filter(_.nonEmpty)
       } catch { case _: Exception => out += "query failed" }
     }
+    // O_EXCL semantics: an existing target is a query error, never a
+    // silent truncate
+    val pre = java.nio.file.Files.createTempFile("outfile", ".out")
+    val ex = intercept[IllegalArgumentException] {
+      ChDdl.executeRendered(spark, s"SELECT 1 INTO OUTFILE '$pre'")
+    }
+    assert(ex.getMessage.contains("file exists"), ex.getMessage)
     perform("select", "SELECT 1, 2, 3 INTO OUTFILE '{f}'")
     perform("union_all",
       "SELECT 1, 2 UNION ALL SELECT 3, 4 INTO OUTFILE '{f}' FORMAT TSV")
