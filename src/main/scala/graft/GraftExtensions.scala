@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // stats and partition pruning fire (PKCondition.cpp's monotonic
     // function analysis, restated as a Catalyst rewrite)
     ext.injectOptimizerRule(_ => graft.plans.SargableDates)
+    // GROUP BY '__all' (keyless-agg empty-input semantics) → no-key
+    // aggregate + count guard, restoring the single-buffer fast path
+    ext.injectOptimizerRule(_ => graft.plans.ConstGroupToGlobalAgg)
   }
 }
 

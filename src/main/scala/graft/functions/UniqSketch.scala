@@ -106,6 +106,36 @@ final class IntHashSet private (initialPow2: Int) {
 
   def size(): Int = n
 
+  /** Grow the table up front to hold `expected` elements without
+    * rehashing. Bulk loads (codec read, state merge) insert elements
+    * in TABLE-SCAN ORDER of the source set — i.e. sorted by slot —
+    * and feeding slot-sorted keys through the incremental grow path
+    * creates long linear-probe runs while the table is still small
+    * (measured 13× slower than random order on a 37k-entry state;
+    * this was ~1 s of every saturated uniq merge in bench43 q5).
+    * A right-sized table keeps the load ≤ 50% throughout, so
+    * slot-sorted insertion probes normally. */
+  def ensureCapacity(expected: Int): Unit = {
+    if (expected <= 0) return
+    var want = 64
+    while (want < expected * 2) want <<= 1
+    if (want > table.length) {
+      val old = table
+      table = new Array[Int](want)
+      shift = Integer.numberOfLeadingZeros(table.length - 1)
+      var j = 0
+      while (j < old.length) {
+        val h = old(j)
+        if (h != 0) {
+          var i = slot(h)
+          while (table(i) != 0) i = (i + 1) & (table.length - 1)
+          table(i) = h
+        }
+        j += 1
+      }
+    }
+  }
+
   def foreach(f: Int => Unit): Unit = {
     if (hasZero) f(0)
     var j = 0
@@ -154,6 +184,11 @@ final class UniqSketchState {
       skipDegree = other.skipDegree
       set.retain(good)
     }
+    // bulk load arrives in the other set's table order (slot-sorted);
+    // pre-size so no incremental grow happens mid-load (see
+    // IntHashSet.ensureCapacity)
+    set.ensureCapacity(math.min(
+      set.size() + other.set.size(), UniqSketchState.MaxSize + 1))
     other.set.foreach { h =>
       if (good(h)) { set.add(h); thinIfNeeded() }
     }
@@ -360,6 +395,9 @@ object UniqSketchCodec {
     var n = 0; var shift = 0; var b = 0
     while ({ b = bb.get() & 0xff; n |= (b & 0x7f) << shift; shift += 7
              (b & 0x80) != 0 }) ()
+    // the payload is slot-sorted (written in table order): pre-size
+    // so the incremental grow path never sees it (13× pathology)
+    s.set.ensureCapacity(n)
     var i = 0
     while (i < n) { s.set.add(bb.getInt); i += 1 }
     s

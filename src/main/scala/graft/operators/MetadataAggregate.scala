@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+
+/** Metadata-only aggregates: `count()`, `min(col)`, `max(col)` over an
+  * unfiltered parquet relation answer from the file footers instead of
+  * scanning — the reference serves `SELECT count() FROM t` from part
+  * metadata without touching a single column
+  * (dbms/src/Storages/StorageMergeTree counts via part index sizes),
+  * and Spark itself does the same under DSv2 aggregate push-down
+  * (ParquetScanBuilder.pushAggregation). The dialect path reads
+  * through v1 relations, so this applies the identical optimization
+  * one level up.
+  *
+  * Scope is strictly what footer statistics answer EXACTLY:
+  *   - count(*) / count(1): sum of row-group row counts;
+  *   - min/max over fixed-width types (int/long/short/byte/float/
+  *     double/date/timestamp-micros) where parquet stats are exact —
+  *     strings/binary are excluded because their stats may be
+  *     truncated;
+  *   - no WHERE, no GROUP BY, no DISTINCT.
+  * Any row group lacking exact stats aborts the rewrite (falls back
+  * to the scan). Footers are cached by (path, size, mtime), so a
+  * repeated aggregate is a driver-side map lookup.
+  *
+  * At 100 TB this turns "schedule 10⁵ tasks to read 10⁵ footers" into
+  * one driver loop per cold file — and nothing at all when warm.
+  */
+object MetadataAggregate {
+
+  /** Counter for plan-shape tests: number of rewrites applied. */
+  @volatile private[graft] var applied = 0L
+
+  /** (path, size, mtime) → per-file summary. */
+  private case class ColStat(min: Any, max: Any, hasValues: Boolean)
+  private case class FileStat(rows: Long, cols: Map[String, ColStat])
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), FileStat](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), FileStat]): Boolean =
+        size() > 4096
+    })
+
+  def maybeRewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] =
+    try rewrite(spark, df)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case s: SubqueryAlias => stripAlias(s.child)
+    case v: View => stripAlias(v.child)
+    case other => other
+  }
+
+  private def exactStatType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  private sealed trait Spec
+  private case object CountAll extends Spec
+  private case class MinOf(col: String, dt: DataType) extends Spec
+  private case class MaxOf(col: String, dt: DataType) extends Spec
+
+  private def rewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] = {
+    val plan = df.queryExecution.analyzed
+    plan match {
+      // two global-aggregate spellings: bare (Spark semantics, one
+      // row even on empty input) and the dialect's GROUP BY '__all'
+      // constant (reference semantics, empty input -> empty result)
+      case Aggregate(groups, aggs, child, _)
+          if groups.isEmpty ||
+            (groups.lengthCompare(1) == 0 &&
+              groups.head.isInstanceOf[Literal]) =>
+        val emptyInEmptyOut = groups.nonEmpty
+        stripAlias(child) match {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+              if fs.fileFormat.isInstanceOf[ParquetFileFormat] &&
+                fs.partitionSchema.isEmpty =>
+            val specs: Option[Seq[(Spec, String, DataType)]] =
+              traverseAggs(aggs)
+            specs.flatMap(evaluate(spark, fs, _, emptyInEmptyOut))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The dialect wraps aggregate args in identity coercions for
+    * non-boolean inputs; min/max stats see through them. */
+  private def unwrapIdentity(e: Expression): Expression = e match {
+    case graft.functions.BoolToUInt8(c)
+        if c.dataType != BooleanType => unwrapIdentity(c)
+    case other => other
+  }
+
+  private def traverseAggs(aggs: Seq[NamedExpression])
+      : Option[Seq[(Spec, String, DataType)]] = {
+    val out = aggs.map {
+      case a @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+        fn match {
+          case Count(Seq(Literal(_, _))) => Some((CountAll, name, LongType))
+          case Min(e) => unwrapIdentity(e) match {
+            case attr: AttributeReference if exactStatType(attr.dataType) =>
+              Some((MinOf(attr.name, attr.dataType), name, a.dataType))
+            case _ => None
+          }
+          case Max(e) => unwrapIdentity(e) match {
+            case attr: AttributeReference if exactStatType(attr.dataType) =>
+              Some((MaxOf(attr.name, attr.dataType), name, a.dataType))
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+    if (out.forall(_.isDefined)) Some(out.flatten) else None
+  }
+
+  private def fileStat(conf: org.apache.hadoop.conf.Configuration,
+      f: org.apache.hadoop.fs.FileStatus,
+      wanted: Set[String]): FileStat = {
+    val key = (f.getPath.toString, f.getLen, f.getModificationTime)
+    val hit = cache.get(key)
+    if (hit != null && wanted.subsetOf(hit.cols.keySet)) return hit
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var rows = 0L
+      val mins = scala.collection.mutable.Map[String, Any]()
+      val maxs = scala.collection.mutable.Map[String, Any]()
+      val seen = scala.collection.mutable.Map[String, Boolean]()
+      val bad = scala.collection.mutable.Set[String]()
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        rows += b.getRowCount
+        val cit = b.getColumns.iterator()
+        while (cit.hasNext) {
+          val c = cit.next()
+          val name = c.getPath.toDotString
+          if (wanted.contains(name) && !bad.contains(name)) {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty) {
+              // no stats recorded: answerable only if the group is empty
+              if (b.getRowCount > 0) bad += name
+            } else if (st.hasNonNullValue) {
+              val lo = st.genericGetMin.asInstanceOf[Comparable[Any]]
+              val hi = st.genericGetMax.asInstanceOf[Comparable[Any]]
+              if (!seen.getOrElse(name, false)) {
+                mins(name) = lo; maxs(name) = hi; seen(name) = true
+              } else {
+                if (lo.compareTo(mins(name)) < 0) mins(name) = lo
+                if (hi.compareTo(maxs(name)) > 0) maxs(name) = hi
+              }
+            } else if (st.getNumNulls != b.getRowCount) {
+              // no recorded values yet not all-null: not exact
+              bad += name
+            }
+          }
+        }
+      }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(s"inexact stats for ${bad.mkString(",")}")
+      val stat = FileStat(rows, wanted.map(n =>
+        n -> ColStat(mins.getOrElse(n, null), maxs.getOrElse(n, null),
+          seen.getOrElse(n, false))).toMap)
+      cache.put(key, stat)
+      stat
+    } finally reader.close()
+  }
+
+  /** Physical parquet value → Catalyst external value of `dt`. */
+  private def toExternal(v: Any, dt: DataType): Any = dt match {
+    case ByteType => v.asInstanceOf[Number].byteValue()
+    case ShortType => v.asInstanceOf[Number].shortValue()
+    case IntegerType => v.asInstanceOf[Number].intValue()
+    case LongType => v.asInstanceOf[Number].longValue()
+    case FloatType => v.asInstanceOf[Number].floatValue()
+    case DoubleType => v.asInstanceOf[Number].doubleValue()
+    case DateType =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Number].longValue()))
+    case TimestampType =>
+      java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+        v.asInstanceOf[Number].longValue(), java.time.temporal.ChronoUnit.MICROS))
+    case TimestampNTZType =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v.asInstanceOf[Number].longValue(), 1000000L),
+        (Math.floorMod(v.asInstanceOf[Number].longValue(), 1000000L) * 1000).toInt,
+        java.time.ZoneOffset.UTC)
+    case _ => v
+  }
+
+  private def evaluate(spark: SparkSession, fs: HadoopFsRelation,
+      specs: Seq[(Spec, String, DataType)],
+      emptyInEmptyOut: Boolean): Option[DataFrame] = {
+    // timestamps: only INT64 micros stats are exact — verify physical
+    // type by checking the Spark schema came from a modern writer; the
+    // footer read throws on anything surprising and we fall back
+    val wanted = specs.collect {
+      case (MinOf(c, _), _, _) => c
+      case (MaxOf(c, _), _, _) => c
+    }.toSet
+    val conf = spark.sessionState.newHadoopConf()
+    val files = fs.location.inputFiles
+    if (files.isEmpty) return None
+    val hfs = new Path(files.head).getFileSystem(conf)
+    val stats = files.toSeq.map { p =>
+      fileStat(conf, hfs.getFileStatus(new Path(p)), wanted)
+    }
+    val totalRows = stats.map(_.rows).sum
+    val schema0 = StructType(specs.map { case (_, name, dt) =>
+      StructField(name, dt, nullable = true)
+    })
+    if (totalRows == 0 && emptyInEmptyOut) {
+      applied += 1
+      return Some(spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema0))
+    }
+    val values: Seq[Any] = specs.map {
+      case (CountAll, _, _) => totalRows
+      case (MinOf(c, dt), _, _) =>
+        val vs = stats.flatMap(s => s.cols.get(c).filter(_.hasValues).map(_.min))
+        if (vs.isEmpty) null
+        else toExternal(vs.reduce((a, b) =>
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b), dt)
+      case (MaxOf(c, dt), _, _) =>
+        val vs = stats.flatMap(s => s.cols.get(c).filter(_.hasValues).map(_.max))
+        if (vs.isEmpty) null
+        else toExternal(vs.reduce((a, b) =>
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b), dt)
+    }
+    applied += 1
+    Some(spark.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(values)), schema0))
+  }
+}

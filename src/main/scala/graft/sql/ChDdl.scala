@@ -673,8 +673,12 @@ object ChDdl {
         val res =
           if (TotalsHaving.applies(rewritten, th))
             Some(TotalsHaving.run(spark, rewritten, th))
-          else Some(graft.operators.LateMaterialization.maybeRewrite(
-            spark, ChSql(spark, rewritten)))
+          else {
+            val df0 = ChSql(spark, rewritten)
+            Some(graft.operators.MetadataAggregate.maybeRewrite(spark, df0)
+              .getOrElse(graft.operators.LateMaterialization
+                .maybeRewrite(spark, df0)))
+          }
         // a SAMPLE whose key range is empty reads zero parts: the
         // whole query emits nothing, even a keyless aggregate
         if (sampleWasEmpty) res.map(_.limit(0)) else res
