@@ -29,6 +29,16 @@ object Bench43 {
     0.110, 0.171, 0.462, 0.096, 0.132, 0.533, 0.332, 0.321, 0.124,
     0.143, 0.051, 0.044, 0.224, 0.013, 0.013, 0.012)
 
+  /** Published ClickHouse warm times (s), 100M rows, FORMAT Null —
+    * website/benchmark.html "data_size": 100000000 block, min of the
+    * second and third run per query. */
+  val baselineWarm100m: Seq[Double] = Seq(
+    0.011, 0.008, 0.064, 0.045, 0.096, 0.204, 0.044, 0.009, 0.427,
+    0.508, 0.165, 0.187, 0.594, 0.715, 0.746, 0.727, 2.051, 0.994,
+    4.869, 0.033, 0.762, 0.952, 1.566, 1.013, 0.215, 0.178, 0.222,
+    1.296, 1.110, 4.349, 0.677, 1.000, 5.651, 3.206, 3.272, 1.216,
+    0.099, 0.038, 0.037, 0.174, 0.011, 0.009, 0.002)
+
   val queriesFile = "/root/reference/dbms/benchmark/clickhouse/queries.sql"
 
   /** Deterministic synthetic hits table, ClickBench-ish marginals:
@@ -254,12 +264,14 @@ object Bench43 {
       }
     }
     val ok = results.filter(_._2 >= 0)
-    val ratios = ok.map { case (i, t, _, _) => t / baselineWarm(i - 1) }
+    val baseline =
+      if (rows >= 100000000L) baselineWarm100m else baselineWarm
+    val ratios = ok.map { case (i, t, _, _) => t / baseline(i - 1) }
     val geomean =
       if (ratios.isEmpty) -1.0
       else math.exp(ratios.map(math.log).sum / ratios.size)
     val perQ = results.map { case (i, t, runs, err) =>
-      val base = baselineWarm(i - 1)
+      val base = baseline(i - 1)
       val r = if (t >= 0) f"${t / base}%.2f" else "null"
       val rs = runs.map(x => f"$x%.3f").mkString("[", ",", "]")
       val e = err.map(m => s""","error":"${m.replace("\"", "'")}"""").getOrElse("")

@@ -181,11 +181,58 @@ object MiscQueries {
       |FROM (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer)
       |ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q124 range_hashed dictionary (Dictionaries/RangeHashedDictionary,
+  // DictionaryFactory.cpp range_hashed): per-id date-range entries;
+  // dictGetT(id, date) returns the first containing range's value.
+  // The dictionary derives from the nation table — for each key k,
+  // the four quarters of 1996 carry rate k·10+quarter and an OPEN
+  // upper bound from 1997-01-01 carries k·10+9 — so the DuckDB oracle
+  // re-derives every lookup arithmetically. Broadcast per-row probe:
+  // the orders scan never shuffles for the lookup.
+  // ---------------------------------------------------------------
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeHashedDict
+    val quarters = Seq(
+      (1, "1996-01-01", "1996-03-31"), (2, "1996-04-01", "1996-06-30"),
+      (3, "1996-07-01", "1996-09-30"), (4, "1996-10-01", "1996-12-31"))
+    val qdf = s.createDataFrame(quarters).toDF("q", "lo", "hi")
+    val nations = t(s, dir, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val src = nations.crossJoin(qdf)
+      .select(col("id"), to_date(col("lo")).as("lower"),
+        to_date(col("hi")).as("upper"),
+        (col("id") * 10 + col("q")).as("value"))
+      .unionByName(nations.select(col("id"),
+        to_date(lit("1997-01-01")).as("lower"),
+        lit(null).cast("date").as("upper"),
+        (col("id") * 10 + lit(9)).as("value")))
+    val dict = RangeHashedDict.build(src, "id", "lower", "upper", "value")
+    t(s, dir, "orders")
+      .select(pmod(col("o_custkey"), lit(25)).cast("long").as("k"),
+        to_date(col("o_orderdate")).as("od"))
+      .select(col("k"),
+        RangeHashedDict.dictGet(dict, col("k"), col("od"), 0L).as("rate"))
+      .groupBy(col("k"))
+      .agg(sum(col("rate")).as("rate_sum"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
+  private val q124Sql =
+    """SELECT o_custkey % 25 AS k,
+      |  CAST(SUM(CASE WHEN o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1996-12-31'
+      |             THEN (o_custkey % 25) * 10 + quarter(o_orderdate)
+      |           WHEN o_orderdate >= DATE '1997-01-01'
+      |             THEN (o_custkey % 25) * 10 + 9
+      |           ELSE 0 END) AS BIGINT) AS rate_sum,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q66_url_functions", q66, Some(q66Sql)),
     QueryDef("q67_ipv4_coding", q67, Some(q67Sql)),
     QueryDef("q68_conversions", q68, Some(q68Sql)),
     QueryDef("q69_dict_get_broadcast", q69, Some(q69Sql)),
     QueryDef("q70_prewhere_pushdown", q70, Some(q70Sql)),
-    QueryDef("q93_region_dict", q93, Some(q93Sql)))
+    QueryDef("q93_region_dict", q93, Some(q93Sql)),
+    QueryDef("q124_range_hashed_dict", q124, Some(q124Sql)))
 }
