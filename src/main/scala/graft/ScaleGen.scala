@@ -48,7 +48,9 @@ object ScaleGen {
     // integrity per copy and disjoint key ranges between copies.
     val globalMaxKey = offsetCols.collect { case (name, keys) if keys.nonEmpty =>
       val base = graft.core.Tables(spark, src, name)
-      base.agg(greatest(keys.map(k => max(col(k))): _*)).collect()(0).getLong(0)
+      val maxes = keys.map(k => max(col(k)))
+      val m = if (maxes.length == 1) maxes.head else greatest(maxes: _*)
+      base.agg(m).collect()(0).getLong(0)
     }.max
     val stride = ((globalMaxKey / 1392) + 1) * 1392
 
