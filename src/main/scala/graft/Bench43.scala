@@ -54,12 +54,12 @@ object Bench43 {
       "http://example.ru/".getBytes("UTF-8"))
     def h(k: Int) = expr(s"xxhash64(id, $k)")
     def p(k: Int, m: Long) = pmod(h(k), lit(m))
-    // 128 files + 5k-row parquet pages = the MergeTree-granule analog:
+    // 128 files + 8192-row parquet pages = the MergeTree granule:
     // the page index lets a row_index-pushed fetch (late
     // materialization, q24) skip straight to the ~n pages holding the
     // top-n rows instead of decoding whole files
     spark.sparkContext.hadoopConfiguration
-      .setInt("parquet.page.row.count.limit", 5000)
+      .setInt("parquet.page.row.count.limit", 8192)
     val df = spark.range(0, rows, 1, 128)
       .withColumn("WatchID", h(1))
       .withColumn("JavaEnable", p(2, 2).cast("int"))

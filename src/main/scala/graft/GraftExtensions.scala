@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GROUP BY '__all' (keyless-agg empty-input semantics) → no-key
     // aggregate + count guard, restoring the single-buffer fast path
     ext.injectOptimizerRule(_ => graft.plans.ConstGroupToGlobalAgg)
+    // GROUP BY x, x-1, x-2 → GROUP BY x (derived keys recompute above
+    // the aggregate instead of riding every hash entry + shuffle row)
+    ext.injectOptimizerRule(_ => graft.plans.DropDerivedGroupKeys)
   }
 }
 
@@ -330,8 +333,36 @@ object GraftFunctions {
       }))
   }
 
+  // dictGetT('name', 'attr', id, date) over registered range_hashed
+  // dictionaries (FunctionsExternalDictionaries.h 4-arg range form;
+  // layout = RangeHashedDictionary). Both 64-bit spellings share the
+  // Long-valued lookup; narrower integer getters cast on top.
+  private val rangeDictFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq("dictGetInt64" -> false, "dictGetUInt64" -> false,
+      "dictGetInt32" -> true, "dictGetUInt32" -> true,
+      "dictGetInt16" -> true, "dictGetUInt16" -> true,
+      "dictGetInt8" -> true, "dictGetUInt8" -> true)
+      .map { case (fname, narrow) =>
+        (FunctionIdentifier(fname), info(fname), { (args: Seq[Expression]) =>
+          args match {
+            case Seq(
+                Literal(n: org.apache.spark.unsafe.types.UTF8String, _),
+                Literal(a: org.apache.spark.unsafe.types.UTF8String, _),
+                id, date) =>
+              val get = graft.operators.RangeHashedDict.sqlDictGet(
+                n.toString, a.toString, id, date)
+              if (narrow) org.apache.spark.sql.catalyst.expressions.Cast(
+                get, org.apache.spark.sql.types.IntegerType)
+              else get
+            case other => throw new IllegalArgumentException(
+              s"$fname('dict', 'attr', id, date) expected, got $other")
+          }
+        }: Seq[Expression] => Expression)
+      }
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    base ++ kernelFns ++ neighbourhoodFns ++ reinterpretFns ++ regionFns
+    base ++ kernelFns ++ neighbourhoodFns ++ reinterpretFns ++ regionFns ++
+      rangeDictFns
 
   /** Idempotent registration into an existing session — skip names
     * already registered by us (a blind re-register logs a "replaced a

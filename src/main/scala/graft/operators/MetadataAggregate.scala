@@ -218,8 +218,15 @@ object MetadataAggregate {
     val files = fs.location.inputFiles
     if (files.isEmpty) return None
     val hfs = new Path(files.head).getFileSystem(conf)
-    val stats = files.toSeq.map { p =>
-      fileStat(conf, hfs.getFileStatus(new Path(p)), wanted)
+    // cold footers read in parallel — a large table is O(10^4) files
+    // and a serial driver loop would undo the optimization's point
+    val stats = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(files.toSeq)(p =>
+          Future(fileStat(conf, hfs.getFileStatus(new Path(p)), wanted))),
+        scala.concurrent.duration.Duration(10, "min"))
     }
     val totalRows = stats.map(_.rows).sum
     val schema0 = StructType(specs.map { case (_, name, dt) =>

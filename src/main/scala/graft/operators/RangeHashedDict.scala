@@ -78,6 +78,36 @@ object RangeHashedDict {
       Bridge.column(RangeDictGetExpr(
         Bridge.expression(id), Bridge.expression(date), dict)),
       org.apache.spark.sql.functions.lit(default))
+
+  // ---- named-dictionary registry: the SQL surface ------------------
+  // The reference configures dictionaries by name in XML and queries
+  // them as dictGetT('name', 'attr', id, date)
+  // (FunctionsExternalDictionaries.h dispatching on layout); here
+  // registration is programmatic and the SQL call resolves through
+  // GraftFunctions' `dictGetInt64`/`dictGetUInt64` builders.
+  private final case class Registered(dict: RangeHashedDict, default: Long)
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Registered]()
+
+  /** Register `name.attr` with its configured null_value default. */
+  def register(name: String, attr: String, dict: RangeHashedDict,
+      default: Long): Unit =
+    registry.put((name, attr), Registered(dict, default))
+
+  private[graft] def clearRegistry(): Unit = registry.clear()
+
+  /** Builder for the SQL form: id/date expressions + literal
+    * name/attr → lookup expression with the registered default. */
+  def sqlDictGet(name: String, attr: String, id: Expression,
+      date: Expression): Expression = {
+    val reg = registry.get((name, attr))
+    if (reg == null) throw new IllegalArgumentException(
+      s"range_hashed dictionary '$name' has no registered attribute " +
+        s"'$attr' (RangeHashedDict.register it first)")
+    org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+      RangeDictGetExpr(id, date, reg.dict),
+      org.apache.spark.sql.catalyst.expressions.Literal(reg.default)))
+  }
 }
 
 /** Per-row range-dictionary probe: NULL on miss (callers coalesce the

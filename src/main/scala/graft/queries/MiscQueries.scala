@@ -227,6 +227,25 @@ object MiscQueries {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q125 metadata-only aggregate (operators/MetadataAggregate):
+  // count()/min/max over an unfiltered parquet relation answered from
+  // the file footers — the reference's part-metadata count. Routed
+  // through the dialect (ChDdl) so the footer path itself is what the
+  // DuckDB oracle checks.
+  // ---------------------------------------------------------------
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_meta")
+    val df = graft.sql.ChDdl.execute(s,
+      "SELECT count() AS n, min(o_orderkey) AS kmin, max(o_orderkey) AS kmax, " +
+        "min(o_custkey) AS cmin, max(o_custkey) AS cmax FROM orders_meta").get
+    df
+  }
+
+  private val q125Sql =
+    """SELECT count(*) AS n, min(o_orderkey) AS kmin, max(o_orderkey) AS kmax,
+      |  min(o_custkey) AS cmin, max(o_custkey) AS cmax FROM orders""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q66_url_functions", q66, Some(q66Sql)),
     QueryDef("q67_ipv4_coding", q67, Some(q67Sql)),
@@ -234,5 +253,6 @@ object MiscQueries {
     QueryDef("q69_dict_get_broadcast", q69, Some(q69Sql)),
     QueryDef("q70_prewhere_pushdown", q70, Some(q70Sql)),
     QueryDef("q93_region_dict", q93, Some(q93Sql)),
-    QueryDef("q124_range_hashed_dict", q124, Some(q124Sql)))
+    QueryDef("q124_range_hashed_dict", q124, Some(q124Sql)),
+    QueryDef("q125_metadata_minmax", q125, Some(q125Sql)))
 }

@@ -56,6 +56,32 @@ class RangeHashedDictSpec extends SparkSpec {
     assert(probe(d, 5L, "2099-12-31") === 2L)
   }
 
+  test("SQL surface: dictGetInt64('d','attr',id,date) resolves through the registry") {
+    GraftFunctions.register(spark)
+    val d = dictOf(Seq(
+      (1L, "2020-01-01", "2020-06-30", 10L),
+      (1L, "2020-07-01", "2020-12-31", 20L)))
+    RangeHashedDict.register("rates", "rate", d, default = -7L)
+    try {
+      val got = Seq((1L, "2020-08-01"), (1L, "2021-01-01"), (9L, "2020-08-01"))
+        .toDF("id", "ds")
+        .selectExpr("dictGetInt64('rates', 'rate', id, to_date(ds)) AS v")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(20L, -7L, -7L))
+      // narrower getter casts on top of the Long lookup
+      val n = Seq((1L, "2020-02-02")).toDF("id", "ds")
+        .selectExpr("dictGetUInt16('rates', 'rate', id, to_date(ds)) AS v")
+        .collect()(0)
+      assert(n.getInt(0) === 10)
+      // unregistered attribute is an analysis-time error
+      val e = intercept[Exception] {
+        Seq((1L, "2020-02-02")).toDF("id", "ds")
+          .selectExpr("dictGetInt64('rates', 'nope', id, to_date(ds))")
+      }
+      assert(e.getMessage.contains("no registered attribute"), e.getMessage)
+    } finally RangeHashedDict.clearRegistry()
+  }
+
   test("q124 plan: broadcast probe, no join, no extra shuffle before the aggregate") {
     val df = queries.MiscQueries.q124(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
