@@ -1,8 +1,6 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
@@ -39,17 +37,6 @@ object MetadataAggregate {
 
   /** Counter for plan-shape tests: number of rewrites applied. */
   @volatile private[graft] var applied = 0L
-
-  /** (path, size, mtime) → per-file summary. */
-  private case class ColStat(min: Any, max: Any, hasValues: Boolean)
-  private case class FileStat(rows: Long, cols: Map[String, ColStat])
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long), FileStat](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), FileStat]): Boolean =
-        size() > 4096
-    })
 
   def maybeRewrite(spark: SparkSession, df: DataFrame): Option[DataFrame] =
     try rewrite(spark, df)
@@ -128,60 +115,6 @@ object MetadataAggregate {
     if (out.forall(_.isDefined)) Some(out.flatten) else None
   }
 
-  private def fileStat(conf: org.apache.hadoop.conf.Configuration,
-      f: org.apache.hadoop.fs.FileStatus,
-      wanted: Set[String]): FileStat = {
-    val key = (f.getPath.toString, f.getLen, f.getModificationTime)
-    val hit = cache.get(key)
-    if (hit != null && wanted.subsetOf(hit.cols.keySet)) return hit
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-    try {
-      val footer = reader.getFooter
-      val blocks = footer.getBlocks
-      var rows = 0L
-      val mins = scala.collection.mutable.Map[String, Any]()
-      val maxs = scala.collection.mutable.Map[String, Any]()
-      val seen = scala.collection.mutable.Map[String, Boolean]()
-      val bad = scala.collection.mutable.Set[String]()
-      val it = blocks.iterator()
-      while (it.hasNext) {
-        val b = it.next()
-        rows += b.getRowCount
-        val cit = b.getColumns.iterator()
-        while (cit.hasNext) {
-          val c = cit.next()
-          val name = c.getPath.toDotString
-          if (wanted.contains(name) && !bad.contains(name)) {
-            val st = c.getStatistics
-            if (st == null || st.isEmpty) {
-              // no stats recorded: answerable only if the group is empty
-              if (b.getRowCount > 0) bad += name
-            } else if (st.hasNonNullValue) {
-              val lo = st.genericGetMin.asInstanceOf[Comparable[Any]]
-              val hi = st.genericGetMax.asInstanceOf[Comparable[Any]]
-              if (!seen.getOrElse(name, false)) {
-                mins(name) = lo; maxs(name) = hi; seen(name) = true
-              } else {
-                if (lo.compareTo(mins(name)) < 0) mins(name) = lo
-                if (hi.compareTo(maxs(name)) > 0) maxs(name) = hi
-              }
-            } else if (st.getNumNulls != b.getRowCount) {
-              // no recorded values yet not all-null: not exact
-              bad += name
-            }
-          }
-        }
-      }
-      if (bad.nonEmpty)
-        throw new IllegalStateException(s"inexact stats for ${bad.mkString(",")}")
-      val stat = FileStat(rows, wanted.map(n =>
-        n -> ColStat(mins.getOrElse(n, null), maxs.getOrElse(n, null),
-          seen.getOrElse(n, false))).toMap)
-      cache.put(key, stat)
-      stat
-    } finally reader.close()
-  }
-
   /** Physical parquet value → Catalyst external value of `dt`. */
   private def toExternal(v: Any, dt: DataType): Any = dt match {
     case ByteType => v.asInstanceOf[Number].byteValue()
@@ -220,14 +153,11 @@ object MetadataAggregate {
     val hfs = new Path(files.head).getFileSystem(conf)
     // cold footers read in parallel — a large table is O(10^4) files
     // and a serial driver loop would undo the optimization's point
-    val stats = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(
-        Future.traverse(files.toSeq)(p =>
-          Future(fileStat(conf, hfs.getFileStatus(new Path(p)), wanted))),
-        scala.concurrent.duration.Duration(10, "min"))
-    }
+    val stats = FooterStats.getAll(conf, hfs, files.toSeq, wanted)
+    // this rewrite needs EXACT stats for every requested column;
+    // anything untrustworthy falls back to the scan
+    if (stats.exists(_.cols.exists { case (n, c) => wanted(n) && !c.exact }))
+      return None
     val totalRows = stats.map(_.rows).sum
     val schema0 = StructType(specs.map { case (_, name, dt) =>
       StructField(name, dt, nullable = true)

@@ -674,7 +674,8 @@ object ChDdl {
           if (TotalsHaving.applies(rewritten, th))
             Some(TotalsHaving.run(spark, rewritten, th))
           else {
-            val df0 = ChSql(spark, rewritten)
+            val df0 = graft.operators.FilePruning.maybeRewrite(
+              spark, ChSql(spark, rewritten))
             Some(graft.operators.MetadataAggregate.maybeRewrite(spark, df0)
               .getOrElse(graft.operators.LateMaterialization
                 .maybeRewrite(spark, df0)))

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FilePruning
+
+/** Pins for the sparse file index (driver-side footer min/max file
+  * pruning, the reference's in-RAM primary-index analog): a selective
+  * predicate on the sort column prunes the file LIST itself, results
+  * match the unpruned scan exactly, conservative conjuncts keep
+  * files, and nothing fires below the file-count threshold. */
+class FilePruningSpec extends SparkSpec {
+
+  // 16 files range-partitioned+sorted by k (0..1599 → k = id/100,
+  // each file a contiguous k range), a v column uniform
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("fprune").toString
+    spark.range(0, 1600, 1, 4)
+      .withColumn("k", (col("id") / lit(100)).cast("long"))
+      .withColumn("v", pmod(expr("xxhash64(id, 7)"), lit(1000)))
+      .withColumn("d", to_date(lit("2020-01-01")) + col("k").cast("int"))
+      .repartitionByRange(16, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$d/t.parquet")
+    spark.read.parquet(s"$d/t.parquet").createOrReplaceTempView("fp_t")
+    d
+  }
+
+  private def run(q: String): Array[org.apache.spark.sql.Row] =
+    sql.ChDdl.execute(spark, q).get.collect()
+
+  test("selective sort-key predicate prunes the file list; rows match the full scan") {
+    dir
+    val before = FilePruning.applied
+    val got = run("SELECT k, count() AS c FROM fp_t WHERE k = 7 GROUP BY k")
+    assert(FilePruning.applied > before, "pruning did not fire")
+    assert(FilePruning.lastKept < FilePruning.lastTotal,
+      s"kept ${FilePruning.lastKept}/${FilePruning.lastTotal}")
+    assert(FilePruning.lastKept <= 2)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 100L)))
+    // range + date forms prune too
+    run("SELECT count() AS c FROM fp_t WHERE k >= 14")
+    assert(FilePruning.lastKept <= 3)
+    val d2 = run("SELECT count() AS c FROM fp_t WHERE d < toDate('2020-01-03')")
+    assert(d2.head.getLong(0) === 200L)
+    assert(FilePruning.lastKept <= 4)
+  }
+
+  test("empty keep-set keeps one file and returns zero rows") {
+    dir
+    val got = run("SELECT count() AS c FROM fp_t WHERE k = 999")
+    // keyless agg + empty input → empty result (reference semantics)
+    assert(got.isEmpty)
+    assert(FilePruning.lastKept === 1)
+  }
+
+  test("conservative: predicates on uniform or unsupported shapes keep all files") {
+    dir
+    val before = FilePruning.applied
+    // uniform column: stats cover the probe value in every file
+    val vv = spark.sql("SELECT v FROM fp_t ORDER BY id LIMIT 1")
+      .collect()(0).getLong(0)
+    val r1 = run(s"SELECT count() AS c FROM fp_t WHERE v = $vv")
+    val truth = spark.sql(s"SELECT count(*) FROM fp_t WHERE v = $vv")
+      .collect()(0).getLong(0)
+    assert(truth > 0 && r1.head.getLong(0) === truth)
+    // unsupported conjunct shapes never fire the rewrite
+    run("SELECT count() AS c FROM fp_t WHERE k != 3")
+    run("SELECT count() AS c FROM fp_t WHERE k + 1 = 8")
+    // none of the three removed any file
+    assert(FilePruning.applied === before)
+  }
+
+  test("below the file-count threshold nothing fires") {
+    val d = java.nio.file.Files.createTempDirectory("fprune2").toString
+    spark.range(0, 100, 1, 2).withColumn("k", col("id") % 10)
+      .write.mode("overwrite").parquet(s"$d/s.parquet")
+    spark.read.parquet(s"$d/s.parquet").createOrReplaceTempView("fp_s")
+    val before = FilePruning.applied
+    run("SELECT count() AS c FROM fp_s WHERE k = 1")
+    assert(FilePruning.applied === before)
+  }
+}
