@@ -53,8 +53,7 @@ object FilePruning {
         case f @ Filter(cond, child) =>
           stripAlias(child) match {
             case rel @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
-                if fs.fileFormat.isInstanceOf[ParquetFileFormat] &&
-                  fs.partitionSchema.isEmpty =>
+                if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
               rewriteFilter(spark, cond, rel, fs) match {
                 case Some(nf) => changed = true; nf
                 case None => f
@@ -199,9 +198,18 @@ object FilePruning {
   private def rewriteFilter(spark: SparkSession,
       cond: Expression, rel: LogicalRelation,
       fs: HadoopFsRelation): Option[Filter] = {
+    val partitioned = fs.partitionSchema.nonEmpty
+    // partitioned relations (MergeTree month layout) rebuild with a
+    // basePath so partition values keep deriving from the paths; a
+    // multi-root partitioned listing is left alone
+    if (partitioned && fs.location.rootPaths.length != 1) return None
     val files = fs.location.inputFiles
     if (files.length < minFiles) return None
-    val ts = tests(cond)
+    // partition columns live in PATHS, not footers — a footer lookup
+    // would misread their absence as all-null and prune everything;
+    // Spark's own partition pruning covers them already
+    val dataCols = fs.dataSchema.fieldNames.toSet
+    val ts = tests(cond).filter(t => dataCols.contains(t.col))
     if (ts.isEmpty) return None
     val wanted = ts.map(_.col).toSet
     val conf = spark.sessionState.newHadoopConf()
@@ -215,11 +223,22 @@ object FilePruning {
     // row, and the relation keeps a valid (non-empty) listing
     val keptFiles = if (kept.isEmpty) files.take(1).toSeq else kept
     lastKept = keptFiles.length; lastTotal = files.length
-    val newRel = spark.read.schema(fs.dataSchema).parquet(keptFiles: _*)
+    val reader0 = spark.read.schema(
+      if (partitioned) org.apache.spark.sql.types.StructType(
+        fs.dataSchema.fields ++ fs.partitionSchema.fields)
+      else fs.dataSchema)
+    val reader =
+      if (partitioned)
+        reader0.option("basePath", fs.location.rootPaths.head.toString)
+      else reader0
+    val newRel = reader.parquet(keptFiles: _*)
       .queryExecution.analyzed.collectFirst {
         case lr @ LogicalRelation(nfs: HadoopFsRelation, _, _, _, _)
             if nfs.fileFormat.isInstanceOf[ParquetFileFormat] => lr
       }.getOrElse(return None)
+    // the rebuilt relation must line up column-for-column with the
+    // original before the exprId-preserving output swap
+    if (newRel.output.map(_.name) != rel.output.map(_.name)) return None
     applied += 1
     // preserve the ORIGINAL output attributes so cond and every plan
     // node above keep resolving against the same exprIds

@@ -70,6 +70,36 @@ class FilePruningSpec extends SparkSpec {
     assert(FilePruning.applied === before)
   }
 
+  test("partitioned layout (MergeTree month dirs): data-column predicate prunes, partition column is left to Spark") {
+    val d = java.nio.file.Files.createTempDirectory("fprune3").toString
+    // 4 month partitions × 4 sorted files each, k contiguous per file
+    spark.range(0, 1600, 1, 4)
+      .withColumn("m", (col("id") % 4).cast("int"))
+      .withColumn("k", (col("id") / lit(100)).cast("long"))
+      .repartitionByRange(16, col("m"), col("k"))
+      .sortWithinPartitions("m", "k")
+      .write.mode("overwrite").partitionBy("m").parquet(s"$d/p.parquet")
+    spark.read.parquet(s"$d/p.parquet").createOrReplaceTempView("fp_p")
+    val before = FilePruning.applied
+    val got = run("SELECT count() AS c FROM fp_p WHERE k = 7")
+    assert(FilePruning.applied > before, "partitioned pruning did not fire")
+    assert(FilePruning.lastKept < FilePruning.lastTotal)
+    val truth = spark.sql("SELECT count(*) FROM fp_p WHERE k = 7")
+      .collect()(0).getLong(0)
+    assert(truth > 0 && got.head.getLong(0) === truth)
+    // mixed predicate: partition conjunct ignored by the index but
+    // still applied; results exact
+    val got2 = run("SELECT count() AS c FROM fp_p WHERE k = 7 AND m = 1")
+    val truth2 = spark.sql("SELECT count(*) FROM fp_p WHERE k = 7 AND m = 1")
+      .collect()(0).getLong(0)
+    if (truth2 == 0) assert(got2.isEmpty)
+    else assert(got2.head.getLong(0) === truth2)
+    // predicate ONLY on the partition column: no footer pruning fires
+    val b2 = FilePruning.applied
+    run("SELECT count() AS c FROM fp_p WHERE m = 2")
+    assert(FilePruning.applied === b2)
+  }
+
   test("below the file-count threshold nothing fires") {
     val d = java.nio.file.Files.createTempDirectory("fprune2").toString
     spark.range(0, 100, 1, 2).withColumn("k", col("id") % 10)
