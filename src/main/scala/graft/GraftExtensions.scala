@@ -338,8 +338,11 @@ object GraftFunctions {
   // layout = RangeHashedDictionary). Both 64-bit spellings share the
   // Long-valued lookup; narrower integer getters cast on top.
   private val rangeDictFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    // dictGetUInt32 stays Long-valued: UInt32 spans 0..2^32-1, beyond
+    // Int.MaxValue (the reference returns the full unsigned range);
+    // UInt16/UInt8 fit in Int, so only they share the narrow cast
     Seq("dictGetInt64" -> false, "dictGetUInt64" -> false,
-      "dictGetInt32" -> true, "dictGetUInt32" -> true,
+      "dictGetInt32" -> true, "dictGetUInt32" -> false,
       "dictGetInt16" -> true, "dictGetUInt16" -> true,
       "dictGetInt8" -> true, "dictGetUInt8" -> true)
       .map { case (fname, narrow) =>

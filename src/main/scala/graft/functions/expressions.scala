@@ -744,7 +744,10 @@ case class BloomContainsAnyExpr(child: Expression, bloomBytes: Array[Byte])
   * after ContextCleaner reclaims the broadcasts. Only the most recent
   * few filters are ever live at once, so a small LRU loses nothing. */
 object BloomBcCache {
-  private final val MaxEntries = 4
+  // sized above any realistic number of simultaneously-live filters in
+  // one query (a 4-entry bound thrashed when a plan used >4 blooms:
+  // every probe re-decoded an MB-class filter under the cache lock)
+  private final val MaxEntries = 64
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
         java.lang.Long, org.apache.spark.util.sketch.BloomFilter](
@@ -755,17 +758,17 @@ object BloomBcCache {
         size() > MaxEntries
     })
   def get(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-      : org.apache.spark.util.sketch.BloomFilter =
-    cache.synchronized {
-      val hit = cache.get(bc.id)
-      if (hit != null) hit
-      else {
-        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bc.value))
-        cache.put(bc.id, bf)
-        bf
-      }
-    }
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val hit = cache.get(bc.id) // synchronizedMap: atomic, no decode held
+    if (hit != null) return hit
+    // decode OUTSIDE the lock — an MB-class readFrom under the global
+    // cache lock would serialize every task on a cold executor; a
+    // racing duplicate decode is rare and only wastes one allocation
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+    val prev = cache.putIfAbsent(bc.id, bf)
+    if (prev != null) prev else bf
+  }
   /** Visible for tests. */
   private[graft] def size: Int = cache.synchronized(cache.size())
 }

@@ -72,10 +72,14 @@ object FilePruning {
 
   // ---- predicate → per-file emptiness proof -------------------------
 
+  /** Column types whose footer stats can be trusted (given a matching
+    * parquet encoding, checked per-file via [[FooterStats.encodingOk]]).
+    * Float/Double are deliberately excluded: writers skip or misorder
+    * NaN in min/max while Spark orders NaN above every value, so a
+    * file whose only matching rows are NaN could be wrongly pruned. */
   private def statType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | DateType | TimestampType |
-         TimestampNTZType => true
+         DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -112,12 +116,14 @@ object FilePruning {
       java.lang.Double.compare(x, y)
   }
 
-  /** One understood conjunct: column + a test on its (min, max). */
-  private sealed trait Test { def col: String }
-  private case class EqTest(col: String, v: Bound) extends Test
-  private case class LtTest(col: String, v: Bound, orEq: Boolean) extends Test
-  private case class GtTest(col: String, v: Bound, orEq: Boolean) extends Test
-  private case class InTest(col: String, vs: Seq[Bound]) extends Test
+  /** One understood conjunct: column + a test on its (min, max).
+    * `dt` is the column's Catalyst type — min/max proofs require the
+    * file's parquet encoding to match it exactly. */
+  private sealed trait Test { def col: String; def dt: DataType }
+  private case class EqTest(col: String, dt: DataType, v: Bound) extends Test
+  private case class LtTest(col: String, dt: DataType, v: Bound, orEq: Boolean) extends Test
+  private case class GtTest(col: String, dt: DataType, v: Bound, orEq: Boolean) extends Test
+  private case class InTest(col: String, dt: DataType, vs: Seq[Bound]) extends Test
 
   private def attrOf(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference if statType(a.dataType) => Some(a)
@@ -142,7 +148,7 @@ object FilePruning {
       case In(a, vs) => for {
         attr <- attrOf(a)
         bounds <- sequence(vs.map(litOf(_, attr.dataType)))
-      } yield InTest(attr.name, bounds)
+      } yield InTest(attr.name, attr.dataType, bounds)
       case _ => None
     }
 
@@ -152,7 +158,7 @@ object FilePruning {
   private def eqTest(a: Expression, l: Expression): Option[Test] = for {
     attr <- attrOf(a)
     b <- litOf(l, attr.dataType)
-  } yield EqTest(attr.name, b)
+  } yield EqTest(attr.name, attr.dataType, b)
 
   /** `l OP r` where OP is </<= (lt=true) or >/>= — either side may be
     * the column; flipping sides flips the test direction. */
@@ -161,10 +167,12 @@ object FilePruning {
     (attrOf(l), attrOf(r)) match {
       case (Some(attr), None) =>
         litOf(r, attr.dataType).map(b =>
-          if (lt) LtTest(attr.name, b, orEq) else GtTest(attr.name, b, orEq))
+          if (lt) LtTest(attr.name, attr.dataType, b, orEq)
+          else GtTest(attr.name, attr.dataType, b, orEq))
       case (None, Some(attr)) =>
         litOf(l, attr.dataType).map(b =>
-          if (lt) GtTest(attr.name, b, orEq) else LtTest(attr.name, b, orEq))
+          if (lt) GtTest(attr.name, attr.dataType, b, orEq)
+          else LtTest(attr.name, attr.dataType, b, orEq))
       case _ => None
     }
 
@@ -178,14 +186,19 @@ object FilePruning {
     st.cols.get(t.col) match {
       case Some(c) if c.exact =>
         if (!c.hasValues) true // all null: no comparison matches
+        // min/max proofs additionally require the file's parquet
+        // encoding to match the Catalyst type — a TIMESTAMP(MILLIS) or
+        // unsigned-int writer's stats misorder against micros/signed
+        // literals (the all-null proof above is encoding-independent)
+        else if (!FooterStats.encodingOk(t.dt, c.enc)) false
         else (statBound(c.min), statBound(c.max)) match {
           case (Some(lo), Some(hi)) => t match {
-            case EqTest(_, v) => cmp(v, lo) < 0 || cmp(v, hi) > 0
-            case LtTest(_, v, orEq) => // col < v (or <=): empty if min >= v (or >)
+            case EqTest(_, _, v) => cmp(v, lo) < 0 || cmp(v, hi) > 0
+            case LtTest(_, _, v, orEq) => // col < v (or <=): empty if min >= v (or >)
               if (orEq) cmp(lo, v) > 0 else cmp(lo, v) >= 0
-            case GtTest(_, v, orEq) =>
+            case GtTest(_, _, v, orEq) =>
               if (orEq) cmp(hi, v) < 0 else cmp(hi, v) <= 0
-            case InTest(_, vs) =>
+            case InTest(_, _, vs) =>
               vs.forall(v => cmp(v, lo) < 0 || cmp(v, hi) > 0)
           }
           case _ => false
@@ -223,7 +236,12 @@ object FilePruning {
     // row, and the relation keeps a valid (non-empty) listing
     val keptFiles = if (kept.isEmpty) files.take(1).toSeq else kept
     lastKept = keptFiles.length; lastTotal = files.length
-    val reader0 = spark.read.schema(
+    // carry the original relation's read options (datetimeRebaseMode,
+    // int96RebaseMode, …) so kept files decode identically — minus the
+    // path keys, which conflict with the explicit .parquet(files) form
+    val carried = fs.options.filter { case (k, _) =>
+      val lk = k.toLowerCase; lk != "path" && lk != "paths" }
+    val reader0 = spark.read.options(carried).schema(
       if (partitioned) org.apache.spark.sql.types.StructType(
         fs.dataSchema.fields ++ fs.partitionSchema.fields)
       else fs.dataSchema)

@@ -138,9 +138,15 @@ object LateMaterialization {
     val files = top.map(_.getString(0)).distinct.toSeq
     val idxs = top.map(_.getLong(1)).distinct.toSeq
     val pairKeys = top.map(r => r.getString(0) + "#" + r.getLong(1)).toSeq
+    // carry the original relation's read options (datetimeRebaseMode,
+    // int96RebaseMode, …) so the pass-2 read decodes identically —
+    // minus the path keys, which conflict with explicit .parquet(paths)
+    val carried = fs.options.filter { case (k, _) =>
+      val lk = k.toLowerCase; lk != "path" && lk != "paths" }
+    val read2 = spark.read.options(carried).schema(fs.dataSchema)
     val base2 =
-      if (empty) spark.read.schema(fs.dataSchema).parquet(fs.location.rootPaths.map(_.toString): _*)
-      else spark.read.schema(fs.dataSchema).parquet(files: _*)
+      if (empty) read2.parquet(fs.location.rootPaths.map(_.toString): _*)
+      else read2.parquet(files: _*)
     val fetched =
       if (empty) base2.where(lit(false))
       else base2.where(

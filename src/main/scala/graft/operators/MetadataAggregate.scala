@@ -48,10 +48,14 @@ object MetadataAggregate {
     case other => other
   }
 
+  /** Types whose footer stats can be trusted (given a matching parquet
+    * encoding, verified per-file in [[evaluate]]). Float/Double are
+    * deliberately excluded: writers skip or misorder NaN in min/max
+    * while Spark orders NaN above every value, so a footer max can
+    * disagree with the scan's answer. */
   private def exactStatType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | DateType | TimestampType |
-         TimestampNTZType => true
+         DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -140,9 +144,6 @@ object MetadataAggregate {
   private def evaluate(spark: SparkSession, fs: HadoopFsRelation,
       specs: Seq[(Spec, String, DataType)],
       emptyInEmptyOut: Boolean): Option[DataFrame] = {
-    // timestamps: only INT64 micros stats are exact — verify physical
-    // type by checking the Spark schema came from a modern writer; the
-    // footer read throws on anything surprising and we fall back
     val wanted = specs.collect {
       case (MinOf(c, _), _, _) => c
       case (MaxOf(c, _), _, _) => c
@@ -154,10 +155,19 @@ object MetadataAggregate {
     // cold footers read in parallel — a large table is O(10^4) files
     // and a serial driver loop would undo the optimization's point
     val stats = FooterStats.getAll(conf, hfs, files.toSeq, wanted)
-    // this rewrite needs EXACT stats for every requested column;
-    // anything untrustworthy falls back to the scan
-    if (stats.exists(_.cols.exists { case (n, c) => wanted(n) && !c.exact }))
-      return None
+    // this rewrite needs EXACT stats for every requested column AND a
+    // parquet encoding matching the Catalyst type it answers for — a
+    // TIMESTAMP(MILLIS) or unsigned-int writer's stats are off by
+    // scale/sign; anything untrustworthy falls back to the scan
+    // (all-null files contribute nothing, so their encoding is moot)
+    val dtOf: Map[String, DataType] = specs.collect {
+      case (MinOf(c, dt), _, _) => c -> dt
+      case (MaxOf(c, dt), _, _) => c -> dt
+    }.toMap
+    if (stats.exists(_.cols.exists { case (n, c) =>
+      wanted(n) && (!c.exact ||
+        (c.hasValues && !FooterStats.encodingOk(dtOf(n), c.enc)))
+    })) return None
     val totalRows = stats.map(_.rows).sum
     val schema0 = StructType(specs.map { case (_, name, dt) =>
       StructField(name, dt, nullable = true)

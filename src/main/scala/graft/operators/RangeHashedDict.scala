@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType}
   * Spark shape: the dictionary source is collected ONCE on the
   * driver (dictionaries are config-loaded small tables in the
   * reference too) and rides the task closure as a shared immutable
-  * map — a per-row O(log r + k) lookup instead of a join, so the
-  * fact scan never shuffles. At 1000 executors the map moves once
-  * per executor. */
+  * map — a per-row first-containing-range scan (the reference's
+  * lookup order, linear in the id's range count) instead of a join,
+  * so the fact scan never shuffles. At 1000 executors the map moves
+  * once per executor. */
 final class RangeHashedDict private (
     private val entries: Map[Long, Array[RangeHashedDict.Entry]])
     extends Serializable {

@@ -1603,11 +1603,15 @@ object ChDdl {
             (items.map(_._1), items.map(_._2))
           else (outFields.map(_.name), outFields.map(_.name))
         val chTypes = exprs.zip(outFields).map { case (e, f) => chJsonType(e, f) }
-        // same 1 M-row render bound as every other renderer (Formats.*)
-        val rowsAll = df.limit(1000000).collect()
+        // same 1 M-row render bound as every other renderer (Formats.*).
+        // TOTALS rows are collected SEPARATELY so a >1M main block
+        // truncates without silently dropping the totals row (which
+        // the union may place after the cutoff)
         val (totRows, main0) =
-          if (gid >= 0) rowsAll.partition(_.getAs[Number](gid).longValue != 0L)
-          else (Array.empty[Row], rowsAll)
+          if (gid >= 0)
+            (df.filter(qcol("__gid") =!= 0).collect(),
+              df.filter(qcol("__gid") === 0).limit(1000000).collect())
+          else (Array.empty[Row], df.limit(1000000).collect())
         val mainRows = mainLimit.fold(main0)(main0.take)
         // totals keep only AGGREGATE values and bare literals; every
         // other item prints its type default (TotalsHavingBlockInputStream
@@ -1792,7 +1796,10 @@ object ChDdl {
       } else Some {
         val gid = df.columns.indexOf("__gid")
         val fields = df.schema.fields
-        val rows = df.collect()
+        // 1 M-row render bound on the MAIN block only — the totals
+        // row(s) are collected separately so truncation can't drop them
+        val rows = df.filter(qcol("__gid") =!= 0).collect() ++
+          df.filter(qcol("__gid") === 0).limit(1000000).collect()
         // join default-fill applies to MAIN rows here too (the other
         // branch's rule; corpus 00150 joins under WITH TOTALS)
         val fillJoin = !joinUseNulls &&

@@ -336,10 +336,10 @@ class CustomFunctionSpec extends SparkSpec {
     }
     // a long-running incremental-dedup stream creates one broadcast
     // per micro-batch; the decode cache must not pin them all
-    (1 to 10).foreach { _ =>
+    (1 to 100).foreach { _ =>
       val bc = spark.sparkContext.broadcast(mkBloom())
       assert(BloomBcCache.get(bc).mightContainLong(42L))
     }
-    assert(BloomBcCache.size <= 4, s"cache grew to ${BloomBcCache.size}")
+    assert(BloomBcCache.size <= 64, s"cache grew to ${BloomBcCache.size}")
   }
 }

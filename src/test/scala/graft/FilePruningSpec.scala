@@ -100,6 +100,44 @@ class FilePruningSpec extends SparkSpec {
     assert(FilePruning.applied === b2)
   }
 
+  test("doubles (NaN hazard) and non-micros timestamps never prune") {
+    val d = java.nio.file.Files.createTempDirectory("fprune4").toString
+    // NaN orders ABOVE every value in Spark, so the only rows matching
+    // dd > 100 live in the NaN file — a footer-max-trusting rewrite
+    // would prune exactly that file (writers skip/misorder NaN stats)
+    spark.range(0, 1600, 1, 4)
+      .withColumn("k", (col("id") / lit(100)).cast("long"))
+      .withColumn("dd", when(col("k") === 15, lit(Double.NaN))
+        .otherwise(col("k").cast("double")))
+      .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$d/n.parquet")
+    val t = spark.read.parquet(s"$d/n.parquet")
+    val before = FilePruning.applied
+    val got = FilePruning.maybeRewrite(spark, t.where(col("dd") > 100.0)).count()
+    assert(got === 100L, "NaN rows must survive")
+    assert(FilePruning.applied === before, "double stats must not prune")
+    // TIMESTAMP(MILLIS) writer: footer stats are millis — 1000x below
+    // the micros literals Spark compares — so a trusting rewrite would
+    // prove EVERY file empty for ts >= x; the encoding check keeps all
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      spark.range(0, 1600, 1, 4)
+        .withColumn("k", (col("id") / lit(100)).cast("long"))
+        .withColumn("ts", timestamp_seconds(lit(1577836800L) + col("k") * 86400))
+        .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(s"$d/m.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    val tm = spark.read.parquet(s"$d/m.parquet")
+    val b2 = FilePruning.applied
+    val pred = tm.where(
+      col("ts") >= expr(s"timestamp_seconds(${1577836800L + 8 * 86400}L)"))
+    val truth = pred.count()
+    assert(truth === 800L)
+    assert(FilePruning.maybeRewrite(spark, pred).count() === truth)
+    assert(FilePruning.applied === b2, "MILLIS stats must not prune")
+  }
+
   test("below the file-count threshold nothing fires") {
     val d = java.nio.file.Files.createTempDirectory("fprune2").toString
     spark.range(0, 100, 1, 2).withColumn("k", col("id") % 10)

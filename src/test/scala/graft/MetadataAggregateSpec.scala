@@ -62,6 +62,36 @@ class MetadataAggregateSpec extends SparkSpec {
     assert(rows.isEmpty, s"fired=$fired rows=${rows.toSeq}")
   }
 
+  test("NaN doubles and MILLIS timestamps fall back to the scan") {
+    val d = java.nio.file.Files.createTempDirectory("metaagg2").toString
+    // writers skip or misorder NaN in double stats while Spark's max
+    // is NaN — doubles are excluded from the rewrite entirely
+    spark.range(0, 1000, 1, 4)
+      .withColumn("dd", when(col("id") === 999, lit(Double.NaN))
+        .otherwise(col("id").cast("double")))
+      .write.mode("overwrite").parquet(s"$d/n.parquet")
+    spark.read.parquet(s"$d/n.parquet").createOrReplaceTempView("ma_n")
+    val (f1, r1) = run("SELECT min(dd) AS mn, max(dd) AS mx FROM ma_n")
+    assert(!f1, "double min/max must not answer from footers")
+    assert(r1.head.getDouble(0) === 0.0)
+    assert(r1.head.getDouble(1).isNaN, "scan truth: Spark max is NaN")
+    // TIMESTAMP(MILLIS) footer stats are 1000x off Spark's micros —
+    // the per-file encoding check forces the scan
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      spark.range(0, 1000, 1, 4)
+        .withColumn("ts", expr("timestamp_seconds(1577836800 + id * 60)"))
+        .write.mode("overwrite").parquet(s"$d/m.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    spark.read.parquet(s"$d/m.parquet").createOrReplaceTempView("ma_m")
+    val (f2, r2) = run("SELECT min(ts) AS mn, max(ts) AS mx FROM ma_m")
+    assert(!f2, "MILLIS-encoded timestamp stats must not answer from footers")
+    val truth = spark.sql("SELECT min(ts), max(ts) FROM ma_m").collect()(0)
+    assert(r2.head.getTimestamp(0) === truth.getTimestamp(0))
+    assert(r2.head.getTimestamp(1) === truth.getTimestamp(1))
+  }
+
   test("guards: WHERE, string min/max, sum, GROUP BY all fall back to the scan") {
     dir
     val before = MetadataAggregate.applied
