@@ -357,11 +357,39 @@ object GraftFunctions {
               if (narrow) org.apache.spark.sql.catalyst.expressions.Cast(
                 get, org.apache.spark.sql.types.IntegerType)
               else get
+            // 3-arg form: complex_key_hashed probe with a tuple key
+            // (FunctionsExternalDictionaries.h dispatches the same
+            // names across layouts on the key shape)
+            case Seq(
+                Literal(n: org.apache.spark.unsafe.types.UTF8String, _),
+                Literal(a: org.apache.spark.unsafe.types.UTF8String, _),
+                key) =>
+              val get = graft.operators.ComplexKeyHashedDict.sqlDictGet(
+                n.toString, a.toString, key)
+              if (narrow) org.apache.spark.sql.catalyst.expressions.Cast(
+                get, org.apache.spark.sql.types.IntegerType)
+              else get
             case other => throw new IllegalArgumentException(
-              s"$fname('dict', 'attr', id, date) expected, got $other")
+              s"$fname('dict', 'attr', key[, date]) expected, got $other")
           }
         }: Seq[Expression] => Expression)
-      }
+      } :+ {
+      // string attributes resolve only through the complex-key layout
+      // (flat/hashed string getters ride the RegionDict surface)
+      (FunctionIdentifier("dictGetString"), info("dictGetString"),
+        { (args: Seq[Expression]) =>
+          args match {
+            case Seq(
+                Literal(n: org.apache.spark.unsafe.types.UTF8String, _),
+                Literal(a: org.apache.spark.unsafe.types.UTF8String, _),
+                key) =>
+              graft.operators.ComplexKeyHashedDict.sqlDictGet(
+                n.toString, a.toString, key)
+            case other => throw new IllegalArgumentException(
+              s"dictGetString('dict', 'attr', tuple(k…)) expected, got $other")
+          }
+        }: Seq[Expression] => Expression)
+    }
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     base ++ kernelFns ++ neighbourhoodFns ++ reinterpretFns ++ regionFns ++

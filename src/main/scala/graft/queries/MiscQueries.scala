@@ -246,6 +246,43 @@ object MiscQueries {
     """SELECT count(*) AS n, min(o_orderkey) AS kmin, max(o_orderkey) AS kmax,
       |  min(o_custkey) AS cmin, max(o_custkey) AS cmax FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q126 complex_key_hashed dictionary
+  // (Dictionaries/ComplexKeyHashedDictionary.cpp; factory
+  // Interpreters/DictionaryFactory.cpp): composite (String, Int) key
+  // → Long attribute. The dictionary is min(p_partkey) per
+  // (p_brand, p_size); the probe shifts size by +1 so part of the
+  // keys MISS and take the configured default (-1) — both paths
+  // re-derivable in DuckDB as a LEFT JOIN + COALESCE. Broadcast
+  // per-row probe: the part scan never shuffles for the lookup.
+  // ---------------------------------------------------------------
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ComplexKeyHashedDict
+    val part = t(s, dir, "part")
+    val dictSrc = part.groupBy(col("p_brand"), col("p_size"))
+      .agg(min(col("p_partkey")).cast("long").as("v"))
+    val dict = ComplexKeyHashedDict.build(
+      dictSrc, Seq("p_brand", "p_size"), "v",
+      org.apache.spark.sql.types.LongType)
+    part.select(col("p_brand").as("brand"),
+        ComplexKeyHashedDict.dictGet(dict,
+          Seq(col("p_brand"), col("p_size") + lit(1)), lit(-1L)).as("v"))
+      .groupBy(col("brand"))
+      .agg(sum(col("v")).as("vsum"), count(lit(1)).as("n"))
+      .orderBy(col("brand"))
+  }
+
+  private val q126Sql =
+    """WITH d AS (
+      |  SELECT p_brand, p_size, CAST(MIN(p_partkey) AS BIGINT) AS v
+      |  FROM part GROUP BY 1, 2)
+      |SELECT p.p_brand AS brand,
+      |  CAST(SUM(COALESCE(d.v, -1)) AS BIGINT) AS vsum,
+      |  COUNT(*) AS n
+      |FROM part p
+      |LEFT JOIN d ON d.p_brand = p.p_brand AND d.p_size = p.p_size + 1
+      |GROUP BY 1 ORDER BY brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q66_url_functions", q66, Some(q66Sql)),
     QueryDef("q67_ipv4_coding", q67, Some(q67Sql)),
@@ -254,5 +291,6 @@ object MiscQueries {
     QueryDef("q70_prewhere_pushdown", q70, Some(q70Sql)),
     QueryDef("q93_region_dict", q93, Some(q93Sql)),
     QueryDef("q124_range_hashed_dict", q124, Some(q124Sql)),
-    QueryDef("q125_metadata_minmax", q125, Some(q125Sql)))
+    QueryDef("q125_metadata_minmax", q125, Some(q125Sql)),
+    QueryDef("q126_complex_key_dict", q126, Some(q126Sql)))
 }
