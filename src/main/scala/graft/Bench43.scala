@@ -199,6 +199,10 @@ object Bench43 {
     df.repartitionByRange(128, col("CounterID"), col("EventDate"))
       .sortWithinPartitions("CounterID", "EventDate")
       .write.mode("overwrite").parquet(path)
+    // persist the sparse index so bench sessions plan with zero
+    // footer opens (the primary.idx analog)
+    graft.operators.FooterStats.writeSidecars(
+      df.sparkSession.sessionState.newHadoopConf(), path)
   }
 
   def loadQueries(): Seq[String] =

@@ -77,21 +77,40 @@ object FooterStats {
     case _ => false
   }
 
+  /** In-RAM entry bound (configurable: at 10⁵-file tables the default
+    * would thrash — raise it, or rely on the persisted sidecar which
+    * makes cold entries a dir-local JSON read instead of a footer). */
+  private[graft] var maxEntries: Int =
+    Integer.getInteger("graft.footer.cacheEntries", 65536)
+
+  /** Count of actual footer opens — the persisted-sidecar pin asserts
+    * a fresh session plans with ZERO of these. */
+  @volatile private[graft] var footerOpens = 0L
+
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long, Long), FileStat](
         64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long, Long), FileStat]): Boolean =
-        size() > 8192
+        size() > maxEntries
     })
 
-  /** Stats for one file covering at least `wanted` columns. */
+  /** Stats for one file covering at least `wanted` columns. Resolution
+    * order: in-RAM cache → persisted sidecar (the durable half of the
+    * reference's primary index — `primary.idx` lives on disk per part
+    * and loads at startup, MergeTree/MergeTreeData.h:59-61) → footer. */
   def get(conf: Configuration, f: FileStatus,
       wanted: Set[String]): FileStat = {
     val key = (f.getPath.toString, f.getLen, f.getModificationTime)
     val hit = cache.get(key)
     if (hit != null && wanted.subsetOf(hit.cols.keySet)) return hit
+    if (hit == null) sidecarLookup(conf, f) match {
+      case Some(st) if wanted.subsetOf(st.cols.keySet) =>
+        cache.put(key, st); return st
+      case _ =>
+    }
     val need = if (hit == null) wanted else wanted -- hit.cols.keySet
+    footerOpens += 1
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
     try {
       val blocks = reader.getFooter.getBlocks
@@ -141,15 +160,193 @@ object FooterStats {
     } finally reader.close()
   }
 
+  /** Dedicated pool for footer/sidecar reads — the work is I/O-bound,
+    * so it is sized well above the CPU count (ExecutionContext.global
+    * would cap cold planning at #cores concurrent opens). */
+  private lazy val ioPool = {
+    val n = Integer.getInteger("graft.footer.ioThreads",
+      math.min(64, math.max(16, Runtime.getRuntime.availableProcessors * 2)))
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      new java.util.concurrent.ThreadFactory {
+        private val c = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-footer-io-${c.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+  }
+
   /** Parallel stats for many files (cold footers are independent). */
   def getAll(conf: Configuration,
       fsys: org.apache.hadoop.fs.FileSystem, paths: Seq[String],
       wanted: Set[String]): Seq[FileStat] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(ioPool)
     Await.result(
       Future.traverse(paths)(p => Future(
         get(conf, fsys.getFileStatus(new org.apache.hadoop.fs.Path(p)), wanted))),
       scala.concurrent.duration.Duration(10, "min"))
+  }
+
+  // ---- persisted sidecar (the durable primary-index analog) ----------
+  //
+  // `_graft_stats.json`, one per directory that directly holds parquet
+  // files (flat tables get one; month-partitioned layouts one per month
+  // dir — mirroring one primary.idx per part). The leading underscore
+  // hides it from Spark's file listing. Entries carry the file SIZE as
+  // an integrity check: a rewritten file falls back to its footer.
+
+  val SidecarName = "_graft_stats.json"
+
+  /** Per-directory sidecar cache (a miss caches the empty map, so
+    * sidecar-less tables pay one existence check per directory). */
+  private val sidecars = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, (Long, FileStat)]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, (Long, FileStat)]])
+          : Boolean = size() > 1024
+    })
+
+  private[graft] def clearSidecarCache(): Unit = sidecars.clear()
+
+  /** Tests only: simulate a fresh session (cold in-RAM caches). */
+  private[graft] def clearAllCaches(): Unit = { cache.clear(); sidecars.clear() }
+
+  private def sidecarLookup(conf: Configuration,
+      f: FileStatus): Option[FileStat] = {
+    val dir = f.getPath.getParent
+    if (dir == null) return None
+    val dirKey = dir.toString
+    var m = sidecars.get(dirKey)
+    if (m == null) {
+      m = try loadSidecar(conf, dir)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+      sidecars.put(dirKey, m)
+    }
+    m.get(f.getPath.getName).collect {
+      case (sz, st) if sz == f.getLen => st
+    }
+  }
+
+  private def loadSidecar(conf: Configuration,
+      dir: org.apache.hadoop.fs.Path): Map[String, (Long, FileStat)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, SidecarName)
+    val fsys = p.getFileSystem(conf)
+    if (!fsys.exists(p)) return Map.empty
+    val in = fsys.open(p)
+    val bytes =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toByteArray
+      } finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(bytes)
+    if (root.path("version").asInt(-1) != 1) return Map.empty
+    val files = root.path("files")
+    val out = Map.newBuilder[String, (Long, FileStat)]
+    val it = files.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val fn = e.getValue
+      val cols = Map.newBuilder[String, ColStat]
+      val cit = fn.path("cols").fields()
+      while (cit.hasNext) {
+        val ce = cit.next()
+        val c = ce.getValue
+        val enc = c.path("enc").asText("other")
+        val hasValues = c.path("hv").asBoolean(false)
+        // values round-trip as longs; i32/date narrow back to Integer
+        // so they compare identically to footer-read stats
+        def v(field: String): Any =
+          if (!hasValues || !c.has(field)) null
+          else enc match {
+            case "i32" | "date" =>
+              java.lang.Integer.valueOf(c.path(field).asLong().toInt)
+            case "i64" | "ts_micros" =>
+              java.lang.Long.valueOf(c.path(field).asLong())
+            case _ => null
+          }
+        cols += ce.getKey -> ColStat(v("min"), v("max"), hasValues,
+          exact = c.path("exact").asBoolean(false), enc = enc)
+      }
+      out += e.getKey -> (fn.path("size").asLong(),
+        FileStat(fn.path("rows").asLong(), cols.result()))
+    }
+    out.result()
+  }
+
+  /** Write `_graft_stats.json` for every directory under `root` that
+    * directly holds parquet files — called by the storage write path
+    * (MergeTreeTable.write, Bench43 layout) after the data lands, so
+    * a fresh session plans (prunes, metadata-aggregates) with zero
+    * footer opens. Columns whose encoding is untrusted serialize
+    * without min/max (consumers never read them). */
+  def writeSidecars(conf: Configuration, root: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fsys = rootPath.getFileSystem(conf)
+    if (!fsys.exists(rootPath)) return
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fsys.listStatus(dir)
+      val parts = entries.filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (parts.nonEmpty) writeOne(conf, fsys, dir, parts)
+      entries.filter(_.isDirectory).foreach(s => walk(s.getPath))
+    }
+    walk(if (fsys.getFileStatus(rootPath).isFile) rootPath.getParent else rootPath)
+  }
+
+  private def writeOne(conf: Configuration,
+      fsys: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, parts: Array[FileStatus]): Unit = {
+    // all leaf columns of the first footer = the stat column set
+    // (identical schemas within one table directory)
+    val first = ParquetFileReader.open(
+      HadoopInputFile.fromPath(parts.head.getPath, conf))
+    val leafCols =
+      try {
+        val sc = first.getFooter.getFileMetaData.getSchema
+        (0 until sc.getPaths.size()).map(i =>
+          org.apache.parquet.hadoop.metadata.ColumnPath.get(
+            sc.getPaths.get(i): _*).toDotString).toSet
+      } finally first.close()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(ioPool)
+    val stats = Await.result(
+      Future.traverse(parts.toSeq)(p => Future(get(conf, p, leafCols))),
+      scala.concurrent.duration.Duration(10, "min"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("version", 1)
+    val filesNode = rootNode.putObject("files")
+    parts.zip(stats).foreach { case (p, st) =>
+      val f = filesNode.putObject(p.getPath.getName)
+      f.put("size", p.getLen)
+      f.put("rows", st.rows)
+      val cols = f.putObject("cols")
+      st.cols.foreach { case (name, c) =>
+        val cn = cols.putObject(name)
+        cn.put("enc", c.enc)
+        cn.put("exact", c.exact)
+        cn.put("hv", c.hasValues)
+        if (c.hasValues) (c.enc, c.min, c.max) match {
+          case ("i32" | "date", mn: Number, mx: Number) =>
+            cn.put("min", mn.longValue()); cn.put("max", mx.longValue())
+          case ("i64" | "ts_micros", mn: Number, mx: Number) =>
+            cn.put("min", mn.longValue()); cn.put("max", mx.longValue())
+          case _ => // untrusted encoding: no values serialized
+        }
+      }
+    }
+    val target = new org.apache.hadoop.fs.Path(dir, SidecarName)
+    val out = fsys.create(target, /* overwrite = */ true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(rootNode))
+    finally out.close()
+    sidecars.remove(dir.toString) // next lookup reloads the fresh file
   }
 }

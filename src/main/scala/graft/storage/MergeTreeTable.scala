@@ -65,6 +65,11 @@ object MergeTreeTable {
     }
     val w = sorted.write.mode(mode)
     spec.partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
+    // persist the sparse index (the primary.idx analog): per-file
+    // min/max sidecars so a FRESH session plans with zero footer opens
+    try graft.operators.FooterStats.writeSidecars(
+      df.sparkSession.sessionState.newHadoopConf(), path)
+    catch { case scala.util.control.NonFatal(_) => () }
     graft.core.SystemTables.PartsCatalog.put(
       path.split('/').last.stripSuffix(".parquet"), path)
     graft.core.SystemTables.Events.inc("InsertedParts")

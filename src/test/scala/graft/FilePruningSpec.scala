@@ -138,6 +138,83 @@ class FilePruningSpec extends SparkSpec {
     assert(FilePruning.applied === b2, "MILLIS stats must not prune")
   }
 
+  test("persisted sidecar: a FRESH session prunes with zero footer opens") {
+    import graft.operators.FooterStats
+    val d = java.nio.file.Files.createTempDirectory("fprune5").toString
+    spark.range(0, 1600, 1, 4)
+      .withColumn("k", (col("id") / lit(100)).cast("long"))
+      .withColumn("d", to_date(lit("2020-01-01")) + col("k").cast("int"))
+      .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$d/t.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    FooterStats.writeSidecars(conf, s"$d/t.parquet")
+    assert(new java.io.File(s"$d/t.parquet/${FooterStats.SidecarName}").exists())
+    // simulate a fresh session: cold in-RAM caches
+    FooterStats.clearAllCaches()
+    val opens = FooterStats.footerOpens
+    val before = FilePruning.applied
+    val t = spark.read.parquet(s"$d/t.parquet")
+    val got = FilePruning.maybeRewrite(spark, t.where(col("k") === 7)).count()
+    assert(got === 100L)
+    assert(FilePruning.applied > before, "sidecar-fed pruning did not fire")
+    assert(FilePruning.lastKept <= 2)
+    assert(FooterStats.footerOpens === opens,
+      s"cold planning opened ${FooterStats.footerOpens - opens} footers")
+    // metadata-only aggregates answer from the sidecar too
+    t.createOrReplaceTempView("fp_side")
+    val ma = graft.operators.MetadataAggregate.applied
+    val r = sql.ChDdl.execute(spark,
+      "SELECT count() AS c, min(k) AS mn, max(k) AS mx, max(d) AS dx FROM fp_side")
+      .get.collect()(0)
+    assert(graft.operators.MetadataAggregate.applied > ma)
+    assert(FooterStats.footerOpens === opens, "metadata agg opened footers")
+    assert(r.getLong(0) === 1600L && r.getLong(1) === 0L && r.getLong(2) === 15L)
+    assert(r.getDate(3).toString === "2020-01-16")
+    // integrity check: a sidecar whose recorded size disagrees with
+    // the file on disk (stale index after a rewrite) falls back to
+    // the footer — results stay exact, opens become nonzero
+    val sidecar = new java.io.File(s"$d/t.parquet/${FooterStats.SidecarName}")
+    val doctored = new String(
+      java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+      .replaceAll("\"size\"\\s*:\\s*\\d+", "\"size\" : 1")
+    java.nio.file.Files.write(sidecar.toPath, doctored.getBytes("UTF-8"))
+    FooterStats.clearAllCaches()
+    val o2 = FooterStats.footerOpens
+    val got2 = FilePruning.maybeRewrite(spark, t.where(col("k") === 7)).count()
+    assert(got2 === 100L)
+    assert(FooterStats.footerOpens > o2, "stale sidecar must not be trusted")
+  }
+
+  test("month-partitioned layout gets one sidecar per month dir and prunes cold") {
+    import graft.operators.FooterStats
+    val d = java.nio.file.Files.createTempDirectory("fprune6").toString
+    spark.range(0, 1600, 1, 4)
+      .withColumn("m", (col("id") % 4).cast("int"))
+      .withColumn("k", (col("id") / lit(100)).cast("long"))
+      .repartitionByRange(16, col("m"), col("k"))
+      .sortWithinPartitions("m", "k")
+      .write.mode("overwrite").partitionBy("m").parquet(s"$d/p.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    FooterStats.writeSidecars(conf, s"$d/p.parquet")
+    val monthDirs = new java.io.File(s"$d/p.parquet").listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("m="))
+    assert(monthDirs.nonEmpty)
+    monthDirs.foreach { md =>
+      assert(new java.io.File(md, FooterStats.SidecarName).exists(),
+        s"no sidecar in ${md.getName}")
+    }
+    FooterStats.clearAllCaches()
+    val opens = FooterStats.footerOpens
+    val before = FilePruning.applied
+    val t = spark.read.parquet(s"$d/p.parquet")
+    val truth = t.where(col("k") === 7).count()
+    val got = FilePruning.maybeRewrite(spark, t.where(col("k") === 7)).count()
+    assert(got === truth && truth > 0)
+    assert(FilePruning.applied > before)
+    assert(FooterStats.footerOpens === opens,
+      s"cold partitioned planning opened ${FooterStats.footerOpens - opens} footers")
+  }
+
   test("below the file-count threshold nothing fires") {
     val d = java.nio.file.Files.createTempDirectory("fprune2").toString
     spark.range(0, 100, 1, 2).withColumn("k", col("id") % 10)
