@@ -213,6 +213,31 @@ object Media {
       .select(col("media_id"), expr("phash64(features)").as("ph"))
   }
 
+  /** MATERIALIZED-column ingest for media features: decode ONCE at
+    * WRITE time and persist (media_id, kind, decoded, ph) as parquet —
+    * the reference's MATERIALIZED column semantics (computed on
+    * INSERT, stored, then read like any other column). Queries over
+    * the written table — near-dup pairing above all — become pure
+    * column reads: zero decode, scale-independent of payload size.
+    * Idempotent: a current table (row count matches the source) is
+    * left in place, so repeated analytics pay the decode exactly once
+    * per corpus — at 100 TB the decode belongs in the ingest pipeline,
+    * not in every query. */
+  def materializeFeatures(spark: SparkSession, media: DataFrame,
+      path: String, dim: Int = 64): Unit = {
+    graft.GraftFunctions.register(spark)
+    val expected = media.count()
+    val fresh =
+      try spark.read.parquet(path).count() == expected
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh) {
+      decodeMediaFeatures(spark, media, dim)
+        .select(col("media_id"), col("kind"), col("decoded"),
+          expr("phash64(features)").as("ph"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** Band buckets over precomputed phashes: each item fans out to 4
     * (band, 16-bit key) rows, then ONE shuffle keyed (band, key)
     * aggregates bucket membership as a collect_list — the q47/q123

@@ -193,6 +193,22 @@ class FormatsMediaSpec extends SparkSpec {
       s"brightness shift moved the phash ${java.lang.Long.bitCount(ph(1L) ^ ph(4L))} bits")
   }
 
+  test("materialized features: q127 equals the decode-inline q112 row-for-row") {
+    // the MATERIALIZED-column variant must be a pure re-expression:
+    // same ids, same phashes, same candidate counts
+    val a = queries.MultimodalQueries.q112(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = queries.MultimodalQueries.q127(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+    // second run reuses the written table (idempotent ingest) and
+    // still matches
+    val c = queries.MultimodalQueries.q127(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(c === a)
+  }
+
   test("frame sampling emits the arithmetic frame count") {
     val media = Seq((1L, "video", Array.fill[Byte](200)(7))).toDF("media_id", "kind", "content")
     val frames = Media.sampleFrames(spark, media, stride = 64, frameLen = 32)
