@@ -60,6 +60,11 @@ object Bench43 {
     // top-n rows instead of decoding whole files
     spark.sparkContext.hadoopConfiguration
       .setInt("parquet.page.row.count.limit", 8192)
+    // INT96 (Spark's default timestamp encoding) carries NO statistics:
+    // no row-group pruning, no page column index — every pushed
+    // EventTime predicate is a reader no-op. MICROS restores both
+    // (and is the non-deprecated encoding FooterStats trusts).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val df = spark.range(0, rows, 1, 128)
       .withColumn("WatchID", h(1))
       .withColumn("JavaEnable", p(2, 2).cast("int"))
@@ -233,6 +238,14 @@ object Bench43 {
       // Bench-session tuning only — the library default stays AQE-on
       // for the multi-executor 100TB path.
       .config("spark.sql.adaptive.enabled", "false")
+      // sketch aggregates (uniq/quantile*) plan as ObjectHashAggregate,
+      // whose default sort-based fallback kicks in at 128 in-memory
+      // groups — GROUP BY RegionID (1000 groups) would silently sort
+      // the whole table. Sized so per-task agg state stays comfortably
+      // in memory (1M groups x ~KB sketch). Same setting as
+      // RunScript/CorpusTriage — the library's normal entry points.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -246,6 +259,13 @@ object Bench43 {
     }
     if (genOnly) { spark.stop(); return }
     spark.read.parquet(path).createOrReplaceTempView("hits")
+    // Iteration/profiling aids (no effect on driver runs, which leave
+    // these unset): BENCH43_ONLY="9,16" runs a subset; BENCH43_REPEAT=N
+    // replaces the cold+2-warm triple with N timed runs (keeps a hot
+    // loop alive for jstack sampling).
+    val only: Set[Int] = sys.env.get("BENCH43_ONLY")
+      .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set.empty)
+    val repeat = sys.env.get("BENCH43_REPEAT").map(_.toInt).getOrElse(0)
     val qs = loadQueries()
     def once(q: String): Double = {
       val t0 = System.nanoTime()
@@ -255,9 +275,13 @@ object Bench43 {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = qs.zipWithIndex.map { case (q, i) =>
+    val results = qs.zipWithIndex
+      .filter { case (_, i) => only.isEmpty || only(i + 1) }
+      .map { case (q, i) =>
       try {
-        val runs = Seq(once(q), once(q), once(q)) // cold + 2 warm
+        val runs =
+          if (repeat > 0) (1 to repeat).map(_ => once(q))
+          else Seq(once(q), once(q), once(q)) // cold + 2 warm
         val warm = runs.tail.min
         System.err.println(f"[bench43] q${i + 1}%02d ${warm}%.3f s " +
           runs.map(t => f"$t%.3f").mkString("(", "/", ")"))

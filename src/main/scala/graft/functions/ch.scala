@@ -105,10 +105,16 @@ object ch {
   // no-match yields '' like the reference's empty substring, not NULL
   def protocol(url: Column): Column =
     coalesce(parse_url(url, lit("PROTOCOL")), lit(""))
-  def domain(url: Column): Column =
-    coalesce(parse_url(url, lit("HOST")), lit(""))
-  def domainWithoutWWW(url: Column): Column =
-    regexp_replace(domain(url), "^www\\.", "")
+  // byte-scan kernel (UrlFns.host) — getURLHost semantics, codegen'd;
+  // parse_url's java.net.URI machinery is ~10x slower per row
+  def domain(url: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(UrlHostExpr(Bridge.expression(url), withoutWww = false))
+  }
+  def domainWithoutWWW(url: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(UrlHostExpr(Bridge.expression(url), withoutWww = true))
+  }
   def path(url: Column): Column =
     coalesce(parse_url(url, lit("PATH")), lit(""))
   def queryString(url: Column): Column =

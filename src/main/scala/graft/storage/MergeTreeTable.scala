@@ -63,8 +63,22 @@ object MergeTreeTable {
       case None =>
         df.sortWithinPartitions(spec.sortKey.map(col): _*)
     }
-    val w = sorted.write.mode(mode)
-    spec.partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
+    // INT96 (the session default timestamp encoding) writes NO
+    // statistics — timestamp predicates would never prune row groups
+    // or pages on MergeTree parts. Force the annotated MICROS
+    // encoding, which FooterStats also verifies as exact; restore the
+    // caller's setting afterwards.
+    val conf = df.sparkSession.conf
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val savedTs = conf.getOption(tsKey)
+    conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val w = sorted.write.mode(mode)
+      spec.partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
+    } finally savedTs match {
+      case Some(v) => conf.set(tsKey, v)
+      case None => conf.unset(tsKey)
+    }
     // persist the sparse index (the primary.idx analog): per-file
     // min/max sidecars so a FRESH session plans with zero footer opens
     try graft.operators.FooterStats.writeSidecars(

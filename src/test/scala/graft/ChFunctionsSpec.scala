@@ -83,6 +83,26 @@ class ChFunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 5, 10))
   }
 
+  test("domain/domainWithoutWWW byte-scan matches getURLHost semantics") {
+    // vectors from the reference's 00398_url_functions.sql plus edges
+    // the byte scan must honor (userinfo, port, no-authority, bare host)
+    val cases = Seq(
+      ("http://paul@www.example.com:80/", "www.example.com", "example.com"),
+      ("http:/paul/example/com", "", ""),
+      ("http://www.example.com?q=4", "www.example.com", "example.com"),
+      ("http://127.0.0.1:443/", "127.0.0.1", "127.0.0.1"),
+      ("svn+ssh://example.ru?q=hello%20world", "example.ru", "example.ru"),
+      ("//no-scheme.example.com/", "", ""),
+      ("www.example.com", "", ""),
+      ("http://www.r42.example.org/ref/7", "www.r42.example.org", "r42.example.org"),
+      ("http://www./", "www.", "www."), // <=4 bytes after www check: size>4 required
+      ("", "", ""))
+    val df = cases.map(_._1).toDF("u")
+      .select(ch.domain(col("u")).as("d"), ch.domainWithoutWWW(col("u")).as("w"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      cases.map(c => (c._2, c._3)))
+  }
+
   test("dialect registry shadowing is contained to dialect execution") {
     import graft.sql.ChSql
     // inside a dialect query, colliding names resolve CH semantics

@@ -6,9 +6,9 @@ import graft.operators.LateMaterialization
 /** Pins for the two-pass late-materialization rewrite of wide
   * `ORDER BY … LIMIT n` (bench43 q24 shape): results identical to the
   * naive plan, the narrow first pass reads ≤ 3 data columns, the wide
-  * second pass pushes the row_index set into the parquet reader, and
-  * the guards (narrow projection, small relation, big limit) keep the
-  * rewrite off everywhere it wouldn't pay. */
+  * second pass pushes the sort-key threshold into the parquet reader,
+  * and the guards (narrow projection, small relation, big limit) keep
+  * the rewrite off everywhere it wouldn't pay. */
 class LateMaterializationSpec extends SparkSpec {
 
   private lazy val dir = {
@@ -45,7 +45,7 @@ class LateMaterializationSpec extends SparkSpec {
     }
   }
 
-  test("pass 1 reads ≤ 3 data columns; pass 2 pushes the row_index set") {
+  test("pass 1 reads ≤ 3 data columns; pass 2 pushes the key threshold") {
     dir
     withLowThreshold {
       sql.ChDdl.execute(spark,
@@ -58,8 +58,11 @@ class LateMaterializationSpec extends SparkSpec {
       val dataCols = read.split(",").count(!_.startsWith("_"))
       assert(dataCols <= 3, s"pass1 reads $dataCols data columns: $read\n$p1")
       assert(p1.contains("TakeOrderedAndProject"), p1)
+      // pass 2 carries the threshold as a REAL pushed filter on the
+      // leading sort key — this is what prunes row groups/pages
       val p2 = LateMaterialization.lastPass2Plan
-      assert(p2.contains("In(_tmp_metadata_row_index"), p2)
+      assert(p2.contains("LessThanOrEqual(k"), p2)
+      assert(p2.contains("PushedFilters: [") && p2.contains("LessThanOrEqual(k"), p2)
     }
   }
 
@@ -89,6 +92,42 @@ class LateMaterializationSpec extends SparkSpec {
     sql.ChDdl.execute(spark,
       "SELECT * FROM lm_t ORDER BY k LIMIT 5").get.collect()
     assert(LateMaterialization.applied === before)
+  }
+
+  test("DESC order uses a min threshold and still matches") {
+    dir
+    withLowThreshold {
+      val before = LateMaterialization.applied
+      val q = "SELECT * FROM lm_t ORDER BY k DESC, id DESC LIMIT 6"
+      val got = sql.ChDdl.execute(spark, q).get.collect()
+      assert(LateMaterialization.applied === before + 1)
+      val want = spark.sql(q).collect()
+      assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+      assert(LateMaterialization.lastPass2Plan.contains("GreaterThanOrEqual(k"),
+        LateMaterialization.lastPass2Plan)
+    }
+  }
+
+  test("null keys in the top-n fall back to the single-pass plan") {
+    dir
+    withLowThreshold {
+      // kn is null on ~1/7 of rows; ASC NULLS FIRST puts them in the
+      // top-n, which the threshold conjunct cannot represent
+      val wide = spark.table("lm_t")
+        .withColumn("kn", when(pmod(col("id"), lit(7)) === 0, lit(null))
+          .otherwise(col("k")))
+      wide.write.mode("overwrite").parquet(s"$dir/tn.parquet")
+      spark.read.parquet(s"$dir/tn.parquet").createOrReplaceTempView("lm_tn")
+      // the dialect sorts NULLS LAST, so a null key reaches the top-n
+      // only when fewer than n rows match — exactly the case where the
+      // threshold cannot represent the answer
+      val before = LateMaterialization.applied
+      val q = "SELECT * FROM lm_tn WHERE id < 3 ORDER BY kn, id LIMIT 5"
+      val got = sql.ChDdl.execute(spark, q).get.collect()
+      assert(LateMaterialization.applied === before, "must fall back on null keys")
+      assert(got.length === 3)
+      assert(got.count(_.isNullAt(got(0).fieldIndex("kn"))) === 1)
+    }
   }
 
   test("no-filter wide ORDER BY LIMIT also rewrites") {
