@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GROUP BY x, x-1, x-2 → GROUP BY x (derived keys recompute above
     // the aggregate instead of riding every hash entry + shuffle row)
     ext.injectOptimizerRule(_ => graft.plans.DropDerivedGroupKeys)
+    // uniq-sketch GROUP BYs: typed-hash-table physical aggregation
+    // (the Aggregator.cpp specialization) instead of the generic
+    // ObjectHashAggregate per-row path — bit-identical results
+    ext.injectPlannerStrategy(_ => graft.operators.SketchAggStrategy)
   }
 }
 

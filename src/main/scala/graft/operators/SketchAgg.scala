@@ -1,0 +1,635 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.planning.PhysicalAggregation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{UniqSketch, UniqSketchCodec, UniqSketchState}
+
+/** Specialized two-stage physical aggregation for `uniq`-sketch
+  * GROUP BYs — the reference's Aggregator key-type specialization
+  * (dbms/src/Interpreters/Aggregator.cpp:112-221 picks a typed hash
+  * table per key layout; AggregateFunctionUniq.h does raw per-row
+  * sketch inserts) restated as a Catalyst Strategy + SparkPlan pair.
+  *
+  * Spark plans TypedImperativeAggregate GROUP BYs as
+  * ObjectHashAggregateExec, whose per-row path costs ~700 ns at 32
+  * threads on the bench43 q9 shape (profiled): an UnsafeRow grouping
+  * projection, a LinkedHashMap probe via UnsafeRow.hashCode/equals,
+  * and two megamorphic lambda dispatches — the sketch insert itself
+  * is 11% of samples. This operator replaces that path for the
+  * narrow shape it owns:
+  *
+  *   Aggregate(0-2 plain keys of integral/string type,
+  *             aggs ⊆ {uniq(col), count(), count(col), sum(int-ish),
+  *                     avg(int-ish)} with ≥ 1 uniq)
+  *
+  * with a typed open-addressing map (long/UTF8String keys, no
+  * UnsafeRow materialization) over column-striped aggregate state.
+  * Partial stage emits one row per group with the sketch in its wire
+  * codec (the same UniquesHashSet layout the shuffle always carried);
+  * final stage merges per shuffle partition. Results are
+  * BIT-IDENTICAL to the ObjectHashAggregate plan: same sketch, same
+  * order-independent merge, same null semantics (uniq/sum/avg/count(c)
+  * skip NULLs; sum/avg of no rows is NULL), same Spark Average
+  * double-sum accumulation.
+  *
+  * Scale shape: identical to Spark's own partial→shuffle→final hash
+  * aggregation (map-side combine, one keyed exchange, per-group state
+  * ≤ 256 KB by sketch construction). The partial map is bounded: at
+  * [[SketchAgg.PartialFlushGroups]] in-memory groups it emits and
+  * resets (Spark's partial-agg spill analog), so driver-less skew or
+  * high-NDV keys cannot OOM a task. */
+object SketchAgg {
+  /** Partial stage emits-and-resets at this many in-memory groups.
+    * Mutable for tests only (flush-window pin). */
+  @volatile private[graft] var PartialFlushGroups: Int = 1 << 20
+  /** Initial per-partition table size (slots). */
+  val InitialSlots: Int = 1 << 12
+  /** Kill switch, also used by specs to obtain the generic-plan
+    * baseline for bit-identical comparison. */
+  @volatile private[graft] var enabled: Boolean = true
+
+  /** Non-Expression holder: keeps the final stage's aggregate
+    * functions out of TreeNode's expression traversal — their INPUT
+    * references (already consumed by the partial stage) would
+    * otherwise count as missing input on the final node. */
+  final case class AggList(aggs: Seq[AggregateExpression])
+
+  private[operators] def supportedKeyType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        StringType => true
+    case _ => false
+  }
+
+  private def intish(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType => true
+    case _ => false
+  }
+
+  /** Is this PhysicalAggregation shape ours? */
+  private[operators] def eligible(
+      grouping: Seq[NamedExpression],
+      aggs: Seq[AggregateExpression]): Boolean = {
+    val keysOk = grouping.length <= 2 && grouping.forall {
+      case a: AttributeReference => supportedKeyType(a.dataType)
+      case _ => false
+    }
+    def fnOk(e: AggregateExpression): Boolean =
+      !e.isDistinct && e.filter.isEmpty && (e.aggregateFunction match {
+        case u: UniqSketch => !u.asState && !u.trivial
+        case Count(Seq(_: Literal)) => true
+        case Count(Seq(a: AttributeReference)) => true
+        case Sum(a: AttributeReference, _) => intish(a.dataType)
+        case Average(a: AttributeReference, _) => intish(a.dataType)
+        case _ => false
+      })
+    keysOk && aggs.nonEmpty && aggs.forall(fnOk) &&
+      aggs.exists(_.aggregateFunction.isInstanceOf[UniqSketch])
+  }
+}
+
+/** Plans the eligible Aggregate shape as Partial→(exchange)→Final. */
+object SketchAggStrategy extends SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case PhysicalAggregation(grouping, aggExprs, results, child)
+        if SketchAgg.enabled && SketchAgg.eligible(grouping, aggExprs) =>
+      val keys = grouping.map(_.asInstanceOf[AttributeReference])
+      val partial = PartialSketchAggExec(keys, aggExprs, planLater(child))
+      FinalSketchAggExec(keys, SketchAgg.AggList(aggExprs), results,
+        partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Column-striped per-group state for one aggregate function.
+  * `update` consumes input rows (partial), `mergeRow` consumes partial
+  * rows (final); both address state by dense group index. */
+private[operators] sealed trait AggState {
+  def ensure(n: Int): Unit
+  def update(idx: Int, row: InternalRow): Unit
+  def mergeRow(idx: Int, row: InternalRow): Unit
+  /** Value for the partial-output row. */
+  def partialValue(idx: Int): Any
+  /** Value for the final result row. */
+  def resultValue(idx: Int): Any
+  def reset(n: Int): Unit
+}
+
+private[operators] object AggState {
+  final class UniqState(agg: UniqSketch, bufOrd: Int) extends AggState {
+    private var s = new Array[UniqSketchState](64)
+    def ensure(n: Int): Unit =
+      if (n > s.length) s = java.util.Arrays.copyOf(s, math.max(n, s.length * 2))
+    def update(idx: Int, row: InternalRow): Unit = {
+      var st = s(idx)
+      if (st == null) { st = new UniqSketchState; s(idx) = st }
+      agg.update(st, row)
+    }
+    def mergeRow(idx: Int, row: InternalRow): Unit = {
+      val other = UniqSketchCodec.read(row.getBinary(bufOrd))
+      var st = s(idx)
+      if (st == null) { s(idx) = other }
+      else st.merge(other)
+    }
+    private def st(idx: Int): UniqSketchState = {
+      if (s(idx) == null) s(idx) = new UniqSketchState
+      s(idx)
+    }
+    def partialValue(idx: Int): Any = UniqSketchCodec.write(st(idx))
+    def resultValue(idx: Int): Any = st(idx).estimate()
+    def reset(n: Int): Unit = { s = new Array[UniqSketchState](64) }
+  }
+
+  final class CountState(childOrd: Int, bufOrd: Int) extends AggState {
+    // childOrd == -1: count(*) — no null check
+    private var c = new Array[Long](64)
+    def ensure(n: Int): Unit =
+      if (n > c.length) c = java.util.Arrays.copyOf(c, math.max(n, c.length * 2))
+    def update(idx: Int, row: InternalRow): Unit =
+      if (childOrd < 0 || !row.isNullAt(childOrd)) c(idx) += 1
+    def mergeRow(idx: Int, row: InternalRow): Unit =
+      c(idx) += row.getLong(bufOrd)
+    def partialValue(idx: Int): Any = c(idx)
+    def resultValue(idx: Int): Any = c(idx)
+    def reset(n: Int): Unit = { c = new Array[Long](64) }
+  }
+
+  final class SumState(childOrd: Int, get: InternalRow => Long, bufOrd: Int)
+      extends AggState {
+    private var s = new Array[Long](64)
+    private var seen = new Array[Boolean](64)
+    def ensure(n: Int): Unit = if (n > s.length) {
+      val m = math.max(n, s.length * 2)
+      s = java.util.Arrays.copyOf(s, m)
+      seen = java.util.Arrays.copyOf(seen, m)
+    }
+    def update(idx: Int, row: InternalRow): Unit =
+      if (!row.isNullAt(childOrd)) { s(idx) += get(row); seen(idx) = true }
+    def mergeRow(idx: Int, row: InternalRow): Unit =
+      if (!row.isNullAt(bufOrd)) { s(idx) += row.getLong(bufOrd); seen(idx) = true }
+    def partialValue(idx: Int): Any = if (seen(idx)) s(idx) else null
+    def resultValue(idx: Int): Any = partialValue(idx)
+    def reset(n: Int): Unit = { s = new Array[Long](64); seen = new Array[Boolean](64) }
+  }
+
+  /** Spark Average semantics exactly: DOUBLE running sum + long count
+    * (bit-identical to the Average buffer), NULL on empty. */
+  final class AvgState(childOrd: Int, get: InternalRow => Double, bufOrd: Int)
+      extends AggState {
+    private var s = new Array[Double](64)
+    private var c = new Array[Long](64)
+    def ensure(n: Int): Unit = if (n > s.length) {
+      val m = math.max(n, s.length * 2)
+      s = java.util.Arrays.copyOf(s, m)
+      c = java.util.Arrays.copyOf(c, m)
+    }
+    def update(idx: Int, row: InternalRow): Unit =
+      if (!row.isNullAt(childOrd)) { s(idx) += get(row); c(idx) += 1 }
+    def mergeRow(idx: Int, row: InternalRow): Unit = {
+      s(idx) += row.getDouble(bufOrd)
+      c(idx) += row.getLong(bufOrd + 1)
+    }
+    def partialSum(idx: Int): Double = s(idx)
+    def partialCnt(idx: Int): Long = c(idx)
+    def partialValue(idx: Int): Any = s(idx) // unused (two columns)
+    def resultValue(idx: Int): Any =
+      if (c(idx) == 0L) null else s(idx) / c(idx)
+    def reset(n: Int): Unit = { s = new Array[Double](64); c = new Array[Long](64) }
+  }
+}
+
+/** Typed open-addressing map: composite (≤2) long/UTF8String keys →
+  * dense group index. No UnsafeRow; key parts stored column-striped. */
+private[operators] final class GroupKeyMap(
+    keyIsString: Array[Boolean], nullable: Array[Boolean]) {
+  private val nk = keyIsString.length
+  private var cap = SketchAgg.InitialSlots
+  private var table = { val t = new Array[Int](cap); java.util.Arrays.fill(t, -1); t }
+  private var hashArr = new Array[Long](cap)
+  private var shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
+
+  private var kL: Array[Array[Long]] =
+    Array.tabulate(nk)(i => if (keyIsString(i)) null else new Array[Long](64))
+  private var kS: Array[Array[UTF8String]] =
+    Array.tabulate(nk)(i => if (keyIsString(i)) new Array[UTF8String](64) else null)
+  private var kN: Array[Array[Boolean]] = Array.fill(nk)(new Array[Boolean](64))
+  var n = 0
+
+  // scratch for the current row's key
+  val rowL = new Array[Long](math.max(nk, 1))
+  val rowS = new Array[UTF8String](math.max(nk, 1))
+  val rowN = new Array[Boolean](math.max(nk, 1))
+
+  @inline private def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  def rowHash(): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < nk) {
+      val hi =
+        if (rowN(i)) 0x7f4A7C15L
+        else if (keyIsString(i)) rowS(i).hashCode().toLong
+        else rowL(i)
+      h = mix(h ^ hi)
+      i += 1
+    }
+    h
+  }
+
+  @inline private def equalsAt(g: Int): Boolean = {
+    var i = 0
+    while (i < nk) {
+      if (kN(i)(g) != rowN(i)) return false
+      if (!rowN(i)) {
+        if (keyIsString(i)) { if (!kS(i)(g).equals(rowS(i))) return false }
+        else if (kL(i)(g) != rowL(i)) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def growKeys(m: Int): Unit = {
+    var i = 0
+    while (i < nk) {
+      if (keyIsString(i)) kS(i) = java.util.Arrays.copyOf(kS(i), m)
+      else kL(i) = java.util.Arrays.copyOf(kL(i), m)
+      kN(i) = java.util.Arrays.copyOf(kN(i), m)
+      i += 1
+    }
+  }
+
+  private def rehash(): Unit = {
+    cap <<= 1
+    table = new Array[Int](cap); java.util.Arrays.fill(table, -1)
+    val nh = new Array[Long](cap)
+    shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
+    var g = 0
+    while (g < n) {
+      // recompute the hash from stored parts
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < nk) {
+        val hi =
+          if (kN(i)(g)) 0x7f4A7C15L
+          else if (keyIsString(i)) kS(i)(g).hashCode().toLong
+          else kL(i)(g)
+        h = mix(h ^ hi)
+        i += 1
+      }
+      var s = (h >>> shift).toInt
+      while (table(s) >= 0) s = (s + 1) & (cap - 1)
+      table(s) = g; nh(s) = h
+      g += 1
+    }
+    hashArr = nh
+  }
+
+  /** Find the group for the scratch key, inserting if absent.
+    * Returns the dense group index. */
+  def findOrInsert(h: Long): Int = {
+    var s = (h >>> shift).toInt
+    var g = table(s)
+    while (g >= 0) {
+      if (hashArr(s) == h && equalsAt(g)) return g
+      s = (s + 1) & (cap - 1)
+      g = table(s)
+    }
+    // insert
+    g = n
+    if (nk > 0 && g >= kN(0).length) growKeys(math.max(g + 1, kN(0).length * 2))
+    var i = 0
+    while (i < nk) {
+      kN(i)(g) = rowN(i)
+      if (!rowN(i)) {
+        if (keyIsString(i)) kS(i)(g) = rowS(i).clone()
+        else kL(i)(g) = rowL(i)
+      }
+      i += 1
+    }
+    table(s) = g; hashArr(s) = h
+    n += 1
+    if (n * 2 > cap) rehash()
+    g
+  }
+
+  def keyLong(i: Int, g: Int): Long = kL(i)(g)
+  def keyStr(i: Int, g: Int): UTF8String = kS(i)(g)
+  def keyNull(i: Int, g: Int): Boolean = kN(i)(g)
+
+  def reset(): Unit = {
+    cap = SketchAgg.InitialSlots
+    table = new Array[Int](cap); java.util.Arrays.fill(table, -1)
+    hashArr = new Array[Long](cap)
+    shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
+    kL = Array.tabulate(nk)(i => if (keyIsString(i)) null else new Array[Long](64))
+    kS = Array.tabulate(nk)(i => if (keyIsString(i)) new Array[UTF8String](64) else null)
+    kN = Array.fill(nk)(new Array[Boolean](64))
+    n = 0
+  }
+}
+
+/** Shared machinery for the two stages. */
+private[operators] trait SketchAggExecBase extends UnaryExecNode {
+  def keys: Seq[AttributeReference]
+  def aggs: Seq[AggregateExpression]
+
+  protected def keyIsString: Array[Boolean] =
+    keys.map(_.dataType == StringType).toArray
+  protected def keyNullable: Array[Boolean] = keys.map(_.nullable).toArray
+
+  /** Partial buffer schema fields (after the group keys). */
+  protected def bufferFields: Seq[StructField] = aggs.zipWithIndex.flatMap {
+    case (e, i) => e.aggregateFunction match {
+      case _: UniqSketch => Seq(StructField(s"uniq$i", BinaryType, nullable = false))
+      case _: Count => Seq(StructField(s"cnt$i", LongType, nullable = false))
+      case _: Sum => Seq(StructField(s"sum$i", LongType, nullable = true))
+      case _: Average => Seq(
+        StructField(s"avgs$i", DoubleType, nullable = false),
+        StructField(s"avgc$i", LongType, nullable = false))
+      case other => throw new IllegalStateException(other.toString)
+    }
+  }
+
+  /** Reader for a key part from an input row ordinal. */
+  protected def keyReader(dt: DataType, ord: Int): (InternalRow, GroupKeyMap, Int) => Unit =
+    dt match {
+      case StringType => (row, m, i) =>
+        if (row.isNullAt(ord)) m.rowN(i) = true
+        else { m.rowN(i) = false; m.rowS(i) = row.getUTF8String(ord) }
+      case LongType => (row, m, i) =>
+        if (row.isNullAt(ord)) m.rowN(i) = true
+        else { m.rowN(i) = false; m.rowL(i) = row.getLong(ord) }
+      case IntegerType | DateType => (row, m, i) =>
+        if (row.isNullAt(ord)) m.rowN(i) = true
+        else { m.rowN(i) = false; m.rowL(i) = row.getInt(ord).toLong }
+      case ShortType => (row, m, i) =>
+        if (row.isNullAt(ord)) m.rowN(i) = true
+        else { m.rowN(i) = false; m.rowL(i) = row.getShort(ord).toLong }
+      case ByteType => (row, m, i) =>
+        if (row.isNullAt(ord)) m.rowN(i) = true
+        else { m.rowN(i) = false; m.rowL(i) = row.getByte(ord).toLong }
+      case other => throw new IllegalStateException(other.toString)
+    }
+
+  /** Write the group key parts of group g into `out(0..nk)`. */
+  protected def writeKey(m: GroupKeyMap, g: Int,
+      out: GenericInternalRow, isStr: Array[Boolean]): Unit = {
+    var i = 0
+    while (i < isStr.length) {
+      if (m.keyNull(i, g)) out.update(i, null)
+      else if (isStr(i)) out.update(i, m.keyStr(i, g))
+      else keys(i).dataType match {
+        case LongType => out.setLong(i, m.keyLong(i, g))
+        case IntegerType | DateType => out.setInt(i, m.keyLong(i, g).toInt)
+        case ShortType => out.setShort(i, m.keyLong(i, g).toShort)
+        case ByteType => out.setByte(i, m.keyLong(i, g).toByte)
+        case _ => throw new IllegalStateException(keys(i).dataType.toString)
+      }
+      i += 1
+    }
+  }
+}
+
+/** Partial stage: input rows → one row per (flush-window, group) with
+  * column-striped buffers. */
+case class PartialSketchAggExec(
+    keys: Seq[AttributeReference],
+    aggs: Seq[AggregateExpression],
+    child: SparkPlan) extends SketchAggExecBase {
+
+  override def output: Seq[Attribute] =
+    keys ++ bufferFields.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = keys.map(_.dataType).toArray
+    val keyOrds = keys.map(k => child.output.indexWhere(_.exprId == k.exprId)).toArray
+    require(keyOrds.forall(_ >= 0), "group key not found in child output")
+    val isStr = keyIsString
+    val nullable = keyNullable
+    val childOut = child.output
+    val aggsLocal = aggs
+    val nk = keys.length
+    val outWidth = output.length
+    val outSchema = StructType(output.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+    val flushAt = SketchAgg.PartialFlushGroups
+
+    child.execute().mapPartitions { rows =>
+      val readers = keyTypes.zip(keyOrds).map { case (t, o) => keyReader(t, o) }
+      // bind agg children to the child output and build states
+      var bufOrd = nk
+      val states: Array[AggState] = aggsLocal.map { e =>
+        e.aggregateFunction match {
+          case u: UniqSketch =>
+            val bound = BindReferences.bindReference(u.child, childOut)
+            val st = new AggState.UniqState(u.copy(child = bound), bufOrd)
+            bufOrd += 1; st
+          case Count(Seq(_: Literal)) =>
+            val st = new AggState.CountState(-1, bufOrd); bufOrd += 1; st
+          case Count(Seq(a: AttributeReference)) =>
+            val o = childOut.indexWhere(_.exprId == a.exprId)
+            val st = new AggState.CountState(o, bufOrd); bufOrd += 1; st
+          case Sum(a: AttributeReference, _) =>
+            val o = childOut.indexWhere(_.exprId == a.exprId)
+            val get: InternalRow => Long = a.dataType match {
+              case IntegerType => r => r.getInt(o).toLong
+              case ShortType => r => r.getShort(o).toLong
+              case ByteType => r => r.getByte(o).toLong
+              case t => throw new IllegalStateException(t.toString)
+            }
+            val st = new AggState.SumState(o, get, bufOrd); bufOrd += 1; st
+          case Average(a: AttributeReference, _) =>
+            val o = childOut.indexWhere(_.exprId == a.exprId)
+            val get: InternalRow => Double = a.dataType match {
+              case IntegerType => r => r.getInt(o).toDouble
+              case ShortType => r => r.getShort(o).toDouble
+              case ByteType => r => r.getByte(o).toDouble
+              case t => throw new IllegalStateException(t.toString)
+            }
+            val st = new AggState.AvgState(o, get, bufOrd); bufOrd += 1; st
+          case other => throw new IllegalStateException(other.toString)
+        }
+      }.toArray
+      val gmap = new GroupKeyMap(isStr, nullable)
+      val toUnsafe = UnsafeProjection.create(outSchema)
+
+      def emit(): Iterator[InternalRow] = {
+        // 0 keys: always exactly one row per flush window (a global
+        // agg over an empty partition still contributes a zero state)
+        val nGroups = if (nk == 0) math.max(gmap.n, 1) else gmap.n
+        val out = new GenericInternalRow(outWidth)
+        val res = new Array[InternalRow](nGroups)
+        var g = 0
+        while (g < nGroups) {
+          writeKey(gmap, g, out, isStr)
+          var ord = nk
+          var ai = 0
+          while (ai < states.length) {
+            states(ai) match {
+              case avg: AggState.AvgState =>
+                avg.ensure(g + 1)
+                out.update(ord, avg.partialSum(g)); ord += 1
+                out.setLong(ord, avg.partialCnt(g)); ord += 1
+              case st =>
+                st.ensure(g + 1)
+                out.update(ord, st.partialValue(g)); ord += 1
+            }
+            ai += 1
+          }
+          res(g) = toUnsafe(out).copy()
+          g += 1
+        }
+        res.iterator
+      }
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+        private def consume(): Unit = {
+          // aggregate until flush threshold or input end
+          while (rows.hasNext && gmap.n < flushAt) {
+            val row = rows.next()
+            var i = 0
+            while (i < nk) { readers(i)(row, gmap, i); i += 1 }
+            val g = if (nk == 0) ensureZero()
+              else gmap.findOrInsert(gmap.rowHash())
+            var ai = 0
+            while (ai < states.length) {
+              val st = states(ai); st.ensure(g + 1); st.update(g, row); ai += 1
+            }
+          }
+          pending = emit()
+          if (rows.hasNext) { // flush window: reset and continue later
+            gmap.reset()
+            var ai = 0
+            while (ai < states.length) { states(ai).reset(0); ai += 1 }
+          } else done = true
+        }
+        private def ensureZero(): Int = {
+          if (gmap.n == 0) { gmap.findOrInsert(gmap.rowHash()) } else 0
+        }
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && !done) consume()
+          pending.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialSketchAggExec =
+    copy(child = newChild)
+}
+
+/** Final stage: merges partial rows per shuffle partition and emits
+  * the result projection. */
+case class FinalSketchAggExec(
+    keys: Seq[AttributeReference],
+    aggList: SketchAgg.AggList,
+    resultExprs: Seq[NamedExpression],
+    child: SparkPlan) extends SketchAggExecBase {
+
+  def aggs: Seq[AggregateExpression] = aggList.aggs
+
+  override def output: Seq[Attribute] = resultExprs.map(_.toAttribute)
+
+  // result expressions reference the aggregate functions' result
+  // attributes, which this node itself produces from merged state
+  override def producedAttributes: AttributeSet =
+    AttributeSet(aggs.map(_.resultAttribute)) ++
+      AttributeSet(output) -- AttributeSet(keys)
+
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = keys.map(_.dataType).toArray
+    val isStr = keyIsString
+    val nullable = keyNullable
+    val nk = keys.length
+    val aggsLocal = aggs
+    val resultLocal = resultExprs
+    val keysLocal = keys
+
+    child.execute().mapPartitions { rows =>
+      // key parts sit at ordinals 0..nk-1 of the partial row
+      val readers = keyTypes.zipWithIndex.map { case (t, i) => keyReader(t, i) }
+      var bufOrd = nk
+      val states: Array[AggState] = aggsLocal.map { e =>
+        e.aggregateFunction match {
+          case u: UniqSketch =>
+            val st = new AggState.UniqState(u, bufOrd); bufOrd += 1; st
+          case _: Count =>
+            val st = new AggState.CountState(-1, bufOrd); bufOrd += 1; st
+          case _: Sum =>
+            val st = new AggState.SumState(-1, null, bufOrd); bufOrd += 1; st
+          case _: Average =>
+            val st = new AggState.AvgState(-1, null, bufOrd); bufOrd += 2; st
+          case other => throw new IllegalStateException(other.toString)
+        }
+      }.toArray
+      val gmap = new GroupKeyMap(isStr, nullable)
+      var sawAny = false
+      while (rows.hasNext) {
+        val row = rows.next()
+        sawAny = true
+        var i = 0
+        while (i < nk) { readers(i)(row, gmap, i); i += 1 }
+        val g = if (nk == 0) { if (gmap.n == 0) gmap.findOrInsert(gmap.rowHash()) else 0 }
+          else gmap.findOrInsert(gmap.rowHash())
+        var ai = 0
+        while (ai < states.length) {
+          val st = states(ai); st.ensure(g + 1); st.mergeRow(g, row); ai += 1
+        }
+      }
+      // global agg over an empty exchange partition: emit the default
+      // state row (count 0, uniq 0, sum/avg NULL) exactly once — only
+      // the single AllTuples partition exists, so this is the one row
+      val nGroups =
+        if (nk == 0 && !sawAny) { gmap.findOrInsert(gmap.rowHash()); 1 }
+        else gmap.n
+      // result projection over (keys ++ agg result attrs)
+      val aggResultAttrs = aggsLocal.map(_.resultAttribute)
+      val proj = UnsafeProjection.create(resultLocal, keysLocal ++ aggResultAttrs)
+      val mid = new GenericInternalRow(nk + states.length)
+      new Iterator[InternalRow] {
+        private var g = 0
+        override def hasNext: Boolean = g < nGroups
+        override def next(): InternalRow = {
+          writeKey(gmap, g, mid, isStr)
+          var ai = 0
+          while (ai < states.length) {
+            states(ai).ensure(g + 1)
+            mid.update(nk + ai, states(ai).resultValue(g))
+            ai += 1
+          }
+          g += 1
+          proj(mid)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): FinalSketchAggExec =
+    copy(child = newChild)
+}

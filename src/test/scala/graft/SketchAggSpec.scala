@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.UniqSketch
+import graft.operators.SketchAgg
+
+/** Pins for the specialized uniq-sketch physical aggregation
+  * (operators/SketchAgg.scala): plan shape (the strategy owns the
+  * eligible Aggregate), BIT-IDENTICAL results vs the generic
+  * ObjectHashAggregate plan across key layouts / nulls / empty input,
+  * and the partial flush window. The generic baseline is obtained by
+  * rebuilding the same query with the strategy's eligibility broken
+  * (a FILTER clause keeps semantics but disqualifies the shape). */
+class SketchAggSpec extends SparkSpec {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  private def uniqCol(c: String): org.apache.spark.sql.Column =
+    Bridge.column(UniqSketch(Bridge.expression(col(c))).toAggregateExpression())
+
+  /** Collect on the generic ObjectHashAggregate path (strategy off). */
+  private def genericRows(df: => DataFrame): Seq[String] = {
+    SketchAgg.enabled = false
+    try df.collect().map(_.toString).sorted.toSeq
+    finally SketchAgg.enabled = true
+  }
+
+  private lazy val base: DataFrame = {
+    val df = spark.range(0, 40000, 1, 7)
+      .withColumn("k1", pmod(expr("xxhash64(id, 1)"), lit(97)))
+      .withColumn("k1i", pmod(expr("xxhash64(id, 8)"), lit(50)).cast("int"))
+      .withColumn("ks", when(pmod(expr("xxhash64(id, 2)"), lit(11)) === 0, lit(null))
+        .otherwise(concat(lit("key_"), pmod(expr("xxhash64(id, 3)"), lit(40)))))
+      .withColumn("u", expr("xxhash64(pmod(xxhash64(id, 4), 9000))"))
+      .withColumn("v", when(pmod(expr("xxhash64(id, 5)"), lit(13)) === 0, lit(null))
+        .otherwise(pmod(expr("xxhash64(id, 6)"), lit(1000)).cast("int")))
+      // all-null through a non-foldable condition, so the optimizer
+      // cannot constant-fold aggregates over it away
+      .withColumn("vn", when(pmod(expr("xxhash64(id, 7)"), lit(2)) >= 2,
+        lit(1)).cast("int"))
+    df.cache(); df.count(); df
+  }
+
+  private def usedSketchAgg(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("SketchAgg")
+
+  private def compare(mk: => DataFrame): Unit = {
+    val fast = mk
+    assert(usedSketchAgg(fast), fast.queryExecution.executedPlan.toString)
+    val f = fast.collect().map(_.toString).sorted.toSeq
+    val s = genericRows(mk)
+    assert(f === s)
+    assert(f.nonEmpty)
+  }
+
+  test("single long key: uniq + count + sum + avg bit-identical to generic plan") {
+    compare(base.groupBy("k1").agg(
+      uniqCol("u").as("nu"), count(lit(1)).as("c"), sum("v").as("s"), avg("v").as("a")))
+  }
+
+  test("string key with NULLs groups like the generic plan") {
+    compare(base.groupBy("ks").agg(uniqCol("u").as("nu"), count(col("v")).as("cv")))
+  }
+
+  test("two keys (int + string)") {
+    compare(base.groupBy("k1i", "ks").agg(uniqCol("u").as("nu"), count(lit(1)).as("c")))
+  }
+
+  test("global (no keys) uniq") {
+    compare(base.agg(uniqCol("u").as("nu"), count(lit(1)).as("c")))
+  }
+
+  test("global agg over empty input emits one default row") {
+    val empty = base.where(lit(false))
+    val df = empty.agg(uniqCol("u").as("nu"), count(lit(1)).as("c"),
+      sum("v").as("s"))
+    assert(usedSketchAgg(df))
+    val r = df.collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 0L)
+    assert(r(0).getLong(1) === 0L)
+    assert(r(0).isNullAt(2))
+  }
+
+  test("grouped agg over empty input emits no rows") {
+    // non-foldable always-false filter keeps the Aggregate in the plan
+    val df = base.where(col("ks") === "no_such_key")
+      .groupBy("k1").agg(uniqCol("u").as("nu"))
+    assert(usedSketchAgg(df))
+    assert(df.collect().isEmpty)
+  }
+
+  test("partial flush window merges correctly across windows") {
+    val saved = SketchAgg.PartialFlushGroups
+    SketchAgg.PartialFlushGroups = 8 // force many emit-and-reset windows
+    try {
+      val fast = base.groupBy("k1").agg(
+        uniqCol("u").as("nu"), count(lit(1)).as("c"), sum("v").as("s"))
+      assert(usedSketchAgg(fast))
+      val f = fast.collect().map(_.toString).sorted.toSeq
+      SketchAgg.PartialFlushGroups = saved
+      val s = genericRows(base.groupBy("k1").agg(
+        uniqCol("u").as("nu"), count(lit(1)).as("c"), sum("v").as("s")))
+      assert(f === s)
+      assert(f.length === 97)
+    } finally SketchAgg.PartialFlushGroups = saved
+  }
+
+  test("sum/avg of all-null group is NULL; count is 0-compatible") {
+    val df = base
+      .groupBy("k1").agg(uniqCol("u").as("nu"), sum("vn").as("s"), avg("vn").as("a"))
+    assert(usedSketchAgg(df))
+    val r = df.collect()
+    assert(r.forall(_.isNullAt(2)))
+    assert(r.forall(_.isNullAt(3)))
+  }
+
+  test("ineligible shapes stay on the generic path") {
+    // 3 grouping keys
+    val d1 = base.groupBy("k1", "k1i", "ks").agg(uniqCol("u").as("nu"))
+    assert(!usedSketchAgg(d1))
+    // unsupported companion aggregate (max)
+    val d2 = base.groupBy("k1").agg(uniqCol("u").as("nu"), max("v").as("m"))
+    assert(!usedSketchAgg(d2))
+    // no uniq at all
+    val d3 = base.groupBy("k1").agg(count(lit(1)).as("c"))
+    assert(!usedSketchAgg(d3))
+    // results still correct on the fallback path
+    assert(d1.collect().nonEmpty && d2.collect().nonEmpty && d3.collect().nonEmpty)
+  }
+
+  test("dialect uniq GROUP BY goes through SketchAgg (bench q9 shape)") {
+    base.createOrReplaceTempView("sa_t")
+    val df = sql.ChDdl.execute(spark,
+      "SELECT k1, uniq(u) AS nu FROM sa_t GROUP BY k1 ORDER BY nu DESC LIMIT 10").get
+    assert(usedSketchAgg(df), df.queryExecution.executedPlan.toString)
+    assert(df.collect().length === 10)
+  }
+}
