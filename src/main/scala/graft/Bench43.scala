@@ -246,12 +246,11 @@ object Bench43 {
       // RunScript/CorpusTriage — the library's normal entry points.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
-      // first-level codegen agg hash map: default 2^16 entries
-      // overflows to BytesToBytesMap probes on every high-NDV GROUP BY
-      // (q16-q18 profile: 30%+ of samples in safeLookup). 2^20 keeps
-      // the partial agg in the fast map; measured q16 4.2 -> 3.3 s at
-      // 100M with no small-query regression.
-      .config("spark.sql.codegen.aggregate.fastHashMap.capacityBit", "20")
+      // NOTE: raising spark.sql.codegen.aggregate.fastHashMap
+      // .capacityBit to 2^20 was measured both ways at 100M: long-key
+      // GROUP BYs gain ~20% (q16 4.2->3.3) but string-key GROUP BYs
+      // lose the same (q34 6.1->7.9) — geomean-neutral, so the
+      // default stays.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

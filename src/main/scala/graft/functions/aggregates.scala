@@ -589,3 +589,74 @@ case class ChArgExtremum(
       newChildren: IndexedSeq[Expression]): ChArgExtremum =
     copy(valueExpr = newChildren(0), orderingExpr = newChildren(1))
 }
+
+/** Buffer for [[ChAny]]: `set` distinguishes "no row seen" from "a
+  * NULL value was seen" (any() with ignoreNulls=false keeps it). */
+final class AnyBuf(var set: Boolean, var value: Any)
+
+/** CH `any(x)` / `anyLast(x)` — first/last value in read order, ANY
+  * input type (reference AggregateFunctionsMinMaxAny.h: any = first
+  * non-assigned, anyLast = overwrite every row; both nondeterministic
+  * across parallel streams, like Spark's first/last).
+  *
+  * Exists as a TypedImperativeAggregate for PLAN QUALITY, not
+  * semantics: Spark's declarative First/Last carry a var-length
+  * buffer, which HashAggregateExec cannot hold, so any query mixing
+  * any() with plain aggregates falls all the way to SortAggregate —
+  * bench43 q29 spent 60% of its time sorting 50M rows. A typed
+  * aggregate routes the whole aggregation through
+  * ObjectHashAggregateExec (hash-based, no sort). */
+case class ChAny(
+    child: Expression,
+    last: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[AnyBuf] {
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = if (last) "anylast" else "any"
+
+  override def createAggregationBuffer(): AnyBuf = new AnyBuf(false, null)
+
+  override def update(buf: AnyBuf, input: InternalRow): AnyBuf = {
+    if (last || !buf.set) {
+      // values read out of vectorized rows alias reused buffers —
+      // copy (copyValue clones UTF8String/binary/complex, passes
+      // primitives through)
+      buf.value = InternalRow.copyValue(child.eval(input))
+      buf.set = true
+    }
+    buf
+  }
+
+  override def merge(a: AnyBuf, b: AnyBuf): AnyBuf = {
+    if (b.set && (last || !a.set)) { a.value = b.value; a.set = true }
+    a
+  }
+
+  override def eval(buf: AnyBuf): Any = buf.value
+
+  @transient private lazy val ser =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(Array(dataType))
+  override def serialize(buf: AnyBuf): Array[Byte] =
+    if (!buf.set) Array.emptyByteArray
+    else ser(InternalRow(buf.value)).getBytes
+
+  override def deserialize(bytes: Array[Byte]): AnyBuf =
+    if (bytes.isEmpty) new AnyBuf(false, null)
+    else {
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      new AnyBuf(true, InternalRow.copyValue(row.get(0, dataType)))
+    }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ChAny =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ChAny =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ChAny =
+    copy(child = newChildren.head)
+}

@@ -74,25 +74,37 @@ object SketchAgg {
     case _ => false
   }
 
-  /** Is this PhysicalAggregation shape ours? */
+  private def cleanExpr(e: Expression): Boolean =
+    e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
+
+  /** Is this PhysicalAggregation shape ours? Requires at least one
+    * object-state aggregate (uniq sketch or any()) — shapes made
+    * only of plain count/sum/avg belong to codegen HashAggregate,
+    * which beats this operator there. */
   private[operators] def eligible(
       grouping: Seq[NamedExpression],
       aggs: Seq[AggregateExpression]): Boolean = {
-    val keysOk = grouping.length <= 2 && grouping.forall {
-      case a: AttributeReference => supportedKeyType(a.dataType)
+    val keysOk = grouping.length <= 2 && grouping.forall { k =>
+      supportedKeyType(k.dataType) && cleanExpr(k)
+    }
+    def objectState(f: AggregateFunction): Boolean = f match {
+      case u: UniqSketch => !u.asState && !u.trivial
+      case _: graft.functions.ChAny => true
       case _ => false
     }
     def fnOk(e: AggregateExpression): Boolean =
-      !e.isDistinct && e.filter.isEmpty && (e.aggregateFunction match {
-        case u: UniqSketch => !u.asState && !u.trivial
-        case Count(Seq(_: Literal)) => true
-        case Count(Seq(a: AttributeReference)) => true
-        case Sum(a: AttributeReference, _) => intish(a.dataType)
-        case Average(a: AttributeReference, _) => intish(a.dataType)
-        case _ => false
-      })
+      !e.isDistinct && e.filter.isEmpty &&
+        e.aggregateFunction.children.forall(cleanExpr) &&
+        (e.aggregateFunction match {
+          case u: UniqSketch => !u.asState && !u.trivial
+          case _: graft.functions.ChAny => true
+          case Count(Seq(_)) => true
+          case Sum(c, _) => intish(c.dataType)
+          case Average(c, _) => intish(c.dataType)
+          case _ => false
+        })
     keysOk && aggs.nonEmpty && aggs.forall(fnOk) &&
-      aggs.exists(_.aggregateFunction.isInstanceOf[UniqSketch])
+      aggs.exists(e => objectState(e.aggregateFunction))
   }
 }
 
@@ -101,9 +113,8 @@ object SketchAggStrategy extends SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PhysicalAggregation(grouping, aggExprs, results, child)
         if SketchAgg.enabled && SketchAgg.eligible(grouping, aggExprs) =>
-      val keys = grouping.map(_.asInstanceOf[AttributeReference])
-      val partial = PartialSketchAggExec(keys, aggExprs, planLater(child))
-      FinalSketchAggExec(keys, SketchAgg.AggList(aggExprs), results,
+      val partial = PartialSketchAggExec(grouping, aggExprs, planLater(child))
+      FinalSketchAggExec(grouping, SketchAgg.AggList(aggExprs), results,
         partial) :: Nil
     case _ => Nil
   }
@@ -178,6 +189,84 @@ private[operators] object AggState {
     def partialValue(idx: Int): Any = if (seen(idx)) s(idx) else null
     def resultValue(idx: Int): Any = partialValue(idx)
     def reset(n: Int): Unit = { s = new Array[Long](64); seen = new Array[Boolean](64) }
+  }
+
+  /** any()/anyLast() — wraps the bound ChAny aggregate. */
+  final class AnyState(agg: graft.functions.ChAny, bufOrd: Int) extends AggState {
+    private var s = new Array[graft.functions.AnyBuf](64)
+    def ensure(n: Int): Unit =
+      if (n > s.length) s = java.util.Arrays.copyOf(s, math.max(n, s.length * 2))
+    private def buf(idx: Int): graft.functions.AnyBuf = {
+      if (s(idx) == null) s(idx) = agg.createAggregationBuffer()
+      s(idx)
+    }
+    def update(idx: Int, row: InternalRow): Unit = agg.update(buf(idx), row)
+    def mergeRow(idx: Int, row: InternalRow): Unit =
+      agg.merge(buf(idx), agg.deserialize(row.getBinary(bufOrd)))
+    def partialValue(idx: Int): Any = agg.serialize(buf(idx))
+    def resultValue(idx: Int): Any = buf(idx).value
+    def reset(n: Int): Unit = { s = new Array[graft.functions.AnyBuf](64) }
+  }
+
+  /** count(expr) with a non-attribute child: count rows where the
+    * bound expression is non-null. */
+  final class CountExprState(bound: Expression, bufOrd: Int) extends AggState {
+    private var c = new Array[Long](64)
+    def ensure(n: Int): Unit =
+      if (n > c.length) c = java.util.Arrays.copyOf(c, math.max(n, c.length * 2))
+    def update(idx: Int, row: InternalRow): Unit =
+      if (bound.eval(row) != null) c(idx) += 1
+    def mergeRow(idx: Int, row: InternalRow): Unit =
+      c(idx) += row.getLong(bufOrd)
+    def partialValue(idx: Int): Any = c(idx)
+    def resultValue(idx: Int): Any = c(idx)
+    def reset(n: Int): Unit = { c = new Array[Long](64) }
+  }
+
+  /** sum(expr) with a non-attribute int-ish child. */
+  final class SumExprState(bound: Expression, bufOrd: Int) extends AggState {
+    private var s = new Array[Long](64)
+    private var seen = new Array[Boolean](64)
+    def ensure(n: Int): Unit = if (n > s.length) {
+      val m = math.max(n, s.length * 2)
+      s = java.util.Arrays.copyOf(s, m)
+      seen = java.util.Arrays.copyOf(seen, m)
+    }
+    def update(idx: Int, row: InternalRow): Unit = {
+      val v = bound.eval(row)
+      if (v != null) { s(idx) += v.asInstanceOf[Number].longValue(); seen(idx) = true }
+    }
+    def mergeRow(idx: Int, row: InternalRow): Unit =
+      if (!row.isNullAt(bufOrd)) { s(idx) += row.getLong(bufOrd); seen(idx) = true }
+    def partialValue(idx: Int): Any = if (seen(idx)) s(idx) else null
+    def resultValue(idx: Int): Any = partialValue(idx)
+    def reset(n: Int): Unit = { s = new Array[Long](64); seen = new Array[Boolean](64) }
+  }
+
+  /** avg(expr) with a non-attribute int-ish child — Spark Average
+    * double-sum semantics. */
+  final class AvgExprState(bound: Expression, bufOrd: Int) extends AggState {
+    private var s = new Array[Double](64)
+    private var c = new Array[Long](64)
+    def ensure(n: Int): Unit = if (n > s.length) {
+      val m = math.max(n, s.length * 2)
+      s = java.util.Arrays.copyOf(s, m)
+      c = java.util.Arrays.copyOf(c, m)
+    }
+    def update(idx: Int, row: InternalRow): Unit = {
+      val v = bound.eval(row)
+      if (v != null) { s(idx) += v.asInstanceOf[Number].doubleValue(); c(idx) += 1 }
+    }
+    def mergeRow(idx: Int, row: InternalRow): Unit = {
+      s(idx) += row.getDouble(bufOrd)
+      c(idx) += row.getLong(bufOrd + 1)
+    }
+    def partialSum(idx: Int): Double = s(idx)
+    def partialCnt(idx: Int): Long = c(idx)
+    def partialValue(idx: Int): Any = s(idx)
+    def resultValue(idx: Int): Any =
+      if (c(idx) == 0L) null else s(idx) / c(idx)
+    def reset(n: Int): Unit = { s = new Array[Double](64); c = new Array[Long](64) }
   }
 
   /** Spark Average semantics exactly: DOUBLE running sum + long count
@@ -344,7 +433,7 @@ private[operators] final class GroupKeyMap(
 
 /** Shared machinery for the two stages. */
 private[operators] trait SketchAggExecBase extends UnaryExecNode {
-  def keys: Seq[AttributeReference]
+  def keys: Seq[NamedExpression]
   def aggs: Seq[AggregateExpression]
 
   protected def keyIsString: Array[Boolean] =
@@ -355,12 +444,44 @@ private[operators] trait SketchAggExecBase extends UnaryExecNode {
   protected def bufferFields: Seq[StructField] = aggs.zipWithIndex.flatMap {
     case (e, i) => e.aggregateFunction match {
       case _: UniqSketch => Seq(StructField(s"uniq$i", BinaryType, nullable = false))
+      case _: graft.functions.ChAny =>
+        Seq(StructField(s"any$i", BinaryType, nullable = false))
       case _: Count => Seq(StructField(s"cnt$i", LongType, nullable = false))
       case _: Sum => Seq(StructField(s"sum$i", LongType, nullable = true))
       case _: Average => Seq(
         StructField(s"avgs$i", DoubleType, nullable = false),
         StructField(s"avgc$i", LongType, nullable = false))
       case other => throw new IllegalStateException(other.toString)
+    }
+  }
+
+  /** Reader for a key part: attribute fast path by ordinal, or a
+    * bound-expression evaluation (computed GROUP BY keys). */
+  protected def keyReaderFor(k: NamedExpression,
+      childOut: Seq[Attribute]): (InternalRow, GroupKeyMap, Int) => Unit = {
+    val inner: Expression = k match {
+      case al: Alias => al.child
+      case other => other
+    }
+    inner match {
+      case a: AttributeReference =>
+        val ord = childOut.indexWhere(_.exprId == a.exprId)
+        require(ord >= 0, s"group key $a not found in child output")
+        keyReader(a.dataType, ord)
+      case e =>
+        val bound = BindReferences.bindReference(e, childOut)
+        e.dataType match {
+          case StringType => (row, m, i) => {
+            val v = bound.eval(row)
+            if (v == null) m.rowN(i) = true
+            else { m.rowN(i) = false; m.rowS(i) = v.asInstanceOf[UTF8String] }
+          }
+          case _ => (row, m, i) => {
+            val v = bound.eval(row)
+            if (v == null) m.rowN(i) = true
+            else { m.rowN(i) = false; m.rowL(i) = v.asInstanceOf[Number].longValue() }
+          }
+        }
     }
   }
 
@@ -407,61 +528,140 @@ private[operators] trait SketchAggExecBase extends UnaryExecNode {
 /** Partial stage: input rows → one row per (flush-window, group) with
   * column-striped buffers. */
 case class PartialSketchAggExec(
-    keys: Seq[AttributeReference],
+    keys: Seq[NamedExpression],
     aggs: Seq[AggregateExpression],
     child: SparkPlan) extends SketchAggExecBase {
 
   override def output: Seq[Attribute] =
-    keys ++ bufferFields.map(f =>
+    keys.map(_.toAttribute) ++ bufferFields.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyTypes = keys.map(_.dataType).toArray
-    val keyOrds = keys.map(k => child.output.indexWhere(_.exprId == k.exprId)).toArray
-    require(keyOrds.forall(_ >= 0), "group key not found in child output")
     val isStr = keyIsString
     val nullable = keyNullable
     val childOut = child.output
     val aggsLocal = aggs
+    val keysLocal = keys
     val nk = keys.length
     val outWidth = output.length
     val outSchema = StructType(output.map(a =>
       StructField(a.name, a.dataType, a.nullable)))
     val flushAt = SketchAgg.PartialFlushGroups
 
-    child.execute().mapPartitions { rows =>
-      val readers = keyTypes.zip(keyOrds).map { case (t, o) => keyReader(t, o) }
-      // bind agg children to the child output and build states
+    // Computed keys / agg children evaluate through ONE codegen'd
+    // projection (interpreted Expression.eval per row is 5-10x
+    // slower); the typed map then reads plain ordinals. All-attribute
+    // shapes skip the projection entirely.
+    val innerKeys: Seq[Expression] = keysLocal.map {
+      case al: Alias => al.child
+      case k => k
+    }
+    val aggKids: Seq[Option[Expression]] = aggsLocal.map(_.aggregateFunction match {
+      case u: UniqSketch => Some(u.child)
+      case a: graft.functions.ChAny => Some(a.child)
+      case Count(Seq(_: Literal)) => None
+      case Count(Seq(c)) => Some(c)
+      case Sum(c, _) => Some(c)
+      case Average(c, _) => Some(c)
+      case other => throw new IllegalStateException(other.toString)
+    })
+    val allAttrs =
+      (innerKeys ++ aggKids.flatten).forall(_.isInstanceOf[AttributeReference])
+    // projected layout: keys at 0..nk-1, present agg children after
+    val projExprs: Seq[Expression] = innerKeys ++ aggKids.flatten
+    val projAttrs: Seq[AttributeReference] = projExprs.zipWithIndex.map {
+      case (e, i) => AttributeReference(s"_p$i", e.dataType, e.nullable)()
+    }
+    val kidAttr: Seq[Option[AttributeReference]] = {
+      var next = nk
+      aggKids.map {
+        case Some(_) => val a = projAttrs(next); next += 1; Some(a)
+        case None => None
+      }
+    }
+    // shape the state builder sees: either the raw child or the
+    // projected row
+    val (effKeys: Seq[NamedExpression], effAggs: Seq[AggregateExpression],
+        effOut: Seq[Attribute]) =
+      if (allAttrs) (keysLocal, aggsLocal, childOut)
+      else {
+        val rewritten = aggsLocal.zip(kidAttr).map { case (e, ka) =>
+          val f = e.aggregateFunction match {
+            case u: UniqSketch => u.copy(child = ka.get)
+            case a: graft.functions.ChAny => a.copy(child = ka.get)
+            case c @ Count(Seq(_: Literal)) => c
+            case Count(Seq(_)) => Count(Seq(ka.get))
+            case sum: Sum => sum.copy(child = ka.get)
+            case avg: Average => avg.copy(child = ka.get)
+            case other => throw new IllegalStateException(other.toString)
+          }
+          e.copy(aggregateFunction = f)
+        }
+        (projAttrs.take(nk): Seq[NamedExpression], rewritten,
+          projAttrs: Seq[Attribute])
+      }
+
+    child.execute().mapPartitions { rows0 =>
+      val rows: Iterator[InternalRow] =
+        if (allAttrs) rows0
+        else {
+          val proj = UnsafeProjection.create(projExprs, childOut)
+          rows0.map(proj)
+        }
+      val readers = effKeys.map(k => keyReaderFor(k, effOut)).toArray
+      // ordinal of an attribute child in the effective input, -1 if
+      // the child is a computed expression (cannot happen post-proj)
+      def attrOrd(e: Expression): Int = e match {
+        case a: AttributeReference => effOut.indexWhere(_.exprId == a.exprId)
+        case _ => -1
+      }
+      // bind agg children to the effective input and build states
       var bufOrd = nk
-      val states: Array[AggState] = aggsLocal.map { e =>
+      val states: Array[AggState] = effAggs.map { e =>
         e.aggregateFunction match {
           case u: UniqSketch =>
-            val bound = BindReferences.bindReference(u.child, childOut)
+            val bound = BindReferences.bindReference(u.child, effOut)
             val st = new AggState.UniqState(u.copy(child = bound), bufOrd)
             bufOrd += 1; st
+          case a: graft.functions.ChAny =>
+            val bound = a.copy(
+              child = BindReferences.bindReference(a.child, effOut))
+            val st = new AggState.AnyState(bound, bufOrd); bufOrd += 1; st
           case Count(Seq(_: Literal)) =>
             val st = new AggState.CountState(-1, bufOrd); bufOrd += 1; st
-          case Count(Seq(a: AttributeReference)) =>
-            val o = childOut.indexWhere(_.exprId == a.exprId)
-            val st = new AggState.CountState(o, bufOrd); bufOrd += 1; st
-          case Sum(a: AttributeReference, _) =>
-            val o = childOut.indexWhere(_.exprId == a.exprId)
-            val get: InternalRow => Long = a.dataType match {
-              case IntegerType => r => r.getInt(o).toLong
-              case ShortType => r => r.getShort(o).toLong
-              case ByteType => r => r.getByte(o).toLong
-              case t => throw new IllegalStateException(t.toString)
-            }
-            val st = new AggState.SumState(o, get, bufOrd); bufOrd += 1; st
-          case Average(a: AttributeReference, _) =>
-            val o = childOut.indexWhere(_.exprId == a.exprId)
-            val get: InternalRow => Double = a.dataType match {
-              case IntegerType => r => r.getInt(o).toDouble
-              case ShortType => r => r.getShort(o).toDouble
-              case ByteType => r => r.getByte(o).toDouble
-              case t => throw new IllegalStateException(t.toString)
-            }
-            val st = new AggState.AvgState(o, get, bufOrd); bufOrd += 1; st
+          case Count(Seq(c)) =>
+            val o = attrOrd(c)
+            val st: AggState =
+              if (o >= 0) new AggState.CountState(o, bufOrd)
+              else new AggState.CountExprState(
+                BindReferences.bindReference(c, effOut), bufOrd)
+            bufOrd += 1; st
+          case Sum(c, _) =>
+            val o = attrOrd(c)
+            val st: AggState = if (o >= 0) {
+              val get: InternalRow => Long = c.dataType match {
+                case IntegerType => r => r.getInt(o).toLong
+                case ShortType => r => r.getShort(o).toLong
+                case ByteType => r => r.getByte(o).toLong
+                case t => throw new IllegalStateException(t.toString)
+              }
+              new AggState.SumState(o, get, bufOrd)
+            } else new AggState.SumExprState(
+              BindReferences.bindReference(c, effOut), bufOrd)
+            bufOrd += 1; st
+          case Average(c, _) =>
+            val o = attrOrd(c)
+            val st: AggState = if (o >= 0) {
+              val get: InternalRow => Double = c.dataType match {
+                case IntegerType => r => r.getInt(o).toDouble
+                case ShortType => r => r.getShort(o).toDouble
+                case ByteType => r => r.getByte(o).toDouble
+                case t => throw new IllegalStateException(t.toString)
+              }
+              new AggState.AvgState(o, get, bufOrd)
+            } else new AggState.AvgExprState(
+              BindReferences.bindReference(c, effOut), bufOrd)
+            bufOrd += 2; st
           case other => throw new IllegalStateException(other.toString)
         }
       }.toArray
@@ -482,6 +682,10 @@ case class PartialSketchAggExec(
           while (ai < states.length) {
             states(ai) match {
               case avg: AggState.AvgState =>
+                avg.ensure(g + 1)
+                out.update(ord, avg.partialSum(g)); ord += 1
+                out.setLong(ord, avg.partialCnt(g)); ord += 1
+              case avg: AggState.AvgExprState =>
                 avg.ensure(g + 1)
                 out.update(ord, avg.partialSum(g)); ord += 1
                 out.setLong(ord, avg.partialCnt(g)); ord += 1
@@ -542,7 +746,7 @@ case class PartialSketchAggExec(
 /** Final stage: merges partial rows per shuffle partition and emits
   * the result projection. */
 case class FinalSketchAggExec(
-    keys: Seq[AttributeReference],
+    keys: Seq[NamedExpression],
     aggList: SketchAgg.AggList,
     resultExprs: Seq[NamedExpression],
     child: SparkPlan) extends SketchAggExecBase {
@@ -555,12 +759,12 @@ case class FinalSketchAggExec(
   // attributes, which this node itself produces from merged state
   override def producedAttributes: AttributeSet =
     AttributeSet(aggs.map(_.resultAttribute)) ++
-      AttributeSet(output) -- AttributeSet(keys)
+      AttributeSet(output) -- AttributeSet(keys.map(_.toAttribute))
 
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil
-    else ClusteredDistribution(keys) :: Nil
+    else ClusteredDistribution(keys.map(_.toAttribute)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = keys.map(_.dataType).toArray
@@ -573,12 +777,14 @@ case class FinalSketchAggExec(
 
     child.execute().mapPartitions { rows =>
       // key parts sit at ordinals 0..nk-1 of the partial row
-      val readers = keyTypes.zipWithIndex.map { case (t, i) => keyReader(t, i) }
+      val readers = keyTypes.zipWithIndex.map { case (t, i) => keyReader(t, i) }.toArray
       var bufOrd = nk
       val states: Array[AggState] = aggsLocal.map { e =>
         e.aggregateFunction match {
           case u: UniqSketch =>
             val st = new AggState.UniqState(u, bufOrd); bufOrd += 1; st
+          case a: graft.functions.ChAny =>
+            val st = new AggState.AnyState(a, bufOrd); bufOrd += 1; st
           case _: Count =>
             val st = new AggState.CountState(-1, bufOrd); bufOrd += 1; st
           case _: Sum =>
@@ -610,7 +816,8 @@ case class FinalSketchAggExec(
         else gmap.n
       // result projection over (keys ++ agg result attrs)
       val aggResultAttrs = aggsLocal.map(_.resultAttribute)
-      val proj = UnsafeProjection.create(resultLocal, keysLocal ++ aggResultAttrs)
+      val proj = UnsafeProjection.create(resultLocal,
+        keysLocal.map(_.toAttribute) ++ aggResultAttrs)
       val mid = new GenericInternalRow(nk + states.length)
       new Iterator[InternalRow] {
         private var g = 0

@@ -84,6 +84,7 @@ object ChEnumCoercion extends Rule[LogicalPlan] {
       case l: Last => enumSide(l.child)
       case m: Min => enumSide(m.child)
       case m: Max => enumSide(m.child)
+      case a: graft.functions.ChAny => enumSide(a.child)
       case _ => None
     }
 

@@ -677,8 +677,8 @@ object ChDdl {
             val df0 = graft.operators.FilePruning.maybeRewrite(
               spark, ChSql(spark, rewritten))
             Some(graft.operators.MetadataAggregate.maybeRewrite(spark, df0)
-              .getOrElse(graft.operators.LateMaterialization
-                .maybeRewrite(spark, df0)))
+              .getOrElse(graft.operators.LateMaterialization.maybeRewrite(
+                spark, graft.operators.LimitAgg.maybeRewrite(spark, df0))))
           }
         // a SAMPLE whose key range is empty reads zero parts: the
         // whole query emits nothing, even a keyless aggregate

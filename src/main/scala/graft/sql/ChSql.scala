@@ -4341,9 +4341,20 @@ object ChSql {
       "anyLastIf" -> viaColumn { case Seq(x, c) => last(when(c, x), true) },
       "anyIf" -> viaColumn { case Seq(x, c) => first(when(c, x), true) },
       // CH any/anyLast take ANY type (first/last in data order);
-      // Spark's built-in `any` is bool_or, so the dialect rebinds
-      "any" -> viaColumn { case Seq(x) => first(x) },
-      "anyLast" -> viaColumn { case Seq(x) => last(x) },
+      // Spark's built-in `any` is bool_or, so the dialect rebinds.
+      // ChAny (typed aggregate) instead of First/Last keeps mixed
+      // aggregations on the hash path — First's var-length buffer
+      // forces the whole query into SortAggregate (bench43 q29)
+      "any" -> viaColumn { case Seq(x) =>
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.ChAny(
+            org.apache.spark.sql.graftbridge.Bridge.expression(x),
+            last = false).toAggregateExpression()) },
+      "anyLast" -> viaColumn { case Seq(x) =>
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.ChAny(
+            org.apache.spark.sql.graftbridge.Bridge.expression(x),
+            last = true).toAggregateExpression()) },
       // -State spellings: the partial-aggregate VALUE is the state in
       // the Spark model (sum's state is the sum, uniq's the distinct
       // set) — finalizeAggregation is then the identity and -Merge a

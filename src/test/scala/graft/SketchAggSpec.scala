@@ -129,6 +129,43 @@ class SketchAggSpec extends SparkSpec {
     assert(d1.collect().nonEmpty && d2.collect().nonEmpty && d3.collect().nonEmpty)
   }
 
+  test("expression key + any + avg(expr) (bench q29 shape)") {
+    base.createOrReplaceTempView("sa_t29")
+    def q = sql.ChDdl.execute(spark,
+      "SELECT substring(ks, 1, 4) AS pre, avg(length(ks)) AS l, " +
+        "count() AS c, any(ks) AS a, uniq(u) AS nu " +
+        "FROM sa_t29 WHERE ks != '' GROUP BY pre ORDER BY l DESC, pre LIMIT 25").get
+    val fast = q
+    assert(usedSketchAgg(fast), fast.queryExecution.executedPlan.toString)
+    val f = fast.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(4))).toSeq
+    SketchAgg.enabled = false
+    val s = try q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(4))).toSeq
+      finally SketchAgg.enabled = true
+    // any() is nondeterministic cross-plan; compare the deterministic columns
+    assert(f === s)
+    assert(f.nonEmpty)
+  }
+
+  test("anyLast over grouped data returns a value from the group") {
+    val df = base.groupBy("k1").agg(
+      uniqCol("u").as("nu"),
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.ChAny(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("ks")),
+          last = true).toAggregateExpression()).as("al"))
+    assert(usedSketchAgg(df))
+    val rows = df.collect()
+    assert(rows.length === 97)
+    // value must belong to the group (or be null — ks has nulls)
+    val byK = base.select("k1", "ks").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        if (r.isNullAt(1)) null else r.getString(1)).toSet).toMap
+    rows.foreach { r =>
+      val v = if (r.isNullAt(2)) null else r.getString(2)
+      assert(byK(r.getLong(0)).contains(v))
+    }
+  }
+
   test("dialect uniq GROUP BY goes through SketchAgg (bench q9 shape)") {
     base.createOrReplaceTempView("sa_t")
     val df = sql.ChDdl.execute(spark,
