@@ -8,9 +8,28 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // keep TypedImperativeAggregate GROUP BYs hash-aggregated (the
+      // 128-group default silently sorts whole inputs) — same setting
+      // as the other entry points
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Page-cache warm-up: the container's DAMON-based proactive
+    // reclaimer evicts testdata between rounds; single-run timings
+    // would otherwise measure disk, not the engine.
+    locally {
+      val buf = new Array[Byte](1 << 20)
+      def streamAll(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(streamAll)
+        else if (f.getName.endsWith(".parquet")) {
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      try streamAll(new java.io.File(sfDir))
+      catch { case _: Throwable => () }
+    }
     // Warm the session (codegen, parquet footer cache, executor
     // spin-up) INCLUDING the noop-sink write path — a bare count()
     // warm-up left the first measured query paying ~3s of residual

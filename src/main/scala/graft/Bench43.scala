@@ -263,6 +263,22 @@ object Bench43 {
           "are load-contaminated; run `Bench43 generate` separately first")
     }
     if (genOnly) { spark.stop(); return }
+    // Page-cache warm-up: the published baseline numbers are warm-run
+    // minimums on a memory-resident table; this container runs a
+    // DAMON-based proactive reclaimer that evicts the dataset between
+    // runs, so stream the files once before measuring (the per-query
+    // cold run then re-warms whatever slipped out).
+    locally {
+      val dir = new java.io.File(path)
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      val buf = new Array[Byte](1 << 20)
+      files.foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+      System.err.println(s"[bench43] warmed ${files.length} files")
+    }
     spark.read.parquet(path).createOrReplaceTempView("hits")
     // Iteration/profiling aids (no effect on driver runs, which leave
     // these unset): BENCH43_ONLY="9,16" runs a subset; BENCH43_REPEAT=N
