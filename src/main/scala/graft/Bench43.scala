@@ -226,11 +226,15 @@ object Bench43 {
     val rows = sys.env.getOrElse("HITS_ROWS", "10000000").toLong
     val path = sys.env.getOrElse("HITS_PATH", "target/hits10m.parquet")
     val outFile = sys.env.getOrElse("BENCH43_OUT", "bench_43.json")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+    // shuffle/spill on RAM-backed temp — see CacheKeeper.benchLocalDir
+    val builder = graft.tools.CacheKeeper.benchLocalDir()
+      .fold(builder0)(d => builder0.config("spark.local.dir", d))
+    val spark = builder
       // single-node 10M-row scale: AQE's stage-materialization
       // barriers and re-planning rounds cost 0.1-10s per query and
       // buy nothing (no skew, 32 shuffle partitions already sized);
@@ -263,21 +267,17 @@ object Bench43 {
           "are load-contaminated; run `Bench43 generate` separately first")
     }
     if (genOnly) { spark.stop(); return }
-    // Page-cache warm-up: the published baseline numbers are warm-run
-    // minimums on a memory-resident table; this container runs a
-    // DAMON-based proactive reclaimer that evicts the dataset between
-    // runs, so stream the files once before measuring (the per-query
-    // cold run then re-warms whatever slipped out).
+    // Keep the table page-cache-resident for the WHOLE run: the r13
+    // one-shot stream warm-up still let the container's proactive
+    // reclaimer evict columns mid-run over the ~11 MB/s cold device
+    // (q33 swung 13 s ↔ 103 s run-to-run; the 127-query suite inflated
+    // a uniform 1.4×). See CacheKeeper's header for the protocol
+    // rationale.
     locally {
-      val dir = new java.io.File(path)
-      val files = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-      val buf = new Array[Byte](1 << 20)
-      files.foreach { f =>
-        val in = new java.io.FileInputStream(f)
-        try { while (in.read(buf) >= 0) () } finally in.close()
-      }
-      System.err.println(s"[bench43] warmed ${files.length} files")
+      val t0 = System.nanoTime()
+      val bytes = graft.tools.CacheKeeper.pin(Seq(path))
+      System.err.println(f"[bench43] pinned ${bytes / 1e9}%.1f GB in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.read.parquet(path).createOrReplaceTempView("hits")
     // Iteration/profiling aids (no effect on driver runs, which leave
@@ -331,6 +331,7 @@ object Bench43 {
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
     println(line)
+    graft.tools.CacheKeeper.unpin()
     spark.stop()
   }
 }

@@ -16,12 +16,16 @@ object QueryBench {
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .appName("graft-qbench").master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt)
       .config("spark.ui.enabled", value = false)
+    // shuffle/spill on RAM-backed temp — see CacheKeeper.benchLocalDir
+    val spark = tools.CacheKeeper.benchLocalDir()
+      .fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    tools.CacheKeeper.pin(Seq(dir)) // see CacheKeeper header
     val hits = SparkEntry.queries.keys.filter(_.startsWith(prefix)).toSeq.sorted
     require(hits.nonEmpty, s"no registered query starts with '$prefix'")
     hits.foreach { name =>
