@@ -258,6 +258,9 @@ object Bench43 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for plan experiments (unset on driver runs)
+    sys.props.get("graft.zerouniq").foreach(v =>
+      graft.operators.SketchAgg.zeroUniqEnabled = v.toBoolean)
     val genOnly = args.contains("generate")
     if (!new java.io.File(path).exists()) {
       System.err.println(s"[bench43] generating $rows rows at $path ...")

@@ -14,6 +14,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // SAME setting as Bench/Bench43/RunScript: the oracle must
+      // witness the exact plan the bench times. Without it, typed-agg
+      // GROUP BYs here took ObjectHashAggregate's 128-group sort-based
+      // fallback while the bench ran the hash plan — a correctness
+      // gate on a plan nobody benches.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -219,22 +219,36 @@ object Media {
     * INSERT, stored, then read like any other column). Queries over
     * the written table — near-dup pairing above all — become pure
     * column reads: zero decode, scale-independent of payload size.
-    * Idempotent: a current table (row count matches the source) is
-    * left in place, so repeated analytics pay the decode exactly once
-    * per corpus — at 100 TB the decode belongs in the ingest pipeline,
-    * not in every query. */
+    * Idempotent via a CONTENT fingerprint, not a row count: the
+    * order-independent count + bit_xor of xxhash64(media_id, content)
+    * over the source (one narrow scan, no shuffle, no ANSI overflow)
+    * is stamped into a sidecar next to the parquet — a corpus whose
+    * payloads changed at equal row count refreshes, while repeated
+    * analytics over an unchanged corpus pay the decode exactly once.
+    * At 100 TB the decode belongs in the ingest pipeline, not in
+    * every query. */
   def materializeFeatures(spark: SparkSession, media: DataFrame,
       path: String, dim: Int = 64): Unit = {
     graft.GraftFunctions.register(spark)
-    val expected = media.count()
+    val fp = media
+      .select(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(media_id, content))").as("fp"))
+      .collect()(0)
+    val expected =
+      if (fp.isNullAt(1)) "empty" else s"${fp.getLong(0)}:${fp.getLong(1)}"
+    val marker = new java.io.File(path, "_graft_content_fp")
     val fresh =
-      try spark.read.parquet(path).count() == expected
+      try marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8").trim == expected
       catch { case scala.util.control.NonFatal(_) => false }
     if (!fresh) {
       decodeMediaFeatures(spark, media, dim)
         .select(col("media_id"), col("kind"), col("decoded"),
           expr("phash64(features)").as("ph"))
         .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.write(marker.toPath,
+        expected.getBytes("UTF-8"))
     }
   }
 

@@ -85,7 +85,8 @@ object ComplexKeyHashedDict {
         case LongType => org.apache.spark.sql.functions.col(valueCol).cast("long")
         case _ => org.apache.spark.sql.functions.col(valueCol).cast("string")
       })
-    val rows = src.select(cols: _*).collect()
+    val rows = DictGuard.collectBounded("complex_key_hashed",
+      src.select(cols: _*))
     val m = new java.util.HashMap[Key, Any](rows.length * 2)
     rows.foreach { r =>
       val n = keyCols.length

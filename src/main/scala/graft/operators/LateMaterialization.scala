@@ -156,7 +156,10 @@ object LateMaterialization {
       Alias(Count(k).toAggregateExpression(), "__lm_ck")()), keyed)
     val p1df = Bridge.ofRows(spark, p1)
     lastPass1Plan = p1df.queryExecution.executedPlan.toString
-    val row = p1df.collect()(0)
+    // internal row: the threshold literal must carry the EXACT key
+    // bytes (a UTF8String→String roundtrip is lossy for non-UTF-8
+    // data and could drop true top-n rows)
+    val row = p1df.queryExecution.executedPlan.executeCollect()(0)
     val ca = row.getLong(1)
     val ck = row.getLong(2)
     if (ca == 0L) {
@@ -168,7 +171,7 @@ object LateMaterialization {
     }
     if (ck != ca || row.isNullAt(0)) return None // null keys in top-n
     // ---- pass 2: original plan + pushed threshold conjunct ----
-    val tLit = Literal.create(row.get(0), lead.child.dataType)
+    val tLit = Literal(row.get(0, lead.child.dataType), lead.child.dataType)
     val cmp: Expression =
       if (asc) LessThanOrEqual(lead.child, tLit)
       else GreaterThanOrEqual(lead.child, tLit)

@@ -77,22 +77,28 @@ object LimitAgg {
       keys: Seq[AttributeReference], child: LogicalPlan,
       n: Int): Option[DataFrame] = {
     // ---- pass 1: n distinct key tuples from a bounded prefix ----
-    var candidates: Array[org.apache.spark.sql.Row] = Array.empty
+    // executeCollect keeps values in INTERNAL form (UTF8String, not
+    // java String): a String→UTF8String roundtrip is lossy for
+    // non-UTF-8 bytes (legal reference String data), and a lossy
+    // candidate literal would silently drop that group from pass 2.
+    var candidates: Array[org.apache.spark.sql.catalyst.InternalRow] =
+      Array.empty
     val it = sampleRows.iterator
     var enough = false
     while (!enough && it.hasNext) {
       val budget = it.next()
       val sample = Bridge.ofRows(spark,
         LocalLimit(Literal(budget), Project(keys, child)))
-      candidates = sample.distinct().limit(n).collect()
+      candidates = sample.distinct().limit(n)
+        .queryExecution.executedPlan.executeCollect()
       enough = candidates.length >= n
     }
     if (!enough) return None // few groups: single-pass is already cheap
     // ---- pass 2: same aggregate over candidate rows only ----
     val disj: Expression = candidates.map { row =>
       keys.zipWithIndex.map { case (k, i) =>
-        val lit = Literal.create(row.get(i), k.dataType)
-        EqualNullSafe(k, lit): Expression
+        val v = if (row.isNullAt(i)) null else row.get(i, k.dataType)
+        EqualNullSafe(k, Literal(v, k.dataType)): Expression
       }.reduce(And)
     }.reduce[Expression](Or)
     val p2 = Aggregate(keys, agg.aggregateExpressions, Filter(disj, child))

@@ -57,10 +57,10 @@ object RangeHashedDict {
     * (lower, upper) — reference insertion order. */
   def build(src: DataFrame, idCol: String, lowerCol: String,
       upperCol: String, valueCol: String): RangeHashedDict = {
-    val rows = src.select(
+    val rows = DictGuard.collectBounded("range_hashed", src.select(
       col(idCol).cast("long"),
       col(lowerCol).cast("date"), col(upperCol).cast("date"),
-      col(valueCol).cast("long")).collect()
+      col(valueCol).cast("long")))
     val grouped = rows.groupBy(_.getLong(0)).map { case (id, rs) =>
       id -> rs.map { r =>
         val lo = if (r.isNullAt(1)) Int.MinValue else r.getDate(1).toLocalDate.toEpochDay.toInt

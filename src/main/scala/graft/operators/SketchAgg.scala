@@ -28,8 +28,13 @@ import graft.functions.{UniqSketch, UniqSketchCodec, UniqSketchState}
   * narrow shape it owns:
   *
   *   Aggregate(0-2 plain keys of integral/string type,
-  *             aggs ⊆ {uniq(col), count(), count(col), sum(int-ish),
-  *                     avg(int-ish)} with ≥ 1 uniq)
+  *             aggs ⊆ {uniq(col), any(col), count(), count(col),
+  *                     sum(int-ish), avg(int-ish)})
+  *
+  * admitted when ≥1 agg carries object state (the generic plan would
+  * be ObjectHashAggregateExec) or, for plain count/sum/avg shapes,
+  * when a 64-bit group key makes high NDV likely (see [[SketchAgg
+  * .eligible]]),
   *
   * with a typed open-addressing map (long/UTF8String keys, no
   * UnsafeRow materialization) over column-striped aggregate state.
@@ -51,11 +56,29 @@ object SketchAgg {
   /** Partial stage emits-and-resets at this many in-memory groups.
     * Mutable for tests only (flush-window pin). */
   @volatile private[graft] var PartialFlushGroups: Int = 1 << 20
+  /** Final stage falls back to sort-based merge (UnsafeKVExternalSorter,
+    * the same machinery ObjectHashAggregateExec falls back to) past
+    * this many in-memory groups per shuffle partition — an unbounded
+    * final map would OOM a task on adversarial NDV (millions of
+    * groups × up-to-256KB sketch states). Mutable for tests only. */
+  @volatile private[graft] var FinalMaxGroups: Int = 4 << 20
   /** Initial per-partition table size (slots). */
   val InitialSlots: Int = 1 << 12
   /** Kill switch, also used by specs to obtain the generic-plan
     * baseline for bit-identical comparison. */
   @volatile private[graft] var enabled: Boolean = true
+  /** Opt-in switch for the zero-object-state shape (plain
+    * count/sum/avg GROUP BYs over a 64-bit key). Default OFF: measured
+    * head-to-head at 100M rows (bench43, cache-pinned, tmpfs shuffle,
+    * min of 4 runs), whole-stage-codegen HashAggregate beats this
+    * operator on the full-scan shapes (q16 4.9 s vs 7.0, q36 5.7 vs
+    * 9.4) and loses only on the filtered ~10M-row variants (q32 3.1
+    * vs 1.9) — the interpreted per-row key readers cost more than the
+    * UnsafeRow map they avoid once codegen's vectorized input path is
+    * in play. The path stays implemented, bit-identity-pinned
+    * (SketchAggSpec), and switchable for future re-measurement on a
+    * quieter host or after a codegen'd reader. */
+  @volatile private[graft] var zeroUniqEnabled: Boolean = false
 
   /** Non-Expression holder: keeps the final stage's aggregate
     * functions out of TreeNode's expression traversal — their INPUT
@@ -77,10 +100,25 @@ object SketchAgg {
   private def cleanExpr(e: Expression): Boolean =
     e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
 
-  /** Is this PhysicalAggregation shape ours? Requires at least one
-    * object-state aggregate (uniq sketch or any()) — shapes made
-    * only of plain count/sum/avg belong to codegen HashAggregate,
-    * which beats this operator there. */
+  /** Is this PhysicalAggregation shape ours?
+    *
+    * Two admitted shapes:
+    *  - ≥1 object-state aggregate (uniq sketch or any()): the generic
+    *    plan is ObjectHashAggregateExec, whose per-row path this
+    *    operator beats outright (see header).
+    *  - zero object-state (plain count/sum/avg) IF at least one group
+    *    key is a 64-bit integer: the generic plan is codegen
+    *    HashAggregate, which wins at low NDV (its vectorized fast map
+    *    covers ≤2^16 groups), but 64-bit identifier keys (UserID,
+    *    WatchID, ClientIP in the reference schema) are exactly the
+    *    unbounded-domain keys where the UnsafeRow map's probe cost and
+    *    growth dominate — the reference's Aggregator picks a typed
+    *    UInt64 table there (dbms/src/Interpreters/Aggregator.h:691).
+    *    Narrow int/string keys stay with codegen HashAggregate.
+    *
+    * Sum/Average are admitted under LEGACY and ANSI eval modes (the
+    * states raise on Long overflow in ANSI, matching the generic
+    * plan); TRY mode is not ours. */
   private[operators] def eligible(
       grouping: Seq[NamedExpression],
       aggs: Seq[AggregateExpression]): Boolean = {
@@ -92,6 +130,8 @@ object SketchAgg {
       case _: graft.functions.ChAny => true
       case _ => false
     }
+    def modeOk(m: EvalMode.Value): Boolean =
+      m == EvalMode.LEGACY || m == EvalMode.ANSI
     def fnOk(e: AggregateExpression): Boolean =
       !e.isDistinct && e.filter.isEmpty &&
         e.aggregateFunction.children.forall(cleanExpr) &&
@@ -99,12 +139,14 @@ object SketchAgg {
           case u: UniqSketch => !u.asState && !u.trivial
           case _: graft.functions.ChAny => true
           case Count(Seq(_)) => true
-          case Sum(c, _) => intish(c.dataType)
-          case Average(c, _) => intish(c.dataType)
+          case Sum(c, ctx) => intish(c.dataType) && modeOk(ctx.evalMode)
+          case Average(c, m) => intish(c.dataType) && modeOk(m)
           case _ => false
         })
-    keysOk && aggs.nonEmpty && aggs.forall(fnOk) &&
-      aggs.exists(e => objectState(e.aggregateFunction))
+    val shapeOk = keysOk && aggs.nonEmpty && aggs.forall(fnOk)
+    def hasLongKey = grouping.exists(_.dataType == LongType)
+    shapeOk && (aggs.exists(e => objectState(e.aggregateFunction)) ||
+      (zeroUniqEnabled && grouping.nonEmpty && hasLongKey))
   }
 }
 
@@ -132,6 +174,8 @@ private[operators] sealed trait AggState {
   /** Value for the final result row. */
   def resultValue(idx: Int): Any
   def reset(n: Int): Unit
+  /** Zero ONE slot (sort-based final path reuses slot 0 per run). */
+  def clear(idx: Int): Unit
 }
 
 private[operators] object AggState {
@@ -157,6 +201,7 @@ private[operators] object AggState {
     def partialValue(idx: Int): Any = UniqSketchCodec.write(st(idx))
     def resultValue(idx: Int): Any = st(idx).estimate()
     def reset(n: Int): Unit = { s = new Array[UniqSketchState](64) }
+    def clear(idx: Int): Unit = { s(idx) = null }
   }
 
   final class CountState(childOrd: Int, bufOrd: Int) extends AggState {
@@ -171,10 +216,11 @@ private[operators] object AggState {
     def partialValue(idx: Int): Any = c(idx)
     def resultValue(idx: Int): Any = c(idx)
     def reset(n: Int): Unit = { c = new Array[Long](64) }
+    def clear(idx: Int): Unit = { c(idx) = 0L }
   }
 
-  final class SumState(childOrd: Int, get: InternalRow => Long, bufOrd: Int)
-      extends AggState {
+  final class SumState(childOrd: Int, get: InternalRow => Long, bufOrd: Int,
+      ansi: Boolean) extends AggState {
     private var s = new Array[Long](64)
     private var seen = new Array[Boolean](64)
     def ensure(n: Int): Unit = if (n > s.length) {
@@ -182,13 +228,18 @@ private[operators] object AggState {
       s = java.util.Arrays.copyOf(s, m)
       seen = java.util.Arrays.copyOf(seen, m)
     }
+    @inline private def add(idx: Int, v: Long): Unit = {
+      s(idx) = if (ansi) Math.addExact(s(idx), v) else s(idx) + v
+      seen(idx) = true
+    }
     def update(idx: Int, row: InternalRow): Unit =
-      if (!row.isNullAt(childOrd)) { s(idx) += get(row); seen(idx) = true }
+      if (!row.isNullAt(childOrd)) add(idx, get(row))
     def mergeRow(idx: Int, row: InternalRow): Unit =
-      if (!row.isNullAt(bufOrd)) { s(idx) += row.getLong(bufOrd); seen(idx) = true }
+      if (!row.isNullAt(bufOrd)) add(idx, row.getLong(bufOrd))
     def partialValue(idx: Int): Any = if (seen(idx)) s(idx) else null
     def resultValue(idx: Int): Any = partialValue(idx)
     def reset(n: Int): Unit = { s = new Array[Long](64); seen = new Array[Boolean](64) }
+    def clear(idx: Int): Unit = { s(idx) = 0L; seen(idx) = false }
   }
 
   /** any()/anyLast() — wraps the bound ChAny aggregate. */
@@ -206,6 +257,7 @@ private[operators] object AggState {
     def partialValue(idx: Int): Any = agg.serialize(buf(idx))
     def resultValue(idx: Int): Any = buf(idx).value
     def reset(n: Int): Unit = { s = new Array[graft.functions.AnyBuf](64) }
+    def clear(idx: Int): Unit = { s(idx) = null }
   }
 
   /** count(expr) with a non-attribute child: count rows where the
@@ -221,10 +273,12 @@ private[operators] object AggState {
     def partialValue(idx: Int): Any = c(idx)
     def resultValue(idx: Int): Any = c(idx)
     def reset(n: Int): Unit = { c = new Array[Long](64) }
+    def clear(idx: Int): Unit = { c(idx) = 0L }
   }
 
   /** sum(expr) with a non-attribute int-ish child. */
-  final class SumExprState(bound: Expression, bufOrd: Int) extends AggState {
+  final class SumExprState(bound: Expression, bufOrd: Int, ansi: Boolean)
+      extends AggState {
     private var s = new Array[Long](64)
     private var seen = new Array[Boolean](64)
     def ensure(n: Int): Unit = if (n > s.length) {
@@ -232,15 +286,20 @@ private[operators] object AggState {
       s = java.util.Arrays.copyOf(s, m)
       seen = java.util.Arrays.copyOf(seen, m)
     }
+    @inline private def add(idx: Int, v: Long): Unit = {
+      s(idx) = if (ansi) Math.addExact(s(idx), v) else s(idx) + v
+      seen(idx) = true
+    }
     def update(idx: Int, row: InternalRow): Unit = {
       val v = bound.eval(row)
-      if (v != null) { s(idx) += v.asInstanceOf[Number].longValue(); seen(idx) = true }
+      if (v != null) add(idx, v.asInstanceOf[Number].longValue())
     }
     def mergeRow(idx: Int, row: InternalRow): Unit =
-      if (!row.isNullAt(bufOrd)) { s(idx) += row.getLong(bufOrd); seen(idx) = true }
+      if (!row.isNullAt(bufOrd)) add(idx, row.getLong(bufOrd))
     def partialValue(idx: Int): Any = if (seen(idx)) s(idx) else null
     def resultValue(idx: Int): Any = partialValue(idx)
     def reset(n: Int): Unit = { s = new Array[Long](64); seen = new Array[Boolean](64) }
+    def clear(idx: Int): Unit = { s(idx) = 0L; seen(idx) = false }
   }
 
   /** avg(expr) with a non-attribute int-ish child — Spark Average
@@ -267,6 +326,7 @@ private[operators] object AggState {
     def resultValue(idx: Int): Any =
       if (c(idx) == 0L) null else s(idx) / c(idx)
     def reset(n: Int): Unit = { s = new Array[Double](64); c = new Array[Long](64) }
+    def clear(idx: Int): Unit = { s(idx) = 0.0; c(idx) = 0L }
   }
 
   /** Spark Average semantics exactly: DOUBLE running sum + long count
@@ -292,6 +352,7 @@ private[operators] object AggState {
     def resultValue(idx: Int): Any =
       if (c(idx) == 0L) null else s(idx) / c(idx)
     def reset(n: Int): Unit = { s = new Array[Double](64); c = new Array[Long](64) }
+    def clear(idx: Int): Unit = { s(idx) = 0.0; c(idx) = 0L }
   }
 }
 
@@ -532,7 +593,12 @@ case class PartialSketchAggExec(
     aggs: Seq[AggregateExpression],
     child: SparkPlan) extends SketchAggExecBase {
 
-  override def output: Seq[Attribute] =
+  // lazy val, NOT def: the buffer attributes fabricate fresh ExprIds
+  // and must be allocated exactly once per node instance — Spark
+  // assumes a node's output is stable across calls (AQE stage reuse,
+  // canonicalization). Downstream consumers read buffers by ordinal,
+  // so fresh ids on tree copy are fine; per-CALL fresh ids are not.
+  override lazy val output: Seq[Attribute] =
     keys.map(_.toAttribute) ++ bufferFields.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
 
@@ -636,8 +702,9 @@ case class PartialSketchAggExec(
               else new AggState.CountExprState(
                 BindReferences.bindReference(c, effOut), bufOrd)
             bufOrd += 1; st
-          case Sum(c, _) =>
+          case Sum(c, ctx) =>
             val o = attrOrd(c)
+            val ansi = ctx.evalMode == EvalMode.ANSI
             val st: AggState = if (o >= 0) {
               val get: InternalRow => Long = c.dataType match {
                 case IntegerType => r => r.getInt(o).toLong
@@ -645,9 +712,9 @@ case class PartialSketchAggExec(
                 case ByteType => r => r.getByte(o).toLong
                 case t => throw new IllegalStateException(t.toString)
               }
-              new AggState.SumState(o, get, bufOrd)
+              new AggState.SumState(o, get, bufOrd, ansi)
             } else new AggState.SumExprState(
-              BindReferences.bindReference(c, effOut), bufOrd)
+              BindReferences.bindReference(c, effOut), bufOrd, ansi)
             bufOrd += 1; st
           case Average(c, _) =>
             val o = attrOrd(c)
@@ -668,43 +735,59 @@ case class PartialSketchAggExec(
       val gmap = new GroupKeyMap(isStr, nullable)
       val toUnsafe = UnsafeProjection.create(outSchema)
 
+      // Streams the flush window lazily: one reused output row, no
+      // per-group copy — the shuffle writer serializes each row's
+      // bytes before pulling the next, so materializing the window
+      // into an Array (the r13 shape) only doubled peak memory right
+      // at the boundary the flush threshold exists to bound. The map
+      // and states stay live until the window is drained; the DRIVING
+      // iterator below resets them before starting the next window.
       def emit(): Iterator[InternalRow] = {
         // 0 keys: always exactly one row per flush window (a global
         // agg over an empty partition still contributes a zero state)
         val nGroups = if (nk == 0) math.max(gmap.n, 1) else gmap.n
-        val out = new GenericInternalRow(outWidth)
-        val res = new Array[InternalRow](nGroups)
-        var g = 0
-        while (g < nGroups) {
-          writeKey(gmap, g, out, isStr)
-          var ord = nk
-          var ai = 0
-          while (ai < states.length) {
-            states(ai) match {
-              case avg: AggState.AvgState =>
-                avg.ensure(g + 1)
-                out.update(ord, avg.partialSum(g)); ord += 1
-                out.setLong(ord, avg.partialCnt(g)); ord += 1
-              case avg: AggState.AvgExprState =>
-                avg.ensure(g + 1)
-                out.update(ord, avg.partialSum(g)); ord += 1
-                out.setLong(ord, avg.partialCnt(g)); ord += 1
-              case st =>
-                st.ensure(g + 1)
-                out.update(ord, st.partialValue(g)); ord += 1
-            }
-            ai += 1
-          }
-          res(g) = toUnsafe(out).copy()
-          g += 1
+        var ai0 = 0
+        while (ai0 < states.length) {
+          states(ai0).ensure(math.max(nGroups, 1)); ai0 += 1
         }
-        res.iterator
+        val out = new GenericInternalRow(outWidth)
+        new Iterator[InternalRow] {
+          private var g = 0
+          override def hasNext: Boolean = g < nGroups
+          override def next(): InternalRow = {
+            writeKey(gmap, g, out, isStr)
+            var ord = nk
+            var ai = 0
+            while (ai < states.length) {
+              states(ai) match {
+                case avg: AggState.AvgState =>
+                  out.update(ord, avg.partialSum(g)); ord += 1
+                  out.setLong(ord, avg.partialCnt(g)); ord += 1
+                case avg: AggState.AvgExprState =>
+                  out.update(ord, avg.partialSum(g)); ord += 1
+                  out.setLong(ord, avg.partialCnt(g)); ord += 1
+                case st =>
+                  out.update(ord, st.partialValue(g)); ord += 1
+              }
+              ai += 1
+            }
+            g += 1
+            toUnsafe(out)
+          }
+        }
       }
 
       new Iterator[InternalRow] {
         private var pending: Iterator[InternalRow] = Iterator.empty
         private var done = false
+        private var needReset = false
         private def consume(): Unit = {
+          if (needReset) { // previous window fully drained: recycle
+            gmap.reset()
+            var ai = 0
+            while (ai < states.length) { states(ai).reset(0); ai += 1 }
+            needReset = false
+          }
           // aggregate until flush threshold or input end
           while (rows.hasNext && gmap.n < flushAt) {
             val row = rows.next()
@@ -718,11 +801,7 @@ case class PartialSketchAggExec(
             }
           }
           pending = emit()
-          if (rows.hasNext) { // flush window: reset and continue later
-            gmap.reset()
-            var ai = 0
-            while (ai < states.length) { states(ai).reset(0); ai += 1 }
-          } else done = true
+          if (rows.hasNext) needReset = true else done = true
         }
         private def ensureZero(): Int = {
           if (gmap.n == 0) { gmap.findOrInsert(gmap.rowHash()) } else 0
@@ -774,6 +853,8 @@ case class FinalSketchAggExec(
     val aggsLocal = aggs
     val resultLocal = resultExprs
     val keysLocal = keys
+    val maxGroups = SketchAgg.FinalMaxGroups
+    val childOutput = child.output
 
     child.execute().mapPartitions { rows =>
       // key parts sit at ordinals 0..nk-1 of the partial row
@@ -787,8 +868,9 @@ case class FinalSketchAggExec(
             val st = new AggState.AnyState(a, bufOrd); bufOrd += 1; st
           case _: Count =>
             val st = new AggState.CountState(-1, bufOrd); bufOrd += 1; st
-          case _: Sum =>
-            val st = new AggState.SumState(-1, null, bufOrd); bufOrd += 1; st
+          case Sum(_, ctx) =>
+            val st = new AggState.SumState(-1, null, bufOrd,
+              ctx.evalMode == EvalMode.ANSI); bufOrd += 1; st
           case _: Average =>
             val st = new AggState.AvgState(-1, null, bufOrd); bufOrd += 2; st
           case other => throw new IllegalStateException(other.toString)
@@ -796,7 +878,11 @@ case class FinalSketchAggExec(
       }.toArray
       val gmap = new GroupKeyMap(isStr, nullable)
       var sawAny = false
-      while (rows.hasNext) {
+      // hash-merge until done OR the in-memory group cap (the final
+      // stage cannot emit-and-reset like the partial stage — a group
+      // may still receive merges — so past the cap it falls back to
+      // sort-based merging, mirroring ObjectHashAggregateExec)
+      while (rows.hasNext && gmap.n < maxGroups) {
         val row = rows.next()
         sawAny = true
         var i = 0
@@ -808,30 +894,128 @@ case class FinalSketchAggExec(
           val st = states(ai); st.ensure(g + 1); st.mergeRow(g, row); ai += 1
         }
       }
-      // global agg over an empty exchange partition: emit the default
-      // state row (count 0, uniq 0, sum/avg NULL) exactly once — only
-      // the single AllTuples partition exists, so this is the one row
-      val nGroups =
-        if (nk == 0 && !sawAny) { gmap.findOrInsert(gmap.rowHash()); 1 }
-        else gmap.n
       // result projection over (keys ++ agg result attrs)
       val aggResultAttrs = aggsLocal.map(_.resultAttribute)
       val proj = UnsafeProjection.create(resultLocal,
         keysLocal.map(_.toAttribute) ++ aggResultAttrs)
       val mid = new GenericInternalRow(nk + states.length)
-      new Iterator[InternalRow] {
-        private var g = 0
-        override def hasNext: Boolean = g < nGroups
-        override def next(): InternalRow = {
-          writeKey(gmap, g, mid, isStr)
+
+      if (!rows.hasNext) {
+        // in-memory path (the overwhelmingly common case)
+        // global agg over an empty exchange partition: emit the default
+        // state row (count 0, uniq 0, sum/avg NULL) exactly once — only
+        // the single AllTuples partition exists, so this is the one row
+        val nGroups =
+          if (nk == 0 && !sawAny) { gmap.findOrInsert(gmap.rowHash()); 1 }
+          else gmap.n
+        new Iterator[InternalRow] {
+          private var g = 0
+          override def hasNext: Boolean = g < nGroups
+          override def next(): InternalRow = {
+            writeKey(gmap, g, mid, isStr)
+            var ai = 0
+            while (ai < states.length) {
+              states(ai).ensure(g + 1)
+              mid.update(nk + ai, states(ai).resultValue(g))
+              ai += 1
+            }
+            g += 1
+            proj(mid)
+          }
+        }
+      } else {
+        // Sort-based fallback: spill everything seen so far plus the
+        // rest of the input into an UnsafeKVExternalSorter (the same
+        // machinery HashAggregateExec/ObjectHashAggregateExec fall
+        // back to), then merge adjacent equal-key runs. Bounded
+        // memory: the sorter spills to disk under memory pressure;
+        // only one group's state is live at a time.
+        val keySchema = StructType(childOutput.take(nk).map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        val valSchema = StructType(childOutput.drop(nk).map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        val env = org.apache.spark.SparkEnv.get
+        val sorter = new org.apache.spark.sql.execution.UnsafeKVExternalSorter(
+          keySchema, valSchema, env.blockManager, env.serializerManager,
+          org.apache.spark.sql.graftbridge.Bridge.taskPageSizeBytes(),
+          Integer.MAX_VALUE, java.lang.Long.MAX_VALUE)
+        // 1. re-serialize the accumulated map as synthetic partial rows
+        val keyRow = new GenericInternalRow(math.max(nk, 1))
+        val keyToUnsafe = UnsafeProjection.create(keySchema)
+        val bufWidth = childOutput.length - nk
+        val bufRow = new GenericInternalRow(bufWidth)
+        val bufToUnsafe = UnsafeProjection.create(valSchema)
+        var g = 0
+        while (g < gmap.n) {
+          writeKey(gmap, g, keyRow, isStr)
+          var ord = 0
           var ai = 0
           while (ai < states.length) {
-            states(ai).ensure(g + 1)
-            mid.update(nk + ai, states(ai).resultValue(g))
+            states(ai) match {
+              case avg: AggState.AvgState =>
+                bufRow.update(ord, avg.partialSum(g)); ord += 1
+                bufRow.setLong(ord, avg.partialCnt(g)); ord += 1
+              case st =>
+                bufRow.update(ord, st.partialValue(g)); ord += 1
+            }
             ai += 1
           }
+          sorter.insertKV(keyToUnsafe(keyRow), bufToUnsafe(bufRow))
           g += 1
-          proj(mid)
+        }
+        gmap.reset()
+        locally { var ai = 0; while (ai < states.length) { states(ai).reset(0); ai += 1 } }
+        // 2. feed the remaining partial rows, split key/buffer
+        val splitKey = UnsafeProjection.create(childOutput.take(nk), childOutput)
+        val splitVal = UnsafeProjection.create(childOutput.drop(nk), childOutput)
+        while (rows.hasNext) {
+          val r = rows.next()
+          sorter.insertKV(splitKey(r), splitVal(r))
+        }
+        // 3. merge adjacent equal-key runs (equal keys have equal
+        // UnsafeRow bytes — both insert paths project the same schema
+        // — and the sorter orders by key bytes, so runs are contiguous)
+        val iter = sorter.sortedIterator()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+        val joined = new JoinedRow
+        new Iterator[InternalRow] {
+          private var has = iter.next()
+          override def hasNext: Boolean = has
+          override def next(): InternalRow = {
+            if (!has) throw new NoSuchElementException
+            val curKey = iter.getKey.copy()
+            var ai = 0
+            while (ai < states.length) {
+              states(ai).ensure(1); states(ai).clear(0); ai += 1
+            }
+            var more = true
+            while (more) {
+              joined(iter.getKey, iter.getValue)
+              var aj = 0
+              while (aj < states.length) { states(aj).mergeRow(0, joined); aj += 1 }
+              has = iter.next()
+              more = has && iter.getKey == curKey
+            }
+            var i = 0
+            while (i < nk) {
+              if (curKey.isNullAt(i)) mid.update(i, null)
+              else keyTypes(i) match {
+                case StringType => mid.update(i, curKey.getUTF8String(i))
+                case LongType => mid.setLong(i, curKey.getLong(i))
+                case IntegerType | DateType => mid.setInt(i, curKey.getInt(i))
+                case ShortType => mid.setShort(i, curKey.getShort(i))
+                case ByteType => mid.setByte(i, curKey.getByte(i))
+                case t => throw new IllegalStateException(t.toString)
+              }
+              i += 1
+            }
+            var ak = 0
+            while (ak < states.length) {
+              mid.update(nk + ak, states(ak).resultValue(0)); ak += 1
+            }
+            proj(mid)
+          }
         }
       }
     }

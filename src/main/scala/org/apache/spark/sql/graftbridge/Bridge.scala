@@ -20,6 +20,12 @@ object Bridge {
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
 
+  /** The running task's memory-manager page size — what
+    * HashAggregateExec hands UnsafeKVExternalSorter; taskMemoryManager
+    * is private[spark]. */
+  def taskPageSizeBytes(): Long =
+    org.apache.spark.TaskContext.get().taskMemoryManager().pageSizeBytes()
+
   /** DataFrame from a (transformed) logical plan — Dataset.ofRows is
     * private[sql]. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

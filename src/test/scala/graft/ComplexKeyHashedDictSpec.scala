@@ -86,6 +86,28 @@ class ComplexKeyHashedDictSpec extends SparkSpec {
     } finally ComplexKeyHashedDict.clearRegistry()
   }
 
+  test("over-limit dictionary source fails loud with a named error") {
+    import spark.implicits._
+    val saved = operators.DictGuard.MaxRows
+    operators.DictGuard.MaxRows = 100
+    try {
+      val big = spark.range(0, 200).select(
+        col("id").cast("string").as("k1"), col("id").as("k2"),
+        col("id").as("v"))
+      val e = intercept[IllegalArgumentException] {
+        operators.ComplexKeyHashedDict.build(
+          big, Seq("k1", "k2"), "v", org.apache.spark.sql.types.LongType)
+      }
+      assert(e.getMessage.contains("complex_key_hashed"), e.getMessage)
+      assert(e.getMessage.contains("100 rows"), e.getMessage)
+      // at the bound is fine
+      operators.DictGuard.MaxRows = 200
+      val d = operators.ComplexKeyHashedDict.build(
+        big, Seq("k1", "k2"), "v", org.apache.spark.sql.types.LongType)
+      assert(d != null)
+    } finally operators.DictGuard.MaxRows = saved
+  }
+
   test("q126 plan: broadcast probe, no join, no extra shuffle before the aggregate") {
     val df = queries.MiscQueries.q126(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

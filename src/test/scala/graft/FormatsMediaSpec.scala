@@ -209,6 +209,33 @@ class FormatsMediaSpec extends SparkSpec {
     assert(c === a)
   }
 
+  test("materialized features refresh when content changes at equal row count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_matfeat").toFile
+    val path = new java.io.File(dir, "feat.parquet").getAbsolutePath
+    def corpus(tag: String) = Seq(
+      (1L, "image", s"payload-one-$tag".getBytes("UTF-8")),
+      (2L, "image", s"payload-two-$tag".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "content")
+    Media.materializeFeatures(spark, corpus("v1"), path)
+    val ph1 = spark.read.parquet(path).selectExpr("media_id", "ph")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same ids, same ROW COUNT, different payload bytes: the r13
+    // row-count freshness check silently kept the stale features here
+    Media.materializeFeatures(spark, corpus("v2"), path)
+    val ph2 = spark.read.parquet(path).selectExpr("media_id", "ph")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph1.keySet === ph2.keySet)
+    assert(ph1 !== ph2, "content change at equal count must refresh features")
+    // unchanged corpus: the parquet files must NOT be rewritten
+    val stamps = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    Media.materializeFeatures(spark, corpus("v2"), path)
+    val stamps2 = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(stamps === stamps2, "unchanged corpus must not re-decode")
+  }
+
   test("frame sampling emits the arithmetic frame count") {
     val media = Seq((1L, "video", Array.fill[Byte](200)(7))).toDF("media_id", "kind", "content")
     val frames = Media.sampleFrames(spark, media, stride = 64, frameLen = 32)

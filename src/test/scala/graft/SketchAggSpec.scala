@@ -122,11 +122,76 @@ class SketchAggSpec extends SparkSpec {
     // unsupported companion aggregate (max)
     val d2 = base.groupBy("k1").agg(uniqCol("u").as("nu"), max("v").as("m"))
     assert(!usedSketchAgg(d2))
-    // no uniq at all
-    val d3 = base.groupBy("k1").agg(count(lit(1)).as("c"))
+    // plain aggs over NARROW keys (no 64-bit key): codegen
+    // HashAggregate's territory
+    val d3 = base.groupBy("k1i").agg(count(lit(1)).as("c"))
     assert(!usedSketchAgg(d3))
+    val d4 = base.groupBy("ks").agg(count(lit(1)).as("c"), sum("v").as("s"))
+    assert(!usedSketchAgg(d4))
+    // plain aggs with NO keys: global codegen agg
+    val d5 = base.agg(count(lit(1)).as("c"), sum("v").as("s"))
+    assert(!usedSketchAgg(d5))
     // results still correct on the fallback path
-    assert(d1.collect().nonEmpty && d2.collect().nonEmpty && d3.collect().nonEmpty)
+    assert(d1.collect().nonEmpty && d2.collect().nonEmpty &&
+      d3.collect().nonEmpty && d4.collect().nonEmpty && d5.collect().nonEmpty)
+  }
+
+  test("zero-uniq long-key shapes: count/sum/avg bit-identical to codegen plan") {
+    SketchAgg.zeroUniqEnabled = true
+    try {
+    // bench q16 shape: single long key + count
+    compare(base.groupBy("k1").agg(count(lit(1)).as("c")))
+    // bench q33 shape: two keys (long + long-ish) + count/sum/avg
+    compare(base.groupBy("k1", "u").agg(
+      count(lit(1)).as("c"), sum("v").as("s"), avg("v").as("a")))
+    // bench q17 shape: long + string key
+    compare(base.groupBy("k1", "ks").agg(count(lit(1)).as("c")))
+    // NULL-heavy value column
+    compare(base.groupBy("k1").agg(sum("vn").as("s"), avg("vn").as("a"),
+      count(col("vn")).as("cv")))
+    } finally SketchAgg.zeroUniqEnabled = false
+  }
+
+  test("zero-uniq switch defaults off: plain long-key shapes stay on codegen") {
+    val df = base.groupBy("k1").agg(count(lit(1)).as("c"))
+    assert(!usedSketchAgg(df))
+    // sketch shapes unaffected by the zero-uniq switch
+    val du = base.groupBy("k1").agg(uniqCol("u").as("nu"))
+    assert(usedSketchAgg(du))
+  }
+
+  test("final-stage sort fallback is bit-identical past the group cap") {
+    val saved = SketchAgg.FinalMaxGroups
+    SketchAgg.FinalMaxGroups = 16 // force the UnsafeKVExternalSorter path
+    try {
+      // sketch + plain aggs, 97 groups >> 16-group cap per partition
+      val fast = base.groupBy("k1").agg(
+        uniqCol("u").as("nu"), count(lit(1)).as("c"), sum("v").as("s"),
+        avg("v").as("a"))
+      assert(usedSketchAgg(fast))
+      val f = fast.collect().map(_.toString).sorted.toSeq
+      SketchAgg.FinalMaxGroups = saved
+      val s = genericRows(base.groupBy("k1").agg(
+        uniqCol("u").as("nu"), count(lit(1)).as("c"), sum("v").as("s"),
+        avg("v").as("a")))
+      assert(f === s)
+      assert(f.length === 97)
+    } finally SketchAgg.FinalMaxGroups = saved
+  }
+
+  test("final-stage sort fallback handles string keys with NULLs") {
+    val saved = SketchAgg.FinalMaxGroups
+    SketchAgg.FinalMaxGroups = 4
+    try {
+      val fast = base.groupBy("ks").agg(
+        uniqCol("u").as("nu"), count(col("v")).as("cv"))
+      assert(usedSketchAgg(fast))
+      val f = fast.collect().map(_.toString).sorted.toSeq
+      SketchAgg.FinalMaxGroups = saved
+      val s = genericRows(base.groupBy("ks").agg(
+        uniqCol("u").as("nu"), count(col("v")).as("cv")))
+      assert(f === s)
+    } finally SketchAgg.FinalMaxGroups = saved
   }
 
   test("expression key + any + avg(expr) (bench q29 shape)") {
