@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, Length, RuntimeReplaceable, Size, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, Length, OctetLength, RuntimeReplaceable, Size, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -865,7 +865,11 @@ case class ChLength(child: Expression)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   override lazy val replacement: Expression = child.dataType match {
     case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
-    case _ => Length(child)
+    // CH length(String) is BYTES (FunctionsString.cpp:66 LengthImpl:
+    // offsets[i]-1-offsets[i-1], the char variant is lengthUTF8) —
+    // and bytes is O(1) on UTF8String where Spark's Length walks the
+    // string counting chars (8% of q29's profile).
+    case _ => OctetLength(child)
   }
   override def prettyName: String = "length"
   override protected def withNewChildInternal(newChild: Expression): ChLength =

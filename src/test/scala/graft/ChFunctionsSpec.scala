@@ -118,4 +118,16 @@ class ChFunctionsSpec extends SparkSpec {
     assert(!info.getClassName.startsWith("graft"),
       s"sum left shadowed by ${info.getClassName}")
   }
+
+  test("length is BYTES (reference LengthImpl); lengthUTF8 is chars") {
+    val r = sql.ChDdl.execute(spark,
+      "SELECT length('привет') AS b, lengthUTF8('привет') AS c, " +
+        "length('abc') AS ab, lengthUTF8('abc') AS ac, " +
+        "length([1,2,3]) AS arr").get.collect()(0)
+    assert(r.getInt(0) === 12) // 6 Cyrillic chars x 2 bytes
+    assert(r.getInt(1) === 6)
+    assert(r.getInt(2) === 3)
+    assert(r.getInt(3) === 3)
+    assert(r.getInt(4) === 3)
+  }
 }
