@@ -333,4 +333,34 @@ object StringKernels {
     if (s == null || f == null || t == null) null
     else UTF8String.fromString(
       s.toString.replaceAll(f.toString, javaRepl(t.toString)))
+
+  /** CH substring(s, start, len) on String is BYTE-based
+    * (FunctionsString.cpp:516 SubstringImpl copies a raw byte range;
+    * the code-point variant is substringUTF8). start is 1-based and
+    * must be > 0 (FunctionsString.cpp:1410); out-of-range yields
+    * empty, len is clamped to the remaining bytes. */
+  def byteSubstring(s: UTF8String, start: Int, len: Int): UTF8String = {
+    if (s == null) return null
+    if (start <= 0) throw new IllegalArgumentException(
+      "Second argument of function substring must be greater than 0.")
+    if (len < 0) throw new IllegalArgumentException(
+      "Third argument of function substring must be non-negative.")
+    val n = s.numBytes()
+    if (start > n) return UTF8String.EMPTY_UTF8
+    val take = math.min(n - (start - 1), len)
+    val bytes = s.getBytes
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+      bytes, start - 1, start - 1 + take))
+  }
+
+  /** CH reverse(String) reverses BYTES (FunctionsString.cpp:232
+    * ReverseImpl; reverseUTF8 reverses code points). */
+  def byteReverse(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(b.length - 1 - i); i += 1 }
+    UTF8String.fromBytes(out)
+  }
 }

@@ -876,6 +876,23 @@ case class ChLength(child: Expression)
     copy(child = newChild)
 }
 
+/** CH reverse: BYTE-reverse for strings (FunctionsString.cpp:232
+  * ReverseImpl; reverseUTF8 is the code-point variant), element
+  * reverse for arrays. */
+case class ChReverse(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[StringKernels.type], StringType, "byteReverse", Seq(child))
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.Reverse(child)
+  }
+  override def prettyName: String = "reverse"
+  override protected def withNewChildInternal(newChild: Expression): ChReverse =
+    copy(child = newChild)
+}
+
 /** CH arraySum (FunctionsArray.h arraySum): integral arrays fold
   * into Int64/UInt64, float arrays into Float64. Type dispatch via
   * RuntimeReplaceable onto a resolved ArrayAggregate (codegen'd). */

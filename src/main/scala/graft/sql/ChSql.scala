@@ -3183,6 +3183,21 @@ object ChSql {
         Literal(1))))
   }
 
+  /** CH byte-based substring: 1-based byte offset, clamped length
+    * (SubstringImpl). 2-arg form takes the rest of the string. */
+  private def byteSubstring(args: Seq[Expression]): Expression = {
+    val (str, pos, len) = args match {
+      case Seq(s, p) => (s, p, Literal(Int.MaxValue))
+      case Seq(s, p, l) => (s, p, l)
+      case other => throw new IllegalArgumentException(
+        s"substring expects 2 or 3 arguments, got ${other.length}")
+    }
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.functions.StringKernels.type], StringType,
+      "byteSubstring",
+      Seq(str, Cast(pos, IntegerType), Cast(len, IntegerType)))
+  }
+
   /** Fold `if(0, a, b)` → `b` and `if(1, a, b)` → `a` textually (see
     * the call site). Innermost-first via repetition; args split on
     * depth-0 commas inside the call. */
@@ -3738,6 +3753,14 @@ object ChSql {
     "lowerUTF8" -> { case Seq(e) => Lower(e) },
     "upperUTF8" -> { case Seq(e) => Upper(e) },
     "substringUTF8" -> { case Seq(s, p, l) => Substring(s, p, l) },
+    // CH substring/reverse on String are BYTE-based (SubstringImpl /
+    // ReverseImpl; the *UTF8 names are the code-point variants) —
+    // StaticInvoke kernels, codegen'd static calls
+    "substring" -> { case args => byteSubstring(args) },
+    "substr" -> { case args => byteSubstring(args) },
+    "mid" -> { case args => byteSubstring(args) },
+    "reverse" -> { case Seq(e) => graft.functions.ChReverse(e) },
+    "reverseUTF8" -> { case Seq(e) => Reverse(e) },
     // Column-helper bridges (graft.functions.ch)
     "notEmpty" -> viaColumn { case Seq(c) => graft.functions.ch.notEmpty(c) },
     "empty" -> viaColumn { case Seq(c) => graft.functions.ch.empty(c) },

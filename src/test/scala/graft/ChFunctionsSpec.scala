@@ -130,4 +130,27 @@ class ChFunctionsSpec extends SparkSpec {
     assert(r.getInt(3) === 3)
     assert(r.getInt(4) === 3)
   }
+
+  test("substring/reverse are BYTE-based; *UTF8 variants are code-point-based") {
+    val r = sql.ChDdl.execute(spark,
+      "SELECT hex(substring('привет', 1, 2)) AS sb, " +
+        "substringUTF8('привет', 1, 2) AS su, " +
+        "hex(reverse('пр')) AS rb, reverseUTF8('пр') AS ru, " +
+        "substring('abcdef', 3, 2) AS sa, substring('abc', 2) AS s2, " +
+        "substring('abc', 9, 2) AS oob, reverse([1,2,3]) AS ra").get
+      .collect()(0)
+    assert(r.getString(0) === "D0BF") // first 2 BYTES of 'п' (broken char)
+    assert(r.getString(1) === "пр")
+    assert(r.getString(2) === "80D1BFD0") // byte-reverse of D0BF D180
+    assert(r.getString(3) === "рп")
+    assert(r.getString(4) === "cd")
+    assert(r.getString(5) === "bc")
+    assert(r.getString(6) === "")
+    assert(r.getSeq[Int](7) === Seq(3, 2, 1))
+    // start = 0 raises like the reference (ARGUMENT_OUT_OF_BOUND)
+    val e = intercept[Exception] {
+      sql.ChDdl.execute(spark, "SELECT substring('abc', 0, 1)").get.collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
