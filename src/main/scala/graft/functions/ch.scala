@@ -339,18 +339,22 @@ object StringKernels {
     * the code-point variant is substringUTF8). start is 1-based and
     * must be > 0 (FunctionsString.cpp:1410); out-of-range yields
     * empty, len is clamped to the remaining bytes. */
-  def byteSubstring(s: UTF8String, start: Int, len: Int): UTF8String = {
+  def byteSubstring(s: UTF8String, start: Long, len: Long): UTF8String = {
     if (s == null) return null
     if (start <= 0) throw new IllegalArgumentException(
       "Second argument of function substring must be greater than 0.")
     if (len < 0) throw new IllegalArgumentException(
       "Third argument of function substring must be non-negative.")
+    // Long args, Long math: a start/len above Int.MaxValue clamps like
+    // any other out-of-range value instead of silently truncating to
+    // Int. (The reference takes UInt64 here and rejects only >= 2^63
+    // — unrepresentable in an Int64 engine — FunctionsString.cpp:1413.)
     val n = s.numBytes()
     if (start > n) return UTF8String.EMPTY_UTF8
-    val take = math.min(n - (start - 1), len)
+    val from = (start - 1).toInt
+    val take = math.min(n - (start - 1), len).toInt
     val bytes = s.getBytes
-    UTF8String.fromBytes(java.util.Arrays.copyOfRange(
-      bytes, start - 1, start - 1 + take))
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, from + take))
   }
 
   /** CH reverse(String) reverses BYTES (FunctionsString.cpp:232

@@ -230,25 +230,35 @@ object Media {
   def materializeFeatures(spark: SparkSession, media: DataFrame,
       path: String, dim: Int = 64): Unit = {
     graft.GraftFunctions.register(spark)
+    // `kind` participates in the fingerprint: the decode path branches
+    // on it, so a row whose kind changes at identical id/content must
+    // refresh the materialization.
     val fp = media
       .select(count(lit(1)).as("n"),
-        expr("bit_xor(xxhash64(media_id, content))").as("fp"))
+        expr("bit_xor(xxhash64(media_id, kind, content))").as("fp"))
       .collect()(0)
     val expected =
       if (fp.isNullAt(1)) "empty" else s"${fp.getLong(0)}:${fp.getLong(1)}"
-    val marker = new java.io.File(path, "_graft_content_fp")
+    // Hadoop FileSystem, not java.io.File: `path` may be on any
+    // cluster filesystem (HDFS/object store), same as the parquet.
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_content_fp")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     val fresh =
-      try marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          "UTF-8").trim == expected
+      try fs.exists(marker) && {
+        val in = fs.open(marker)
+        val bytes =
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        new String(bytes, "UTF-8").trim == expected
+      }
       catch { case scala.util.control.NonFatal(_) => false }
     if (!fresh) {
       decodeMediaFeatures(spark, media, dim)
         .select(col("media_id"), col("kind"), col("decoded"),
           expr("phash64(features)").as("ph"))
         .write.mode("overwrite").parquet(path)
-      java.nio.file.Files.write(marker.toPath,
-        expected.getBytes("UTF-8"))
+      val out = fs.create(marker, true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
     }
   }
 

@@ -179,6 +179,18 @@ private[operators] sealed trait AggState {
 }
 
 private[operators] object AggState {
+  /** ANSI-mode long add: overflow raises the same error class as the
+    * codegen plan's Add(EvalMode.ANSI) — ARITHMETIC_OVERFLOW with a
+    * try_sum hint — so callers matching on Spark error classes see
+    * identical behavior to the generic HashAggregate plan. */
+  @inline def ansiAddExact(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch {
+      case _: ArithmeticException =>
+        throw org.apache.spark.sql.graftbridge.Bridge
+          .arithmeticOverflowError("long overflow", "try_sum")
+    }
+
   final class UniqState(agg: UniqSketch, bufOrd: Int) extends AggState {
     private var s = new Array[UniqSketchState](64)
     def ensure(n: Int): Unit =
@@ -229,7 +241,7 @@ private[operators] object AggState {
       seen = java.util.Arrays.copyOf(seen, m)
     }
     @inline private def add(idx: Int, v: Long): Unit = {
-      s(idx) = if (ansi) Math.addExact(s(idx), v) else s(idx) + v
+      s(idx) = if (ansi) AggState.ansiAddExact(s(idx), v) else s(idx) + v
       seen(idx) = true
     }
     def update(idx: Int, row: InternalRow): Unit =
@@ -287,7 +299,7 @@ private[operators] object AggState {
       seen = java.util.Arrays.copyOf(seen, m)
     }
     @inline private def add(idx: Int, v: Long): Unit = {
-      s(idx) = if (ansi) Math.addExact(s(idx), v) else s(idx) + v
+      s(idx) = if (ansi) AggState.ansiAddExact(s(idx), v) else s(idx) + v
       seen(idx) = true
     }
     def update(idx: Int, row: InternalRow): Unit = {
@@ -587,7 +599,15 @@ private[operators] trait SketchAggExecBase extends UnaryExecNode {
 }
 
 /** Partial stage: input rows → one row per (flush-window, group) with
-  * column-striped buffers. */
+  * column-striped buffers.
+  *
+  * OUTPUT ROW REUSE: the emit iterator returns ONE UnsafeRow instance,
+  * overwritten on every next() (the UnsafeProjection target buffer).
+  * Safe for the only planned consumers — ShuffleExchange copies or
+  * serializes each row before advancing, and FinalSketchAggExec fully
+  * consumes a row before pulling the next — but any plan rule placing
+  * a BUFFERING operator directly above this node must copy() rows, or
+  * it will silently see every slot mutate to the last row emitted. */
 case class PartialSketchAggExec(
     keys: Seq[NamedExpression],
     aggs: Seq[AggregateExpression],

@@ -219,18 +219,22 @@ object CoreQueries {
   // q10 ANY LEFT JOIN (reference strictness ANY: ≤1 match per left
   // row, "first wins" — ASTTablesInSelectQuery.h:74-78, Join.h:352).
   // Deterministic "first" = min (l_orderkey, l_linenumber) per key,
-  // realized as row_number()=1 on the build side before the join —
-  // the dedup shrinks the shuffled RHS, exactly what ANY is for.
+  // realized as min_by over a groupBy — unlike a row_number window
+  // (which must shuffle + sort EVERY fact row before filtering), a
+  // declarative aggregate gets map-side partial aggregation: each
+  // task folds to one candidate row per key locally, so the exchange
+  // carries |keys| rows instead of |fact| rows. The dedup shrinks the
+  // shuffled RHS, exactly what ANY is for.
   // ---------------------------------------------------------------
   def q10(s: SparkSession, dir: String): DataFrame = {
     val su = t(s, dir, "supplier")
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
     val anyLine = t(s, dir, "lineitem")
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("l_suppkey"))
+      .agg(min_by(struct(col("l_orderkey"), col("l_quantity")),
+        struct(col("l_orderkey"), col("l_linenumber"))).as("__first"))
+      .select(col("l_suppkey"),
+        col("__first").getField("l_orderkey").as("l_orderkey"),
+        col("__first").getField("l_quantity").as("l_quantity"))
     su.join(anyLine, su("s_suppkey") === anyLine("l_suppkey"), "left")
       .select(col("s_suppkey"), col("s_name"), col("l_orderkey"), col("l_quantity"))
       .orderBy(col("s_suppkey"))

@@ -29,16 +29,20 @@ object MergeTreeQueries {
   // key (reference: ReplacingSortedBlockInputStream.h:11-15). Key =
   // (user_id, event_type), version = (ts, event_id).
   // ---------------------------------------------------------------
-  def q34(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  // max_by over a groupBy, not a row_number window: a declarative
+  // aggregate gets map-side partial aggregation (one candidate per
+  // key per task into the exchange), where a window must shuffle and
+  // sort every event row first. (ts, event_id) is unique per key, so
+  // "last" is deterministic.
+  def q34(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
-        col("value").as("last_value"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("__last"))
+      .select(col("user_id"), col("event_type"),
+        col("__last").getField("event_id").as("last_event_id"),
+        col("__last").getField("value").as("last_value"))
       .orderBy(col("user_id"), col("event_type"))
-  }
 
   private val q34Sql =
     """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value

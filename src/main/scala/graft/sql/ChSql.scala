@@ -3187,15 +3187,17 @@ object ChSql {
     * (SubstringImpl). 2-arg form takes the rest of the string. */
   private def byteSubstring(args: Seq[Expression]): Expression = {
     val (str, pos, len) = args match {
-      case Seq(s, p) => (s, p, Literal(Int.MaxValue))
+      case Seq(s, p) => (s, p, Literal(Long.MaxValue))
       case Seq(s, p, l) => (s, p, l)
       case other => throw new IllegalArgumentException(
         s"substring expects 2 or 3 arguments, got ${other.length}")
     }
+    // LongType casts: an Int cast would silently truncate a 64-bit
+    // start/len (substring(s, 4294967297, 2) must clamp, not wrap).
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       classOf[graft.functions.StringKernels.type], StringType,
       "byteSubstring",
-      Seq(str, Cast(pos, IntegerType), Cast(len, IntegerType)))
+      Seq(str, Cast(pos, LongType), Cast(len, LongType)))
   }
 
   /** Fold `if(0, a, b)` → `b` and `if(1, a, b)` → `a` textually (see

@@ -237,31 +237,42 @@ object MergeTreeTable {
         .filter(col("__keep") || (col("__any") === 0 && col("__key") === col("__lastkey")))
         .select(df.columns.map(qcol).toIndexedSeq: _*)
     case Replacing(version) =>
-      import org.apache.spark.sql.expressions.Window
+      // max_by over a groupBy, not a row_number window: a declarative
+      // aggregate gets map-side partial aggregation — one survivor
+      // candidate per key per task into the exchange, no full per-key
+      // shuffle+sort of every row. Reference semantics
+      // (ReplacingSortedBlockInputStream.h:11-15): max version wins;
+      // among EQUAL versions the last-inserted row survives — pinned
+      // with a monotone insert id (partition ids grow along the
+      // insert-union lineage, same device as the Summing fold above).
       val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
-      val w = Window.partitionBy(keys: _*).orderBy(col(version).desc)
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val cols = df.columns
+      df.withColumn("__ins", monotonically_increasing_id())
+        .groupBy(keys: _*)
+        .agg(max_by(struct(cols.map(col).toIndexedSeq: _*),
+          struct(col(version), col("__ins"))).as("__row"))
+        .select(cols.map(c => col("__row").getField(c).as(c)).toIndexedSeq: _*)
     case Collapsing(sign) =>
-      // Deterministic survivor row per key: row_number over a TOTAL
-      // order (sign desc, then every payload column) — a global
-      // orderBy + last() aggregate let the aggregation exchange
-      // destroy the sort, making the surviving payload arbitrary.
-      // Both window functions share the key partitioning: one
-      // shuffle, one sort, scales per-key.
-      import org.apache.spark.sql.expressions.Window
-      val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
-      val others = df.columns.filterNot(c =>
-        (spec.partitionCol.toSeq ++ spec.sortKey :+ sign).contains(c))
-      val wOrd = Window.partitionBy(keys: _*)
-        .orderBy((col(sign).desc +: others.map(c => col(c).desc)): _*)
-      val wKey = Window.partitionBy(keys: _*)
-      df.withColumn("__rn", row_number().over(wOrd))
-        .withColumn("__signsum", sum(col(sign)).over(wKey))
-        .filter(col("__rn") === 1 && col("__signsum") > 0)
-        .withColumn(sign, col("__signsum").cast("int"))
-        .drop("__rn", "__signsum")
-        .select(df.columns.map(col).toIndexedSeq: _*)
+      // Deterministic survivor row per key: the max row under the
+      // TOTAL order (sign desc, then every payload column desc) ==
+      // max(struct(sign, payload…)), plus sum(sign), in ONE
+      // partial/final hash aggregation. The former two-window plan
+      // shuffled and per-key-sorted every row; the aggregate folds
+      // map-side (one candidate per key per task into the exchange).
+      // Struct ordering ranks null smallest — identical winner to the
+      // window's desc-nulls-last.
+      val keyNames = spec.partitionCol.toSeq ++ spec.sortKey
+      val keys = keyNames.map(col)
+      val others = df.columns.filterNot(c => (keyNames :+ sign).contains(c))
+      df.groupBy(keys: _*)
+        .agg(max(struct((col(sign) +: others.map(col)).toIndexedSeq: _*)).as("__row"),
+          sum(col(sign)).as("__signsum"))
+        .filter(col("__signsum") > 0)
+        .select(df.columns.map { c =>
+          if (c == sign) col("__signsum").cast("int").as(sign)
+          else if (keyNames.contains(c)) col(c)
+          else col("__row").getField(c).as(c)
+        }.toIndexedSeq: _*)
     case Graphite(params, timeOfMerge) =>
       GraphiteRollup.rollup(df, params,
         timeOfMerge.getOrElse(System.currentTimeMillis() / 1000L))

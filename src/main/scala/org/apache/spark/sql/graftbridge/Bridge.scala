@@ -26,6 +26,13 @@ object Bridge {
   def taskPageSizeBytes(): Long =
     org.apache.spark.TaskContext.get().taskMemoryManager().pageSizeBytes()
 
+  /** The overflow error the codegen ANSI Add path raises
+    * (ARITHMETIC_OVERFLOW error class + hint) — QueryExecutionErrors
+    * is private[sql]. */
+  def arithmeticOverflowError(message: String, hint: String): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors
+      .arithmeticOverflowError(message, hint, null)
+
   /** DataFrame from a (transformed) logical plan — Dataset.ofRows is
     * private[sql]. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
