@@ -69,25 +69,45 @@ object Bench {
     }
     val failed = results.collect { case (n, t, _) if t < 0 => n }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Full-name per-query timings (with the raw cold/warm/warm runs)
+    // Variance is part of the artifact: min-of-N alone scores noise
+    // when a query's runs span >2× (the container has noisy-host
+    // windows — see CacheKeeper's header). Each query reports its
+    // median and spread (max/min); spread > 2 marks it UNMEASURED —
+    // readers should treat its min as a lower bound, not a score.
+    def median(runs: Seq[Double]): Double = {
+      val s = runs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def spread(runs: Seq[Double]): Double =
+      if (runs.isEmpty || runs.min <= 0) -1.0 else runs.max / runs.min
+    val unmeasured = results.collect {
+      case (n, t, runs) if t >= 0 && spread(runs) > 2.0 => n
+    }
+    // Full-name per-query timings (with the raw warm runs + variance)
     // go to a file: the driver's stdout capture keeps only the last
     // 2000 chars, which truncates a 127-query line mid-JSON. The
     // stdout line uses the short qNN ids (unique prefixes of the full
     // names) + 3-decimal seconds so it fits the window and parses.
     val fullQs = results.map { case (k, v, runs) =>
       val rs = runs.map(t => f"$t%.3f").mkString("[", ",", "]")
-      s"\"" + k + "\":{\"sec\":" + v + ",\"runs\":" + rs + "}"
+      val variance =
+        if (runs.isEmpty) ""
+        else f""","med":${median(runs)}%.3f,"spread":${spread(runs)}%.2f""" +
+          (if (spread(runs) > 2.0) ""","unmeasured":true""" else "")
+      s"\"" + k + "\":{\"sec\":" + v + ",\"runs\":" + rs + variance + "}"
     }.mkString("{", ",", "}")
     val detail = new java.io.File("bench_full.json").getAbsolutePath
     val w = new java.io.PrintWriter(detail, "UTF-8")
     val errArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unmArr = unmeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     try w.println(
-      s"""{"metric":"total_min_warm","value":$total,"unit":"sec","protocol":"JIT pre-lap + 3 runs, min-of-3, inputs cache-pinned","queries":$fullQs,"errors":$errArr,"sf":"$sfDir"}""")
+      s"""{"metric":"total_min_warm","value":$total,"unit":"sec","protocol":"JIT pre-lap + 3 runs, min-of-3, inputs cache-pinned; spread=max/min, spread>2 = unmeasured","queries":$fullQs,"errors":$errArr,"unmeasured":$unmArr,"sf":"$sfDir"}""")
     finally w.close()
     val shortQs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total_min_warm","value":$total,"unit":"sec","queries":$shortQs,"errors":${failed.size},"sf":"$sfDir","detail":"$detail"}"""
+    val line = s"""{"metric":"total_min_warm","value":$total,"unit":"sec","queries":$shortQs,"errors":${failed.size},"unmeasured":${unmeasured.size},"sf":"$sfDir","detail":"$detail"}"""
     // the exact stdout summary line also lands in its own file so the
     // round artifact can parse it without scraping the sbt log tail
     val sw = new java.io.PrintWriter(

@@ -238,14 +238,23 @@ object Bench43 {
     val rows = sys.env.getOrElse("HITS_ROWS", "10000000").toLong
     val path = sys.env.getOrElse("HITS_PATH", "target/hits10m.parquet")
     val outFile = sys.env.getOrElse("BENCH43_OUT", "bench_43.json")
-    val builder0 = SparkSession.builder()
+    val builder1 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+    // protocol A/B knobs (unset on driver runs): BENCH43_NO_TMPFS=1
+    // keeps shuffle on the default local dir; BENCH43_SHUFFLE_COMPRESS
+    // overrides spark.shuffle.compress; BENCH43_NO_TOUCH=1 pins pages
+    // without the re-touch daemon — for isolating which protocol piece
+    // moves a timing (r14 left q4/q5/q6/q16 unexplained)
+    val builder0 = sys.env.get("BENCH43_SHUFFLE_COMPRESS")
+      .fold(builder1)(v => builder1.config("spark.shuffle.compress", v))
     // shuffle/spill on RAM-backed temp — see CacheKeeper.benchLocalDir
-    val builder = graft.tools.CacheKeeper.benchLocalDir()
-      .fold(builder0)(d => builder0.config("spark.local.dir", d))
+    val builder =
+      if (sys.env.get("BENCH43_NO_TMPFS").contains("1")) builder0
+      else graft.tools.CacheKeeper.benchLocalDir()
+        .fold(builder0)(d => builder0.config("spark.local.dir", d))
     val spark = builder
       // single-node 10M-row scale: AQE's stage-materialization
       // barriers and re-planning rounds cost 0.1-10s per query and
@@ -290,9 +299,11 @@ object Bench43 {
     // rationale.
     locally {
       val t0 = System.nanoTime()
-      val bytes = graft.tools.CacheKeeper.pin(Seq(path))
+      val touchMs =
+        if (sys.env.get("BENCH43_NO_TOUCH").contains("1")) 0L else 4000L
+      val bytes = graft.tools.CacheKeeper.pin(Seq(path), touchMs)
       System.err.println(f"[bench43] pinned ${bytes / 1e9}%.1f GB in " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s (touch=${touchMs > 0})")
     }
     spark.read.parquet(path).createOrReplaceTempView("hits")
     // Iteration/profiling aids (no effect on driver runs, which leave
@@ -349,19 +360,40 @@ object Bench43 {
     val ok = results.filter(_._2 >= 0)
     val baseline =
       if (rows >= 100000000L) baselineWarm100m else baselineWarm
+    // Variance is part of the artifact: min-of-N alone scores noise
+    // when a query's runs span >2× (r14: q19 7.97–36.27 s, q5
+    // 1.17–10.66 s across 5 runs — a regression smaller than that
+    // spread is invisible). Each query reports median + spread
+    // (max/min); spread > 2 marks it UNMEASURED, and the headline
+    // geomean_measured excludes it (the all-queries geomean stays for
+    // round-over-round continuity).
+    def median(runs: Seq[Double]): Double = {
+      val s = runs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def spread(runs: Seq[Double]): Double =
+      if (runs.isEmpty || runs.min <= 0) -1.0 else runs.max / runs.min
+    def geo(rs: Seq[Double]): Double =
+      if (rs.isEmpty) -1.0 else math.exp(rs.map(math.log).sum / rs.size)
     val ratios = ok.map { case (i, t, _, _) => t / baseline(i - 1) }
-    val geomean =
-      if (ratios.isEmpty) -1.0
-      else math.exp(ratios.map(math.log).sum / ratios.size)
+    val geomean = geo(ratios)
+    val measured = ok.filter { case (_, _, runs, _) => spread(runs) <= 2.0 }
+    val geomeanMeasured =
+      geo(measured.map { case (i, t, _, _) => t / baseline(i - 1) })
     val perQ = results.map { case (i, t, runs, err) =>
       val base = baseline(i - 1)
       val r = if (t >= 0) f"${t / base}%.2f" else "null"
       val rs = runs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      val variance =
+        if (runs.isEmpty) ""
+        else f""","med":${median(runs)}%.3f,"spread":${spread(runs)}%.2f""" +
+          (if (spread(runs) > 2.0) ""","unmeasured":true""" else "")
       val e = err.map(m => s""","error":"${m.replace("\"", "'")}"""").getOrElse("")
-      f"""{"q":$i,"sec":$t%.3f,"baseline_sec":$base,"ratio":$r,"runs":$rs$e}"""
+      f"""{"q":$i,"sec":$t%.3f,"baseline_sec":$base,"ratio":$r,"runs":$rs$variance$e}"""
     }.mkString("[", ",", "]")
     val line =
-      f"""{"metric":"bench43_geomean_ratio","value":$geomean%.3f,"rows":$rows,"errors":${results.size - ok.size},"queries":$perQ}"""
+      f"""{"metric":"bench43_geomean_ratio","value":$geomean%.3f,"geomean_measured":$geomeanMeasured%.3f,"unmeasured":${ok.size - measured.size},"rows":$rows,"errors":${results.size - ok.size},"queries":$perQ}"""
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
     println(line)

@@ -80,6 +80,27 @@ object SketchAgg {
     * quieter host or after a codegen'd reader. */
   @volatile private[graft] var zeroUniqEnabled: Boolean = false
 
+  /** Adaptive partial-agg bypass — ClickHouse's answer to high-NDV
+    * GROUP BY keys (two-level table conversion + WithMergeableState
+    * streaming, Interpreters/Aggregator.h:736-744) restated for
+    * Spark's partial/final split: each partial task aggregates its
+    * first [[BypassSampleRows]] rows through the map normally; if
+    * nearly every sampled row opened a NEW group (groups/rows ≥
+    * [[BypassRatio]]), the map is futile — one candidate row per key
+    * means the exchange shrinks by ~nothing while every row still pays
+    * hash+probe+insert+rehash. The task then stops hashing entirely
+    * and streams each remaining row into the exchange as a ONE-ROW
+    * partial through a single codegen'd projection (no interpreted
+    * readers, no map). Low-NDV and skewed shapes never trigger (their
+    * sample hit rate is high), so map-side combine is preserved
+    * exactly where it pays. Decision is per task — a skewed partition
+    * keeps its map while a high-NDV one streams. */
+  @volatile private[graft] var bypassEnabled: Boolean = true
+  /** Rows each partial task aggregates before deciding. */
+  @volatile private[graft] var BypassSampleRows: Int = 1 << 16
+  /** groups/sampledRows at or above this ⇒ stream instead of hash. */
+  @volatile private[graft] var BypassRatio: Double = 0.7
+
   /** Non-Expression holder: keeps the final stage's aggregate
     * functions out of TreeNode's expression traversal — their INPUT
     * references (already consumed by the partial stage) would
@@ -145,8 +166,15 @@ object SketchAgg {
         })
     val shapeOk = keysOk && aggs.nonEmpty && aggs.forall(fnOk)
     def hasLongKey = grouping.exists(_.dataType == LongType)
+    // Zero-object shapes are admitted when the adaptive bypass can
+    // protect them: a 64-bit key at high NDV is exactly where codegen
+    // HashAggregate's partial map is futile (r14 measured the typed
+    // MAP losing to codegen on these full scans — the bypass replaces
+    // the map with a streamed projection, changing the economics).
+    // count/sum/avg all have singleton forms, so the bypass is always
+    // available for this shape.
     shapeOk && (aggs.exists(e => objectState(e.aggregateFunction)) ||
-      (zeroUniqEnabled && grouping.nonEmpty && hasLongKey))
+      ((zeroUniqEnabled || bypassEnabled) && grouping.nonEmpty && hasLongKey))
   }
 }
 
@@ -366,6 +394,49 @@ private[operators] object AggState {
     def reset(n: Int): Unit = { s = new Array[Double](64); c = new Array[Long](64) }
     def clear(idx: Int): Unit = { s(idx) = 0.0; c(idx) = 0L }
   }
+}
+
+/** One-row aggregate states in their wire form — StaticInvoke targets
+  * for the bypass projection (see [[SketchAgg.bypassEnabled]]). Each
+  * method produces exactly the bytes [[AggState.UniqState]] would emit
+  * for a group that saw one row with the given value: UniquesHashSet
+  * layout [skipDegree=0][varint count][32-bit hashes LE], hash =
+  * intHash64(key).toInt with the same per-type key mapping as
+  * [[UniqSketch.update]]. Must stay public: invoked from generated
+  * code. */
+object SingletonState {
+  /** Zero-row sketch (the agg skipped a NULL): skipDegree 0, count 0. */
+  val emptySketch: Array[Byte] = Array[Byte](0, 0)
+
+  @inline private def sk(h: Int): Array[Byte] = {
+    val out = new Array[Byte](6)
+    // out(0) = skipDegree 0
+    out(1) = 1 // varint count = 1
+    out(2) = (h & 0xff).toByte
+    out(3) = ((h >>> 8) & 0xff).toByte
+    out(4) = ((h >>> 16) & 0xff).toByte
+    out(5) = ((h >>> 24) & 0xff).toByte
+    out
+  }
+  @inline private def ofKey(key: Long): Array[Byte] =
+    sk(UniqSketchState.intHash64(key).toInt)
+
+  def sketchLong(v: Long): Array[Byte] = ofKey(v)
+  def sketchInt(v: Int): Array[Byte] = ofKey(v.toLong)
+  def sketchShort(v: Short): Array[Byte] = ofKey(v.toLong)
+  def sketchByte(v: Byte): Array[Byte] = ofKey(v.toLong)
+  def sketchBool(v: Boolean): Array[Byte] = ofKey(if (v) 1L else 0L)
+  def sketchFloat(v: Float): Array[Byte] =
+    ofKey(java.lang.Float.floatToRawIntBits(v).toLong & 0xffffffffL)
+  def sketchDouble(v: Double): Array[Byte] =
+    ofKey(java.lang.Double.doubleToRawLongBits(v))
+  /** Timestamp micros → seconds, like the reference's DateTime hash. */
+  def sketchTimestamp(us: Long): Array[Byte] =
+    ofKey(Math.floorDiv(us, 1000000L))
+  def sketchString(s: UTF8String): Array[Byte] =
+    ofKey(graft.functions.HashFns.cityHash64(s.getBytes))
+  def sketchBinary(b: Array[Byte]): Array[Byte] =
+    ofKey(graft.functions.HashFns.cityHash64(b))
 }
 
 /** Typed open-addressing map: composite (≤2) long/UTF8String keys →
@@ -622,6 +693,72 @@ case class PartialSketchAggExec(
     keys.map(_.toAttribute) ++ bufferFields.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
 
+  override lazy val metrics = Map(
+    "bypassTasks" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "tasks that switched to adaptive bypass"),
+    "bypassRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows streamed as one-row partials"))
+
+  /** Singleton-partial projection for the adaptive bypass: key
+    * expressions followed by each aggregate's ONE-ROW wire state, all
+    * over the effective (possibly pre-projected) input row — exactly
+    * the row [[bufferFields]] describes for a group that saw one row.
+    * None when an aggregate has no order-safe singleton form: any()'s
+    * survivor would depend on final-merge arrival order instead of
+    * map-insertion order, and exotic uniq child types have no kernel. */
+  private def singletonExprs(effKeys: Seq[NamedExpression],
+      effAggs: Seq[AggregateExpression]): Option[Seq[Expression]] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val cls = classOf[SingletonState.type]
+    def sketchOf(c: Expression): Option[Expression] = {
+      val name = c.dataType match {
+        case LongType => Some("sketchLong")
+        case IntegerType | DateType => Some("sketchInt")
+        case ShortType => Some("sketchShort")
+        case ByteType => Some("sketchByte")
+        case BooleanType => Some("sketchBool")
+        case FloatType => Some("sketchFloat")
+        case DoubleType => Some("sketchDouble")
+        case TimestampType | TimestampNTZType => Some("sketchTimestamp")
+        case StringType => Some("sketchString")
+        case BinaryType => Some("sketchBinary")
+        case _ => None
+      }
+      name.map { m =>
+        val call = StaticInvoke(cls, BinaryType, m, Seq(c),
+          returnNullable = false)
+        if (c.nullable)
+          If(IsNull(c), Literal(SingletonState.emptySketch, BinaryType), call)
+        else call
+      }
+    }
+    val perAgg: Seq[Option[Seq[Expression]]] = effAggs.map { e =>
+      e.aggregateFunction match {
+        case u: UniqSketch if !u.asState && !u.trivial =>
+          sketchOf(u.child).map(Seq(_))
+        case Count(Seq(_: Literal)) => Some(Seq(Literal(1L)))
+        case Count(Seq(c)) => Some(Seq(
+          if (c.nullable) If(IsNull(c), Literal(0L), Literal(1L))
+          else Literal(1L)))
+        case Sum(c, _) => Some(Seq(Cast(c, LongType)))
+        case Average(c, _) =>
+          if (c.nullable) Some(Seq(
+            If(IsNull(c), Literal(0.0), Cast(c, DoubleType)),
+            If(IsNull(c), Literal(0L), Literal(1L))))
+          else Some(Seq(Cast(c, DoubleType), Literal(1L)))
+        case _ => None // ChAny and anything else: no singleton form
+      }
+    }
+    if (perAgg.exists(_.isEmpty)) None
+    else {
+      val innerKeys: Seq[Expression] = effKeys.map {
+        case al: Alias => al.child
+        case k => k
+      }
+      Some(innerKeys ++ perAgg.flatMap(_.get))
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val isStr = keyIsString
     val nullable = keyNullable
@@ -686,6 +823,17 @@ case class PartialSketchAggExec(
         (projAttrs.take(nk): Seq[NamedExpression], rewritten,
           projAttrs: Seq[Attribute])
       }
+
+    // Adaptive-bypass plumbing (see SketchAgg.bypassEnabled): knobs
+    // snapshotted at execute, singleton exprs built driver-side, the
+    // codegen'd projection compiled per task (codegen cache dedups).
+    val bypassSample = SketchAgg.BypassSampleRows.toLong
+    val bypassRatio = SketchAgg.BypassRatio
+    val bypassExprs: Option[Seq[Expression]] =
+      if (!SketchAgg.bypassEnabled || nk == 0) None
+      else singletonExprs(effKeys, effAggs)
+    val mBypassTasks = longMetric("bypassTasks")
+    val mBypassRows = longMetric("bypassRows")
 
     child.execute().mapPartitions { rows0 =>
       val rows: Iterator[InternalRow] =
@@ -797,10 +945,15 @@ case class PartialSketchAggExec(
         }
       }
 
+      val bypassProj: Option[UnsafeProjection] =
+        bypassExprs.map(es => UnsafeProjection.create(es, effOut))
+
       new Iterator[InternalRow] {
         private var pending: Iterator[InternalRow] = Iterator.empty
         private var done = false
         private var needReset = false
+        private var sampled = 0L // rows aggregated before the decision
+        private var decided = bypassProj.isEmpty
         private def consume(): Unit = {
           if (needReset) { // previous window fully drained: recycle
             gmap.reset()
@@ -808,8 +961,10 @@ case class PartialSketchAggExec(
             while (ai < states.length) { states(ai).reset(0); ai += 1 }
             needReset = false
           }
-          // aggregate until flush threshold or input end
-          while (rows.hasNext && gmap.n < flushAt) {
+          // aggregate until flush threshold, sample boundary (pre-
+          // decision only), or input end
+          val stopAt = if (decided) Long.MaxValue else bypassSample
+          while (rows.hasNext && gmap.n < flushAt && sampled < stopAt) {
             val row = rows.next()
             var i = 0
             while (i < nk) { readers(i)(row, gmap, i); i += 1 }
@@ -818,6 +973,28 @@ case class PartialSketchAggExec(
             var ai = 0
             while (ai < states.length) {
               val st = states(ai); st.ensure(g + 1); st.update(g, row); ai += 1
+            }
+            sampled += 1
+          }
+          if (!decided) {
+            decided = true
+            if (rows.hasNext && sampled > 0 &&
+                gmap.n >= bypassRatio * sampled) {
+              // futile map (≈ every row opened a new group): drain the
+              // sampled window, then stream the rest of the partition
+              // as one-row partials through the codegen'd projection —
+              // no readers, no hashing, no map
+              mBypassTasks.add(1)
+              val proj = bypassProj.get
+              pending = emit() ++ new Iterator[InternalRow] {
+                override def hasNext: Boolean = rows.hasNext
+                override def next(): InternalRow = {
+                  mBypassRows.add(1)
+                  proj(rows.next())
+                }
+              }
+              done = true
+              return
             }
           }
           pending = emit()

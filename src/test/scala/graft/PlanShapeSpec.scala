@@ -217,8 +217,11 @@ class PlanShapeSpec extends SparkSpec {
     // cell assignment is narrow: the cosine kernel appears, no Generate
     assert(p.contains("cosine_sim"), p)
     assert(!p.contains("Generate"), p)
-    // map-side partial aggregation before each exchange
-    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // map-side partial aggregation before each exchange — either the
+    // codegen HashAggregate or the SketchAgg partial/final pair (the
+    // long cell key admits the adaptive-bypass operator)
+    assert(("HashAggregate".r.findAllIn(p).size +
+      "SketchAgg".r.findAllIn(p).size) >= 4, p)
   }
 
   test("q118: vocabulary rollup partial-aggregates inside the generate stage") {

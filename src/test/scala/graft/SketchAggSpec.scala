@@ -152,12 +152,100 @@ class SketchAggSpec extends SparkSpec {
     } finally SketchAgg.zeroUniqEnabled = false
   }
 
-  test("zero-uniq switch defaults off: plain long-key shapes stay on codegen") {
+  test("zero-object long-key shapes ride SketchAgg iff bypass or typed map is on") {
+    // default: the adaptive bypass admits them (it protects the
+    // high-NDV case; low NDV keeps the map, which is correct either way)
     val df = base.groupBy("k1").agg(count(lit(1)).as("c"))
-    assert(!usedSketchAgg(df))
-    // sketch shapes unaffected by the zero-uniq switch
-    val du = base.groupBy("k1").agg(uniqCol("u").as("nu"))
-    assert(usedSketchAgg(du))
+    assert(usedSketchAgg(df))
+    SketchAgg.bypassEnabled = false
+    try {
+      // both switches off: plain long-key shapes stay on codegen
+      val d2 = base.groupBy("k1").agg(count(lit(1)).as("c"))
+      assert(!usedSketchAgg(d2))
+      // sketch shapes unaffected by either switch
+      val du = base.groupBy("k1").agg(uniqCol("u").as("nu"))
+      assert(usedSketchAgg(du))
+    } finally SketchAgg.bypassEnabled = true
+  }
+
+  private def partialOf(df: DataFrame): graft.operators.PartialSketchAggExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides stages behind AdaptiveSparkPlanExec/QueryStageExec
+    // (not tree children) — descend explicitly
+    def find(p: SparkPlan): Option[graft.operators.PartialSketchAggExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case x: graft.operators.PartialSketchAggExec => Some(x)
+        case other => other.children.iterator.flatMap(find(_).iterator)
+          .nextOption()
+      }
+    find(df.queryExecution.executedPlan).get
+  }
+
+  test("adaptive bypass: high-NDV key streams one-row partials, bit-identical") {
+    val saved = SketchAgg.BypassSampleRows
+    SketchAgg.BypassSampleRows = 64 // decide after 64 rows per task
+    try {
+      // ≈unique long key (NDV≈rows): every task should trip the bypass
+      def q1 = base.groupBy("u").agg(uniqCol("v").as("nu"),
+        count(lit(1)).as("c"), sum("v").as("s"), avg("v").as("a"))
+      val fast = q1
+      val rows = fast.collect().map(_.toString).sorted.toSeq
+      val partial = partialOf(fast)
+      assert(partial.metrics("bypassTasks").value > 0,
+        partial.metrics.toString)
+      assert(partial.metrics("bypassRows").value > 0)
+      assert(rows === genericRows(q1))
+      // long + NULL-bearing string key, null-heavy values, uniq of the
+      // string itself — exercises the string/null singleton kernels
+      compare(base.groupBy("u", "ks").agg(count(col("v")).as("cv"),
+        sum("vn").as("sn"), avg("v").as("a"), uniqCol("ks").as("nk")))
+      // zero-object shape (bench q16/q33): bypass carries count/sum/avg
+      compare(base.groupBy("u").agg(count(lit(1)).as("c"),
+        sum("v").as("s"), avg("v").as("a")))
+    } finally SketchAgg.BypassSampleRows = saved
+  }
+
+  test("adaptive bypass: low-NDV keys keep the map (no trigger)") {
+    val saved = SketchAgg.BypassSampleRows
+    SketchAgg.BypassSampleRows = 256 // 97-key domain saturates in-sample
+    try {
+      val df = base.groupBy("k1").agg(count(lit(1)).as("c"),
+        uniqCol("u").as("nu"))
+      df.collect()
+      assert(partialOf(df).metrics("bypassTasks").value === 0)
+    } finally SketchAgg.BypassSampleRows = saved
+  }
+
+  test("adaptive bypass: any() has no singleton form — never streams") {
+    val saved = SketchAgg.BypassSampleRows
+    SketchAgg.BypassSampleRows = 64
+    try {
+      val anyCol = Bridge.column(graft.functions.ChAny(
+        Bridge.expression(col("v")), last = false).toAggregateExpression())
+      val df = base.groupBy("u").agg(count(lit(1)).as("c"), anyCol.as("av"))
+      df.collect()
+      assert(usedSketchAgg(df))
+      assert(partialOf(df).metrics("bypassTasks").value === 0)
+    } finally SketchAgg.BypassSampleRows = saved
+  }
+
+  test("adaptive bypass composes with the partial flush window") {
+    val savedF = SketchAgg.PartialFlushGroups
+    val savedS = SketchAgg.BypassSampleRows
+    // flush window smaller than the sample: the decision lands at a
+    // flush boundary and must still be bit-identical
+    SketchAgg.PartialFlushGroups = 8
+    SketchAgg.BypassSampleRows = 64
+    try {
+      compare(base.groupBy("u").agg(uniqCol("v").as("nu"),
+        count(lit(1)).as("c")))
+    } finally {
+      SketchAgg.PartialFlushGroups = savedF
+      SketchAgg.BypassSampleRows = savedS
+    }
   }
 
   test("final-stage sort fallback is bit-identical past the group cap") {
