@@ -279,9 +279,15 @@ object Bench43 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // A/B hook for plan experiments (unset on driver runs)
+    // A/B hooks for plan experiments (unset on driver runs)
     sys.props.get("graft.zerouniq").foreach(v =>
       graft.operators.SketchAgg.zeroUniqEnabled = v.toBoolean)
+    sys.props.get("graft.bypass").foreach(v =>
+      graft.operators.SketchAgg.bypassEnabled = v.toBoolean)
+    // force the final-stage sort fallback (OOM-safety path) to measure
+    // its cost at scale — r14 pinned correctness only
+    sys.props.get("graft.finalmaxgroups").foreach(v =>
+      graft.operators.SketchAgg.FinalMaxGroups = v.toInt)
     val genOnly = args.contains("generate")
     if (!new java.io.File(path).exists()) {
       System.err.println(s"[bench43] generating $rows rows at $path ...")

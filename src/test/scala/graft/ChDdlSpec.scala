@@ -190,6 +190,20 @@ class ChDdlSpec extends SparkSpec {
       "SELECT CAST('zzz' AS Enum8('a' = 1))"))
   }
 
+  test("FORMAT BlockTabSeparated transposes: one line per COLUMN, tab-joined") {
+    // reference TabSeparatedBlockOutputStream.cpp:15-30 writes each
+    // column's escaped values on its own line (corpus 00364 pins the
+    // float rendering through this format)
+    assert(graft.sql.ChDdl.executeRendered(spark,
+      "SELECT number AS n, toString(number) AS s FROM system.numbers " +
+        "LIMIT 3 FORMAT BlockTabSeparated")
+      === Some("0\t1\t2\n0\t1\t2"))
+    // values use TSV escaping: an embedded tab is \t, not a separator
+    assert(graft.sql.ChDdl.executeRendered(spark,
+      "SELECT 'a\\tb' AS x, 1 AS y FORMAT BlockTabSeparated")
+      === Some("a\\tb\n1"))
+  }
+
   test("Merge table with dropped members fails only on its own read") {
     ChDdl.reset(spark)
     ChDdl.execute(spark, "CREATE TABLE mm_a (x Int32) ENGINE = Memory")
