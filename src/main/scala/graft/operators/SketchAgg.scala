@@ -963,38 +963,46 @@ case class PartialSketchAggExec(
           }
           // aggregate until flush threshold, sample boundary (pre-
           // decision only), or input end
-          val stopAt = if (decided) Long.MaxValue else bypassSample
-          while (rows.hasNext && gmap.n < flushAt && sampled < stopAt) {
-            val row = rows.next()
-            var i = 0
-            while (i < nk) { readers(i)(row, gmap, i); i += 1 }
-            val g = if (nk == 0) ensureZero()
-              else gmap.findOrInsert(gmap.rowHash())
-            var ai = 0
-            while (ai < states.length) {
-              val st = states(ai); st.ensure(g + 1); st.update(g, row); ai += 1
-            }
-            sampled += 1
-          }
-          if (!decided) {
-            decided = true
-            if (rows.hasNext && sampled > 0 &&
-                gmap.n >= bypassRatio * sampled) {
-              // futile map (≈ every row opened a new group): drain the
-              // sampled window, then stream the rest of the partition
-              // as one-row partials through the codegen'd projection —
-              // no readers, no hashing, no map
-              mBypassTasks.add(1)
-              val proj = bypassProj.get
-              pending = emit() ++ new Iterator[InternalRow] {
-                override def hasNext: Boolean = rows.hasNext
-                override def next(): InternalRow = {
-                  mBypassRows.add(1)
-                  proj(rows.next())
-                }
+          var aggregate = true
+          while (aggregate) {
+            aggregate = false
+            val stopAt = if (decided) Long.MaxValue else bypassSample
+            while (rows.hasNext && gmap.n < flushAt && sampled < stopAt) {
+              val row = rows.next()
+              var i = 0
+              while (i < nk) { readers(i)(row, gmap, i); i += 1 }
+              val g = if (nk == 0) ensureZero()
+                else gmap.findOrInsert(gmap.rowHash())
+              var ai = 0
+              while (ai < states.length) {
+                val st = states(ai); st.ensure(g + 1); st.update(g, row); ai += 1
               }
-              done = true
-              return
+              sampled += 1
+            }
+            if (!decided) {
+              decided = true
+              if (rows.hasNext && sampled > 0 &&
+                  gmap.n >= bypassRatio * sampled) {
+                // futile map (≈ every row opened a new group): drain
+                // the sampled window, then stream the rest of the
+                // partition as one-row partials through the codegen'd
+                // projection — no readers, no hashing, no map
+                mBypassTasks.add(1)
+                val proj = bypassProj.get
+                pending = emit() ++ new Iterator[InternalRow] {
+                  override def hasNext: Boolean = rows.hasNext
+                  override def next(): InternalRow = {
+                    mBypassRows.add(1)
+                    proj(rows.next())
+                  }
+                }
+                done = true
+                return
+              }
+              // no bypass: resume aggregating the SAME window — a
+              // non-triggering task must not pay an extra emit/reset
+              // boundary at the sample mark
+              aggregate = rows.hasNext && gmap.n < flushAt
             }
           }
           pending = emit()
