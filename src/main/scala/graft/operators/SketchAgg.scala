@@ -143,6 +143,15 @@ object SketchAgg {
   private[operators] def eligible(
       grouping: Seq[NamedExpression],
       aggs: Seq[AggregateExpression]): Boolean = {
+    // ≤2 keys. GroupKeyMap is arity-generic and raising this to 3 was
+    // TRIED for the bench q19 shape (UserID, minute, SearchPhrase) and
+    // MEASURED A LOSS at 100M (r15, interleaved A/B: SketchAgg+bypass
+    // 13.6–140 s vs codegen's stable 9–13 s): with ~90M distinct
+    // 3-part groups the FINAL stage's typed map clones a UTF8String
+    // per group — allocation/GC dominates — where codegen's
+    // UnsafeRow-page map absorbs the same groups flatly. Wider/
+    // string-heavy high-NDV shapes belong to codegen's final stage;
+    // do not raise without re-measuring the final-stage memory path.
     val keysOk = grouping.length <= 2 && grouping.forall { k =>
       supportedKeyType(k.dataType) && cleanExpr(k)
     }

@@ -116,7 +116,8 @@ class SketchAggSpec extends SparkSpec {
   }
 
   test("ineligible shapes stay on the generic path") {
-    // 3 grouping keys
+    // 3 grouping keys (tried and measured a loss at 100M — see
+    // SketchAgg.eligible; the shape stays on the generic path)
     val d1 = base.groupBy("k1", "k1i", "ks").agg(uniqCol("u").as("nu"))
     assert(!usedSketchAgg(d1))
     // unsupported companion aggregate (max)
