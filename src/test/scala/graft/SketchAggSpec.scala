@@ -209,6 +209,22 @@ class SketchAggSpec extends SparkSpec {
     } finally SketchAgg.BypassSampleRows = saved
   }
 
+  test("adaptive bypass is partition-layout invariant") {
+    // the trigger decision is per task (depends on each task's local
+    // data), so different input layouts take different map/stream
+    // paths — results must still be byte-identical
+    val saved = SketchAgg.BypassSampleRows
+    SketchAgg.BypassSampleRows = 64
+    try {
+      def q(parts: Int) = base.repartition(parts).groupBy("u")
+        .agg(uniqCol("v").as("nu"), count(lit(1)).as("c"), sum("v").as("s"))
+      val a = q(3).collect().map(_.toString).sorted.toSeq
+      val b = q(13).collect().map(_.toString).sorted.toSeq
+      assert(a === b)
+      assert(a.nonEmpty)
+    } finally SketchAgg.BypassSampleRows = saved
+  }
+
   test("adaptive bypass: low-NDV keys keep the map (no trigger)") {
     val saved = SketchAgg.BypassSampleRows
     SketchAgg.BypassSampleRows = 256 // 97-key domain saturates in-sample
