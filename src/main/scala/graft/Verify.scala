@@ -24,6 +24,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev hook (unset on driver runs): shrink the bypass sample so the
+    // adaptive partial-agg bypass TRIGGERS at oracle scale — sf0.01
+    // partitions are smaller than the 64k production sample, so the
+    // streamed path would otherwise never face the DuckDB gate.
+    sys.props.get("graft.bypasssample").foreach(v =>
+      graft.operators.SketchAgg.BypassSampleRows = v.toInt)
     new java.io.File(outDir).mkdirs()
     // fail FAST and by name on a null oracle string (a Scala
     // val-initialization-order bug puts null into a QueryDef whose
