@@ -81,8 +81,13 @@ object Bench {
     }
     def spread(runs: Seq[Double]): Double =
       if (runs.isEmpty || runs.min <= 0) -1.0 else runs.max / runs.min
+    // min <= 0 = a sub-resolution run: the timer was measured, not the
+    // query — unmeasured, same as a >2x spread (the -1 sentinel must
+    // not slip past the spread<=2 filter)
+    def unmeasurable(runs: Seq[Double]): Boolean =
+      runs.nonEmpty && (runs.min <= 0 || runs.max / runs.min > 2.0)
     val unmeasured = results.collect {
-      case (n, t, runs) if t >= 0 && spread(runs) > 2.0 => n
+      case (n, t, runs) if t >= 0 && unmeasurable(runs) => n
     }
     // Full-name per-query timings (with the raw warm runs + variance)
     // go to a file: the driver's stdout capture keeps only the last
@@ -94,7 +99,7 @@ object Bench {
       val variance =
         if (runs.isEmpty) ""
         else f""","med":${median(runs)}%.3f,"spread":${spread(runs)}%.2f""" +
-          (if (spread(runs) > 2.0) ""","unmeasured":true""" else "")
+          (if (unmeasurable(runs)) ""","unmeasured":true""" else "")
       s"\"" + k + "\":{\"sec\":" + v + ",\"runs\":" + rs + variance + "}"
     }.mkString("{", ",", "}")
     val detail = new java.io.File("bench_full.json").getAbsolutePath

@@ -278,6 +278,52 @@ object FooterStats {
     out.result()
   }
 
+  /** Per-file INSERT EPOCH from the sidecars under `root`: file name →
+    * the 0-based insert sequence number its part arrived in. The
+    * reference's "last inserted wins among equal versions"
+    * (ReplacingSortedBlockInputStream.h:11-15) needs insert ORDER as a
+    * persisted fact — file-listing order is a layout accident. Epochs
+    * are assigned by [[writeSidecars]]: files already in a sidecar keep
+    * their epoch; each write's new files share max+1 (one insert = one
+    * part set = one epoch). Empty map when no sidecars exist. */
+  def insertEpochs(conf: Configuration, root: String): Map[String, Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fsys = rootPath.getFileSystem(conf)
+    if (!fsys.exists(rootPath)) return Map.empty
+    val out = Map.newBuilder[String, Long]
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      out ++= loadEpochs(conf, dir)
+      fsys.listStatus(dir).filter(_.isDirectory).foreach(s => walk(s.getPath))
+    }
+    walk(if (fsys.getFileStatus(rootPath).isFile) rootPath.getParent
+      else rootPath)
+    out.result()
+  }
+
+  private def loadEpochs(conf: Configuration,
+      dir: org.apache.hadoop.fs.Path): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, SidecarName)
+    val fsys = p.getFileSystem(conf)
+    if (!fsys.exists(p)) return Map.empty
+    val in = fsys.open(p)
+    val bytes =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toByteArray
+      } finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(bytes)
+    if (root.path("version").asInt(-1) != 1) return Map.empty
+    val out = Map.newBuilder[String, Long]
+    val it = root.path("files").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.has("epoch")) out += e.getKey -> e.getValue.path("epoch").asLong()
+    }
+    out.result()
+  }
+
   /** Write `_graft_stats.json` for every directory under `root` that
     * directly holds parquet files — called by the storage write path
     * (MergeTreeTable.write, Bench43 layout) after the data lands, so
@@ -319,6 +365,12 @@ object FooterStats {
     val stats = Await.result(
       Future.traverse(parts.toSeq)(p => Future(get(conf, p, leafCols))),
       scala.concurrent.duration.Duration(10, "min"))
+    // insert epochs: files already recorded keep theirs; this write's
+    // NEW files share max+1 (one insert = one part set = one epoch) —
+    // see [[insertEpochs]]
+    val prevEpochs = try loadEpochs(conf, dir)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+    val nextEpoch = if (prevEpochs.isEmpty) 0L else prevEpochs.values.max + 1L
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
     rootNode.put("version", 1)
@@ -327,6 +379,7 @@ object FooterStats {
       val f = filesNode.putObject(p.getPath.getName)
       f.put("size", p.getLen)
       f.put("rows", st.rows)
+      f.put("epoch", prevEpochs.getOrElse(p.getPath.getName, nextEpoch))
       val cols = f.putObject("cols")
       st.cols.foreach { case (name, c) =>
         val cn = cols.putObject(name)

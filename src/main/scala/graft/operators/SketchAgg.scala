@@ -100,6 +100,25 @@ object SketchAgg {
   @volatile private[graft] var BypassSampleRows: Int = 1 << 16
   /** groups/sampledRows at or above this ⇒ stream instead of hash. */
   @volatile private[graft] var BypassRatio: Double = 0.7
+  /** A bypassing task re-samples after streaming this many rows: a
+    * partition whose first window is high-NDV but whose TAIL is
+    * repetitive (clustered-prefix shape — e.g. data sorted so new keys
+    * front-load) must not stream rows/groups partials forever. The
+    * re-check costs one 64k-row map window per [[BypassRecheckRows]]
+    * streamed (<1% overhead) and mirrors the reference's per-block
+    * conversion decision, which keeps re-evaluating as blocks arrive
+    * (Interpreters/Aggregator.h:736-744). */
+  @volatile private[graft] var BypassRecheckRows: Long = 8L << 20
+
+  /** count(*) spelled as count(non-null literal) — count(NULL) is NOT
+    * a row count (it is 0) and must fall through to the null-checked
+    * Count arm in every path that special-cases literal children. */
+  private[operators] object CountStar {
+    def unapply(f: AggregateFunction): Boolean = f match {
+      case Count(Seq(l: Literal)) => l.value != null
+      case _ => false
+    }
+  }
 
   /** Non-Expression holder: keeps the final stage's aggregate
     * functions out of TreeNode's expression traversal — their INPUT
@@ -745,7 +764,10 @@ case class PartialSketchAggExec(
       e.aggregateFunction match {
         case u: UniqSketch if !u.asState && !u.trivial =>
           sketchOf(u.child).map(Seq(_))
-        case Count(Seq(_: Literal)) => Some(Seq(Literal(1L)))
+        case Count(Seq(l: Literal)) =>
+          // folded driver-side: count(non-null literal) counts the row,
+          // count(NULL) counts nothing — never codegen over NullType
+          Some(Seq(Literal(if (l.value == null) 0L else 1L)))
         case Count(Seq(c)) => Some(Seq(
           if (c.nullable) If(IsNull(c), Literal(0L), Literal(1L))
           else Literal(1L)))
@@ -791,6 +813,10 @@ case class PartialSketchAggExec(
     val aggKids: Seq[Option[Expression]] = aggsLocal.map(_.aggregateFunction match {
       case u: UniqSketch => Some(u.child)
       case a: graft.functions.ChAny => Some(a.child)
+      // literal child: nothing to project — CountStar counts rows via
+      // CountState(-1); a NULL literal counts 0 via CountExprState
+      // evaluating the literal itself (never send NullType through the
+      // UnsafeProjection)
       case Count(Seq(_: Literal)) => None
       case Count(Seq(c)) => Some(c)
       case Sum(c, _) => Some(c)
@@ -838,6 +864,7 @@ case class PartialSketchAggExec(
     // codegen'd projection compiled per task (codegen cache dedups).
     val bypassSample = SketchAgg.BypassSampleRows.toLong
     val bypassRatio = SketchAgg.BypassRatio
+    val bypassRecheck = SketchAgg.BypassRecheckRows
     val bypassExprs: Option[Seq[Expression]] =
       if (!SketchAgg.bypassEnabled || nk == 0) None
       else singletonExprs(effKeys, effAggs)
@@ -870,7 +897,7 @@ case class PartialSketchAggExec(
             val bound = a.copy(
               child = BindReferences.bindReference(a.child, effOut))
             val st = new AggState.AnyState(bound, bufOrd); bufOrd += 1; st
-          case Count(Seq(_: Literal)) =>
+          case SketchAgg.CountStar() =>
             val st = new AggState.CountState(-1, bufOrd); bufOrd += 1; st
           case Count(Seq(c)) =>
             val o = attrOrd(c)
@@ -963,6 +990,7 @@ case class PartialSketchAggExec(
         private var needReset = false
         private var sampled = 0L // rows aggregated before the decision
         private var decided = bypassProj.isEmpty
+        private var countedBypass = false // bypassTasks counts tasks once
         private def consume(): Unit = {
           if (needReset) { // previous window fully drained: recycle
             gmap.reset()
@@ -993,19 +1021,31 @@ case class PartialSketchAggExec(
               if (rows.hasNext && sampled > 0 &&
                   gmap.n >= bypassRatio * sampled) {
                 // futile map (≈ every row opened a new group): drain
-                // the sampled window, then stream the rest of the
-                // partition as one-row partials through the codegen'd
-                // projection — no readers, no hashing, no map
-                mBypassTasks.add(1)
+                // the sampled window, then stream the next
+                // [[SketchAgg.BypassRecheckRows]] rows as one-row
+                // partials through the codegen'd projection — no
+                // readers, no hashing, no map. NOT unbounded: a
+                // clustered-prefix partition (high-NDV head, repetitive
+                // tail) re-samples after the window so the map comes
+                // back exactly when it stops being futile.
+                if (!countedBypass) { mBypassTasks.add(1); countedBypass = true }
                 val proj = bypassProj.get
                 pending = emit() ++ new Iterator[InternalRow] {
-                  override def hasNext: Boolean = rows.hasNext
+                  private var streamed = 0L
+                  override def hasNext: Boolean =
+                    streamed < bypassRecheck && rows.hasNext
                   override def next(): InternalRow = {
                     mBypassRows.add(1)
+                    streamed += 1
                     proj(rows.next())
                   }
                 }
-                done = true
+                // after the streamed window drains, hasNext() re-enters
+                // consume(), which recycles the map and re-samples; an
+                // exhausted input just emits the (empty) next window
+                needReset = true
+                decided = false
+                sampled = 0L
                 return
               }
               // no bypass: resume aggregating the SAME window — a
@@ -1048,6 +1088,19 @@ case class FinalSketchAggExec(
 
   override def output: Seq[Attribute] = resultExprs.map(_.toAttribute)
 
+  override lazy val metrics = Map(
+    // whole hash-merge loop (fetch + merge compute), summed over tasks
+    "mergeLoopNs" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createNanoTimingMetric(sparkContext, "final merge loop (fetch+merge)"),
+    // exchange-read share of the loop: every 128th (hasNext, next)
+    // pair is timed and extrapolated ×128 — partial rows are uniform
+    // (one group per row), so the sample is unbiased at ~0.8%% timer
+    // overhead. mergeLoopNs - fetchNs ≈ merge COMPUTE; the profiling
+    // harness (tools/ProfileAgg) reads both to attribute the
+    // heavy-class residual (exchange serde vs typed-map merge).
+    "fetchNs" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createNanoTimingMetric(sparkContext, "exchange fetch+deser (sampled)"))
+
   // result expressions reference the aggregate functions' result
   // attributes, which this node itself produces from merged state
   override def producedAttributes: AttributeSet =
@@ -1069,6 +1122,8 @@ case class FinalSketchAggExec(
     val keysLocal = keys
     val maxGroups = SketchAgg.FinalMaxGroups
     val childOutput = child.output
+    val mMergeLoop = longMetric("mergeLoopNs")
+    val mFetch = longMetric("fetchNs")
 
     child.execute().mapPartitions { rows =>
       // key parts sit at ordinals 0..nk-1 of the partial row
@@ -1095,9 +1150,22 @@ case class FinalSketchAggExec(
       // hash-merge until done OR the in-memory group cap (the final
       // stage cannot emit-and-reset like the partial stage — a group
       // may still receive merges — so past the cap it falls back to
-      // sort-based merging, mirroring ObjectHashAggregateExec)
-      while (rows.hasNext && gmap.n < maxGroups) {
+      // sort-based merging, mirroring ObjectHashAggregateExec).
+      // Timing: the loop is metered whole; every 128th (hasNext, next)
+      // pair is timed and extrapolated to split exchange fetch+deser
+      // from merge compute (see the metrics scaladoc).
+      val loopT0 = System.nanoTime()
+      var fetchNs = 0L
+      var rowCnt = 0L
+      var more = rows.hasNext
+      while (more && gmap.n < maxGroups) {
+        val sampled = (rowCnt & 127) == 0
+        val t0 = if (sampled) System.nanoTime() else 0L
         val row = rows.next()
+        val hadNext = rows.hasNext
+        if (sampled) fetchNs += (System.nanoTime() - t0) << 7
+        more = hadNext
+        rowCnt += 1
         sawAny = true
         var i = 0
         while (i < nk) { readers(i)(row, gmap, i); i += 1 }
@@ -1108,6 +1176,8 @@ case class FinalSketchAggExec(
           val st = states(ai); st.ensure(g + 1); st.mergeRow(g, row); ai += 1
         }
       }
+      mMergeLoop.add(System.nanoTime() - loopT0)
+      mFetch.add(fetchNs)
       // result projection over (keys ++ agg result attrs)
       val aggResultAttrs = aggsLocal.map(_.resultAttribute)
       val proj = UnsafeProjection.create(resultLocal,

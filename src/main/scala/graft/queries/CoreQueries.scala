@@ -218,7 +218,11 @@ object CoreQueries {
   // ---------------------------------------------------------------
   // q10 ANY LEFT JOIN (reference strictness ANY: ≤1 match per left
   // row, "first wins" — ASTTablesInSelectQuery.h:74-78, Join.h:352).
-  // Deterministic "first" = min (l_orderkey, l_linenumber) per key,
+  // Deterministic "first" = min (l_orderkey, l_linenumber,
+  // l_quantity) per key — the synthetic lineitem can repeat
+  // (orderkey, linenumber), so the payload joins the ordering to keep
+  // the tiebreak TOTAL (any row is a valid ANY answer; a total order
+  // is what makes the DuckDB oracle row-identical) —
   // realized as min_by over a groupBy — unlike a row_number window
   // (which must shuffle + sort EVERY fact row before filtering), a
   // declarative aggregate gets map-side partial aggregation: each
@@ -231,7 +235,8 @@ object CoreQueries {
     val anyLine = t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(min_by(struct(col("l_orderkey"), col("l_quantity")),
-        struct(col("l_orderkey"), col("l_linenumber"))).as("__first"))
+        struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+        .as("__first"))
       .select(col("l_suppkey"),
         col("__first").getField("l_orderkey").as("l_orderkey"),
         col("__first").getField("l_quantity").as("l_quantity"))
@@ -245,7 +250,7 @@ object CoreQueries {
       |FROM supplier LEFT JOIN (
       |  SELECT * FROM (
       |    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-      |      row_number() OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS rn
+      |      row_number() OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
       |    FROM lineitem) WHERE rn = 1
       |) ON s_suppkey = l_suppkey
       |ORDER BY s_suppkey""".stripMargin

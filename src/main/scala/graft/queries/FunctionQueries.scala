@@ -291,9 +291,14 @@ object FunctionQueries {
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        max_by(col("user_id"), struct(col("value"), col("event_id"))).as("top_user"),
+        // user_id joins the ordering so the tiebreak is TOTAL w.r.t.
+        // the output even if (value, event_id) ever repeats across
+        // users in regenerated testdata
+        max_by(col("user_id"),
+          struct(col("value"), col("event_id"), col("user_id"))).as("top_user"),
         max(col("value")).as("top_value"),
-        min_by(col("user_id"), struct(col("value"), col("event_id"))).as("bottom_user"),
+        min_by(col("user_id"),
+          struct(col("value"), col("event_id"), col("user_id"))).as("bottom_user"),
         min(col("value")).as("bottom_value"))
       .orderBy(col("event_type"))
 
@@ -301,10 +306,10 @@ object FunctionQueries {
     """SELECT a.event_type, a.user_id AS top_user, a.value AS top_value,
       |  b.user_id AS bottom_user, b.value AS bottom_value
       |FROM (SELECT event_type, user_id, value,
-      |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+      |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC, user_id DESC) AS rn
       |      FROM events) a
       |JOIN (SELECT event_type, user_id, value,
-      |        row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+      |        row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC, user_id ASC) AS rn
       |      FROM events) b ON a.event_type = b.event_type
       |WHERE a.rn = 1 AND b.rn = 1
       |ORDER BY a.event_type""".stripMargin

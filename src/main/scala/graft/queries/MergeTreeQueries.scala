@@ -37,8 +37,10 @@ object MergeTreeQueries {
   def q34(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("user_id"), col("event_type"))
+      // value joins the version so the tiebreak is TOTAL w.r.t. the
+      // output even if (ts, event_id) ever repeats in regenerated data
       .agg(max_by(struct(col("event_id"), col("value")),
-        struct(col("ts"), col("event_id"))).as("__last"))
+        struct(col("ts"), col("event_id"), col("value"))).as("__last"))
       .select(col("user_id"), col("event_type"),
         col("__last").getField("event_id").as("last_event_id"),
         col("__last").getField("value").as("last_value"))
@@ -47,7 +49,7 @@ object MergeTreeQueries {
   private val q34Sql =
     """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
       |FROM (SELECT *, row_number() OVER (
-      |        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC, value DESC) AS rn
       |      FROM events) WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 

@@ -3194,10 +3194,18 @@ object ChSql {
     }
     // LongType casts: an Int cast would silently truncate a 64-bit
     // start/len (substring(s, 4294967297, 2) must clamp, not wrap).
+    // ANSI casts, not LEGACY: a value past Int64 range (a UInt64
+    // literal >= 2^63) must RAISE — the reference rejects it with
+    // ARGUMENT_OUT_OF_BOUND "Too large values" (FunctionsString
+    // .cpp:1413) — where a LEGACY cast would null it out and the
+    // substring would silently return NULL.
+    def toLong(e: Expression): Expression =
+      if (e.dataType == LongType) e
+      else Cast(e, LongType, None, EvalMode.ANSI)
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
       classOf[graft.functions.StringKernels.type], StringType,
       "byteSubstring",
-      Seq(str, Cast(pos, LongType), Cast(len, LongType)))
+      Seq(str, toLong(pos), toLong(len)))
   }
 
   /** Fold `if(0, a, b)` → `b` and `if(1, a, b)` → `a` textually (see

@@ -101,10 +101,50 @@ object MergeTreeTable {
     read(spark, path).withColumn("_part",
       regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
 
+  /** Hidden column name carrying the data-pinned insert order (see
+    * [[readFinal]]); excluded from every fold output. */
+  private val InsCol = "__graft_ins"
+
   /** FINAL read — the engine's folded view computed at read time
-    * (CollapsingFinalBlockInputStream.cpp; SELECT ... FINAL). */
+    * (CollapsingFinalBlockInputStream.cpp; SELECT ... FINAL).
+    *
+    * For the engines whose fold depends on INSERT ORDER (Replacing's
+    * last-inserted-wins tiebreak, Summing's first-row payload), the
+    * order is reconstructed from persisted data, not read layout: the
+    * part sidecars carry a per-file insert epoch
+    * ([[graft.operators.FooterStats.insertEpochs]]) and
+    * `_metadata.row_index` gives the position within the sorted part —
+    * together the exact merge order of ReplacingSortedBlockInputStream
+    * over parts. A future change to file-listing order cannot move
+    * survivors. Tables without sidecars fall back to the
+    * listing-order monotone id (exact while reads list parts in
+    * insert order — the historical behavior). */
   def readFinal(spark: SparkSession, path: String, spec: Spec): DataFrame =
-    fold(read(spark, path), spec)
+    spec.engine match {
+      case Replacing(_) | Summing(_) =>
+        val epochs =
+          try graft.operators.FooterStats.insertEpochs(
+            spark.sessionState.newHadoopConf(), path)
+          catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+        if (epochs.isEmpty) fold(read(spark, path), spec)
+        else {
+          // broadcast epoch lookup: O(1) per row at any part count
+          // (a map-literal lookup would scan linearly per row)
+          val epochDf = spark.createDataFrame(epochs.toSeq)
+            .toDF("__graft_file", "__graft_epoch")
+          val withIns = read(spark, path)
+            .select(col("*"),
+              col("_metadata.file_name").as("__graft_file"),
+              col("_metadata.row_index").as("__graft_row"))
+            .join(broadcast(epochDf), Seq("__graft_file"), "left")
+            .withColumn(InsCol, struct(
+              coalesce(col("__graft_epoch"), lit(-1L)).as("e"),
+              col("__graft_row").as("r")))
+            .drop("__graft_file", "__graft_epoch", "__graft_row")
+          fold(withIns, spec, Some(InsCol))
+        }
+      case _ => fold(read(spark, path), spec)
+    }
 
   /** OPTIMIZE — fold and rewrite sorted (the background merge made
     * explicit). Rewrites to a temp dir first so a failed compaction
@@ -113,7 +153,9 @@ object MergeTreeTable {
     val m = graft.core.SystemTables.Merges.begin(
       path.split('/').last, System.currentTimeMillis())
     val tmp = path + "__optimizing"
-    write(fold(read(spark, path), spec), tmp, spec, SaveMode.Overwrite)
+    // readFinal, not fold(read(...)): the compaction's survivors must
+    // follow the same data-pinned insert order as a FINAL read
+    write(readFinal(spark, path, spec), tmp, spec, SaveMode.Overwrite)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -126,8 +168,29 @@ object MergeTreeTable {
 
   /** The merge fold for each engine (SummingSortedBlockInputStream,
     * ReplacingSortedBlockInputStream, CollapsingSortedBlockInputStream
-    * semantics as declarative plans). */
-  def fold(df: DataFrame, spec: Spec): DataFrame = spec.engine match {
+    * semantics as declarative plans).
+    *
+    * `insCol`: name of a column IN `df` carrying the insert order
+    * (orderable; excluded from the output) — [[readFinal]] passes the
+    * persisted (epoch, row_index) pair. None ⇒ the order derives from
+    * `monotonically_increasing_id()`, which encodes insert order ONLY
+    * while the DataFrame's partition layout still reflects the
+    * insert-union lineage (true for the dialect catalog's in-memory
+    * tables, whose batches are coalesce(1)-sorted unions and never
+    * repartitioned between inserts — ChDdl's fold call sites). */
+  def fold(df0: DataFrame, spec: Spec,
+      insCol0: Option[String] = None): DataFrame = {
+    // only the insert-order-sensitive folds consume insCol; the rest
+    // drop it up front so it can never leak into their output
+    val (df, insCol) = spec.engine match {
+      case Replacing(_) | Summing(_) => (df0, insCol0)
+      case _ => (insCol0.fold(df0)(df0.drop(_)), None)
+    }
+    foldImpl(df, spec, insCol)
+  }
+
+  private def foldImpl(df: DataFrame, spec: Spec,
+      insCol: Option[String]): DataFrame = spec.engine match {
     case Plain => df
     case Summing(sumCols) =>
       // Reference drop rule (SummingSortedBlockInputStream.cpp:195-247):
@@ -185,7 +248,8 @@ object MergeTreeTable {
           }
       val mapMembers = mapGroups.values.flatMap(_._1).toSet
       val sumCols2 = sumCols.filterNot(mapMembers.contains)
-      val others = df.columns.filterNot(c =>
+      val dataCols = df.columns.filterNot(insCol.contains)
+      val others = dataCols.filterNot(c =>
         keyNames.contains(c) || sumCols2.contains(c) || mapMembers.contains(c))
       val mapAlias: Map[String, String] =
         mapGroups.keys.zipWithIndex.map { case (g, i) => g -> s"__map$i" }.toMap
@@ -213,9 +277,11 @@ object MergeTreeTable {
       // back. Costs a second partial-aggregated reduce-to-one-row
       // pass; the previous empty-key window forced EVERY folded row
       // through a single partition — a scale-killer.
-      // per-row insertion sequence: partition ids grow along the
-      // insert-union lineage, so the id is monotone in part order
-      val folded0 = df.withColumn("__ins", monotonically_increasing_id())
+      // per-row insertion sequence: the caller's data-pinned column
+      // when given, else the monotone id (see fold's scaladoc)
+      val folded0 = df
+        .withColumn("__ins", insCol.map(col)
+          .getOrElse(monotonically_increasing_id()))
         .groupBy(keys: _*)
         .agg(aggs.head, aggs.tail: _*)
       // expand the merged maps back into their member columns
@@ -235,7 +301,7 @@ object MergeTreeTable {
         max(col("__key")).as("__lastkey"))
       folded.crossJoin(broadcast(summary))
         .filter(col("__keep") || (col("__any") === 0 && col("__key") === col("__lastkey")))
-        .select(df.columns.map(qcol).toIndexedSeq: _*)
+        .select(dataCols.map(qcol).toIndexedSeq: _*)
     case Replacing(version) =>
       // max_by over a groupBy, not a row_number window: a declarative
       // aggregate gets map-side partial aggregation — one survivor
@@ -243,11 +309,13 @@ object MergeTreeTable {
       // shuffle+sort of every row. Reference semantics
       // (ReplacingSortedBlockInputStream.h:11-15): max version wins;
       // among EQUAL versions the last-inserted row survives — pinned
-      // with a monotone insert id (partition ids grow along the
-      // insert-union lineage, same device as the Summing fold above).
+      // by the caller's data-pinned insert column (readFinal's
+      // persisted (epoch, row_index)) or, fallback, a monotone insert
+      // id (see fold's scaladoc for the lineage precondition).
       val keys = (spec.partitionCol.toSeq ++ spec.sortKey).map(col)
-      val cols = df.columns
-      df.withColumn("__ins", monotonically_increasing_id())
+      val cols = df.columns.filterNot(insCol.contains)
+      df.withColumn("__ins", insCol.map(col)
+          .getOrElse(monotonically_increasing_id()))
         .groupBy(keys: _*)
         .agg(max_by(struct(cols.map(col).toIndexedSeq: _*),
           struct(col(version), col("__ins"))).as("__row"))

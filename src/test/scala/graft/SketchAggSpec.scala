@@ -249,6 +249,50 @@ class SketchAggSpec extends SparkSpec {
     } finally SketchAgg.BypassSampleRows = saved
   }
 
+  test("adaptive bypass re-samples after the streamed window " +
+      "(clustered-prefix shape stops streaming)") {
+    val savedS = SketchAgg.BypassSampleRows
+    val savedR = SketchAgg.BypassRecheckRows
+    SketchAgg.BypassSampleRows = 256
+    SketchAgg.BypassRecheckRows = 1024
+    try {
+      // one partition: a high-NDV HEAD (2000 unique keys) then a
+      // repetitive TAIL (100k rows of one key). A one-shot decision
+      // would stream all ~100k tail rows as one-row partials; the
+      // re-check must bring the map back within a few windows.
+      def q = spark.range(0, 102000, 1, 1)
+        .withColumn("k",
+          when(col("id") < 2000, col("id")).otherwise(lit(-1L)))
+        .withColumn("v", pmod(col("id"), lit(7)).cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("c"), sum("v").as("s"))
+      val fast = q
+      val rows = fast.collect().map(_.toString).sorted.toSeq
+      val partial = partialOf(fast)
+      assert(partial.metrics("bypassTasks").value > 0)
+      val streamed = partial.metrics("bypassRows").value
+      // head ≈ 2000 rows; allow a handful of straddling windows
+      assert(streamed > 0 && streamed < 8000,
+        s"streamed $streamed rows — re-check did not stop the bypass")
+      assert(rows === genericRows(q))
+    } finally {
+      SketchAgg.BypassSampleRows = savedS
+      SketchAgg.BypassRecheckRows = savedR
+    }
+  }
+
+  test("count(NULL literal) is 0, not a row count — map and bypass paths") {
+    // map path (low-NDV key saturates the sample, no bypass)
+    compare(base.groupBy("k1").agg(
+      count(lit(null)).as("cn"), count(lit(1)).as("c"), sum("v").as("s")))
+    // bypass path (high-NDV key, tiny sample forces streaming)
+    val saved = SketchAgg.BypassSampleRows
+    SketchAgg.BypassSampleRows = 64
+    try compare(base.groupBy("u").agg(
+      count(lit(null)).as("cn"), count(lit(1)).as("c"), sum("v").as("s")))
+    finally SketchAgg.BypassSampleRows = saved
+  }
+
   test("adaptive bypass composes with the partial flush window") {
     val savedF = SketchAgg.PartialFlushGroups
     val savedS = SketchAgg.BypassSampleRows

@@ -84,6 +84,50 @@ class StorageStreamingSpec extends SparkSpec {
     assert(MergeTreeTable.read(spark, path).count() === 2)
   }
 
+  test("Replacing FINAL tie rule survives a file-listing reorder " +
+      "(insert epochs persist in the sidecars)") {
+    val path = tmpDir("mt-rep-epoch")
+    val spec = Spec(Seq("k"), engine = Replacing("ver"))
+    // two inserts with EQUAL versions: the LAST-INSERTED row must win
+    // (ReplacingSortedBlockInputStream.h:11-15), pinned by the
+    // persisted per-part insert epoch — not by file-listing order
+    MergeTreeTable.write(Seq(("a", 1L, "first")).toDF("k", "ver", "v"),
+      path, spec, SaveMode.Overwrite)
+    MergeTreeTable.write(Seq(("a", 1L, "second")).toDF("k", "ver", "v"),
+      path, spec)
+    def survivor(): Seq[String] = MergeTreeTable.readFinal(spark, path, spec)
+      .select("v").as[String].collect().toSeq
+    assert(survivor() === Seq("second"))
+    // Now RENAME the parts so lexicographic listing order INVERTS
+    // insert order (the first insert's part lists last), patching the
+    // sidecar keys to follow — exactly the "future change reorders
+    // file listing" hazard. The epochs ride along; survivors must not.
+    val conf = spark.sessionState.newHadoopConf()
+    val epochs = graft.operators.FooterStats.insertEpochs(conf, path)
+    assert(epochs.values.toSet === Set(0L, 1L), epochs.toString)
+    val dir = new java.io.File(path)
+    val renames = epochs.map { case (name, ep) =>
+      // epoch 0 (first insert) gets a late-sorting name, epoch 1 an
+      // early-sorting one
+      name -> (if (ep == 0L) s"part-zz-$ep.parquet" else s"part-aa-$ep.parquet")
+    }
+    renames.foreach { case (from, to) =>
+      assert(new java.io.File(dir, from).renameTo(new java.io.File(dir, to)))
+    }
+    // stale checksum files for the old names would not match anything
+    dir.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val sidecar = new java.io.File(dir, graft.operators.FooterStats.SidecarName)
+    val patched = renames.foldLeft(
+      new String(Files.readAllBytes(sidecar.toPath), "UTF-8")) {
+      case (s, (from, to)) => s.replace(from, to)
+    }
+    Files.write(sidecar.toPath, patched.getBytes("UTF-8"))
+    graft.operators.FooterStats.clearAllCaches()
+    // listing order now shows "second"'s part first; the epoch keeps
+    // the survivor identical
+    assert(survivor() === Seq("second"))
+  }
+
   test("Collapsing engine cancels +1/-1 pairs") {
     val path = tmpDir("mt-col")
     val spec = Spec(Seq("k"), engine = Collapsing("sign"))
