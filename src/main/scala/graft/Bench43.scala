@@ -284,6 +284,8 @@ object Bench43 {
       graft.operators.SketchAgg.zeroUniqEnabled = v.toBoolean)
     sys.props.get("graft.bypass").foreach(v =>
       graft.operators.SketchAgg.bypassEnabled = v.toBoolean)
+    sys.props.get("graft.pack").foreach(v =>
+      graft.operators.SketchAgg.packEnabled = v.toBoolean)
     // force the final-stage sort fallback (OOM-safety path) to measure
     // its cost at scale — r14 pinned correctness only
     sys.props.get("graft.finalmaxgroups").foreach(v =>

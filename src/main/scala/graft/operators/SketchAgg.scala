@@ -110,6 +110,30 @@ object SketchAgg {
     * (Interpreters/Aggregator.h:736-744). */
   @volatile private[graft] var BypassRecheckRows: Long = 8L << 20
 
+  /** Packed exchange — ship BLOCKS, not rows (the reference's
+    * Block-granular pipeline: partial states travel as columns of a
+    * block, DataStreams/IBlockInputStream.h, not as per-row messages).
+    * Profiling at 100M rows (r16, tools/ProfileAgg) attributed ~65% of
+    * the heavy-class task time to per-RECORD exchange overhead: 100M
+    * one-row partials cost ~410 ns each to shuffle-write and a similar
+    * fetch+deserialize on the final side, while the actual merge
+    * compute was ~5 s of 107 s. With packing, each partial task
+    * appends its output rows (map-emitted AND bypass-streamed) into
+    * per-bucket byte buffers — bucket = hash(key) % [[PackBuckets]] —
+    * and emits ONE (bucket, blob) row per [[PackFlushBytes]] window,
+    * so the per-record cost amortizes ~10⁴×. The final stage unpacks
+    * sub-rows (same payload schema, same ordinals) and merges exactly
+    * as before; bucket count ≫ shuffle partitions keeps reduce skew
+    * at balls-in-bins ±few-% without per-task buffers exceeding
+    * PackBuckets × PackFlushBytes. */
+  @volatile private[graft] var packEnabled: Boolean = true
+  /** Bucket fan-out (fixed, independent of shuffle partitions — the
+    * exchange hashes the bucket id again, so many small buckets spread
+    * evenly over any partition count, including AQE coalescing). */
+  @volatile private[graft] var PackBuckets: Int = 1024
+  /** Per-bucket blob flush threshold (bytes). */
+  @volatile private[graft] var PackFlushBytes: Int = 64 << 10
+
   /** count(*) spelled as count(non-null literal) — count(NULL) is NOT
     * a row count (it is 0) and must fall through to the null-checked
     * Count arm in every path that special-cases literal children. */
@@ -211,9 +235,13 @@ object SketchAggStrategy extends SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PhysicalAggregation(grouping, aggExprs, results, child)
         if SketchAgg.enabled && SketchAgg.eligible(grouping, aggExprs) =>
-      val partial = PartialSketchAggExec(grouping, aggExprs, planLater(child))
+      // keyless (global) aggregation has one row per task — nothing to
+      // pack; keyed shapes ship blocks (see SketchAgg.packEnabled)
+      val packed = SketchAgg.packEnabled && grouping.nonEmpty
+      val partial =
+        PartialSketchAggExec(grouping, aggExprs, planLater(child), packed)
       FinalSketchAggExec(grouping, SketchAgg.AggList(aggExprs), results,
-        partial) :: Nil
+        partial, packed) :: Nil
     case _ => Nil
   }
 }
@@ -710,16 +738,31 @@ private[operators] trait SketchAggExecBase extends UnaryExecNode {
 case class PartialSketchAggExec(
     keys: Seq[NamedExpression],
     aggs: Seq[AggregateExpression],
-    child: SparkPlan) extends SketchAggExecBase {
+    child: SparkPlan,
+    packed: Boolean = false) extends SketchAggExecBase {
 
-  // lazy val, NOT def: the buffer attributes fabricate fresh ExprIds
-  // and must be allocated exactly once per node instance — Spark
-  // assumes a node's output is stable across calls (AQE stage reuse,
-  // canonicalization). Downstream consumers read buffers by ordinal,
-  // so fresh ids on tree copy are fine; per-CALL fresh ids are not.
-  override lazy val output: Seq[Attribute] =
+  // Memoized, NOT a plain lazy val: the attributes fabricate fresh
+  // ExprIds and must stay IDENTICAL across tree copies — the packed
+  // exchange's HashPartitioning references __bucket by exprId, so a
+  // withNewChildInternal copy that re-fabricated ids would break
+  // binding at execution (ATTRIBUTE_NOT_FOUND). withNewChildInternal
+  // hands the memo to the copy. (Pre-packing, only ordinal-addressed
+  // buffer attrs flowed downstream, so per-copy ids were harmless.)
+  @transient private var outputMemo: Seq[Attribute] = _
+
+  private[operators] lazy val payloadOutput: Seq[Attribute] =
     keys.map(_.toAttribute) ++ bufferFields.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
+
+  override def output: Seq[Attribute] = {
+    if (outputMemo == null)
+      outputMemo =
+        if (packed) Seq(
+          AttributeReference("__bucket", IntegerType, nullable = false)(),
+          AttributeReference("__blob", BinaryType, nullable = false)())
+        else payloadOutput
+    outputMemo
+  }
 
   override lazy val metrics = Map(
     "bypassTasks" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -797,10 +840,20 @@ case class PartialSketchAggExec(
     val aggsLocal = aggs
     val keysLocal = keys
     val nk = keys.length
-    val outWidth = output.length
-    val outSchema = StructType(output.map(a =>
+    val outWidth = payloadOutput.length
+    val outSchema = StructType(payloadOutput.map(a =>
       StructField(a.name, a.dataType, a.nullable)))
     val flushAt = SketchAgg.PartialFlushGroups
+    // packed-exchange plumbing (see SketchAgg.packEnabled): bucket =
+    // murmur3(key parts) mod PackBuckets, computed by a codegen'd
+    // projection over the payload row (same hash for map-emitted and
+    // bypass-streamed rows — equal keys always share a bucket)
+    val packedLocal = packed
+    val packBuckets = SketchAgg.PackBuckets
+    val packFlush = SketchAgg.PackFlushBytes
+    val bucketExpr: Expression =
+      Pmod(new Murmur3Hash(payloadOutput.take(nk)), Literal(packBuckets))
+    val payloadAttrs = payloadOutput
 
     // Computed keys / agg children evaluate through ONE codegen'd
     // projection (interpreted Expression.eval per row is 5-10x
@@ -984,7 +1037,7 @@ case class PartialSketchAggExec(
       val bypassProj: Option[UnsafeProjection] =
         bypassExprs.map(es => UnsafeProjection.create(es, effOut))
 
-      new Iterator[InternalRow] {
+      val payloadIter: Iterator[InternalRow] = new Iterator[InternalRow] {
         private var pending: Iterator[InternalRow] = Iterator.empty
         private var done = false
         private var needReset = false
@@ -1069,11 +1122,102 @@ case class PartialSketchAggExec(
           pending.next()
         }
       }
+
+      if (!packedLocal) payloadIter
+      else new PackingIterator(payloadIter,
+        UnsafeProjection.create(Seq(bucketExpr), payloadAttrs),
+        packBuckets, packFlush)
     }
   }
 
-  override protected def withNewChildInternal(newChild: SparkPlan): PartialSketchAggExec =
-    copy(child = newChild)
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialSketchAggExec = {
+    val c = copy(child = newChild)
+    c.outputMemo = output // keep exprIds stable across copies (see memo)
+    c
+  }
+}
+
+/** Packs payload UnsafeRows into per-bucket length-prefixed byte blobs
+  * ([[SketchAgg.packEnabled]]): emits one (bucket, blob) row whenever
+  * a bucket crosses `flushBytes`, draining the remainder at input end.
+  * Each input row's bytes are copied immediately, so the upstream
+  * single-reused-row contract is preserved; emitted blob arrays are
+  * exact-size copies owned by the consumer. */
+private[operators] final class PackingIterator(
+    in: Iterator[InternalRow],
+    bucketProj: UnsafeProjection,
+    buckets: Int,
+    flushBytes: Int) extends Iterator[InternalRow] {
+  import org.apache.spark.unsafe.Platform
+  private val bufs = new Array[Array[Byte]](buckets)
+  private val lens = new Array[Int](buckets)
+  private val outRow = new GenericInternalRow(2)
+  private val toPacked = UnsafeProjection.create(StructType(Seq(
+    StructField("__bucket", IntegerType, nullable = false),
+    StructField("__blob", BinaryType, nullable = false))))
+  private var pendingBucket = -1
+  private var drainPos = 0
+
+  private def append(row: InternalRow): Int = {
+    val ur = row.asInstanceOf[UnsafeRow]
+    val b = bucketProj(ur).getInt(0)
+    val sz = ur.getSizeInBytes
+    val need = lens(b) + sz + 4
+    var arr = bufs(b)
+    if (arr == null) {
+      arr = new Array[Byte](math.max(4096, need)); bufs(b) = arr
+    } else if (need > arr.length) {
+      arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, need))
+      bufs(b) = arr
+    }
+    Platform.putInt(arr, Platform.BYTE_ARRAY_OFFSET + lens(b), sz)
+    ur.writeToMemory(arr, Platform.BYTE_ARRAY_OFFSET + lens(b) + 4)
+    lens(b) = need
+    b
+  }
+
+  private def emit(b: Int): InternalRow = {
+    outRow.setInt(0, b)
+    outRow.update(1, java.util.Arrays.copyOf(bufs(b), lens(b)))
+    lens(b) = 0
+    toPacked(outRow)
+  }
+
+  override def hasNext: Boolean = {
+    if (pendingBucket >= 0) return true
+    while (in.hasNext) {
+      val b = append(in.next())
+      if (lens(b) >= flushBytes) { pendingBucket = b; return true }
+    }
+    while (drainPos < buckets && lens(drainPos) == 0) drainPos += 1
+    drainPos < buckets
+  }
+
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException
+    if (pendingBucket >= 0) {
+      val b = pendingBucket; pendingBucket = -1; emit(b)
+    } else {
+      val b = drainPos; drainPos += 1; emit(b)
+    }
+  }
+}
+
+/** Sub-rows of one packed blob ([[PackingIterator]] layout). The
+  * returned UnsafeRow instance is REUSED across next() calls — callers
+  * must fully consume a row before advancing (the merge loop does). */
+private[operators] final class BlobRows(bytes: Array[Byte], width: Int)
+    extends Iterator[InternalRow] {
+  import org.apache.spark.unsafe.Platform
+  private val row = new UnsafeRow(width)
+  private var off = 0
+  override def hasNext: Boolean = off < bytes.length
+  override def next(): InternalRow = {
+    val sz = Platform.getInt(bytes, Platform.BYTE_ARRAY_OFFSET + off)
+    row.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + off + 4, sz)
+    off += 4 + sz
+    row
+  }
 }
 
 /** Final stage: merges partial rows per shuffle partition and emits
@@ -1082,11 +1226,18 @@ case class FinalSketchAggExec(
     keys: Seq[NamedExpression],
     aggList: SketchAgg.AggList,
     resultExprs: Seq[NamedExpression],
-    child: SparkPlan) extends SketchAggExecBase {
+    child: SparkPlan,
+    packed: Boolean = false) extends SketchAggExecBase {
 
   def aggs: Seq[AggregateExpression] = aggList.aggs
 
   override def output: Seq[Attribute] = resultExprs.map(_.toAttribute)
+
+  /** Payload attributes of packed sub-rows — same schema/ordinals the
+    * unpacked exchange would carry (keys, then buffer columns). */
+  private lazy val payloadAttrs: Seq[Attribute] =
+    keys.map(_.toAttribute) ++ bufferFields.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
 
   override lazy val metrics = Map(
     // whole hash-merge loop (fetch + merge compute), summed over tasks
@@ -1102,14 +1253,23 @@ case class FinalSketchAggExec(
       .createNanoTimingMetric(sparkContext, "exchange fetch+deser (sampled)"))
 
   // result expressions reference the aggregate functions' result
-  // attributes, which this node itself produces from merged state
-  override def producedAttributes: AttributeSet =
-    AttributeSet(aggs.map(_.resultAttribute)) ++
-      AttributeSet(output) -- AttributeSet(keys.map(_.toAttribute))
-
+  // attributes, which this node itself produces from merged state;
+  // under the packed exchange the child carries only (bucket, blob),
+  // so the key attributes are also produced HERE (from the unpacked
+  // sub-rows), not passed through
+  override def producedAttributes: AttributeSet = {
+    val base = AttributeSet(aggs.map(_.resultAttribute)) ++ AttributeSet(output)
+    if (packed) base ++ AttributeSet(keys.map(_.toAttribute))
+    else base -- AttributeSet(keys.map(_.toAttribute))
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil
+    else if (packed)
+      // cluster by the precomputed bucket id: equal keys share a
+      // bucket by construction, and PackBuckets ≫ partitions keeps
+      // the reduce side balanced under any partition count
+      ClusteredDistribution(Seq(child.output.head)) :: Nil
     else ClusteredDistribution(keys.map(_.toAttribute)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -1121,11 +1281,19 @@ case class FinalSketchAggExec(
     val resultLocal = resultExprs
     val keysLocal = keys
     val maxGroups = SketchAgg.FinalMaxGroups
-    val childOutput = child.output
+    // packed: sub-rows carry the payload schema at the same ordinals
+    // the unpacked exchange rows would — everything below reads
+    // through `childOutput`/`rows` unchanged
+    val childOutput = if (packed) payloadAttrs else child.output
+    val packedLocal = packed
+    val payloadWidth = childOutput.length
     val mMergeLoop = longMetric("mergeLoopNs")
     val mFetch = longMetric("fetchNs")
 
-    child.execute().mapPartitions { rows =>
+    child.execute().mapPartitions { rows0 =>
+      val rows: Iterator[InternalRow] =
+        if (!packedLocal) rows0
+        else rows0.flatMap(r => new BlobRows(r.getBinary(1), payloadWidth))
       // key parts sit at ordinals 0..nk-1 of the partial row
       val readers = keyTypes.zipWithIndex.map { case (t, i) => keyReader(t, i) }.toArray
       var bufOrd = nk

@@ -29,6 +29,9 @@ object AbBench {
         val n = s.stripPrefix("finalmax:").toInt
         (() => graft.operators.SketchAgg.FinalMaxGroups = defaultFinalMax,
           () => graft.operators.SketchAgg.FinalMaxGroups = n)
+      case "pack" =>
+        (() => graft.operators.SketchAgg.packEnabled = true,
+          () => graft.operators.SketchAgg.packEnabled = false)
       case _ =>
         (() => graft.operators.SketchAgg.bypassEnabled = true,
           () => graft.operators.SketchAgg.bypassEnabled = false)
