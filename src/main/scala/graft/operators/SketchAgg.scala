@@ -278,7 +278,7 @@ private[operators] object AggState {
   final class UniqState(agg: UniqSketch, bufOrd: Int) extends AggState {
     private var s = new Array[UniqSketchState](64)
     def ensure(n: Int): Unit =
-      if (n > s.length) s = java.util.Arrays.copyOf(s, math.max(n, s.length * 2))
+      if (n > s.length) s = java.util.Arrays.copyOf(s, math.max(n, s.length * 4))
     def update(idx: Int, row: InternalRow): Unit = {
       var st = s(idx)
       if (st == null) { st = new UniqSketchState; s(idx) = st }
@@ -304,7 +304,7 @@ private[operators] object AggState {
     // childOrd == -1: count(*) — no null check
     private var c = new Array[Long](64)
     def ensure(n: Int): Unit =
-      if (n > c.length) c = java.util.Arrays.copyOf(c, math.max(n, c.length * 2))
+      if (n > c.length) c = java.util.Arrays.copyOf(c, math.max(n, c.length * 4))
     def update(idx: Int, row: InternalRow): Unit =
       if (childOrd < 0 || !row.isNullAt(childOrd)) c(idx) += 1
     def mergeRow(idx: Int, row: InternalRow): Unit =
@@ -320,7 +320,7 @@ private[operators] object AggState {
     private var s = new Array[Long](64)
     private var seen = new Array[Boolean](64)
     def ensure(n: Int): Unit = if (n > s.length) {
-      val m = math.max(n, s.length * 2)
+      val m = math.max(n, s.length * 4)
       s = java.util.Arrays.copyOf(s, m)
       seen = java.util.Arrays.copyOf(seen, m)
     }
@@ -342,7 +342,7 @@ private[operators] object AggState {
   final class AnyState(agg: graft.functions.ChAny, bufOrd: Int) extends AggState {
     private var s = new Array[graft.functions.AnyBuf](64)
     def ensure(n: Int): Unit =
-      if (n > s.length) s = java.util.Arrays.copyOf(s, math.max(n, s.length * 2))
+      if (n > s.length) s = java.util.Arrays.copyOf(s, math.max(n, s.length * 4))
     private def buf(idx: Int): graft.functions.AnyBuf = {
       if (s(idx) == null) s(idx) = agg.createAggregationBuffer()
       s(idx)
@@ -361,7 +361,7 @@ private[operators] object AggState {
   final class CountExprState(bound: Expression, bufOrd: Int) extends AggState {
     private var c = new Array[Long](64)
     def ensure(n: Int): Unit =
-      if (n > c.length) c = java.util.Arrays.copyOf(c, math.max(n, c.length * 2))
+      if (n > c.length) c = java.util.Arrays.copyOf(c, math.max(n, c.length * 4))
     def update(idx: Int, row: InternalRow): Unit =
       if (bound.eval(row) != null) c(idx) += 1
     def mergeRow(idx: Int, row: InternalRow): Unit =
@@ -378,7 +378,7 @@ private[operators] object AggState {
     private var s = new Array[Long](64)
     private var seen = new Array[Boolean](64)
     def ensure(n: Int): Unit = if (n > s.length) {
-      val m = math.max(n, s.length * 2)
+      val m = math.max(n, s.length * 4)
       s = java.util.Arrays.copyOf(s, m)
       seen = java.util.Arrays.copyOf(seen, m)
     }
@@ -404,7 +404,7 @@ private[operators] object AggState {
     private var s = new Array[Double](64)
     private var c = new Array[Long](64)
     def ensure(n: Int): Unit = if (n > s.length) {
-      val m = math.max(n, s.length * 2)
+      val m = math.max(n, s.length * 4)
       s = java.util.Arrays.copyOf(s, m)
       c = java.util.Arrays.copyOf(c, m)
     }
@@ -432,7 +432,7 @@ private[operators] object AggState {
     private var s = new Array[Double](64)
     private var c = new Array[Long](64)
     def ensure(n: Int): Unit = if (n > s.length) {
-      val m = math.max(n, s.length * 2)
+      val m = math.max(n, s.length * 4)
       s = java.util.Arrays.copyOf(s, m)
       c = java.util.Arrays.copyOf(c, m)
     }
@@ -507,9 +507,25 @@ private[operators] final class GroupKeyMap(
 
   private var kL: Array[Array[Long]] =
     Array.tabulate(nk)(i => if (keyIsString(i)) null else new Array[Long](64))
-  private var kS: Array[Array[UTF8String]] =
-    Array.tabulate(nk)(i => if (keyIsString(i)) new Array[UTF8String](64) else null)
+  // String keys live in a per-column append-only byte ARENA with
+  // (offset, len) pairs per group — not one UTF8String object per
+  // group: at millions of groups the per-group clone was an
+  // allocation/GC storm (the r15 q19 negative's root cause). The
+  // arena is bounded by Int offsets (~2 GB of key bytes per column
+  // per task); the final stage's group cap keeps real shapes far
+  // below it, and overflow raises rather than corrupts.
+  private var kArena: Array[Array[Byte]] =
+    Array.tabulate(nk)(i => if (keyIsString(i)) new Array[Byte](1 << 12) else null)
+  private var kArenaLen: Array[Int] = new Array[Int](nk)
+  private var kOff: Array[Array[Int]] =
+    Array.tabulate(nk)(i => if (keyIsString(i)) new Array[Int](64) else null)
+  private var kLen: Array[Array[Int]] =
+    Array.tabulate(nk)(i => if (keyIsString(i)) new Array[Int](64) else null)
   private var kN: Array[Array[Boolean]] = Array.fill(nk)(new Array[Boolean](64))
+  // per-GROUP hash (not per-slot): rehash re-probes from stored hashes
+  // instead of re-mixing every key — at millions of groups the jstack
+  // profile put 19% of final-stage samples inside rehash
+  private var gHash = new Array[Long](64)
   var n = 0
 
   // scratch for the current row's key
@@ -543,8 +559,14 @@ private[operators] final class GroupKeyMap(
     while (i < nk) {
       if (kN(i)(g) != rowN(i)) return false
       if (!rowN(i)) {
-        if (keyIsString(i)) { if (!kS(i)(g).equals(rowS(i))) return false }
-        else if (kL(i)(g) != rowL(i)) return false
+        if (keyIsString(i)) {
+          val s = rowS(i)
+          if (kLen(i)(g) != s.numBytes()) return false
+          if (!org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+            s.getBaseObject, s.getBaseOffset, kArena(i),
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + kOff(i)(g),
+            s.numBytes())) return false
+        } else if (kL(i)(g) != rowL(i)) return false
       }
       i += 1
     }
@@ -554,31 +576,47 @@ private[operators] final class GroupKeyMap(
   private def growKeys(m: Int): Unit = {
     var i = 0
     while (i < nk) {
-      if (keyIsString(i)) kS(i) = java.util.Arrays.copyOf(kS(i), m)
-      else kL(i) = java.util.Arrays.copyOf(kL(i), m)
+      if (keyIsString(i)) {
+        kOff(i) = java.util.Arrays.copyOf(kOff(i), m)
+        kLen(i) = java.util.Arrays.copyOf(kLen(i), m)
+      } else kL(i) = java.util.Arrays.copyOf(kL(i), m)
       kN(i) = java.util.Arrays.copyOf(kN(i), m)
       i += 1
     }
+    gHash = java.util.Arrays.copyOf(gHash, m)
+  }
+
+  /** Append a string key's bytes to column i's arena; returns offset. */
+  private def arenaAppend(i: Int, s: UTF8String): Int = {
+    val len = s.numBytes()
+    val off = kArenaLen(i)
+    if (off.toLong + len > Int.MaxValue - 16)
+      throw new IllegalStateException(
+        "group-key arena exceeds 2 GB for one task — raise parallelism " +
+          "or lower SketchAgg.FinalMaxGroups")
+    var arena = kArena(i)
+    if (off + len > arena.length) {
+      arena = java.util.Arrays.copyOf(arena,
+        math.max(arena.length * 2, off + len))
+      kArena(i) = arena
+    }
+    s.writeToMemory(arena,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+    kArenaLen(i) = off + len
+    off
   }
 
   private def rehash(): Unit = {
-    cap <<= 1
+    // grow 4x while small: high-NDV final stages reach millions of
+    // groups, and halving the number of full-table rebuilds matters
+    // more than the <=48 MB slot overshoot below the 4M-slot bound
+    cap <<= (if (cap < (1 << 22)) 2 else 1)
     table = new Array[Int](cap); java.util.Arrays.fill(table, -1)
     val nh = new Array[Long](cap)
     shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
     var g = 0
     while (g < n) {
-      // recompute the hash from stored parts
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < nk) {
-        val hi =
-          if (kN(i)(g)) 0x7f4A7C15L
-          else if (keyIsString(i)) kS(i)(g).hashCode().toLong
-          else kL(i)(g)
-        h = mix(h ^ hi)
-        i += 1
-      }
+      val h = gHash(g)
       var s = (h >>> shift).toInt
       while (table(s) >= 0) s = (s + 1) & (cap - 1)
       table(s) = g; nh(s) = h
@@ -597,18 +635,23 @@ private[operators] final class GroupKeyMap(
       s = (s + 1) & (cap - 1)
       g = table(s)
     }
-    // insert
+    // insert (key/state arrays grow 4x for the same reason as rehash)
     g = n
-    if (nk > 0 && g >= kN(0).length) growKeys(math.max(g + 1, kN(0).length * 2))
+    if (nk > 0 && g >= kN(0).length) growKeys(math.max(g + 1, kN(0).length * 4))
+    else if (g >= gHash.length)
+      gHash = java.util.Arrays.copyOf(gHash, math.max(g + 1, gHash.length * 4))
     var i = 0
     while (i < nk) {
       kN(i)(g) = rowN(i)
       if (!rowN(i)) {
-        if (keyIsString(i)) kS(i)(g) = rowS(i).clone()
-        else kL(i)(g) = rowL(i)
+        if (keyIsString(i)) {
+          kOff(i)(g) = arenaAppend(i, rowS(i))
+          kLen(i)(g) = rowS(i).numBytes()
+        } else kL(i)(g) = rowL(i)
       }
       i += 1
     }
+    gHash(g) = h
     table(s) = g; hashArr(s) = h
     n += 1
     if (n * 2 > cap) rehash()
@@ -616,7 +659,11 @@ private[operators] final class GroupKeyMap(
   }
 
   def keyLong(i: Int, g: Int): Long = kL(i)(g)
-  def keyStr(i: Int, g: Int): UTF8String = kS(i)(g)
+  /** A VIEW into the arena (no copy) — consumers copy on write-out
+    * (toUnsafe / UnsafeProjection), and an arena growth after this
+    * call keeps the old array alive for existing views. */
+  def keyStr(i: Int, g: Int): UTF8String =
+    UTF8String.fromBytes(kArena(i), kOff(i)(g), kLen(i)(g))
   def keyNull(i: Int, g: Int): Boolean = kN(i)(g)
 
   def reset(): Unit = {
@@ -625,8 +672,13 @@ private[operators] final class GroupKeyMap(
     hashArr = new Array[Long](cap)
     shift = java.lang.Long.numberOfLeadingZeros(cap - 1)
     kL = Array.tabulate(nk)(i => if (keyIsString(i)) null else new Array[Long](64))
-    kS = Array.tabulate(nk)(i => if (keyIsString(i)) new Array[UTF8String](64) else null)
+    kArena = Array.tabulate(nk)(i =>
+      if (keyIsString(i)) new Array[Byte](1 << 12) else null)
+    kArenaLen = new Array[Int](nk)
+    kOff = Array.tabulate(nk)(i => if (keyIsString(i)) new Array[Int](64) else null)
+    kLen = Array.tabulate(nk)(i => if (keyIsString(i)) new Array[Int](64) else null)
     kN = Array.fill(nk)(new Array[Boolean](64))
+    gHash = new Array[Long](64)
     n = 0
   }
 }
@@ -1203,18 +1255,21 @@ private[operators] final class PackingIterator(
   }
 }
 
-/** Sub-rows of one packed blob ([[PackingIterator]] layout). The
-  * returned UnsafeRow instance is REUSED across next() calls — callers
-  * must fully consume a row before advancing (the merge loop does). */
-private[operators] final class BlobRows(bytes: Array[Byte], width: Int)
+/** Sub-rows of one packed blob ([[PackingIterator]] layout), pointing
+  * straight into the backing memory (no per-blob byte copy). The
+  * returned UnsafeRow instance is REUSED across next() calls, and the
+  * backing memory is only valid until the exchange iterator advances —
+  * callers must fully consume each row before pulling the next blob. */
+private[operators] final class BlobRows(
+    base: AnyRef, start: Long, totalLen: Int, width: Int)
     extends Iterator[InternalRow] {
   import org.apache.spark.unsafe.Platform
   private val row = new UnsafeRow(width)
   private var off = 0
-  override def hasNext: Boolean = off < bytes.length
+  override def hasNext: Boolean = off < totalLen
   override def next(): InternalRow = {
-    val sz = Platform.getInt(bytes, Platform.BYTE_ARRAY_OFFSET + off)
-    row.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + off + 4, sz)
+    val sz = Platform.getInt(base, start + off)
+    row.pointTo(base, start + off + 4, sz)
     off += 4 + sz
     row
   }
@@ -1293,7 +1348,21 @@ case class FinalSketchAggExec(
     child.execute().mapPartitions { rows0 =>
       val rows: Iterator[InternalRow] =
         if (!packedLocal) rows0
-        else rows0.flatMap(r => new BlobRows(r.getBinary(1), payloadWidth))
+        else rows0.flatMap { r =>
+          // zero-copy: point sub-rows into the exchange row's own
+          // memory (UnsafeRow var-length layout: (offset << 32) | size
+          // in the fixed slot — same arithmetic getBinary uses before
+          // copying). The serializer REUSES that buffer on the next
+          // fetch, so every sub-row must be fully merged before the
+          // outer iterator's hasNext/next runs again — the merge loop
+          // below and the sort-fallback feed both do exactly that
+          // (flatMap only advances the outer once the blob drains).
+          val ur = r.asInstanceOf[UnsafeRow]
+          val offSize = ur.getLong(1)
+          new BlobRows(ur.getBaseObject,
+            ur.getBaseOffset + (offSize >> 32).toInt,
+            offSize.toInt, payloadWidth)
+        }
       // key parts sit at ordinals 0..nk-1 of the partial row
       val readers = keyTypes.zipWithIndex.map { case (t, i) => keyReader(t, i) }.toArray
       var bufOrd = nk
@@ -1322,17 +1391,19 @@ case class FinalSketchAggExec(
       // Timing: the loop is metered whole; every 128th (hasNext, next)
       // pair is timed and extrapolated to split exchange fetch+deser
       // from merge compute (see the metrics scaladoc).
+      // next() and hasNext() are timed SEPARATELY around the merge —
+      // the merge must complete before hasNext advances the exchange
+      // iterator, whose reused deserialization buffer backs the
+      // zero-copy sub-rows (see the flatMap above)
       val loopT0 = System.nanoTime()
       var fetchNs = 0L
       var rowCnt = 0L
       var more = rows.hasNext
       while (more && gmap.n < maxGroups) {
         val sampled = (rowCnt & 127) == 0
-        val t0 = if (sampled) System.nanoTime() else 0L
+        var t0 = if (sampled) System.nanoTime() else 0L
         val row = rows.next()
-        val hadNext = rows.hasNext
         if (sampled) fetchNs += (System.nanoTime() - t0) << 7
-        more = hadNext
         rowCnt += 1
         sawAny = true
         var i = 0
@@ -1343,6 +1414,9 @@ case class FinalSketchAggExec(
         while (ai < states.length) {
           val st = states(ai); st.ensure(g + 1); st.mergeRow(g, row); ai += 1
         }
+        t0 = if (sampled) System.nanoTime() else 0L
+        more = rows.hasNext
+        if (sampled) fetchNs += (System.nanoTime() - t0) << 7
       }
       mMergeLoop.add(System.nanoTime() - loopT0)
       mFetch.add(fetchNs)
