@@ -110,6 +110,9 @@ object SketchAgg {
     * (Interpreters/Aggregator.h:736-744). */
   @volatile private[graft] var BypassRecheckRows: Long = 8L << 20
 
+  /** Max group-key arity admitted (see the note in [[eligible]]). */
+  @volatile private[graft] var MaxKeys: Int = 2
+
   /** Packed exchange — ship BLOCKS, not rows (the reference's
     * Block-granular pipeline: partial states travel as columns of a
     * block, DataStreams/IBlockInputStream.h, not as per-row messages).
@@ -186,16 +189,15 @@ object SketchAgg {
   private[operators] def eligible(
       grouping: Seq[NamedExpression],
       aggs: Seq[AggregateExpression]): Boolean = {
-    // ≤2 keys. GroupKeyMap is arity-generic and raising this to 3 was
-    // TRIED for the bench q19 shape (UserID, minute, SearchPhrase) and
-    // MEASURED A LOSS at 100M (r15, interleaved A/B: SketchAgg+bypass
-    // 13.6–140 s vs codegen's stable 9–13 s): with ~90M distinct
-    // 3-part groups the FINAL stage's typed map clones a UTF8String
-    // per group — allocation/GC dominates — where codegen's
-    // UnsafeRow-page map absorbs the same groups flatly. Wider/
-    // string-heavy high-NDV shapes belong to codegen's final stage;
-    // do not raise without re-measuring the final-stage memory path.
-    val keysOk = grouping.length <= 2 && grouping.forall { k =>
+    // ≤MaxKeys (default 2). GroupKeyMap is arity-generic; raising to 3
+    // for the bench q19 shape (UserID, minute, SearchPhrase) was
+    // MEASURED A LOSS at 100M in r15 (SketchAgg 13.6–140 s vs
+    // codegen's stable 9–13 s) — root cause was the FINAL map cloning
+    // a UTF8String per group (~90M groups, allocation/GC storm). r16
+    // replaced the clones with a byte arena and the exchange with
+    // packed blobs, so the admission is re-measurable via the mutable
+    // knob; it stays at 2 unless an interleaved A/B shows a win.
+    val keysOk = grouping.length <= MaxKeys && grouping.forall { k =>
       supportedKeyType(k.dataType) && cleanExpr(k)
     }
     def objectState(f: AggregateFunction): Boolean = f match {

@@ -32,6 +32,10 @@ object AbBench {
       case "pack" =>
         (() => graft.operators.SketchAgg.packEnabled = true,
           () => graft.operators.SketchAgg.packEnabled = false)
+      case s if s.startsWith("maxkeys:") =>
+        val n = s.stripPrefix("maxkeys:").toInt
+        (() => graft.operators.SketchAgg.MaxKeys = n,
+          () => graft.operators.SketchAgg.MaxKeys = 2)
       case _ =>
         (() => graft.operators.SketchAgg.bypassEnabled = true,
           () => graft.operators.SketchAgg.bypassEnabled = false)
