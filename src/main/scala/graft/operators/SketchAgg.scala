@@ -112,6 +112,9 @@ object SketchAgg {
 
   /** Max group-key arity admitted (see the note in [[eligible]]). */
   @volatile private[graft] var MaxKeys: Int = 2
+  /** Admit zero-object shapes whose only high-NDV key is a STRING
+    * (see the note in [[eligible]]). Off until measured a win. */
+  @volatile private[graft] var StringKeysEnabled: Boolean = false
 
   /** Packed exchange — ship BLOCKS, not rows (the reference's
     * Block-granular pipeline: partial states travel as columns of a
@@ -220,6 +223,11 @@ object SketchAgg {
         })
     val shapeOk = keysOk && aggs.nonEmpty && aggs.forall(fnOk)
     def hasLongKey = grouping.exists(_.dataType == LongType)
+    // StringKeysEnabled extends the zero-object admission to plain
+    // string keys (GROUP BY URL-class shapes) — re-measurable now the
+    // arena map makes string groups allocation-free; A/B via AbBench
+    // knob "stringkeys".
+    def hasStringKey = grouping.exists(_.dataType == StringType)
     // Zero-object shapes are admitted when the adaptive bypass can
     // protect them: a 64-bit key at high NDV is exactly where codegen
     // HashAggregate's partial map is futile (r14 measured the typed
@@ -228,7 +236,8 @@ object SketchAgg {
     // count/sum/avg all have singleton forms, so the bypass is always
     // available for this shape.
     shapeOk && (aggs.exists(e => objectState(e.aggregateFunction)) ||
-      ((zeroUniqEnabled || bypassEnabled) && grouping.nonEmpty && hasLongKey))
+      ((zeroUniqEnabled || bypassEnabled) && grouping.nonEmpty &&
+        (hasLongKey || (StringKeysEnabled && hasStringKey))))
   }
 }
 

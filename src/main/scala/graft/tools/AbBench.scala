@@ -36,6 +36,9 @@ object AbBench {
         val n = s.stripPrefix("maxkeys:").toInt
         (() => graft.operators.SketchAgg.MaxKeys = n,
           () => graft.operators.SketchAgg.MaxKeys = 2)
+      case "stringkeys" =>
+        (() => graft.operators.SketchAgg.StringKeysEnabled = true,
+          () => graft.operators.SketchAgg.StringKeysEnabled = false)
       case _ =>
         (() => graft.operators.SketchAgg.bypassEnabled = true,
           () => graft.operators.SketchAgg.bypassEnabled = false)
