@@ -344,13 +344,32 @@ object Bench43 {
       System.err.println(
         f"[bench43] JIT pre-lap done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // Host-weather gate + per-row probe (r16 verdict #1/#6): wait —
+    // bounded — for a quiet single-thread-probe streak before the
+    // scored pass, and record each query window's probe reading so the
+    // artifact is self-certifying about weather. GRAFT_PROBE_WAIT=0
+    // disables the wait (the per-row sampling stays).
+    val probeWait =
+      sys.env.get("GRAFT_PROBE_WAIT").map(_.toDouble).getOrElse(300.0)
+    val gate =
+      if (probeWait <= 0) (false, Double.NaN)
+      else {
+        val g = graft.tools.HostProbe.awaitQuiet(probeWait)
+        System.err.println(
+          f"[bench43] probe gate: quiet=${g._1} last=${g._2}%.2f s")
+        g
+      }
+    val sampler = new graft.tools.HostProbe.Sampler()
+    val probes = collection.mutable.Map.empty[Int, Double]
     val results = qs.zipWithIndex
       .filter { case (_, i) => only.isEmpty || only(i + 1) }
       .map { case (q, i) =>
       try {
+        val w0 = System.nanoTime()
         val runs =
           if (repeat > 0) (1 to repeat).map(_ => once(q))
           else Seq(once(q), once(q), once(q))
+        probes(i + 1) = sampler.windowMedian(w0, System.nanoTime())
         // min of ALL three: after the cache pin + JIT pre-lap every
         // run is warm by construction (the r14 artifact showed run 1
         // beating both later runs under scheduler noise), so
@@ -431,8 +450,10 @@ object Bench43 {
         val m = median(xs)
         f""","rr_runs":${xs.map(x => f"$x%.3f").mkString("[", ",", "]")},"rr_med":$m%.3f,"rr_ratio":${m / base}%.2f"""
       }.getOrElse("")
+      val probePart = probes.get(i).filter(!_.isNaN)
+        .map(p => f""","probe":$p%.2f""").getOrElse("")
       val e = err.map(m => s""","error":"${m.replace("\"", "'")}"""").getOrElse("")
-      f"""{"q":$i,"sec":$t%.3f,"baseline_sec":$base,"ratio":$r,"runs":$rs$variance$rrPart$e}"""
+      f"""{"q":$i,"sec":$t%.3f,"baseline_sec":$base,"ratio":$r,"runs":$rs$variance$rrPart$probePart$e}"""
     }.mkString("[", ",", "]")
     // heavy-class score from the round-robin medians (comparable
     // samples), falling back to nothing when the protocol was off
@@ -442,11 +463,15 @@ object Bench43 {
     val heavyPart =
       if (rr.isEmpty) ""
       else f""""heavy_geomean_rr":$heavyGeoRr%.3f,"heavy_protocol":"round-robin x$rrRounds, median","""
+    val gatePart =
+      if (gate._2.isNaN) s""""probe_quiet":${gate._1},"""
+      else f""""probe_quiet":${gate._1},"probe_last":${gate._2}%.2f,"""
     val line =
-      f"""{"metric":"bench43_geomean_ratio","value":$geomean%.3f,"geomean_measured":$geomeanMeasured%.3f,$heavyPart"unmeasured":${ok.size - measured.size},"rows":$rows,"errors":${results.size - ok.size},"queries":$perQ}"""
+      f"""{"metric":"bench43_geomean_ratio","value":$geomean%.3f,"geomean_measured":$geomeanMeasured%.3f,$heavyPart$gatePart"unmeasured":${ok.size - measured.size},"rows":$rows,"errors":${results.size - ok.size},"queries":$perQ}"""
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
     println(line)
+    sampler.stop()
     graft.tools.CacheKeeper.unpin()
     spark.stop()
   }

@@ -60,7 +60,14 @@ object ConnectedComponents {
     var prev: (Long, Long) = (-1L, -1L)
     var converged = e.isEmpty
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      // LAZY checkpoint: the signature action right below materializes
+      // the round's edges INTO the checkpoint blocks — one Spark job
+      // per round instead of two (eager=true ran the round once for
+      // the checkpoint and again for the signature; at the
+      // benchmarked scale each round is job-floor-bound, so the extra
+      // job per round was ~40% of the operator's wall time). The
+      // lineage is truncated identically once the action has run.
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       // cheap order-insensitive fixpoint signature: edge count + xor
       // of per-edge hashes (the edge set is distinct, so xor cannot
       // cancel duplicates)

@@ -278,26 +278,65 @@ object FooterStats {
     out.result()
   }
 
-  /** Per-file INSERT EPOCH from the sidecars under `root`: file name →
-    * the 0-based insert sequence number its part arrived in. The
-    * reference's "last inserted wins among equal versions"
+  /** Per-file INSERT EPOCH from the sidecars under `root`: QUALIFIED
+    * file path (the exact string `_metadata.file_path` yields for that
+    * file) → the 0-based insert sequence number its part arrived in.
+    * The reference's "last inserted wins among equal versions"
     * (ReplacingSortedBlockInputStream.h:11-15) needs insert ORDER as a
-    * persisted fact — file-listing order is a layout accident. Epochs
-    * are assigned by [[writeSidecars]]: files already in a sidecar keep
-    * their epoch; each write's new files share max+1 (one insert = one
-    * part set = one epoch). Empty map when no sidecars exist. */
+    * persisted fact — file-listing order is a layout accident. Keys
+    * are directory-qualified because Spark's dynamic-partition writer
+    * reuses one file NAME across partition directories (same
+    * part-<split>-<jobUUID>.c000 in p=a/ and p=b/ when one task writes
+    * both values) — a name-keyed map silently collides. Epochs are
+    * assigned by [[writeSidecars]]: files already in a sidecar keep
+    * their epoch; each write's new files share a TABLE-level max+1
+    * (one insert = one part set = one epoch, comparable across
+    * partition dirs). Empty map when no sidecars exist. */
   def insertEpochs(conf: Configuration, root: String): Map[String, Long] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fsys = rootPath.getFileSystem(conf)
     if (!fsys.exists(rootPath)) return Map.empty
     val out = Map.newBuilder[String, Long]
     def walk(dir: org.apache.hadoop.fs.Path): Unit = {
-      out ++= loadEpochs(conf, dir)
+      val qdir = fsys.makeQualified(dir)
+      out ++= loadEpochs(conf, dir).map { case (name, ep) =>
+        new org.apache.hadoop.fs.Path(qdir, name).toString -> ep
+      }
       fsys.listStatus(dir).filter(_.isDirectory).foreach(s => walk(s.getPath))
     }
     walk(if (fsys.getFileStatus(rootPath).isFile) rootPath.getParent
       else rootPath)
     out.result()
+  }
+
+  /** [[insertEpochs]] with a completeness guarantee: Some(map) only
+    * when EVERY parquet data file under `root` has an epoch entry.
+    * A write that failed to persist its sidecar (write() swallows
+    * sidecar failures) leaves its files unmapped — and those files may
+    * be exactly the NEWEST insert, so any default epoch for them
+    * inverts the last-inserted-wins tiebreak. Callers must fall back
+    * to the listing-order fold on None. */
+  def epochsCoveringAll(conf: Configuration,
+      root: String): Option[Map[String, Long]] = {
+    val epochs = insertEpochs(conf, root)
+    if (epochs.isEmpty) return None
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fsys = rootPath.getFileSystem(conf)
+    var complete = true
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = if (complete) {
+      val entries = fsys.listStatus(dir)
+      entries.foreach { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith(".") &&
+            !epochs.contains(fsys.makeQualified(s.getPath).toString))
+          complete = false
+      }
+    }
+    walk(if (fsys.getFileStatus(rootPath).isFile) rootPath.getParent
+      else rootPath)
+    if (complete) Some(epochs) else None
   }
 
   private def loadEpochs(conf: Configuration,
@@ -334,20 +373,36 @@ object FooterStats {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fsys = rootPath.getFileSystem(conf)
     if (!fsys.exists(rootPath)) return
+    // the NEW epoch is TABLE-level (max over every dir's sidecar + 1):
+    // per-dir counters would give one logical insert different epochs
+    // in different partition dirs (a fresh dir restarts at 0), making
+    // cross-dir epoch comparison meaningless
+    val start = if (fsys.getFileStatus(rootPath).isFile) rootPath.getParent
+      else rootPath
+    var tableMax = -1L
+    def scanMax(dir: org.apache.hadoop.fs.Path): Unit = {
+      val prev = try loadEpochs(conf, dir)
+        catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+      if (prev.nonEmpty) tableMax = math.max(tableMax, prev.values.max)
+      fsys.listStatus(dir).filter(_.isDirectory).foreach(s => scanMax(s.getPath))
+    }
+    scanMax(start)
+    val nextEpoch = tableMax + 1L
     def walk(dir: org.apache.hadoop.fs.Path): Unit = {
       val entries = fsys.listStatus(dir)
       val parts = entries.filter(s => s.isFile &&
         s.getPath.getName.endsWith(".parquet") &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      if (parts.nonEmpty) writeOne(conf, fsys, dir, parts)
+      if (parts.nonEmpty) writeOne(conf, fsys, dir, parts, nextEpoch)
       entries.filter(_.isDirectory).foreach(s => walk(s.getPath))
     }
-    walk(if (fsys.getFileStatus(rootPath).isFile) rootPath.getParent else rootPath)
+    walk(start)
   }
 
   private def writeOne(conf: Configuration,
       fsys: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, parts: Array[FileStatus]): Unit = {
+      dir: org.apache.hadoop.fs.Path, parts: Array[FileStatus],
+      nextEpoch: Long): Unit = {
     // all leaf columns of the first footer = the stat column set
     // (identical schemas within one table directory)
     val first = ParquetFileReader.open(
@@ -366,11 +421,10 @@ object FooterStats {
       Future.traverse(parts.toSeq)(p => Future(get(conf, p, leafCols))),
       scala.concurrent.duration.Duration(10, "min"))
     // insert epochs: files already recorded keep theirs; this write's
-    // NEW files share max+1 (one insert = one part set = one epoch) —
-    // see [[insertEpochs]]
+    // NEW files share the caller's TABLE-level next epoch (one insert
+    // = one part set = one epoch) — see [[insertEpochs]]
     val prevEpochs = try loadEpochs(conf, dir)
       catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
-    val nextEpoch = if (prevEpochs.isEmpty) 0L else prevEpochs.values.max + 1L
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
     rootNode.put("version", 1)

@@ -43,11 +43,19 @@ object IncrementalDedup {
       .where(col(digestCol).isNotNull)
     // empty history — or one whose digests are all null — holds
     // nothing to be a duplicate OF. Spark's bloomFilter NPEs on zero
-    // input rows, so detect the case explicitly (limit(1) short-
-    // circuits the scan); catching the NPE instead would silently
-    // disable dedup on ANY unexpected Bloom-build failure.
-    if (expectedHistory == 0 || histDigests.limit(1).isEmpty) return batch
-    val n = if (expectedHistory > 0) expectedHistory else histDigests.count()
+    // input rows, so detect the case explicitly; catching the NPE
+    // instead would silently disable dedup on ANY unexpected
+    // Bloom-build failure. When the caller did not pass a size, the
+    // count() job doubles as the emptiness check (the old code ran a
+    // limit(1) job AND a count() job — one redundant scheduling floor
+    // per invocation); the limit(1) short-circuit scan runs only on
+    // the trusted-size path, where no count happens.
+    if (expectedHistory == 0) return batch
+    val n = if (expectedHistory > 0) {
+      if (histDigests.limit(1).isEmpty) return batch
+      expectedHistory
+    } else histDigests.count()
+    if (n == 0) return batch
     val bloom = histDigests
       .selectExpr(s"siphash64(CAST($digestCol AS BINARY)) AS h")
       .stat.bloomFilter("h", math.max(n, 64L), fpp)

@@ -811,13 +811,20 @@ case class PartialSketchAggExec(
   // binding at execution (ATTRIBUTE_NOT_FOUND). withNewChildInternal
   // hands the memo to the copy. (Pre-packing, only ordinal-addressed
   // buffer attrs flowed downstream, so per-copy ids were harmless.)
-  @transient private var outputMemo: Seq[Attribute] = _
+  // volatile: withNewChildInternal hands the memo to an unsynchronized
+  // copy; a racing reader of the copy must never observe a stale null
+  // and refabricate fresh exprIds
+  @transient @volatile private var outputMemo: Seq[Attribute] = _
 
   private[operators] lazy val payloadOutput: Seq[Attribute] =
     keys.map(_.toAttribute) ++ bufferFields.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
 
-  override def output: Seq[Attribute] = {
+  // synchronized: two threads racing the first call (AQE stage
+  // planning and the SQL UI both walk plans) must not each fabricate a
+  // distinct attribute set — a non-memoized set escaping to one caller
+  // binds against exprIds the exchange never sees (ATTRIBUTE_NOT_FOUND)
+  override def output: Seq[Attribute] = synchronized {
     if (outputMemo == null)
       outputMemo =
         if (packed) Seq(

@@ -177,22 +177,36 @@ object PipelineQueries {
       .select(col("doc_id"), expr("token_ngram_hashes(text, 4)").as("gs"))
     val bench = grams.filter(pmod(col("doc_id"), lit(29)) === 0)
       .select(explode(col("gs")).as("g")).distinct()
-    // the benchmark set is tiny relative to the corpus: counting it
-    // to size the Bloom filter is two jobs over a few documents
-    val nBench = bench.count()
-    val bloom = bench.stat.bloomFilter("g", math.max(nBench, 64L), 0.01)
+    // The benchmark gram set is SMALL BY DEFINITION (a held-out
+    // benchmark, not the corpus): collect it ONCE and derive the
+    // count, the Bloom filter, and the exact-verify broadcast set from
+    // the same array. The previous shape ran a count() job, then a
+    // bloomFilter aggregation job re-scanning the benchmark docs, then
+    // a THIRD recompute of the bench grams inside the broadcast join —
+    // three scheduling floors + three n-gram kernel passes for one
+    // tiny set. BloomFilter.create + putLong over the same distinct
+    // longs builds the identical filter (bit-OR insertion is
+    // order-independent), so the candidate set — and a fortiori the
+    // exact-verified output — is unchanged.
+    val benchHashes = bench.select(col("g"))
+      .collect().map(_.getLong(0))
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(
+      math.max(benchHashes.length.toLong, 64L), 0.01)
+    benchHashes.foreach(bloom.putLong)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     // filter bytes ride a BROADCAST, not a plan literal: an MB-class
     // benchmark filter as a hex literal bloats every plan copy and
     // task binary; the broadcast ships once per executor
     val bc = s.sparkContext.broadcast(bos.toByteArray)
+    val benchDf = s.createDataset(benchHashes.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("g")
     val cand = grams.filter(pmod(col("doc_id"), lit(29)) =!= 0)
       .filter(org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.BloomContainsAnyBcExpr(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("gs")), bc)))
     cand.select(col("doc_id"), explode(col("gs")).as("g"))
-      .join(broadcast(bench), "g")
+      .join(broadcast(benchDf), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("doc_id"))

@@ -122,26 +122,35 @@ object MergeTreeTable {
   def readFinal(spark: SparkSession, path: String, spec: Spec): DataFrame =
     spec.engine match {
       case Replacing(_) | Summing(_) =>
+        // epochsCoveringAll: None unless EVERY data file has an epoch
+        // — a write whose sidecar persist failed (write() swallows
+        // those) may be exactly the newest insert, and any default
+        // epoch for its files would invert last-inserted-wins. Keyed
+        // by qualified file PATH (not name): the dynamic-partition
+        // writer reuses file names across partition dirs.
         val epochs =
-          try graft.operators.FooterStats.insertEpochs(
+          try graft.operators.FooterStats.epochsCoveringAll(
             spark.sessionState.newHadoopConf(), path)
-          catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
-        if (epochs.isEmpty) fold(read(spark, path), spec)
-        else {
-          // broadcast epoch lookup: O(1) per row at any part count
-          // (a map-literal lookup would scan linearly per row)
-          val epochDf = spark.createDataFrame(epochs.toSeq)
-            .toDF("__graft_file", "__graft_epoch")
-          val withIns = read(spark, path)
-            .select(col("*"),
-              col("_metadata.file_name").as("__graft_file"),
-              col("_metadata.row_index").as("__graft_row"))
-            .join(broadcast(epochDf), Seq("__graft_file"), "left")
-            .withColumn(InsCol, struct(
-              coalesce(col("__graft_epoch"), lit(-1L)).as("e"),
-              col("__graft_row").as("r")))
-            .drop("__graft_file", "__graft_epoch", "__graft_row")
-          fold(withIns, spec, Some(InsCol))
+          catch { case scala.util.control.NonFatal(_) => None }
+        epochs match {
+          case None => fold(read(spark, path), spec)
+          case Some(eps) =>
+            // broadcast epoch lookup: O(1) per row at any part count
+            // (a map-literal lookup would scan linearly per row).
+            // Inner semantics are safe: coverage was just verified, so
+            // the left join hits every row.
+            val epochDf = spark.createDataFrame(eps.toSeq)
+              .toDF("__graft_file", "__graft_epoch")
+            val withIns = read(spark, path)
+              .select(col("*"),
+                col("_metadata.file_path").as("__graft_file"),
+                col("_metadata.row_index").as("__graft_row"))
+              .join(broadcast(epochDf), Seq("__graft_file"), "left")
+              .withColumn(InsCol, struct(
+                coalesce(col("__graft_epoch"), lit(-1L)).as("e"),
+                col("__graft_row").as("r")))
+              .drop("__graft_file", "__graft_epoch", "__graft_row")
+            fold(withIns, spec, Some(InsCol))
         }
       case _ => fold(read(spark, path), spec)
     }

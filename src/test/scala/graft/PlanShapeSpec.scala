@@ -176,9 +176,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bloom_contains_any"), p)
     // exact verification joins the (tiny) benchmark side broadcast
     assert(p.contains("BroadcastHashJoin"), p)
-    // exactly two Generates: the benchmark-side shingle explode and
-    // the candidate-side explode — no explode of the full clean corpus
-    assert("Generate".r.findAllIn(p).size === 2, p)
+    // exactly ONE Generate — the candidate-side explode. The benchmark
+    // gram set is collected once driver-side (r17): it arrives as a
+    // LocalTableScan under the broadcast, so the final query plans a
+    // SINGLE corpus FileScan and no benchmark-side re-explode.
+    assert("Generate".r.findAllIn(p).size === 1, p)
+    assert(p.contains("LocalTableScan"), p)
+    assert("FileScan".r.findAllIn(p).size === 1, p)
   }
 
   test("q105: normalize-dedup is one kernel call + ONE digest shuffle") {

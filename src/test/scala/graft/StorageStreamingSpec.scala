@@ -106,7 +106,9 @@ class StorageStreamingSpec extends SparkSpec {
     val epochs = graft.operators.FooterStats.insertEpochs(conf, path)
     assert(epochs.values.toSet === Set(0L, 1L), epochs.toString)
     val dir = new java.io.File(path)
-    val renames = epochs.map { case (name, ep) =>
+    // insertEpochs keys are qualified paths; the rename needs names
+    val renames = epochs.map { case (p, ep) =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
       // epoch 0 (first insert) gets a late-sorting name, epoch 1 an
       // early-sorting one
       name -> (if (ep == 0L) s"part-zz-$ep.parquet" else s"part-aa-$ep.parquet")
