@@ -387,12 +387,19 @@ object Bench43 {
     // Heavy-class round-robin (r15 verdict ask #6): the host swings
     // 3-6× WITHIN a run, so per-query sequential triples score weather
     // for the slow aggregation queries. Re-measure the heavy set in
-    // ROUND-ROBIN order — each round runs all five back-to-back, so
-    // every query's samples cover the same host windows and their
+    // ROUND-ROBIN order — each round runs the whole set back-to-back,
+    // so every query's samples cover the same host windows and their
     // medians are mutually comparable (the interleaved-pairs idea of
     // tools/AbBench promoted into the scored artifact). Off with
     // BENCH43_HEAVY_ROUNDS=0; subset runs skip absent queries.
-    val heavySet = Seq(16, 17, 19, 33, 36).filter(i => only.isEmpty || only(i))
+    // r17 (r16 verdict ask #5): the default set covers every query the
+    // r16 artifact measured >2× with a ≥0.1 s baseline (uniq-top-10
+    // class 9/10/12/29, string-key 34/35) in addition to the heavy
+    // five; override with BENCH43_RR_SET.
+    val heavySet = sys.env.get("BENCH43_RR_SET")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(9, 10, 12, 16, 17, 19, 29, 33, 34, 35, 36))
+      .filter(i => only.isEmpty || only(i))
     val rrRounds = sys.env.get("BENCH43_HEAVY_ROUNDS").map(_.toInt).getOrElse(3)
     val rr: Map[Int, Seq[Double]] =
       if (rrRounds <= 0 || heavySet.isEmpty) Map.empty

@@ -113,8 +113,13 @@ object SketchAgg {
   /** Max group-key arity admitted (see the note in [[eligible]]). */
   @volatile private[graft] var MaxKeys: Int = 2
   /** Admit zero-object shapes whose only high-NDV key is a STRING
-    * (see the note in [[eligible]]). Off until measured a win. */
-  @volatile private[graft] var StringKeysEnabled: Boolean = false
+    * (see the note in [[eligible]]). ON since r17: the r16 A/B was
+    * weather-inconclusive; re-run in a probe-quiet window at 100M
+    * (AbBench `stringkeys`, 5 interleaved pairs per query), ON won
+    * q34 5/5 pairs (min 3.56 vs 5.17 s), q35 4/5 (min 3.24 vs 5.47),
+    * q13 4/5 (min 0.98 vs 1.11) — the GROUP-BY-URL class moves from
+    * ~2.2–2.4× of the reference baseline to ~1.0–1.1×. */
+  @volatile private[graft] var StringKeysEnabled: Boolean = true
 
   /** Packed exchange — ship BLOCKS, not rows (the reference's
     * Block-granular pipeline: partial states travel as columns of a

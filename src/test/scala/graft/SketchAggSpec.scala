@@ -31,6 +31,7 @@ class SketchAggSpec extends SparkSpec {
       .withColumn("k1i", pmod(expr("xxhash64(id, 8)"), lit(50)).cast("int"))
       .withColumn("ks", when(pmod(expr("xxhash64(id, 2)"), lit(11)) === 0, lit(null))
         .otherwise(concat(lit("key_"), pmod(expr("xxhash64(id, 3)"), lit(40)))))
+      .withColumn("ks2", concat(lit("s"), pmod(expr("xxhash64(id, 9)"), lit(7))))
       .withColumn("u", expr("xxhash64(pmod(xxhash64(id, 4), 9000))"))
       .withColumn("v", when(pmod(expr("xxhash64(id, 5)"), lit(13)) === 0, lit(null))
         .otherwise(pmod(expr("xxhash64(id, 6)"), lit(1000)).cast("int")))
@@ -127,8 +128,15 @@ class SketchAggSpec extends SparkSpec {
     // HashAggregate's territory
     val d3 = base.groupBy("k1i").agg(count(lit(1)).as("c"))
     assert(!usedSketchAgg(d3))
+    // string keys are admitted by default since r17 (StringKeysEnabled,
+    // A/B-measured a win on the GROUP-BY-URL class); with the knob off
+    // the shape must return to the generic path
     val d4 = base.groupBy("ks").agg(count(lit(1)).as("c"), sum("v").as("s"))
-    assert(!usedSketchAgg(d4))
+    assert(usedSketchAgg(d4))
+    SketchAgg.StringKeysEnabled = false
+    try assert(!usedSketchAgg(
+      base.groupBy("ks").agg(count(lit(1)).as("c"), sum("v").as("s"))))
+    finally SketchAgg.StringKeysEnabled = true
     // plain aggs with NO keys: global codegen agg
     val d5 = base.agg(count(lit(1)).as("c"), sum("v").as("s"))
     assert(!usedSketchAgg(d5))
@@ -151,6 +159,15 @@ class SketchAggSpec extends SparkSpec {
     compare(base.groupBy("k1").agg(sum("vn").as("s"), avg("vn").as("a"),
       count(col("vn")).as("cv")))
     } finally SketchAgg.zeroUniqEnabled = false
+  }
+
+  test("zero-object STRING-key shapes: count/sum/avg bit-identical to codegen plan") {
+    // the r17 StringKeysEnabled default — bench q34/q35/q13 class
+    compare(base.groupBy("ks").agg(count(lit(1)).as("c")))
+    compare(base.groupBy("ks").agg(
+      count(lit(1)).as("c"), sum("v").as("s"), avg("v").as("a")))
+    // two string keys (q118 class: GROUP BY source, token)
+    compare(base.groupBy("ks", "ks2").agg(count(lit(1)).as("c")))
   }
 
   test("zero-object long-key shapes ride SketchAgg iff bypass or typed map is on") {
