@@ -1132,15 +1132,25 @@ case class PartialSketchAggExec(
           while (aggregate) {
             aggregate = false
             val stopAt = if (decided) Long.MaxValue else bypassSample
+            // state capacity is ensured ONLY when a new group appears
+            // (gmap.n moved) — the per-row per-state ensure() calls
+            // were ~a virtual call + bounds check × states × rows in
+            // the jstack profile of the map path
+            var ensured = 0
             while (rows.hasNext && gmap.n < flushAt && sampled < stopAt) {
               val row = rows.next()
               var i = 0
               while (i < nk) { readers(i)(row, gmap, i); i += 1 }
               val g = if (nk == 0) ensureZero()
                 else gmap.findOrInsert(gmap.rowHash())
+              if (gmap.n != ensured) {
+                ensured = gmap.n
+                var ae = 0
+                while (ae < states.length) { states(ae).ensure(ensured); ae += 1 }
+              }
               var ai = 0
               while (ai < states.length) {
-                val st = states(ai); st.ensure(g + 1); st.update(g, row); ai += 1
+                states(ai).update(g, row); ai += 1
               }
               sampled += 1
             }
@@ -1422,6 +1432,9 @@ case class FinalSketchAggExec(
       var fetchNs = 0L
       var rowCnt = 0L
       var more = rows.hasNext
+      // state capacity ensured only when a new group appears (see the
+      // partial loop's note) — not per row per state
+      var ensured = 0
       while (more && gmap.n < maxGroups) {
         val sampled = (rowCnt & 127) == 0
         var t0 = if (sampled) System.nanoTime() else 0L
@@ -1433,9 +1446,14 @@ case class FinalSketchAggExec(
         while (i < nk) { readers(i)(row, gmap, i); i += 1 }
         val g = if (nk == 0) { if (gmap.n == 0) gmap.findOrInsert(gmap.rowHash()) else 0 }
           else gmap.findOrInsert(gmap.rowHash())
+        if (gmap.n != ensured) {
+          ensured = gmap.n
+          var ae = 0
+          while (ae < states.length) { states(ae).ensure(ensured); ae += 1 }
+        }
         var ai = 0
         while (ai < states.length) {
-          val st = states(ai); st.ensure(g + 1); st.mergeRow(g, row); ai += 1
+          states(ai).mergeRow(g, row); ai += 1
         }
         t0 = if (sampled) System.nanoTime() else 0L
         more = rows.hasNext
