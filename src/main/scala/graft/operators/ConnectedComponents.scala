@@ -48,9 +48,16 @@ object ConnectedComponents {
     */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // Checkpoint the INPUT edge list: `edges` is typically an
+    // expensive subtree (a similarity pair join), and without the
+    // checkpoint it re-executes for the emptiness probe, for round 1,
+    // AND for the `nodes` side of the final join — three full passes
+    // of the pair source. Lazy: the first action (the emptiness
+    // probe) materializes it.
     val in = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint(eager = false)
     // nodes from the RAW input: a node appearing only in a self-loop
     // still gets a (node, node) output row
     val nodes = in.select(col("u")).union(in.select(col("v"))).distinct()
